@@ -1,0 +1,83 @@
+"""Benchmark harness (SURVEY.md §6).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes fully (noop sink — all partitions computed, nothing
+shipped to the driver) so timings reflect the distributed plan, not
+collect() serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import minefields_kafka_streams_deduplication_spark as engine
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: flagship + one representative per operator family.
+HEADLINE = [
+    "q1_pricing_summary",        # A3 flagship: scan+filter+8-measure agg
+    "scan_events",               # S1 raw scan
+    "latest_by_key",             # S2 KTable latest-per-key
+    "dedup_keep_first",          # D2 business-key dedup
+    "dedup_windowed",            # D3 TTL-window dedup (batch form)
+    "dedup_text_exact",          # D6 exact text dedup
+    "dedup_text_minhash",        # V2 MinHash+LSH near-dup
+    "join_orders_customer",      # J1 equi join
+    "join_broadcast_nation",     # J5 broadcast dim join
+    "join_interval_view_purchase",  # J4 interval join
+    "join_asof_latest_order_before_event",  # J6 as-of join
+    "agg_revenue_by_user",       # A2 multi-measure agg
+    "agg_rollup_nation_region",  # A5 rollup
+    "window_tumbling_daily",     # W1 tumbling window
+    "window_session_sql",        # W3 sessionization
+    "rank_users_by_spend",       # K1 ranking
+    "topk_products_by_revenue",  # K5 top-k
+    "token_frequency",           # V3 text tf
+    "similarity_topk",           # V1 brute-force cosine top-k
+    "dedup_stream_watermark",    # D4 streaming dedup end-to-end
+]
+
+
+def main() -> None:
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    spark = engine.get_spark("bench")
+    queries = engine.get_queries()
+
+    # Warm-up (not timed): JVM/codegen/Arrow first-call costs.
+    engine.load_table(spark, SF_DIR, "lineitem").count()
+    queries["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = queries[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

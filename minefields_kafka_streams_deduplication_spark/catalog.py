@@ -1,0 +1,58 @@
+"""Fixture table catalog.
+
+Loads the driver's parquet fixtures (TESTDATA.md) as DataFrames with
+normalized types. The one normalization that matters: ``events.ts`` is
+INT64 TIMESTAMP(NANOS) in parquet. Spark cannot read that type natively
+(PARQUET_TYPE_ILLEGAL); with ``spark.sql.legacy.parquet.nanosAsLong`` we
+read raw nanos and truncate to microseconds — byte-identical to what
+DuckDB 1.0's reader produces for the same file, so oracle comparisons
+hold exactly (SURVEY.md §5.3).
+
+Kafka Streams mapping (SURVEY.md §2.1): ``load_table`` is the analog of
+``StreamsBuilder.stream(topic)`` [R o.a.k.streams.StreamsBuilder#stream]
+for batch; `streaming.read_events_stream` is the streaming analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import tune
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table with normalized types."""
+    tune(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos → µs truncation. MUST use integer division (`div`):
+        # a double round-trip on epoch-nanos (~1.7e18 > 2^53) silently
+        # corrupts the low-order digits.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
+    """Register every table as a temp view (SQL entry point, SURVEY §3.3)."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t + suffix)

@@ -1,0 +1,261 @@
+"""Text-analysis operators (SURVEY.md §2.8 F1/V3 + driver-mandated
+LLM-pipeline text ops: language-ID, quality scoring, token counting,
+document fingerprinting). Everything is built-in-function only — no
+Python UDFs — so the whole family stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "text_stats",
+    oracle="""
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(avg(len(string_split(text, ' '))), 4) AS avg_words,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: per-language corpus statistics."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_words"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+TOKEN_FREQ_LIMIT = 100
+
+
+@query(
+    "token_frequency",
+    oracle=f"""
+SELECT token, count(*) AS freq
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT {TOKEN_FREQ_LIMIT}
+""",
+)
+def token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3: term frequency — explode → count → top-k. The explode happens
+    JVM-side; the aggregate is map-side-combined, so shuffle volume is
+    bounded by vocabulary size, not corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(TOKEN_FREQ_LIMIT)
+    )
+
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small and shared verbatim with the oracle SQL.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "es": ["el", "los", "las", "que", "por", "una"],
+    "fr": ["le", "les", "des", "est", "dans", "pour"],
+    "zh": ["的", "是", "了", "在", "我", "有"],
+}
+# Deterministic argmax priority (ties resolve in this order).
+LANG_PRIORITY = ["en", "de", "es", "fr", "zh"]
+
+
+def _stopword_hits(tokens: Column, words: list[str]) -> Column:
+    lit_words = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(lit_words, t)))
+
+
+def _lang_id_oracle() -> str:
+    score_cols = []
+    for lang in LANG_PRIORITY:
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        score_cols.append(
+            f"len(list_filter(string_split(lower(text), ' '), t -> list_contains([{words}], t))) AS score_{lang}"
+        )
+    scores = ",\n       ".join(score_cols)
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in LANG_PRIORITY) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'unknown' "
+    for lang in LANG_PRIORITY:
+        case += f"WHEN score_{lang} = {best} THEN '{lang}' "
+    case += "END"
+    return f"""
+SELECT doc_id, lang, {", ".join(f"score_{lg}" for lg in LANG_PRIORITY)},
+       {case} AS predicted_lang
+FROM (
+  SELECT doc_id, lang,
+       {scores}
+  FROM documents
+) t
+"""
+
+
+@query("lang_id_stopwords", oracle=_lang_id_oracle())
+def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit argmax with a deterministic
+    priority order ('unknown' when no list matches). The fixture corpus
+    is synthetic analytics vocabulary, so scores are mostly zero here;
+    the unit tests exercise real multilingual snippets."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.lower("text"), " ")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            _stopword_hits(tokens, LANG_STOPWORDS[lang]).alias(f"score_{lang}")
+            for lang in LANG_PRIORITY
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in LANG_PRIORITY])
+    pred = F.when(best == 0, "unknown")
+    for lang in LANG_PRIORITY:
+        pred = pred.when(F.col(f"score_{lang}") == best, lang)
+    return scored.withColumn("predicted_lang", pred)
+
+
+# Quality-score weights — shared constants between Spark and oracle SQL.
+QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+@query(
+    "doc_quality_score",
+    oracle=f"""
+SELECT doc_id, lang, n_words, round(avg_word_len, 4) AS avg_word_len,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(stop_ratio, 4) AS stop_ratio,
+       round(0.4 * least(n_words / 100.0, 1.0)
+           + 0.3 * (1.0 - punct_ratio)
+           + 0.3 * least(stop_ratio * 5.0, 1.0), 4) AS quality
+FROM (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_words,
+         CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len,
+         CAST(len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+           / greatest(n_chars, 1) AS punct_ratio,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              t -> list_contains([{", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)}], t))) AS DOUBLE)
+           / greatest(len(string_split(text, ' ')), 1) AS stop_ratio
+  FROM documents
+) t
+""",
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring for LLM-data filtering: length, punctuation and
+    stopword-density signals combined into a [0,1] score. All built-in
+    expressions — at 100 TB this is a free ride on the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    n_words = F.size(tokens)
+    punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+    punct_ratio = punct.cast("double") / F.greatest(F.col("n_chars"), F.lit(1))
+    stop_ratio = _stopword_hits(F.split(F.lower("text"), " "), QUALITY_STOPWORDS).cast(
+        "double"
+    ) / F.greatest(n_words, F.lit(1))
+    base = docs.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        (F.col("n_chars").cast("double") / n_words).alias("avg_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+    )
+    quality = (
+        0.4 * F.least(F.col("n_words") / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.col("punct_ratio"))
+        + 0.3 * F.least(F.col("stop_ratio") * 5.0, F.lit(1.0))
+    )
+    return base.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        F.round("avg_word_len", 4).alias("avg_word_len"),
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round("stop_ratio", 4).alias("stop_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+@query(
+    "token_counts",
+    oracle=f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS bpe_ish_tokens
+FROM documents
+""",
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    pre-tokenization (letter runs / digit runs / punctuation singles) —
+    the standard cheap token-budget estimator for LLM pipelines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(TOKEN_REGEX)).alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS content_md5,
+       n_chars,
+       len(string_split(text, ' ')) AS n_words
+FROM documents
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5) + size metadata — the exact-dedup key
+    you'd actually shuffle at 100 TB instead of full text bodies."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_words"),
+    )
+
+
+WINNOW_K = 50  # number of fingerprint hashes kept per document
+
+
+@query("doc_winnow_fingerprint")  # rows-only: engine-specific hash values
+def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing-style): hash every
+    3-token shingle with xxhash64, keep the K smallest per document.
+    Two documents sharing most fingerprints are near-duplicates. Hash
+    values are engine-specific → rows-only check; semantics are unit-
+    tested (identical docs ⇒ identical fingerprint sets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.lower("text"), " ")
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0)))
+    shingle = lambda i: F.concat_ws(
+        " ", F.element_at(tokens, i + 1), F.element_at(tokens, i + 2), F.element_at(tokens, i + 3)
+    )
+    hashes = F.transform(idx, lambda i: F.xxhash64(shingle(i)))
+    fingerprints = F.slice(F.array_sort(F.array_distinct(hashes)), 1, WINNOW_K)
+    return docs.select("doc_id", fingerprints.alias("fingerprints"), F.size(fingerprints).alias("n_fp"))

@@ -1,0 +1,281 @@
+"""Vector / similarity-search operators (SURVEY.md §2.8 F5/V1).
+
+All dot products are sequential double-precision folds over the array
+(`aggregate(zip_with(...))`) — bit-identical to the oracle's sequential
+list fold, which keeps cosine ranking stable across engines. Ranking
+uses round(cosine, 9) + id tiebreak so a 1-ulp disagreement can never
+flip the top-k cut (SURVEY.md §5.3 float hazard).
+
+Scale path (100 TB): brute-force top-k is O(n·q) — fine for q ≪ n with
+a broadcast candidate set; past that, switch to the blocked variant
+(`similarity_topk_blocked`, IVF-style with a coarse partition key) or
+LSH bucketing (`ann_lsh_hyperplane`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product of two float arrays."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+@query(
+    "array_vector_norm",
+    oracle="""
+SELECT vec_id, label,
+       round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+FROM embeddings
+""",
+)
+def array_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: higher-order array functions — L2 norm via aggregate()."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "label", F.round(l2_norm(F.col("embedding")), 4).alias("l2_norm"))
+
+
+SIM_TOPK = 10
+SIM_N_QUERIES = 100  # query set = vec_id < 100
+
+_COSINE_PAIR_SQL = """
+WITH norms AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (a.nrm * b.nrm) AS cosine
+  FROM norms a
+  JOIN norms b ON b.vec_id != a.vec_id {extra_join}
+  WHERE {query_filter}
+)
+"""
+
+
+@query(
+    "similarity_topk",
+    oracle=_COSINE_PAIR_SQL.format(extra_join="", query_filter=f"a.vec_id < {SIM_N_QUERIES}")
+    + f"""
+SELECT query_id, neighbor_id, round(cosine, 4) AS cosine
+FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cosine, 9) DESC, neighbor_id) AS rn
+  FROM pairs
+) t
+WHERE rn <= {SIM_TOPK}
+""",
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1: exact brute-force cosine top-k (the ANN baseline).
+
+    Plan shape: the candidate side is broadcast (2k×64 floats ≈ 0.5 MB),
+    so each query partition scans candidates locally — a
+    BroadcastNestedLoopJoin, which IS the right plan for brute force.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < SIM_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_nrm"),
+    )
+    b = F.broadcast(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            l2_norm(F.col("embedding")).alias("c_nrm"),
+        )
+    )
+    pairs = a.join(b, F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 9).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SIM_TOPK)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+@query(
+    "similarity_topk_blocked",
+    oracle=_COSINE_PAIR_SQL.format(
+        extra_join="AND b.label = a.label", query_filter=f"a.vec_id < {SIM_N_QUERIES}"
+    )
+    + f"""
+SELECT query_id, neighbor_id, round(cosine, 4) AS cosine
+FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cosine, 9) DESC, neighbor_id) AS rn
+  FROM pairs
+) t
+WHERE rn <= {SIM_TOPK}
+""",
+)
+def similarity_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 scale path (IVF-style): restrict candidates to the query's
+    coarse partition (here the `label` cluster id — in production the
+    nearest centroid(s) from a k-means codebook). Turns O(n·q) into
+    O(n·q / n_partitions) and the join becomes an equi-join on the
+    block key: shuffle-partitionable, AQE-skew-handled."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < SIM_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_nrm"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_nrm"),
+    )
+    pairs = a.join(
+        b, (F.col("q_label") == F.col("c_label")) & (F.col("neighbor_id") != F.col("query_id"))
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 9).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SIM_TOPK)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+COSINE_DUP_THRESHOLD = 0.95
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=_COSINE_PAIR_SQL.format(extra_join="", query_filter="a.vec_id < b.vec_id")
+    + f"""
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE NOT EXISTS (
+  SELECT 1 FROM pairs p
+  WHERE p.neighbor_id = e.vec_id AND round(p.cosine, 9) >= {COSINE_DUP_THRESHOLD}
+)
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup removal: drop any vector whose cosine
+    with a LOWER-id vector is >= threshold (keep-first semantics, same
+    contract as dedup_keep_first). Exact pairwise here; at 100 TB the
+    pair generation goes through LSH buckets (`ann_lsh_hyperplane`)
+    instead of the full cross product."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        l2_norm(F.col("embedding")).alias("a_nrm"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        l2_norm(F.col("embedding")).alias("b_nrm"),
+    )
+    cosine = dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm"))
+    dup_ids = (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .select("b_id", F.round(cosine, 9).alias("cos9"))
+        .filter(F.col("cos9") >= COSINE_DUP_THRESHOLD)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return emb.select("vec_id", "label").join(dup_ids, "vec_id", "left_anti")
+
+
+N_PLANES = 16
+
+
+def _hyperplanes(dim: int = 64, n_planes: int = N_PLANES) -> list[list[float]]:
+    """Deterministic ±1 random hyperplanes from md5 — no RNG state, so
+    signatures are reproducible across runs and engines."""
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"plane:{j}:{i}".encode()).digest()[0]
+            row.append(1.0 if h % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+@query("ann_lsh_hyperplane")  # rows-only: bucketing is approximation by design
+def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane (SRP) LSH. Each vector gets a
+    16-bit signature (sign of dot with 16 fixed ±1 planes); candidates
+    are pairs sharing a signature; exact cosine re-ranks within bucket.
+
+    At 100 TB: signatures are one map pass; the bucket join is an
+    equi-join on (signature) — shuffle-friendly, no cross product.
+    Recall is tunable via bands of shorter signatures (see
+    `dedup_text_minhash` for the banding pattern).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes()
+    sig = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        d = dot(F.col("embedding"), plane_col)
+        sig = sig + F.when(d > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    signed = emb.select(
+        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm"), sig.alias("sig")
+    )
+    a = signed.select(
+        F.col("sig").alias("a_sig"),
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = signed.select(
+        F.col("sig").alias("b_sig"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    cosine = dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm"))
+    pairs = (
+        a.join(b, (F.col("a_sig") == F.col("b_sig")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id", F.round(cosine, 4).alias("cosine"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SIM_TOPK)
+        .select("query_id", "neighbor_id", "cosine")
+    )

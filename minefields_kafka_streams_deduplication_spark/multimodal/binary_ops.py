@@ -1,0 +1,99 @@
+"""Multimodal column operators: image/audio/video as opaque `binary`
+columns with typed metadata (BASELINE.json:6).
+
+The container has no image/audio codecs, so the DECODE step is a
+clearly-marked deterministic fake behind the real Spark plumbing
+(schema, `mapInPandas` batch shape, partitioning). Swapping
+`_fake_decode` for Pillow/torchaudio is a one-function change; the
+distributed plan does not move.
+
+Since the fixtures carry no binary table, `multimodal_meta` synthesizes
+the binary column from `documents.text` (utf-8 encode) — which also
+makes it fully oracle-checkable (byte lengths + hex prefix are
+deterministic), keeping the plumbing honest.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+DECODED_SCHEMA = (
+    "doc_id LONG, n_bytes INT, fake_width INT, fake_height INT, checksum LONG"
+)
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       substr(md5(text), 1, 8) AS prefix_md5,
+       lang
+FROM documents
+""",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque binary column — the scan-side half
+    of every multimodal pipeline (size/dedup-key extraction without
+    decoding). Binary stays JVM-side; no Python in this plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    blob = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).alias("n_bytes"),
+        F.substring(F.md5("text"), 1, 8).alias("prefix_md5"),
+        "lang",
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """STUB decoder — deterministic fake standing in for an image codec.
+
+    Real implementation would be e.g. PIL.Image.open(io.BytesIO(payload))
+    and is NOT available in this container (no image libs).
+    Returns (fake_width, fake_height, checksum).
+    """
+    if not payload:
+        return 0, 0, 0
+    checksum = 0
+    for b in payload[:256]:
+        checksum = (checksum * 31 + b) % 1_000_000_007
+    return (payload[0] % 64 + 1) * 16, (payload[-1] % 64 + 1) * 16, checksum
+
+
+def decode_binary_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: Arrow batches in, decoded metadata out.
+
+    This is the real distributed shape for multimodal feature
+    extraction: one Python worker per partition, Arrow transfer,
+    constant memory per batch.
+    """
+    for pdf in it:
+        decoded = [_fake_decode(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                "fake_width": [d[0] for d in decoded],
+                "fake_height": [d[1] for d in decoded],
+                "checksum": [d[2] for d in decoded],
+            }
+        )
+
+
+@query("multimodal_decode_stub")  # rows-only: decode is a documented stub
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract pipeline over binary payloads via
+    `mapInPandas` — schema, batching and partitioning are real; the
+    codec is the documented fake above."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return with_payload.mapInPandas(decode_binary_batches, DECODED_SCHEMA)

@@ -1,0 +1,194 @@
+"""Aggregation operators (SURVEY.md §2.5).
+
+Kafka Streams anchors [R]: KGroupedStream#count / #reduce / #aggregate.
+Everything here is a hash aggregate with map-side partial aggregation —
+the shuffle carries one row per (task, group), so these scale linearly
+with distinct groups, not input rows.
+
+Float hazard (SURVEY.md §5.3): double sums are order-dependent; every
+float aggregate is rounded to 4 dp with the SAME alias on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "agg_count_by_type",
+    oracle="SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+)
+def agg_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: KGroupedStream#count."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "agg_revenue_by_user",
+    oracle="""
+SELECT user_id,
+       round(sum(value), 4) AS total_value,
+       round(avg(value), 4) AS avg_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+""",
+)
+def agg_revenue_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: KGroupedStream#aggregate — multi-measure fold per key."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+Q1_CUTOFF = "1998-09-02 00:00:00"
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — THE FLAGSHIP (TPC-H Q1 shape): pricing summary over lineitem.
+
+    Pure scan → filter (pushed to parquet) → 8-measure hash aggregate →
+    tiny sort. The canonical 100 TB-friendly plan: no join, no wide
+    shuffle (6 groups), whole-stage codegen end to end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_distinct_users_by_type",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS distinct_users,
+       count(*) AS cnt
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: exact distinct-count (expands to a two-phase aggregate).
+
+    At 100 TB prefer `approx_count_distinct` (HLL++, single pass, fixed
+    memory) — exposed as `agg_approx_distinct_users` (rows-only check,
+    approximate by design).
+    """
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("distinct_users"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+@query("agg_approx_distinct_users")  # rows-only: HLL++ estimate is impl-specific
+def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (approx): HLL++ sketch — the 100 TB path for distinct counts."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_distinct_users"))
+    )
+
+
+@query(
+    "agg_rollup_nation_region",
+    oracle="""
+SELECT r_name, n_name,
+       count(*) AS n_customers,
+       round(sum(c_acctbal), 4) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def agg_rollup_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: rollup (multi-level totals) over a broadcast-enriched fact."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    enriched = customer.join(
+        nation, customer.c_nationkey == nation.n_nationkey
+    ).join(region, nation.n_regionkey == region.r_regionkey)
+    return enriched.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+    )
+
+
+@query(
+    "agg_collect_event_types",
+    oracle="""
+SELECT user_id,
+       array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+""",
+)
+def agg_collect_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: collect/array-agg. `array_sort` pins the nondeterministic
+    collection order; emitted as a CSV string so the oracle hash is
+    representation-independent."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("event_types"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -1,0 +1,136 @@
+"""Window functions, sort/limit, set ops (SURVEY.md §2.7).
+
+No Kafka Streams analog (SQL-parity surface) except that ranking/lag
+over per-key ordered history is what a KS Processor with a key-value
+store would hand-roll. All single-shuffle operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "rank_users_by_spend",
+    oracle="""
+SELECT user_id,
+       round(spend, 4) AS spend,
+       row_number() OVER (ORDER BY spend DESC, user_id) AS spend_rank,
+       ntile(10) OVER (ORDER BY spend DESC, user_id) AS spend_decile
+FROM (
+  SELECT user_id, sum(value) AS spend
+  FROM events
+  WHERE event_type = 'purchase'
+  GROUP BY user_id
+) t
+""",
+)
+def rank_users_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1: ranking functions over an aggregate. The global window is a
+    single-partition sort — fine here because it runs over one row per
+    user (already aggregated); at 100 TB rank within partitions or use
+    orderBy().limit() for top-k instead."""
+    spend = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("spend"))
+    )
+    w = Window.orderBy(F.desc("spend"), F.asc("user_id"))
+    return spend.select(
+        "user_id",
+        F.round("spend", 4).alias("spend"),
+        F.row_number().over(w).alias("spend_rank"),
+        F.ntile(10).over(w).alias("spend_decile"),
+    )
+
+
+@query(
+    "lag_time_between_events",
+    oracle="""
+SELECT event_id, user_id, ts,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+FROM events
+""",
+)
+def lag_time_between_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2: LAG — inter-event gap per user in exact microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id", "user_id", "ts", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+
+
+@query(
+    "running_total_by_user",
+    oracle="""
+SELECT event_id, user_id, ts,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+FROM events
+""",
+)
+def running_total_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: frame-spec aggregate — running total per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts", F.round(F.sum("value").over(w), 4).alias("running_value")
+    )
+
+
+TOPK = 20
+
+
+@query(
+    "topk_products_by_revenue",
+    oracle=f"""
+SELECT p.p_partkey, p.p_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_partkey, p.p_name
+ORDER BY revenue DESC, p_partkey
+LIMIT {TOPK}
+""",
+)
+def topk_products_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5: global top-k — orderBy().limit() compiles to
+    TakeOrderedAndProject (per-partition heap + driver merge of k rows;
+    no global sort shuffle). Ordering on the ROUNDED measure with a key
+    tiebreak keeps the cut deterministic across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(TOPK)
+    )
+
+
+@query(
+    "set_except_inactive_users",
+    oracle="""
+SELECT DISTINCT user_id FROM events
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def set_except_inactive_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6: EXCEPT (distinct) — users who never purchased."""
+    ev = load_table(spark, sf_dir, "events")
+    all_users = ev.select("user_id").distinct()
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return all_users.subtract(purchasers)

@@ -1,0 +1,154 @@
+"""Deduplication family — the reference's core capability
+(SURVEY.md §2.3; BASELINE.json:6-7).
+
+The reference [R — canonical Confluent recipe, o.a.k.streams.kstream.
+KStream#processValues + Stores.persistentWindowStore]: for each record,
+look up the event id in a window store; if seen within the retention
+window → drop, else forward and record. Its "minefield" corner cases
+(unbounded state without TTL, dupes readmitted after expiry,
+out-of-order arrivals near the window edge) map to Spark watermarks.
+
+Batch-checkable forms live here (D1/D2/D3/D6-exact); the streaming forms
+(D4 `dropDuplicatesWithinWatermark`, D5 custom-TTL arbitrary state) are
+in `streaming/dedup_stream.py`. Near-dup text (MinHash/SimHash/Jaccard)
+is in `functions/neardup.py`.
+
+Scale notes: every batch form below is one hash shuffle on the dedup
+key. At 100 TB: keys should be salted only if a single dedup key is
+pathologically hot (rare for IDs); AQE skew handling covers moderate
+skew. `dropDuplicates` does partial (map-side) dedup before the
+shuffle, so the shuffle volume is bounded by distinct keys per task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+BUSINESS_KEY = ["user_id", "event_type", "value"]
+
+
+@query(
+    "dedup_exact",
+    oracle="SELECT DISTINCT event_id, ts, user_id, event_type, value, props FROM events",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: exact full-row dedup (hash-groupBy on every column).
+
+    `dropDuplicates()` with no subset == SELECT DISTINCT * — safe for the
+    oracle because the whole row is the key (no arbitrary-row-kept
+    hazard, SURVEY.md §5.3).
+    """
+    return load_table(spark, sf_dir, "events").select(*EVENT_COLS).dropDuplicates()
+
+
+def dedup_first_by(df: DataFrame, key: list[str], order: list) -> DataFrame:
+    """Generic deterministic 'keep first per key' operator (D2 core).
+
+    Unlike `dropDuplicates(subset)` (keeps an *arbitrary* row), this is
+    deterministic and therefore oracle-checkable.
+    """
+    w = Window.partitionBy(*key).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+@query(
+    "dedup_keep_first",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value, props
+FROM (
+  SELECT event_id, ts, user_id, event_type, value, props,
+         row_number() OVER (PARTITION BY user_id, event_type, value
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) t
+WHERE rn = 1
+""",
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: dedup on the business key (user_id, event_type, value), keep
+    the earliest record by (ts, event_id) — the batch analog of the
+    reference's forward-first-drop-later-duplicates semantics."""
+    ev = load_table(spark, sf_dir, "events").select(*EVENT_COLS)
+    return dedup_first_by(ev, BUSINESS_KEY, [F.col("ts").asc(), F.col("event_id").asc()])
+
+
+DEDUP_WINDOW_MINUTES = 30
+
+
+@query(
+    "dedup_windowed",
+    oracle=f"""
+SELECT event_id, ts, user_id, event_type, value
+FROM (
+  SELECT event_id, ts, user_id, event_type, value,
+         lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_ts
+  FROM events
+) t
+WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL {DEDUP_WINDOW_MINUTES} MINUTE
+""",
+)
+def dedup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: windowed (TTL) dedup, gap-based batch form.
+
+    Semantics: drop a record if the SAME key appeared within the last W
+    (here: the gap to the immediately preceding record of that key is
+    <= W). This is the LAG formulation from SURVEY.md §2.3 — it models a
+    window store whose entry is refreshed on every arrival (sliding
+    TTL). The reference's put-only-on-forward variant (fixed TTL from
+    the last *kept* record) is inherently iterative and is implemented
+    as the streaming operator D5 (`streaming.dedup_stream`).
+
+    Strict µs comparison on both sides: `unix_micros` diff here,
+    `INTERVAL` arithmetic in DuckDB — identical because both readers
+    truncate the ns fixture to µs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.withColumn("gap_us", gap_us)
+        .filter(F.col("gap_us").isNull() | (F.col("gap_us") > DEDUP_WINDOW_MINUTES * 60 * 1_000_000))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+@query(
+    "dedup_text_exact",
+    oracle="""
+SELECT doc_id, text, lang, source, n_chars
+FROM (
+  SELECT doc_id, text, lang, source, n_chars,
+         row_number() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn
+  FROM documents
+) t
+WHERE rn = 1
+""",
+)
+def dedup_text_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 (exact half): collapse documents with identical normalized
+    text, keeping the lowest doc_id.
+
+    At 100 TB you would dedup on a 128-bit hash of the normalized text
+    (xxhash64/md5) instead of shuffling full text bodies — the shuffle
+    then carries ~16 bytes per row instead of the document. Shown here
+    on the raw text so the oracle can verify the semantics; the hash
+    variant is `doc_fingerprint` + first-per-key composition.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    w = Window.partitionBy(norm).orderBy("doc_id")
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )

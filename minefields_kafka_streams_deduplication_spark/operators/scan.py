@@ -1,0 +1,59 @@
+"""Source operators (SURVEY.md §2.1).
+
+Kafka Streams anchors [R — reference checkout empty, public API cited]:
+  S1 topic source  → o.a.k.streams.StreamsBuilder#stream
+  S2 table source  → o.a.k.streams.StreamsBuilder#table (changelog →
+                     latest value per key)
+
+Spark mapping: a parquet scan IS the topic replay for batch semantics;
+``StreamsBuilder.table`` is latest-by-key, expressed as a window-rank so
+the result is deterministic and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+@query(
+    "scan_events",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
+def scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: full scan of the stream table. Column pruning/pushdown is
+    Catalyst's job; the scan itself reads all columns by declaration."""
+    return load_table(spark, sf_dir, "events").select(*EVENT_COLS)
+
+
+@query(
+    "latest_by_key",
+    oracle="""
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t
+WHERE rn = 1
+""",
+)
+def latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: KTable semantics — latest record per key (changelog compaction).
+
+    Deterministic tiebreak on event_id. At 100 TB this is a single
+    shuffle on the key; with date-partitioned input you'd pre-filter to
+    the latest partition range first.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )

@@ -1,0 +1,128 @@
+"""Time-window operators, batch-checkable forms (SURVEY.md §2.6).
+
+Kafka Streams anchors [R]: KGroupedStream#windowedBy with
+TimeWindows.ofSizeWithNoGrace (tumbling) / .advanceBy (hopping) /
+SessionWindows.ofInactivityGapWithNoGrace (session). Spark's `window()`
+and `session_window()` are the same API in batch AND streaming — the
+streaming twins live in `streaming/windows.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "window_tumbling_daily",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def window_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: tumbling window aggregate via the streaming-native `window()`
+    (epoch-aligned, so with a UTC session a 1-day window == UTC calendar
+    day == DuckDB date_trunc)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").cast("date").alias("day"), "n_events", "total_value")
+    )
+
+
+@query("window_hopping")  # rows-only: overlapping-window oracle SQL is not worth the brittleness
+def window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: hopping window (1 h size, 15 min slide) — each event lands in
+    4 overlapping buckets. [R TimeWindows.advanceBy]"""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SESSION_GAP_MINUTES = 30
+
+
+@query(
+    "window_session_sql",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > {SESSION_GAP_MINUTES} * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       round(sum(value), 4) AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def window_session_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 (batch oracle form): classic sessionization — LAG gap flag +
+    running sum as session id. [R SessionWindows.ofInactivityGap...]"""
+    ev = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(order))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_MINUTES * 60 * 1_000_000), 1
+    ).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@query("window_session_native")  # rows-only: session_window() is the streaming-native form
+def window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 (native form): `session_window()` — identical semantics to
+    window_session_sql, expressed with the built-in session operator
+    (works unchanged under readStream + watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

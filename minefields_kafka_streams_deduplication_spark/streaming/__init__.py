@@ -1,0 +1,8 @@
+"""Structured Streaming operators (SURVEY.md §2.3 D4/D5, §2.6 W4/W5,
+§3.4) — the direct analog of the reference's poll-loop + RocksDB design
+[R o.a.k.streams.KafkaStreams run loop; BASELINE.json:7 mandates
+"Structured Streaming + deduplication via watermarks/state"].
+"""
+
+from . import dedup_stream  # noqa: F401
+from . import windows_stream  # noqa: F401

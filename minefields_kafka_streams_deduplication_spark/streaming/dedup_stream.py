@@ -1,0 +1,136 @@
+"""Streaming deduplication (SURVEY.md §2.3 D4/D5) — the reference's
+core topology [R Confluent EventDeduplicationLambdaIntegrationTest:
+stream → processValues(window-store dedup transformer) → to].
+
+D4 uses the built-in `dropDuplicatesWithinWatermark` (Spark >= 3.5):
+state eviction by watermark == the reference's window-store retention,
+declared instead of hand-rolled.
+
+D5 reproduces the reference's EXACT transformer semantics (fixed TTL
+from the last *forwarded* record — put-only-on-forward) with arbitrary
+stateful processing (`applyInPandasWithState`), because that policy is
+iterative and not expressible with built-in operators.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..registry import query
+from .source import read_events_stream, run_to_memory
+
+WATERMARK_DELAY = "10 minutes"
+BUSINESS_KEY = ["user_id", "event_type", "value"]
+TTL_MINUTES = 30
+
+
+@query("dedup_stream_watermark")  # rows-only: streaming state op, no SQL oracle
+def dedup_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: event-time streaming dedup with bounded state.
+
+    `withWatermark(ts, 10m)` + `dropDuplicatesWithinWatermark(key)`
+    drops any record whose key was seen while that key's state is live;
+    state is evicted once the watermark passes, which is exactly the
+    reference's window-store retention minefield solved declaratively.
+    Physical op: StreamingDeduplicateWithinWatermarkExec over the state
+    store (RocksDB provider at scale).
+    """
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", WATERMARK_DELAY)
+        .dropDuplicatesWithinWatermark(BUSINESS_KEY)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    return run_to_memory(stream, "dedup_stream_watermark")
+
+
+DEDUP_TTL_STATE_SCHEMA = "last_kept_us LONG"
+DEDUP_TTL_OUTPUT_SCHEMA = (
+    "event_id LONG, ts_us LONG, user_id LONG, event_type STRING, value DOUBLE"
+)
+
+
+def _dedup_ttl_fn(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Reference transformer semantics [R]: forward a record iff no
+    record of the same key was FORWARDED within the TTL; record the
+    forwarded timestamp (put-only-on-forward)."""
+    ttl_us = TTL_MINUTES * 60 * 1_000_000
+    (last_kept_us,) = state.get if state.exists else (None,)
+    cols = ["event_id", "ts_us", "user_id", "event_type", "value"]
+    out = []
+    for pdf in pdfs:
+        pdf = pdf[cols].sort_values(["ts_us", "event_id"])
+        for row in pdf.itertuples(index=False):
+            if last_kept_us is None or row.ts_us - last_kept_us > ttl_us:
+                out.append(row)
+                last_kept_us = row.ts_us
+    state.update((last_kept_us,))
+    if out:
+        yield pd.DataFrame(out, columns=cols)
+
+
+@query("dedup_stream_custom_ttl")  # rows-only: arbitrary-state streaming op
+def dedup_stream_custom_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: custom-TTL dedup via arbitrary stateful processing — the
+    faithful port of the reference's Processor-API dedup transformer
+    (value state = last forwarded event-time per key).
+
+    Arrow-batched per key-group (`applyInPandasWithState`), so the
+    Python hop is vectorized; at 100 TB this op shuffles once on the
+    dedup key and state size is one long per live key.
+    """
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        F.col("ts"),
+    )
+    deduped = (
+        stream.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(*BUSINESS_KEY)
+        .applyInPandasWithState(
+            _dedup_ttl_fn,
+            outputStructType=DEDUP_TTL_OUTPUT_SCHEMA,
+            stateStructType=DEDUP_TTL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_memory(deduped, "dedup_stream_custom_ttl")
+
+
+@query("dedup_batch_custom_ttl")  # rows-only: iterative semantics, not SQL-expressible
+def dedup_batch_custom_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 batch twin: the same put-only-on-forward TTL dedup as a batch
+    `applyInPandas` — used by tests to prove batch/stream parity and by
+    pipelines that re-run dedup over historical partitions."""
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type", "value"
+    )
+    ttl_us = TTL_MINUTES * 60 * 1_000_000
+
+    def keep_first_ttl(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        kept = []
+        last = None
+        for row in pdf.itertuples(index=False):
+            if last is None or row.ts_us - last > ttl_us:
+                kept.append(True)
+                last = row.ts_us
+            else:
+                kept.append(False)
+        return pdf[pd.Series(kept, index=pdf.index)]
+
+    return ev.groupBy(*BUSINESS_KEY).applyInPandas(keep_first_ttl, ev.schema)

@@ -1,0 +1,82 @@
+"""Streaming source helpers.
+
+The fixture `events` table replayed through the file source is our
+topic-replay analog [R StreamsBuilder#stream]. A real deployment swaps
+this for `spark.readStream.format("kafka")` with `from_json(value)` —
+same downstream plan, which is the point of Structured Streaming's
+unified batch/stream API.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..session import tune
+
+# events.parquet physical schema (ts stored as raw nanos — INT64
+# TIMESTAMP(NANOS) read under nanosAsLong; see catalog.py).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    """The file streaming source requires a *directory*; stage the fixture
+    file into a per-sf temp dir via symlink (no data copied)."""
+    key = sf_dir.strip("/").replace("/", "_")
+    stage = os.path.join(tempfile.gettempdir(), f"events_stream_{key}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return stage
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events fixture with event-time `ts`."""
+    tune(spark)
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_staged_events_dir(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(stream_df: DataFrame, name_prefix: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into a
+    memory sink and return the materialized result as a batch DataFrame.
+
+    This is the harness that lets the driver's batch-shaped contract
+    (`queries()[k](spark, sf_dir) -> DataFrame`) exercise true streaming
+    plans: the stream runs through MicroBatchExecution with real state
+    stores and watermarks, then we hand back the sink table.
+    """
+    spark = stream_df.sparkSession
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

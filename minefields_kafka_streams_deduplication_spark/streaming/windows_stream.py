@@ -1,0 +1,94 @@
+"""Streaming windowed aggregation + joins (SURVEY.md §2.6 W1-W5 streaming
+forms, §2.4 J4 streaming twin).
+
+[R anchors: KGroupedStream#windowedBy(TimeWindows/SessionWindows),
+KTable#suppress(Suppressed.untilWindowCloses), KStream#join(KStream,
+JoinWindows)] — watermark + append mode IS suppression-until-close;
+grace period == watermark delay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from .source import read_events_stream, run_to_memory
+
+WATERMARK_DELAY = "10 minutes"
+
+
+@query("window_tumbling_stream")  # rows-only: streaming smoke (W1/W4/W5)
+def window_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 streaming + W4 watermark + W5 suppression: hourly tumbling
+    counts in append mode — each window emits exactly once, when the
+    watermark closes it (the declarative form of KS `suppress`)."""
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(stream, "window_tumbling_stream")
+
+
+@query("window_session_stream")  # rows-only: streaming session windows
+def window_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 streaming: native session windows with watermark-driven close.
+    State is merged session ranges per user — the KS SessionStore
+    analog, managed by the engine."""
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", WATERMARK_DELAY)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_memory(stream, "window_session_stream")
+
+
+@query("join_interval_stream")  # rows-only: stream-stream join smoke
+def join_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 streaming twin: watermarked stream-stream interval join
+    (view→purchase within 10 minutes). State on both sides is bounded
+    by the watermark + the time-range predicate — the exact Spark
+    equivalent of KS JoinWindows with retention."""
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", WATERMARK_DELAY)
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK_DELAY)
+    )
+    joined = views.join(
+        purchases,
+        (views.user_id == purchases.p_user_id)
+        & (purchases.p_ts >= views.v_ts)
+        & (purchases.p_ts <= views.v_ts + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select("view_id", "purchase_id", "user_id")
+    return run_to_memory(joined, "join_interval_stream")

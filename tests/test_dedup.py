@@ -1,0 +1,127 @@
+"""Dedup corner cases — the reference's TopologyTestDriver concern set
+(FIXTURES.md 'Hand-written unit fixtures'; SURVEY.md §5.2.2): duplicate
+within window dropped, duplicate after gap readmitted, out-of-order
+arrival, null keys, all-duplicates, empty input, idempotence.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from minefields_kafka_streams_deduplication_spark.operators.dedup import (
+    DEDUP_WINDOW_MINUTES,
+    dedup_first_by,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(
+        [(i, T0 + dt.timedelta(minutes=m), u, et, v) for (i, m, u, et, v) in rows],
+        SCHEMA,
+    )
+
+
+def windowed_dedup(df, window_minutes=DEDUP_WINDOW_MINUTES):
+    """Same LAG-gap formulation as the registered dedup_windowed query."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return df.withColumn("gap", gap).filter(
+        F.col("gap").isNull() | (F.col("gap") > window_minutes * 60 * 1_000_000)
+    ).drop("gap")
+
+
+def ids(df):
+    return sorted(r.event_id for r in df.collect())
+
+
+def test_dup_within_window_dropped(spark):
+    df = mk(spark, [(1, 0, 7, "click", 1.0), (2, 10, 7, "click", 1.0)])
+    assert ids(windowed_dedup(df)) == [1]
+
+
+def test_dup_after_gap_readmitted(spark):
+    df = mk(spark, [(1, 0, 7, "click", 1.0), (2, 45, 7, "click", 1.0)])
+    assert ids(windowed_dedup(df)) == [1, 2]
+
+
+def test_out_of_order_duplicate(spark):
+    # Event 2 arrives with an EARLIER timestamp than kept event 1:
+    # event-time ordering decides — 2 is kept (first in event time),
+    # 1 becomes the in-window duplicate.
+    df = mk(spark, [(1, 20, 7, "click", 1.0), (2, 0, 7, "click", 1.0)])
+    assert ids(windowed_dedup(df)) == [2]
+
+
+def test_null_key_rows_form_their_own_group(spark):
+    rows = [
+        (1, T0, None, "click", 1.0),
+        (2, T0 + dt.timedelta(minutes=5), None, "click", 1.0),
+        (3, T0, 8, "click", 1.0),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    kept = ids(windowed_dedup(df))
+    assert kept == [1, 3]  # nulls group together (SQL window semantics)
+
+
+def test_all_duplicates_collapse_to_one(spark):
+    df = mk(spark, [(i, i, 7, "click", 1.0) for i in range(5)])  # 1-min apart
+    assert ids(windowed_dedup(df)) == [0]
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], SCHEMA)
+    assert windowed_dedup(df).count() == 0
+
+
+def test_keep_first_deterministic(spark):
+    df = mk(
+        spark,
+        [(5, 0, 7, "click", 1.0), (3, 0, 7, "click", 1.0), (9, 1, 7, "click", 1.0)],
+    )
+    out = dedup_first_by(
+        df, ["user_id", "event_type", "value"], [F.col("ts").asc(), F.col("event_id").asc()]
+    )
+    assert ids(out) == [3]  # same ts → lowest event_id wins
+
+
+def test_dedup_idempotent(spark):
+    df = mk(spark, [(i, i * 7 % 60, i % 3, "click", float(i % 2)) for i in range(30)])
+    once = dedup_first_by(df, ["user_id", "value"], [F.col("ts").asc(), F.col("event_id").asc()])
+    twice = dedup_first_by(once, ["user_id", "value"], [F.col("ts").asc(), F.col("event_id").asc()])
+    assert ids(once) == ids(twice)
+
+
+def test_permutation_invariance(spark):
+    rows = [(i, i * 7 % 60, i % 3, "click", float(i % 2)) for i in range(30)]
+    a = dedup_first_by(
+        mk(spark, rows), ["user_id", "value"], [F.col("ts").asc(), F.col("event_id").asc()]
+    )
+    b = dedup_first_by(
+        mk(spark, rows[::-1]), ["user_id", "value"], [F.col("ts").asc(), F.col("event_id").asc()]
+    )
+    assert ids(a) == ids(b)

@@ -1,0 +1,89 @@
+"""Text/LLM-pipeline operator semantics on hand-written fixtures
+(the synthetic corpus is monolingual-ish, so real multilingual snippets
+live here)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from minefields_kafka_streams_deduplication_spark.functions.neardup import _shingles
+from minefields_kafka_streams_deduplication_spark.functions.text import (
+    LANG_PRIORITY,
+    LANG_STOPWORDS,
+)
+
+
+def docs_df(spark, texts):
+    rows = [(i, t, "xx", "src0", len(t)) for i, t in enumerate(texts)]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+
+
+def test_lang_id_on_real_snippets(spark):
+    texts = {
+        "en": "the cat sat on the mat and it is happy",
+        "de": "der hund und die katze das ist gut",
+        "es": "el perro corre por la calle que bonito una vez",
+        "fr": "le chien est dans le jardin pour les enfants",
+    }
+    df = docs_df(spark, list(texts.values()))
+    from minefields_kafka_streams_deduplication_spark.functions.text import _stopword_hits
+
+    tokens = F.split(F.lower("text"), " ")
+    scored = df.select(
+        "doc_id",
+        *[
+            _stopword_hits(tokens, LANG_STOPWORDS[lg]).alias(f"score_{lg}")
+            for lg in LANG_PRIORITY
+        ],
+    ).collect()
+    by_id = {r.doc_id: r for r in scored}
+    for i, lang in enumerate(texts):
+        scores = {lg: by_id[i][f"score_{lg}"] for lg in LANG_PRIORITY}
+        assert max(scores, key=lambda lg: (scores[lg], -LANG_PRIORITY.index(lg))) == lang
+
+
+def test_shingles_identical_docs_identical_sets(spark):
+    text = "alpha beta gamma delta epsilon zeta"
+    df = docs_df(spark, [text, text])
+    sh = _shingles(df).collect()
+    s0 = {r.shingle for r in sh if r.doc_id == 0}
+    s1 = {r.shingle for r in sh if r.doc_id == 1}
+    assert s0 == s1 and len(s0) == 4  # n_tokens - 2
+
+
+def test_shingles_short_doc_empty(spark):
+    df = docs_df(spark, ["one two"])
+    assert _shingles(df).count() == 0
+
+
+def test_ngram_jaccard_detects_near_dupes(spark, monkeypatch):
+    from minefields_kafka_streams_deduplication_spark.functions import neardup
+
+    near1 = "the quick brown fox jumps over the lazy dog again and again today"
+    near2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    other = "completely different words in this document about spark engines"
+    df = docs_df(spark, [near1, near2, other])
+    monkeypatch.setattr(neardup, "load_table", lambda s, d, n: df)
+    out = neardup.dedup_text_ngram_jaccard(spark, "ignored").collect()
+    assert [(r.doc_id_1, r.doc_id_2) for r in out] == [(0, 1)]
+    assert out[0].jaccard >= 0.8
+
+
+def test_minhash_drops_exact_duplicate(spark, monkeypatch):
+    from minefields_kafka_streams_deduplication_spark.functions import neardup
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = docs_df(spark, [text, text, "unrelated totally different content here now ok fine"])
+    monkeypatch.setattr(neardup, "load_table", lambda s, d, n: df)
+    kept = sorted(r.doc_id for r in neardup.dedup_text_minhash(spark, "ignored").collect())
+    assert kept == [0, 2]
+
+
+def test_simhash_identical_docs_zero_hamming(spark, monkeypatch):
+    from minefields_kafka_streams_deduplication_spark.functions import neardup
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = docs_df(spark, [text, text])
+    monkeypatch.setattr(neardup, "load_table", lambda s, d, n: df)
+    out = neardup.dedup_text_simhash(spark, "ignored").collect()
+    assert len(out) == 1 and out[0].hamming == 0

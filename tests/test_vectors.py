@@ -1,0 +1,58 @@
+"""Vector operator semantics on hand-written fixtures."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from minefields_kafka_streams_deduplication_spark.functions.vectors import dot, l2_norm
+
+
+def vec_df(spark, vecs):
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+
+
+def test_dot_and_norm(spark):
+    df = vec_df(spark, [[3.0, 4.0]])
+    row = df.select(
+        dot(F.col("embedding"), F.col("embedding")).alias("d"),
+        l2_norm(F.col("embedding")).alias("n"),
+    ).collect()[0]
+    assert row.d == 25.0 and row.n == 5.0
+
+
+def test_cosine_orthogonal_and_parallel(spark, monkeypatch):
+    from minefields_kafka_streams_deduplication_spark.functions import vectors
+
+    df = vec_df(spark, [[1.0, 0.0], [0.0, 1.0], [2.0, 0.0]])
+    monkeypatch.setattr(vectors, "load_table", lambda s, d, n: df)
+    out = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in vectors.similarity_topk(spark, "ignored").collect()
+    }
+    assert out[(0, 2)] == 1.0
+    assert out[(0, 1)] == 0.0
+
+
+def test_embedding_dedup_drops_parallel_vector(spark, monkeypatch):
+    from minefields_kafka_streams_deduplication_spark.functions import vectors
+
+    df = vec_df(spark, [[1.0, 0.0], [2.0, 0.0], [0.0, 1.0]])  # 0 ∥ 1
+    monkeypatch.setattr(vectors, "load_table", lambda s, d, n: df)
+    kept = sorted(r.vec_id for r in vectors.dedup_embedding_cosine(spark, "ignored").collect())
+    assert kept == [0, 2]
+
+
+def test_lsh_buckets_find_duplicate(spark, monkeypatch):
+    from minefields_kafka_streams_deduplication_spark.functions import vectors
+
+    base = [math.sin(i * 0.7) for i in range(64)]
+    near = [x + 1e-6 for x in base]
+    far = [math.cos(i * 1.3) for i in range(64)]
+    df = vec_df(spark, [base, near, far])
+    monkeypatch.setattr(vectors, "load_table", lambda s, d, n: df)
+    out = vectors.ann_lsh_hyperplane(spark, "ignored").collect()
+    pairs = {(r.query_id, r.neighbor_id): r.cosine for r in out}
+    assert pairs.get((0, 1)) == 1.0  # identical signature bucket, cos≈1
