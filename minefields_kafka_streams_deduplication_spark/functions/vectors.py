@@ -86,38 +86,53 @@ WHERE rn <= {SIM_TOPK}
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V1: exact brute-force cosine top-k (the ANN baseline).
 
-    Plan shape: the candidate side is broadcast (2k×64 floats ≈ 0.5 MB),
-    so each query partition scans candidates locally — a
-    BroadcastNestedLoopJoin, which IS the right plan for brute force.
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.filter(F.col("vec_id") < SIM_N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        l2_norm(F.col("embedding")).alias("q_nrm"),
-    )
-    b = F.broadcast(
-        emb.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("c_emb"),
-            l2_norm(F.col("embedding")).alias("c_nrm"),
-        )
-    )
-    pairs = a.join(b, F.col("neighbor_id") != F.col("query_id")).select(
-        "query_id",
-        "neighbor_id",
-        (dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))).alias("cosine"),
-    )
-    from pyspark.sql import Window
+    Architecture: broadcast codebook + Arrow-batched numpy kernel.
+    The candidate matrix (n×64 f64, ~1 MB here) is collected once and
+    broadcast to executors; each query partition computes its cosine
+    block with one BLAS matmul inside `mapInPandas`. This is ~10×
+    faster than the pure-Catalyst pair join (higher-order array
+    expressions are interpreted, not codegen'd) and is the shape that
+    scales: queries stay distributed, candidates ride the broadcast.
+    At 100 TB the broadcast side must be a codebook/sample or an IVF
+    cell (`similarity_topk_blocked`), never the full corpus.
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("cosine"), 9).desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= SIM_TOPK)
-        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"))
-    )
+    Ranking ties are cut at round(cos, 9) with neighbor_id tiebreak so
+    float summation order can never flip the top-k boundary vs the
+    sequential-fold oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in cand], dtype=np.int64)
+    C = np.array([r.embedding for r in cand], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, Cn))
+
+    def topk_batches(it):
+        c_ids, c_mat = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            Q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            S = Qn @ c_mat.T
+            qids = pdf["vec_id"].to_numpy()
+            out_q, out_n, out_c = [], [], []
+            for i in range(S.shape[0]):
+                s = S[i]
+                s = np.where(c_ids == qids[i], -np.inf, s)
+                order = np.lexsort((c_ids, -np.round(s, 9)))[:SIM_TOPK]
+                out_q.extend([qids[i]] * len(order))
+                out_n.extend(c_ids[order])
+                out_c.extend(np.round(s[order], 4))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    q = emb.filter(F.col("vec_id") < SIM_N_QUERIES).select("vec_id", "embedding")
+    return q.mapInPandas(topk_batches, "query_id LONG, neighbor_id LONG, cosine DOUBLE")
 
 
 @query(
@@ -195,24 +210,32 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract as dedup_keep_first). Exact pairwise here; at 100 TB the
     pair generation goes through LSH buckets (`ann_lsh_hyperplane`)
     instead of the full cross product."""
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_emb"),
-        l2_norm(F.col("embedding")).alias("a_nrm"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_emb"),
-        l2_norm(F.col("embedding")).alias("b_nrm"),
-    )
-    cosine = dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm"))
-    dup_ids = (
-        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
-        .select("b_id", F.round(cosine, 9).alias("cos9"))
-        .filter(F.col("cos9") >= COSINE_DUP_THRESHOLD)
-        .select(F.col("b_id").alias("vec_id"))
-        .distinct()
+    cand = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in cand], dtype=np.int64)
+    C = np.array([r.embedding for r in cand], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, Cn))
+
+    def dup_ids_batches(it):
+        c_ids, c_mat = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            Q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            S = np.round(Qn @ c_mat.T, 9)
+            qids = pdf["vec_id"].to_numpy()
+            # vec is a dup iff some LOWER-id vector has cosine >= threshold
+            lower = c_ids[None, :] < qids[:, None]
+            is_dup = ((S >= COSINE_DUP_THRESHOLD) & lower).any(axis=1)
+            yield pd.DataFrame({"vec_id": qids[is_dup]})
+
+    dup_ids = emb.select("vec_id", "embedding").mapInPandas(
+        dup_ids_batches, "vec_id LONG"
     )
     return emb.select("vec_id", "label").join(dup_ids, "vec_id", "left_anti")
 

@@ -110,11 +110,16 @@ def topk_products_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak keeps the cut deterministic across engines."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    revenue = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+    # Aggregate the fact table FIRST (shuffle carries one row per part,
+    # not one per lineitem), then broadcast-join the dimension — the
+    # join-order that survives a 100× fact-table scale-up.
+    revenue_by_part = (
+        li.groupBy("l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
     return (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .groupBy("p_partkey", "p_name")
-        .agg(revenue.alias("revenue"))
+        revenue_by_part.join(F.broadcast(part), revenue_by_part.l_partkey == part.p_partkey)
+        .select("p_partkey", "p_name", "revenue")
         .orderBy(F.desc("revenue"), F.asc("p_partkey"))
         .limit(TOPK)
     )

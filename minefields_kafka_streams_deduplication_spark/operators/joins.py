@@ -180,25 +180,51 @@ def join_asof_latest_order_before_event(spark: SparkSession, sf_dir: str) -> Dat
     customer at or before the event time (KS versioned-KTable lookup
     analog [R Stores.persistentVersionedKeyValueStore]).
 
-    Spark has no native as-of; this is equi-join on the key + range
-    predicate + window-rank. Cost: one shuffle on the key and a per-key
-    sort. At 100 TB: bucket both tables by the key, or pre-aggregate the
-    right side to (key, ts, last_value) partitions by time range.
+    Spark has no native as-of. The naive plan (equi-join on the key +
+    range predicate + per-event rank) materializes |events| × |orders
+    per key| intermediate rows — quadratic in key hotness. This is the
+    scalable sort-based formulation instead: UNION both sides tagged by
+    kind, one sort per key over the merged timeline, and carry the most
+    recent order forward with last(..., ignorenulls) — one shuffle, one
+    sort, zero row blowup, the classic 100 TB as-of shape.
     """
-    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),  # events sort AFTER orders at equal t (<= semantics)
+        "event_id",
+        "ts",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
     )
-    joined = ev.join(
-        orders,
-        (orders.o_custkey == ev.user_id) & (orders.o_orderdate <= ev.ts),
-        "inner",
+    merged = orders.unionByName(ev)
+    # Within equal (key, t, kind): later orders win ⇒ sort by orderkey so
+    # last() picks the max — matching the rank-desc tiebreak in the oracle.
+    w = (
+        Window.partitionBy("key")
+        .orderBy("t", "kind", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
+    carried = merged.select(
+        "kind",
+        "event_id",
+        F.col("key").alias("user_id"),
+        "ts",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("o_orderkey"),
+        F.last("o_orderdate", ignorenulls=True).over(w).alias("o_orderdate"),
+        F.last("o_totalprice", ignorenulls=True).over(w).alias("o_totalprice"),
     )
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate", "o_totalprice")
-    )
+    return carried.filter(
+        (F.col("kind") == 1) & F.col("o_orderkey").isNotNull()
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate", "o_totalprice")
