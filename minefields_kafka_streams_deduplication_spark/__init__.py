@@ -25,6 +25,8 @@ from . import operators  # noqa: F401
 from . import functions  # noqa: F401
 from . import streaming  # noqa: F401
 from . import multimodal  # noqa: F401
+from . import sources  # noqa: F401
+from . import plans  # noqa: F401
 
 __all__ = [
     "get_spark",

@@ -1,0 +1,10 @@
+"""Source/sink surface (SURVEY.md §2.1).
+
+Batch sources live in `catalog` (S1/S2/S3 analogs); the streaming source
+is `streaming.source.read_events_stream`. This package adds the sink
+half (S4: KStream#to analog) and multi-format readers.
+"""
+
+from .sinks import write_parquet, write_partitioned_parquet  # noqa: F401
+from .formats import read_any, SUPPORTED_FORMATS  # noqa: F401
+from . import sinks  # noqa: F401  (registers sink_parquet_roundtrip)
