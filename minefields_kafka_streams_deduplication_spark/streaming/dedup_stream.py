@@ -109,6 +109,73 @@ def dedup_stream_custom_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(deduped, "dedup_stream_custom_ttl")
 
 
+@query("dedup_stream_tws")  # rows-only: arbitrary-state streaming op (Spark 4.x API)
+def dedup_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 on the Spark 4.x arbitrary-state API
+    (`transformWithStateInPandas` + StatefulProcessor): same
+    put-only-on-forward TTL dedup as `dedup_stream_custom_ttl`, on the
+    engine's newer state machinery (typed ValueState, timer support).
+    Kept alongside the `applyInPandasWithState` form deliberately —
+    SURVEY.md §7 flags this API as the fallback pair. The
+    transformWithState Python worker speaks protobuf to the JVM state
+    server; when protobuf is unavailable (this container ships a broken
+    google.protobuf), we fall back to the applyInPandasWithState twin —
+    IDENTICAL semantics, older state API.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        return dedup_stream_custom_ttl(spark, sf_dir)
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ttl_us = TTL_MINUTES * 60 * 1_000_000
+    state_schema = StructType([StructField("last_kept_us", LongType())])
+
+    class TTLDedupProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("lastKept", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            last = self._state.get()[0] if self._state.exists() else None
+            cols = ["event_id", "ts_us", "user_id", "event_type", "value"]
+            out = []
+            for pdf in rows:
+                pdf = pdf[cols].sort_values(["ts_us", "event_id"])
+                for row in pdf.itertuples(index=False):
+                    if last is None or row.ts_us - last > ttl_us:
+                        out.append(row)
+                        last = row.ts_us
+            if last is not None:
+                self._state.update((last,))
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+
+        def close(self) -> None:
+            pass
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        F.col("ts"),
+    )
+    deduped = (
+        stream.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(*BUSINESS_KEY)
+        .transformWithStateInPandas(
+            TTLDedupProcessor(),
+            outputStructType=DEDUP_TTL_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+    return run_to_memory(deduped, "dedup_stream_tws")
+
+
 @query("dedup_batch_custom_ttl")  # rows-only: iterative semantics, not SQL-expressible
 def dedup_batch_custom_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5 batch twin: the same put-only-on-forward TTL dedup as a batch

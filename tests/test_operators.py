@@ -1,0 +1,142 @@
+"""Operator semantics on tiny hand-written fixtures (join edge cases,
+window/session boundaries, as-of correctness) — the TopologyTestDriver
+analog for the relational surface."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def test_asof_join_semantics(spark, monkeypatch):
+    """As-of must pick the latest order at-or-before each event, with
+    max-orderkey tiebreak, and drop events with no prior order."""
+    from minefields_kafka_streams_deduplication_spark.operators import joins
+
+    t = lambda d: dt.datetime(2024, 1, d)
+    events = spark.createDataFrame(
+        [(1, 10, t(5)), (2, 10, t(2)), (3, 10, t(1)), (4, 99, t(9))],
+        "event_id LONG, user_id LONG, ts TIMESTAMP",
+    )
+    orders = spark.createDataFrame(
+        [
+            (100, 10, t(2), 50.0),   # same day as event 2 → visible to it (<=)
+            (101, 10, t(2), 60.0),   # same key+date: higher orderkey wins
+            (102, 10, t(4), 70.0),   # latest before event 1
+            (103, 77, t(1), 99.0),   # other customer
+        ],
+        "o_orderkey LONG, o_custkey LONG, o_orderdate TIMESTAMP, o_totalprice DOUBLE",
+    )
+
+    def fake_load(s, d, name):
+        return {"events": events, "orders": orders}[name]
+
+    monkeypatch.setattr(joins, "load_table", fake_load)
+    out = {r.event_id: r for r in joins.join_asof_latest_order_before_event(spark, "x").collect()}
+    assert set(out) == {1, 2}          # events 3 (too early) and 4 (no orders) dropped
+    assert out[1].o_orderkey == 102
+    assert out[2].o_orderkey == 101    # tiebreak: max orderkey at equal date
+
+
+def test_semi_anti_partition(spark, monkeypatch):
+    """semi ∪ anti == all customers, disjoint."""
+    from minefields_kafka_streams_deduplication_spark.operators import joins
+
+    customer = spark.createDataFrame(
+        [(1, "a", "M"), (2, "b", "M"), (3, "c", "F")],
+        "c_custkey LONG, c_name STRING, c_mktsegment STRING",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 3)], "o_orderkey LONG, o_custkey LONG"
+    )
+    monkeypatch.setattr(joins, "load_table", lambda s, d, n: {"customer": customer, "orders": orders}[n])
+    semi = {r.c_custkey for r in joins.join_semi_customers_with_orders(spark, "x").collect()}
+    anti = {r.c_custkey for r in joins.join_anti_customers_no_orders(spark, "x").collect()}
+    assert semi == {1, 3} and anti == {2}
+    assert semi | anti == {1, 2, 3} and not (semi & anti)
+
+
+def test_interval_join_window_edges(spark, monkeypatch):
+    """Purchases exactly at the edges: ts==view kept, ts==view+10min kept,
+    ts==view+10min+1us dropped, purchase before view dropped."""
+    from minefields_kafka_streams_deduplication_spark.operators import joins
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    us = dt.timedelta(microseconds=1)
+    ten = dt.timedelta(minutes=10)
+    events = spark.createDataFrame(
+        [
+            (1, 7, "view", base),
+            (2, 7, "purchase", base),             # same instant → kept
+            (3, 7, "purchase", base + ten),       # exactly +10min → kept
+            (4, 7, "purchase", base + ten + us),  # 1µs past → dropped
+            (5, 7, "purchase", base - us),        # before view → dropped
+        ],
+        "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP",
+    )
+    monkeypatch.setattr(joins, "load_table", lambda s, d, n: events)
+    got = {r.purchase_id for r in joins.join_interval_view_purchase(spark, "x").collect()}
+    assert got == {2, 3}
+
+
+def test_session_window_gap_boundary(spark, monkeypatch):
+    """Gap exactly == 30min does NOT start a new session (> semantics);
+    30min + 1us does."""
+    from minefields_kafka_streams_deduplication_spark.operators import windows
+
+    base = dt.datetime(2024, 1, 1)
+    gap = dt.timedelta(minutes=30)
+    us = dt.timedelta(microseconds=1)
+    events = spark.createDataFrame(
+        [
+            (1, 7, base, 1.0),
+            (2, 7, base + gap, 1.0),              # gap == 30min → same session
+            (3, 7, base + gap + gap + us, 1.0),   # gap 30min+1µs → new session
+        ],
+        "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE",
+    )
+    monkeypatch.setattr(windows, "load_table", lambda s, d, n: events)
+    out = sorted(
+        (r.session_id, r.n_events)
+        for r in windows.window_session_sql(spark, "x").collect()
+    )
+    assert out == [(1, 2), (2, 1)]
+
+
+def test_rollup_levels(spark, monkeypatch):
+    from minefields_kafka_streams_deduplication_spark.operators import aggregations
+
+    customer = spark.createDataFrame(
+        [(1, 0, 10.0), (2, 0, 20.0), (3, 1, 5.0)],
+        "c_custkey LONG, c_nationkey INT, c_acctbal DOUBLE",
+    )
+    nation = spark.createDataFrame(
+        [(0, "n0", 0), (1, "n1", 0)], "n_nationkey INT, n_name STRING, n_regionkey INT"
+    )
+    region = spark.createDataFrame([(0, "r0")], "r_regionkey INT, r_name STRING")
+    monkeypatch.setattr(
+        aggregations,
+        "load_table",
+        lambda s, d, n: {"customer": customer, "nation": nation, "region": region}[n],
+    )
+    rows = aggregations.agg_rollup_nation_region(spark, "x").collect()
+    levels = {(r.r_name, r.n_name): (r.n_customers, r.total_acctbal) for r in rows}
+    assert levels[("r0", "n0")] == (2, 30.0)
+    assert levels[("r0", "n1")] == (1, 5.0)
+    assert levels[("r0", None)] == (3, 35.0)   # region subtotal
+    assert levels[(None, None)] == (3, 35.0)   # grand total
+    assert len(rows) == 4
+
+
+def test_latest_by_key_tiebreak(spark, monkeypatch):
+    from minefields_kafka_streams_deduplication_spark.operators import scan
+
+    t0 = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [(1, t0, 7, "a", 1.0), (2, t0, 7, "b", 2.0)],  # same ts → max event_id wins
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE",
+    )
+    monkeypatch.setattr(scan, "load_table", lambda s, d, n: events)
+    out = scan.latest_by_key(spark, "x").collect()
+    assert len(out) == 1 and out[0].event_id == 2
