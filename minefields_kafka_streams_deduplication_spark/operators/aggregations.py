@@ -171,6 +171,86 @@ def agg_rollup_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_cube_status_priority",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5b: CUBE — all 2^n grouping combinations in one pass (expands to
+    a grouping-set union inside a single shuffle)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "pivot_user_event_matrix",
+    oracle="""
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'error') AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'view') AS view
+FROM events
+GROUP BY user_id
+""",
+)
+def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event type, counts per user. The explicit
+    value list keeps the plan single-pass (no distinct-values pre-scan)
+    and the schema stable — mandatory at scale."""
+    out = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+    # Spark pivot leaves missing combinations null; oracle FILTER yields 0.
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["click", "error", "purchase", "signup", "view"]],
+    )
+
+
+@query(
+    "agg_value_distribution",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       round(stddev_samp(value), 4) AS value_stddev,
+       round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_value_user
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2b: distribution statistics — exact interpolated percentiles,
+    stddev, correlation. At 100 TB swap `percentile` for
+    `approx_percentile` (t-digest sketch, single pass, fixed memory)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.9), 4).alias("p90"),
+        F.round(F.percentile("value", 0.99), 4).alias("p99"),
+        F.round(F.stddev_samp("value"), 4).alias("value_stddev"),
+        F.round(F.corr("value", F.col("user_id").cast("double")), 4).alias("corr_value_user"),
+    )
+
+
+@query(
     "agg_collect_event_types",
     oracle="""
 SELECT user_id,

@@ -38,10 +38,29 @@ def window_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("window_hopping")  # rows-only: overlapping-window oracle SQL is not worth the brittleness
+@query(
+    "window_hopping",
+    oracle="""
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM (
+  SELECT ts, value,
+         time_bucket(INTERVAL '15 minutes', ts) - to_minutes(15 * k) AS window_start
+  FROM events, unnest([0, 1, 2, 3]) AS t(k)
+)
+GROUP BY window_start
+""",
+)
 def window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2: hopping window (1 h size, 15 min slide) — each event lands in
-    4 overlapping buckets. [R TimeWindows.advanceBy]"""
+    exactly 4 overlapping buckets. [R TimeWindows.advanceBy]
+
+    Oracle equivalence: Spark's window() emits every epoch-aligned
+    15-min start s with s <= ts < s+1h; DuckDB generates the same four
+    starts as time_bucket(15min) - k*15min, k=0..3 (both alignments are
+    epoch-divisible for 15-minute buckets under UTC)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
