@@ -245,17 +245,25 @@ WINNOW_K = 50  # number of fingerprint hashes kept per document
 @query("doc_winnow_fingerprint")  # rows-only: engine-specific hash values
 def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprinting (winnowing-style): hash every
-    3-token shingle with xxhash64, keep the K smallest per document.
+    3-token shingle, keep the K smallest distinct hashes per document.
     Two documents sharing most fingerprints are near-duplicates. Hash
     values are engine-specific → rows-only check; semantics are unit-
-    tested (identical docs ⇒ identical fingerprint sets)."""
+    tested (identical docs ⇒ identical fingerprint sets).
+
+    Plan: explode → xxhash64 → one hash-aggregate (collect_set) — all
+    codegen-path except the final set sort/slice. The earlier all-HOF
+    formulation (transform + concat inside interpreted lambdas) was
+    measured ~10x slower.
+    """
+    from ..functions.neardup import _shingles
+
     docs = load_table(spark, sf_dir, "documents")
-    tokens = F.split(F.lower("text"), " ")
-    n = F.size(tokens)
-    idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0)))
-    shingle = lambda i: F.concat_ws(
-        " ", F.element_at(tokens, i + 1), F.element_at(tokens, i + 2), F.element_at(tokens, i + 3)
+    hashed = _shingles(docs, distinct=False).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
     )
-    hashes = F.transform(idx, lambda i: F.xxhash64(shingle(i)))
-    fingerprints = F.slice(F.array_sort(F.array_distinct(hashes)), 1, WINNOW_K)
-    return docs.select("doc_id", fingerprints.alias("fingerprints"), F.size(fingerprints).alias("n_fp"))
+    fp = F.slice(F.array_sort(F.collect_set("h")), 1, WINNOW_K)
+    return (
+        hashed.groupBy("doc_id")
+        .agg(fp.alias("fingerprints"))
+        .select("doc_id", "fingerprints", F.size("fingerprints").alias("n_fp"))
+    )

@@ -27,6 +27,11 @@ from .source import read_events_stream, run_to_memory
 
 WATERMARK_DELAY = "10 minutes"
 BUSINESS_KEY = ["user_id", "event_type", "value"]
+# D5 (custom TTL) keys on (user_id, event_type) — the D3 dedup key.
+# The full business key is nearly unique in the fixture, which would
+# make per-key Python state pure overhead; (user, type) is the
+# realistic "suppress repeats of this signal" shape.
+TTL_KEY = ["user_id", "event_type"]
 TTL_MINUTES = 30
 
 
@@ -97,7 +102,7 @@ def dedup_stream_custom_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = (
         stream.withWatermark("ts", WATERMARK_DELAY)
-        .groupBy(*BUSINESS_KEY)
+        .groupBy(*TTL_KEY)
         .applyInPandasWithState(
             _dedup_ttl_fn,
             outputStructType=DEDUP_TTL_OUTPUT_SCHEMA,
@@ -165,7 +170,7 @@ def dedup_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = (
         stream.withWatermark("ts", WATERMARK_DELAY)
-        .groupBy(*BUSINESS_KEY)
+        .groupBy(*TTL_KEY)
         .transformWithStateInPandas(
             TTLDedupProcessor(),
             outputStructType=DEDUP_TTL_OUTPUT_SCHEMA,
@@ -178,26 +183,40 @@ def dedup_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_batch_custom_ttl")  # rows-only: iterative semantics, not SQL-expressible
 def dedup_batch_custom_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D5 batch twin: the same put-only-on-forward TTL dedup as a batch
-    `applyInPandas` — used by tests to prove batch/stream parity and by
-    pipelines that re-run dedup over historical partitions."""
+    """D5 batch twin: the same put-only-on-forward TTL dedup over
+    historical data — used by tests to prove batch/stream parity.
+
+    Implemented as a pure-JVM sequential fold: collect each key's
+    (ts, id) pairs sorted, run the TTL automaton with a higher-order
+    `aggregate`, explode the survivor ids, and semi-join back. The
+    iterative last-KEPT-timestamp policy is exactly what SQL window
+    functions cannot express (SURVEY.md §2.3 D3 note) but an ordered
+    fold can — no Python workers, one shuffle, and per-key arrays are
+    bounded by events-per-key.
+    """
     from ..catalog import load_table
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type", "value"
     )
     ttl_us = TTL_MINUTES * 60 * 1_000_000
-
-    def keep_first_ttl(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_us", "event_id"])
-        kept = []
-        last = None
-        for row in pdf.itertuples(index=False):
-            if last is None or row.ts_us - last > ttl_us:
-                kept.append(True)
-                last = row.ts_us
-            else:
-                kept.append(False)
-        return pdf[pd.Series(kept, index=pdf.index)]
-
-    return ev.groupBy(*BUSINESS_KEY).applyInPandas(keep_first_ttl, ev.schema)
+    kept_ids = (
+        ev.groupBy(*TTL_KEY)
+        .agg(F.array_sort(F.collect_list(F.struct("ts_us", "event_id"))).alias("arr"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"""
+                    aggregate(
+                      arr,
+                      struct(cast(null as bigint) as last, cast(array() as array<bigint>) as kept),
+                      (acc, x) -> IF(acc.last IS NULL OR x.ts_us - acc.last > {ttl_us},
+                                     struct(x.ts_us as last, array_append(acc.kept, x.event_id) as kept),
+                                     acc),
+                      acc -> acc.kept)
+                    """
+                )
+            ).alias("event_id")
+        )
+    )
+    return ev.join(F.broadcast(kept_ids), "event_id", "left_semi")
