@@ -44,6 +44,8 @@ HEADLINE = [
     "topk_products_by_revenue",  # K5 top-k
     "token_frequency",           # V3 text tf
     "similarity_topk",           # V1 brute-force cosine top-k
+    "q5_local_supplier_volume",  # 6-way join (broadcast dims + AQE)
+    "dedup_batch_custom_ttl",    # D5 batch twin (JVM TTL fold)
     "dedup_stream_watermark",    # D4 streaming dedup end-to-end
 ]
 
