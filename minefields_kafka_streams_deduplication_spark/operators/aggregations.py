@@ -328,6 +328,45 @@ def agg_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SALT_BUCKETS = 16
+
+
+@query(
+    "agg_salted_by_type",
+    oracle="""
+SELECT event_type,
+       count(*) AS cnt,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_salted_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: salt the hot key, partially
+    aggregate (event_type, salt), then merge salts. Result is identical
+    to the plain groupBy (the oracle proves it); the plan spreads each
+    hot key over SALT_BUCKETS reducers. With only 5 event types and 32
+    reducers, the UNSALTED query would park whole types on single cores
+    — this is the manual fallback when AQE skew handling can't split an
+    agg (it only splits joins).
+
+    NOTE on floats: the salted sum reassociates additions, so the
+    rounded total can differ from the unsalted plan in the last ulp —
+    round(…, 4) absorbs ~9 orders of magnitude of that here.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS))
+    partial = (
+        ev.withColumn("salt", salt)
+        .groupBy("event_type", "salt")
+        .agg(F.count("*").alias("c"), F.sum("value").alias("v"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("c").alias("cnt"),
+        F.round(F.sum("v"), 4).alias("total_value"),
+    )
+
+
 @query(
     "agg_collect_event_types",
     oracle="""

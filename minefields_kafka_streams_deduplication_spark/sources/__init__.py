@@ -7,4 +7,5 @@ half (S4: KStream#to analog) and multi-format readers.
 
 from .sinks import write_parquet, write_partitioned_parquet  # noqa: F401
 from .formats import read_any, SUPPORTED_FORMATS  # noqa: F401
+from .kafka import events_from_kafka, parse_event_payload  # noqa: F401
 from . import sinks  # noqa: F401  (registers sink_parquet_roundtrip)

@@ -1,0 +1,72 @@
+"""Source/sink surface tests: Kafka payload serde (no broker needed),
+format readers, partitioned sink round-trip."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from minefields_kafka_streams_deduplication_spark.sources import (
+    parse_event_payload,
+    read_any,
+    write_partitioned_parquet,
+)
+
+
+def test_parse_event_payload_kafka_shape(spark):
+    """Binary key/value frame (what the kafka source emits) → typed rows."""
+    payloads = [
+        {"event_id": 1, "ts_us": 1704067200000000, "user_id": 7,
+         "event_type": "view", "value": 1.5, "props": '{"k": 3}'},
+        {"event_id": 2, "ts_us": 1704067260000000, "user_id": 8,
+         "event_type": "purchase", "value": 9.0, "props": None},
+    ]
+    raw = spark.createDataFrame(
+        [(str(p["event_id"]).encode(), json.dumps(p).encode()) for p in payloads],
+        "key BINARY, value BINARY",
+    )
+    rows = {r.event_id: r for r in parse_event_payload(raw).collect()}
+    assert rows[1].event_type == "view" and rows[1].user_id == 7
+    assert rows[1].ts.isoformat() == "2024-01-01T00:00:00"
+    assert rows[2].value == 9.0 and rows[2].props is None
+
+
+def test_parse_event_payload_malformed_json_yields_nulls(spark):
+    raw = spark.createDataFrame([(b"k", b"this is not json")], "key BINARY, value BINARY")
+    out = parse_event_payload(raw).collect()
+    assert len(out) == 1 and out[0].event_id is None  # permissive-mode null row
+
+
+def test_read_any_csv_json_roundtrip(spark):
+    d = tempfile.mkdtemp(prefix="fmt_rt_")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id LONG, name STRING")
+    df.write.mode("overwrite").option("header", "true").csv(os.path.join(d, "csv"))
+    df.write.mode("overwrite").json(os.path.join(d, "json"))
+    got_csv = read_any(spark, os.path.join(d, "csv"), "csv", "id LONG, name STRING")
+    got_json = read_any(spark, os.path.join(d, "json"), "json", "id LONG, name STRING")
+    expect = {(1, "a"), (2, "b")}
+    assert {(r.id, r.name) for r in got_csv.collect()} == expect
+    assert {(r.id, r.name) for r in got_json.collect()} == expect
+
+
+def test_read_any_rejects_unknown_format(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_any(spark, "/tmp/x", "avro")
+
+
+def test_partitioned_sink_prunes(spark):
+    from minefields_kafka_streams_deduplication_spark.plans import audit_plan
+
+    d = os.path.join(tempfile.mkdtemp(prefix="part_rt_"), "t")
+    df = spark.createDataFrame(
+        [(i, "p%d" % (i % 3)) for i in range(30)], "id LONG, part STRING"
+    )
+    write_partitioned_parquet(df, d, ["part"])
+    back = spark.read.parquet(d).filter("part = 'p1'")
+    assert back.count() == 10
+    # Partition filter must prune directories, not appear as a data filter.
+    a = audit_plan(back)
+    assert "PartitionFilters" in a.raw and "p1" in a.raw
