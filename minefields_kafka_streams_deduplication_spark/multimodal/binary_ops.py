@@ -97,3 +97,48 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     with_payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return with_payload.mapInPandas(decode_binary_batches, DECODED_SCHEMA)
+
+
+FRAME_STRIDE_BYTES = 64  # stand-in for a codec's frame boundary
+FRAMES_PER_DOC = 4
+
+FRAME_SCHEMA = "doc_id LONG, frame_idx INT, frame_offset INT, frame_sig LONG"
+
+
+def sample_frame_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: uniform frame sampling from a binary stream —
+    the video-shaped pipeline (1 input row → k frame rows). A real
+    implementation seeks keyframes via the container index; the STUB
+    treats every FRAME_STRIDE_BYTES as a frame and emits a checksum
+    standing in for decoded frame features.
+    """
+    for pdf in it:
+        out = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_sig": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None or len(payload) == 0:
+                continue
+            n_frames = max(len(payload) // FRAME_STRIDE_BYTES, 1)
+            step = max(n_frames // FRAMES_PER_DOC, 1)
+            for i, frame in enumerate(range(0, n_frames, step)[:FRAMES_PER_DOC]):
+                off = frame * FRAME_STRIDE_BYTES
+                chunk = payload[off : off + FRAME_STRIDE_BYTES]
+                sig = 0
+                for b in chunk:
+                    sig = (sig * 31 + b) % 1_000_000_007
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["frame_offset"].append(off)
+                out["frame_sig"].append(sig)
+        yield pd.DataFrame(out)
+
+
+@query("multimodal_frame_sample")  # rows-only: frame extraction is a documented stub
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (video analog): 1 row in →
+    k frame rows out through `mapInPandas` — the fan-out shape every
+    video feature-extraction pipeline needs. Partitioning note: frame
+    fan-out multiplies row counts, so repartition BEFORE this op when
+    payloads are large and AFTER when frames are small."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return with_payload.mapInPandas(sample_frame_batches, FRAME_SCHEMA)
