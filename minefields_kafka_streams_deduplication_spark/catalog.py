@@ -40,11 +40,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with normalized types."""
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos → µs truncation. MUST use integer division (`div`):
-        # a double round-trip on epoch-nanos (~1.7e18 > 2^53) silently
-        # corrupts the low-order digits.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos → µs truncation. MUST use integer division (`div`):
+            # a double round-trip on epoch-nanos (~1.7e18 > 2^53)
+            # silently corrupts the low-order digits.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # µs parquet written with isAdjustedToUTC=false (e.g. by
+            # DuckDB) infers as NTZ; normalize so downstream
+            # unix_micros()/watermarks see one type. Session tz is
+            # pinned UTC (tune), so the wall-clock is preserved.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
