@@ -328,6 +328,51 @@ def agg_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cogroup_user_activity",
+    oracle="""
+SELECT COALESCE(e.user_id, o.o_custkey) AS user_id,
+       COALESCE(e.n_events, 0) AS n_events,
+       round(COALESCE(e.event_value, 0.0), 4) AS event_value,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       round(COALESCE(o.order_value, 0.0), 4) AS order_value
+FROM (SELECT user_id, count(*) AS n_events, sum(value) AS event_value
+      FROM events GROUP BY user_id) e
+FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS order_value
+                 FROM orders GROUP BY o_custkey) o
+  ON e.user_id = o.o_custkey
+""",
+)
+def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogroup — the KS CogroupedKStream analog [R KGroupedStream#cogroup]:
+    two keyed streams aggregated into one record per key, keys present
+    in either side preserved.
+
+    Spark-first form: per-side partial aggregation THEN a full-outer
+    join of the (tiny) aggregates — each input is shuffled once at its
+    own granularity, and the join touches one row per key. (The
+    `groupBy().cogroup().applyInPandas` API expresses the same shape
+    with arbitrary Python merge logic; unnecessary here since the merge
+    is declarative.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    e = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("event_value")
+    )
+    o = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("order_value")
+    )
+    joined = e.join(o, e.user_id == o.o_custkey, "full_outer")
+    return joined.select(
+        F.coalesce(F.col("user_id"), F.col("o_custkey")).alias("user_id"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.round(F.coalesce(F.col("event_value"), F.lit(0.0)), 4).alias("event_value"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.round(F.coalesce(F.col("order_value"), F.lit(0.0)), 4).alias("order_value"),
+    )
+
+
 SALT_BUCKETS = 16
 
 

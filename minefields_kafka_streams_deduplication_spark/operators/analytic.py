@@ -126,6 +126,22 @@ def topk_products_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "set_intersect_buyers_viewers",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'view'
+""",
+)
+def set_intersect_buyers_viewers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6b: INTERSECT (distinct) — users who both viewed and bought."""
+    ev = load_table(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id")
+    return buyers.intersect(viewers)
+
+
+@query(
     "set_except_inactive_users",
     oracle="""
 SELECT DISTINCT user_id FROM events
