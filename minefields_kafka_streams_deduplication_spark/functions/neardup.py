@@ -250,6 +250,73 @@ def dedup_text_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", "source").join(dupes, "doc_id", "left_anti")
 
 
+CC_MAX_ITERS = 20
+
+
+@query("dedup_clusters_cc")  # rows-only: iterative fixpoint, not SQL-expressible
+def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the
+    verified Jaccard pair graph (A~B, B~C ⇒ {A,B,C} one cluster —
+    pairwise dedup alone under-collapses chains).
+
+    Spark-first iterative algorithm: min-label propagation to fixpoint.
+    Each iteration is one join + one aggregate on the edge list; the
+    edge list is tiny relative to the corpus (only near-dup pairs), and
+    iteration count is bounded by the cluster diameter (log-ish with
+    doubled edges). At 100 TB the same loop runs on the pair output of
+    MinHash-LSH; localCheckpoint() truncates the growing lineage.
+
+    Output: (doc_id, cluster_id, cluster_size) for every doc in a
+    near-dup cluster; cluster_id = min doc_id of the component.
+    """
+    pairs = dedup_text_ngram_jaccard(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    # Undirected edge list + self-loops so isolated members keep labels.
+    edges = (
+        pairs.select(F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
+        .union(pairs.select(F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .cache()
+    )
+    for _ in range(CC_MAX_ITERS):
+        # Every node adopts the min label among itself and its neighbors.
+        neighbor_labels = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+    )
+
+
 @query("dedup_text_simhash")  # rows-only: hash values engine-specific
 def dedup_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprint (sign of per-bit sums

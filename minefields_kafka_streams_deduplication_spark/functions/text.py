@@ -239,6 +239,64 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_TERMS = 5
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents) t
+  GROUP BY doc_id, token
+),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS tfidf
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+)
+SELECT doc_id, token, round(tfidf, 4) AS tfidf
+FROM (
+  SELECT doc_id, token, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(tfidf, 9) DESC, token) AS rn
+  FROM scored
+) t
+WHERE rn <= {TFIDF_TOP_TERMS}
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top terms per document — the classic keyword/quality
+    signal for LLM-data curation. Three hash aggregates (tf, df, N) and
+    one broadcast join of the document-frequency table; ranking cut at
+    round(tfidf, 9) with token tiebreak so cross-engine log/multiply
+    ulp differences cannot flip the top-k (same policy as cosine)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "token").select(
+        "doc_id",
+        "token",
+        (F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0))).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("tfidf"), 9).desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_TERMS)
+        .select("doc_id", "token", F.round("tfidf", 4).alias("tfidf"))
+    )
+
+
 WINNOW_K = 50  # number of fingerprint hashes kept per document
 
 
