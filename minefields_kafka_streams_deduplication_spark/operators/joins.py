@@ -161,6 +161,42 @@ def join_broadcast_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKEW_SALT_BUCKETS = 8
+
+
+@query(
+    "join_salted_orders_customer",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def join_salted_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join — the manual fallback when one join key is so
+    hot that even AQE's skew splitting can't balance it: the fact side
+    gets a random salt, the (smaller) build side is replicated across
+    all salt values, and the join keys on (key, salt) so the hot key
+    spreads over SKEW_SALT_BUCKETS reducers. Result is provably
+    identical to the plain join (the oracle is the UNSALTED query).
+
+    Salt must be deterministic per row for retry-safety — derived from
+    o_orderkey, never rand().
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    salted_fact = orders.withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(SKEW_SALT_BUCKETS))
+    )
+    replicated_dim = customer.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(SKEW_SALT_BUCKETS)]))
+    )
+    return salted_fact.join(
+        replicated_dim,
+        (salted_fact.o_custkey == replicated_dim.c_custkey)
+        & (salted_fact.salt == replicated_dim.salt),
+    ).select("o_orderkey", "o_totalprice", "c_custkey", "c_mktsegment")
+
+
 @query(
     "join_asof_latest_order_before_event",
     oracle="""
