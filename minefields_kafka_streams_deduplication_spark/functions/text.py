@@ -239,6 +239,44 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic per-language sampling rates (dataset mixing): the md5
+# of the doc id is a uniform [0,1) coin that both engines compute
+# identically, so sampling is reproducible, join-free, and
+# oracle-checkable — unlike rand()/sampleBy whose RNG streams are
+# engine-specific. First 4 hex chars ⇒ 16-bit resolution.
+SAMPLE_RATES = {"en": 0.75, "de": 0.50, "es": 0.50, "fr": 0.25, "zh": 0.25}
+
+
+def _sample_threshold(rate: float) -> str:
+    return f"{int(rate * 0x10000):04x}"
+
+
+@query(
+    "sample_mix_by_lang",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE lang {' '.join(f"WHEN '{lg}' THEN '{_sample_threshold(r)}'" for lg, r in SAMPLE_RATES.items())}
+           ELSE '0000' END
+""",
+)
+def sample_mix_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing: stratified deterministic sampling with a
+    per-language rate (upsample en, downsample zh/fr). Pure scan-side
+    predicate — no shuffle, no RNG state, stable across retries and
+    engines; exactly how training-mix recipes should be materialized at
+    100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    coin = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    threshold = F.lit("0000")
+    for lg, rate in SAMPLE_RATES.items():
+        threshold = F.when(F.col("lang") == lg, F.lit(_sample_threshold(rate))).otherwise(
+            threshold
+        )
+    return docs.filter(coin < threshold).select("doc_id", "lang", "source")
+
+
 TFIDF_TOP_TERMS = 5
 
 

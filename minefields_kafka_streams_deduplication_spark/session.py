@@ -73,7 +73,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Duser.timezone=UTC -Dderby.system.home=/tmp/derby",
+        )
+        # Keep catalog artifacts (bucketed tables, metastore) out of the
+        # repo working dir. Static conf — effective only at JVM build.
+        .config("spark.sql.warehouse.dir", "/tmp/spark_warehouse")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

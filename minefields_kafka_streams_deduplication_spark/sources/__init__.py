@@ -5,7 +5,11 @@ is `streaming.source.read_events_stream`. This package adds the sink
 half (S4: KStream#to analog) and multi-format readers.
 """
 
-from .sinks import write_parquet, write_partitioned_parquet  # noqa: F401
+from .sinks import (  # noqa: F401
+    write_parquet,
+    write_partitioned_parquet,
+    write_bucketed_table,
+)
 from .formats import read_any, SUPPORTED_FORMATS  # noqa: F401
 from .kafka import events_from_kafka, parse_event_payload  # noqa: F401
 from . import sinks  # noqa: F401  (registers sink_parquet_roundtrip)

@@ -34,6 +34,27 @@ def write_partitioned_parquet(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted catalog table — THE layout for recurring joins
+    on a stable key: two tables bucketed on their join key with the
+    same bucket count join with ZERO exchanges (verified in
+    tests/test_sources.py: 0 vs 2 shuffles on the plain join). At
+    100 TB this converts every fact-fact join on the bucketed key from
+    a full shuffle into a local merge per bucket."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )
+
+
 @query("sink_parquet_roundtrip")  # rows-only: exercises the write path
 def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 smoke: write events partitioned by event date, read it back,

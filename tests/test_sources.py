@@ -57,6 +57,31 @@ def test_read_any_rejects_unknown_format(spark):
         read_any(spark, "/tmp/x", "avro")
 
 
+def test_bucketed_join_has_zero_exchanges(spark):
+    """Two tables bucketed on the join key join without any shuffle."""
+    from minefields_kafka_streams_deduplication_spark.plans import audit_plan
+    from minefields_kafka_streams_deduplication_spark.sources import (
+        write_bucketed_table,
+    )
+
+    a = spark.createDataFrame([(i, i * 2) for i in range(100)], "k LONG, va LONG")
+    b = spark.createDataFrame([(i, i * 3) for i in range(100)], "k LONG, vb LONG")
+    write_bucketed_table(a, "bkt_a", "k", 4)
+    write_bucketed_table(b, "bkt_b", "k", 4)
+    ta, tb = spark.table("bkt_a"), spark.table("bkt_b")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        joined = ta.join(tb, "k")
+        audit = audit_plan(joined)
+        assert audit.n_exchanges == 0, audit.raw[:1500]
+        assert joined.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def test_partitioned_sink_prunes(spark):
     from minefields_kafka_streams_deduplication_spark.plans import audit_plan
 
