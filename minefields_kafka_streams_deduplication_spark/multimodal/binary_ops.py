@@ -26,8 +26,20 @@ from ..catalog import load_table
 from ..registry import query
 
 DECODED_SCHEMA = (
-    "doc_id LONG, n_bytes INT, fake_width INT, fake_height INT, checksum LONG"
+    "doc_id LONG, n_bytes INT, fake_width INT, fake_height INT, checksum LONG, "
+    "resized_w INT, resized_h INT"
 )
+
+RESIZE_MAX_EDGE = 224  # target max edge for the (stubbed) resize step
+
+
+def _resize_dims(w: int, h: int, max_edge: int = RESIZE_MAX_EDGE) -> tuple[int, int]:
+    """Aspect-preserving resize arithmetic (the real part of a resize
+    op — the pixel resampling itself is the stubbed codec's job)."""
+    if w <= 0 or h <= 0:
+        return 0, 0
+    scale = min(max_edge / w, max_edge / h, 1.0)
+    return max(int(w * scale), 1), max(int(h * scale), 1)
 
 
 @query(
@@ -78,6 +90,7 @@ def decode_binary_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """
     for pdf in it:
         decoded = [_fake_decode(p) for p in pdf["payload"]]
+        resized = [_resize_dims(d[0], d[1]) for d in decoded]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -85,6 +98,8 @@ def decode_binary_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "fake_width": [d[0] for d in decoded],
                 "fake_height": [d[1] for d in decoded],
                 "checksum": [d[2] for d in decoded],
+                "resized_w": [r[0] for r in resized],
+                "resized_h": [r[1] for r in resized],
             }
         )
 

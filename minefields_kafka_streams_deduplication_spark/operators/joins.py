@@ -161,6 +161,31 @@ def join_broadcast_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_fk_orders_nation",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice, n.n_name
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+""",
+)
+def join_fk_orders_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key table join [R KTable#join(KTable, foreignKeyExtractor)
+    — KS needs a two-hop subscription topology for this; in Spark it is
+    just two equi joins, with the key-extraction step being the first
+    join's projection]. Enriches each order with its customer's nation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .select("o_orderkey", "o_totalprice", "n_name")
+    )
+
+
 SKEW_SALT_BUCKETS = 8
 
 
