@@ -64,11 +64,16 @@ def test_bucketed_join_has_zero_exchanges(spark):
         write_bucketed_table,
     )
 
+    import uuid
+
+    # Unique names: managed-table LOCATIONS outlive the in-memory
+    # catalog, so a fixed name collides with a previous session's dir.
+    suffix = uuid.uuid4().hex[:8]
     a = spark.createDataFrame([(i, i * 2) for i in range(100)], "k LONG, va LONG")
     b = spark.createDataFrame([(i, i * 3) for i in range(100)], "k LONG, vb LONG")
-    write_bucketed_table(a, "bkt_a", "k", 4)
-    write_bucketed_table(b, "bkt_b", "k", 4)
-    ta, tb = spark.table("bkt_a"), spark.table("bkt_b")
+    write_bucketed_table(a, f"bkt_a_{suffix}", "k", 4)
+    write_bucketed_table(b, f"bkt_b_{suffix}", "k", 4)
+    ta, tb = spark.table(f"bkt_a_{suffix}"), spark.table(f"bkt_b_{suffix}")
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
