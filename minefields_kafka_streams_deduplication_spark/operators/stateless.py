@@ -89,6 +89,21 @@ def branch_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", "event_type", branch.alias("branch"))
 
 
+def peek(df: DataFrame, name: str, *metrics: "F.Column"):
+    """P7: KStream#peek analog — side-effect-free observation of rows
+    flowing through a plan. Spark-first form: `df.observe` attaches
+    metric expressions evaluated DURING execution (no second scan, no
+    foreach side effects). Returns (df, Observation); read
+    `observation.get` after an action.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    if not metrics:
+        metrics = (F.count(F.lit(1)).alias("rows"),)
+    return df.observe(obs, *metrics), obs
+
+
 def split_streams(df: DataFrame, predicates: dict[str, "F.Column"]) -> dict[str, DataFrame]:
     """P5 (multi-output form): KStream#split → named branches.
 

@@ -1,0 +1,69 @@
+"""Streaming checkpoint recovery — the KS changelog-restore analog
+[R KafkaStreams state restoration from changelog topics]: a restarted
+query resumes from committed offsets and does NOT reprocess old input,
+while stateful results stay consistent."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from minefields_kafka_streams_deduplication_spark.operators.stateless import peek
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+SCHEMA = "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE"
+
+
+def _write(spark, d, fname, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(os.path.join(d, fname))
+
+
+def _run(spark, src, checkpoint, out_dir):
+    """Parquet sink: the fault-tolerant path (memory sink cannot recover
+    from a checkpoint — it raises; file sinks commit via the sink log)."""
+    stream = spark.readStream.schema(SCHEMA).parquet(os.path.join(src, "*.parquet"))
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["user_id", "value"]
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+def test_restart_resumes_from_committed_offsets(spark):
+    src = tempfile.mkdtemp(prefix="recov_src_")
+    ckpt = tempfile.mkdtemp(prefix="recov_ckpt_")
+    out = os.path.join(tempfile.mkdtemp(prefix="recov_out_"), "sink")
+    m = lambda minutes: T0 + dt.timedelta(minutes=minutes)
+
+    _write(spark, src, "b0.parquet", [(1, m(0), 7, 1.0), (2, m(1), 8, 2.0)])
+    run1 = {r.event_id for r in _run(spark, src, ckpt, out).collect()}
+    assert run1 == {1, 2}
+
+    # New file arrives; restart with the SAME checkpoint: only the new
+    # file is read (offset log), and dedup state survives the restart —
+    # event 3 duplicates event 1's key and is dropped by RESTORED state;
+    # events 1/2 are NOT duplicated in the sink (exactly-once commit log).
+    _write(spark, src, "b1.parquet", [(3, m(2), 7, 1.0), (4, m(3), 9, 4.0)])
+    run2 = sorted(r.event_id for r in _run(spark, src, ckpt, out).collect())
+    assert run2 == [1, 2, 4], f"expected state-restored dedup + no reprocessing, got {run2}"
+
+
+def test_observe_peek_counts_during_execution(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "id LONG, v DOUBLE")
+    observed, obs = peek(
+        df.filter(F.col("id") >= 4), "tap", F.count(F.lit(1)).alias("rows"),
+        F.round(F.sum("v"), 4).alias("total"),
+    )
+    assert observed.count() == 6
+    assert obs.get == {"rows": 6, "total": 39.0}
