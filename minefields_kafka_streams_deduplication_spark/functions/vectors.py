@@ -220,6 +220,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((ids, Cn))
 
+    # round(cos,9) >= T  ⟺  cos >= T - 5e-10 — epsilon form avoids
+    # materializing a rounded copy of the full similarity block.
+    thresh = COSINE_DUP_THRESHOLD - 5e-10
+    BLOCK = 1024  # bounds the matmul block to ~BLOCK×n doubles
+
     def dup_ids_batches(it):
         c_ids, c_mat = bc.value
         for pdf in it:
@@ -227,15 +232,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             Q = np.array(list(pdf["embedding"]), dtype=np.float64)
             Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-            S = np.round(Qn @ c_mat.T, 9)
             qids = pdf["vec_id"].to_numpy()
-            # vec is a dup iff some LOWER-id vector has cosine >= threshold
-            lower = c_ids[None, :] < qids[:, None]
-            is_dup = ((S >= COSINE_DUP_THRESHOLD) & lower).any(axis=1)
-            yield pd.DataFrame({"vec_id": qids[is_dup]})
+            dup_out = []
+            for s in range(0, len(qids), BLOCK):
+                S = Qn[s : s + BLOCK] @ c_mat.T
+                lower = c_ids[None, :] < qids[s : s + BLOCK, None]
+                is_dup = ((S >= thresh) & lower).any(axis=1)
+                dup_out.append(qids[s : s + BLOCK][is_dup])
+            yield pd.DataFrame({"vec_id": np.concatenate(dup_out)})
 
-    dup_ids = emb.select("vec_id", "embedding").mapInPandas(
-        dup_ids_batches, "vec_id LONG"
+    n_part = spark.sparkContext.defaultParallelism
+    dup_ids = (
+        emb.select("vec_id", "embedding")
+        .repartition(n_part)  # single-file scan → fan out the matmul work
+        .mapInPandas(dup_ids_batches, "vec_id LONG")
     )
     return emb.select("vec_id", "label").join(dup_ids, "vec_id", "left_anti")
 
