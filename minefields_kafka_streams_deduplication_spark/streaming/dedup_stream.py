@@ -111,7 +111,10 @@ def dedup_stream_custom_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return run_to_memory(deduped, "dedup_stream_custom_ttl")
+    # Python-state ops are worker-CPU-bound: give them a worker per core
+    # (unlike JVM state ops, where fewer stores win at fixture scale).
+    n_part = spark.sparkContext.defaultParallelism
+    return run_to_memory(deduped, "dedup_stream_custom_ttl", partitions=n_part)
 
 
 @query("dedup_stream_tws")  # rows-only: arbitrary-state streaming op (Spark 4.x API)
@@ -178,7 +181,8 @@ def dedup_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="EventTime",
         )
     )
-    return run_to_memory(deduped, "dedup_stream_tws")
+    n_part = spark.sparkContext.defaultParallelism
+    return run_to_memory(deduped, "dedup_stream_tws", partitions=n_part)
 
 
 @query("dedup_batch_custom_ttl")  # rows-only: iterative semantics, not SQL-expressible

@@ -66,7 +66,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_SHUFFLE_PARTITIONS = 8
 
 
-def run_to_memory(stream_df: DataFrame, name_prefix: str) -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame, name_prefix: str, partitions: int | None = None
+) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
     memory sink and return the materialized result as a batch DataFrame.
 
@@ -79,7 +81,9 @@ def run_to_memory(stream_df: DataFrame, name_prefix: str) -> DataFrame:
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(partitions or STREAM_SHUFFLE_PARTITIONS)
+    )
     try:
         q = (
             stream_df.writeStream.format("memory")
