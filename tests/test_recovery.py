@@ -67,3 +67,31 @@ def test_observe_peek_counts_during_execution(spark):
     )
     assert observed.count() == 6
     assert obs.get == {"rows": 6, "total": 39.0}
+
+
+def test_foreach_batch_partitioned_upsert(spark):
+    """foreachBatch + dynamic partition overwrite: output lands date-
+    partitioned, and replaying the same input into a fresh checkpoint
+    (simulating redelivery) leaves the layout unchanged (idempotent)."""
+    from minefields_kafka_streams_deduplication_spark.streaming.sinks import (
+        start_partitioned_upsert,
+    )
+
+    src = tempfile.mkdtemp(prefix="fb_src_")
+    out = os.path.join(tempfile.mkdtemp(prefix="fb_out_"), "t")
+    m = lambda d: dt.datetime(2024, 1, d, 10, 0, 0)
+    _write(spark, src, "b0.parquet", [(1, m(1), 7, 1.0), (2, m(2), 8, 2.0)])
+
+    stream = spark.readStream.schema(SCHEMA).parquet(os.path.join(src, "*.parquet"))
+    q = start_partitioned_upsert(stream, out, tempfile.mkdtemp(prefix="fb_c1_"))
+    q.awaitTermination()
+    first = sorted((r.event_id, str(r.event_date)) for r in spark.read.parquet(out).collect())
+    assert first == [(1, "2024-01-01"), (2, "2024-01-02")]
+
+    # Redelivery: fresh checkpoint reprocesses everything; dynamic
+    # overwrite rewrites the same partitions → identical layout.
+    stream2 = spark.readStream.schema(SCHEMA).parquet(os.path.join(src, "*.parquet"))
+    q2 = start_partitioned_upsert(stream2, out, tempfile.mkdtemp(prefix="fb_c2_"))
+    q2.awaitTermination()
+    second = sorted((r.event_id, str(r.event_date)) for r in spark.read.parquet(out).collect())
+    assert second == first
