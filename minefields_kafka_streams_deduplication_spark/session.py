@@ -49,7 +49,13 @@ def _cpus() -> int:
 
 
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable confs to an existing session (idempotent)."""
+    """Apply runtime-settable confs to an existing session (idempotent).
+
+    Also right-sizes `shuffle.partitions` when the session still has the
+    stock 200 (e.g. a vanilla driver-created session): 200-way shuffles
+    on fixture-scale data are pure scheduling overhead. A deliberate
+    non-default setting is left alone.
+    """
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
@@ -57,6 +63,11 @@ def tune(spark: SparkSession) -> SparkSession:
             # A conf may be non-settable on some builds; queries that
             # depend on it will surface a clear error of their own.
             pass
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", str(_cpus()))
+    except Exception:
+        pass
     return spark
 
 
