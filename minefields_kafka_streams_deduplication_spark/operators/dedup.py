@@ -122,6 +122,45 @@ def dedup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INCREMENTAL_CUTOFF = "2024-01-20 00:00:00"
+
+
+@query(
+    "dedup_incremental_new_events",
+    oracle=f"""
+SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value
+FROM events e
+WHERE e.ts >= TIMESTAMP '{INCREMENTAL_CUTOFF}'
+  AND NOT EXISTS (
+    SELECT 1 FROM events h
+    WHERE h.ts < TIMESTAMP '{INCREMENTAL_CUTOFF}'
+      AND h.user_id = e.user_id
+      AND h.event_type = e.event_type
+      AND h.value = e.value
+  )
+""",
+)
+def dedup_incremental_new_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-batch) dedup — the daily-pipeline shape at
+    100 TB: today's partition anti-joined against the accumulated
+    seen-keys table, so only never-seen keys flow downstream. Here the
+    fixture's own history (ts < cutoff) stands in for the state table.
+
+    Scale shape: the history side is reduced to DISTINCT keys before
+    the anti-join (in production: a compact bucketed keys table, not
+    the raw history), so the join input is keys, not events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(INCREMENTAL_CUTOFF).cast("timestamp")
+    history_keys = (
+        ev.filter(F.col("ts") < cutoff).select(*BUSINESS_KEY).distinct()
+    )
+    new_events = ev.filter(F.col("ts") >= cutoff)
+    return new_events.join(history_keys, BUSINESS_KEY, "left_anti").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
 @query(
     "dedup_text_exact",
     oracle="""
