@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..registry import query
-from .source import read_events_stream, run_to_memory
+from .source import read_events_stream, run_to_memory, stream_partitions
 
 WATERMARK_DELAY = "10 minutes"
 BUSINESS_KEY = ["user_id", "event_type", "value"]
@@ -52,7 +52,7 @@ def dedup_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(BUSINESS_KEY)
         .select("event_id", "ts", "user_id", "event_type", "value")
     )
-    return run_to_memory(stream, "dedup_stream_watermark")
+    return run_to_memory(stream, "dedup_stream_watermark", partitions=stream_partitions(spark, sf_dir))
 
 
 DEDUP_TTL_STATE_SCHEMA = "last_kept_us LONG"

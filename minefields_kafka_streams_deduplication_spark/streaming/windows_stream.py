@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from .source import read_events_stream, run_to_memory
+from .source import read_events_stream, run_to_memory, stream_partitions
 
 WATERMARK_DELAY = "10 minutes"
 
@@ -35,7 +35,7 @@ def window_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return run_to_memory(stream, "window_tumbling_stream")
+    return run_to_memory(stream, "window_tumbling_stream", partitions=stream_partitions(spark, sf_dir))
 
 
 @query("window_session_stream")  # rows-only: streaming session windows
@@ -55,7 +55,7 @@ def window_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return run_to_memory(stream, "window_session_stream")
+    return run_to_memory(stream, "window_session_stream", partitions=stream_partitions(spark, sf_dir))
 
 
 @query("join_interval_stream")  # rows-only: stream-stream join smoke
@@ -91,4 +91,4 @@ def join_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (purchases.p_ts <= views.v_ts + F.expr("INTERVAL 10 MINUTES")),
         "inner",
     ).select("view_id", "purchase_id", "user_id")
-    return run_to_memory(joined, "join_interval_stream")
+    return run_to_memory(joined, "join_interval_stream", partitions=stream_partitions(spark, sf_dir))
