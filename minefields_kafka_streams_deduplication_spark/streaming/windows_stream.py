@@ -58,6 +58,67 @@ def window_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(stream, "window_session_stream", partitions=stream_partitions(spark, sf_dir))
 
 
+@query("join_stream_static")  # rows-only: stream-static enrichment smoke
+def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — the STREAMING form of the GlobalKTable
+    enrichment [R KStream#join(GlobalKTable)]: each micro-batch joins
+    against a (re-read) static dimension; with broadcast, zero stream-
+    side shuffle. The batch twin is `join_broadcast_nation`."""
+    from ..catalog import load_table
+
+    customer = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    enriched = (
+        read_events_stream(spark, sf_dir)
+        .join(customer, F.col("user_id") == F.col("c_custkey"), "left")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_events"))
+    )
+    # Streaming agg without watermark → update/complete mode territory;
+    # use complete (tiny result: one row per nation key).
+    from .source import run_to_memory
+    import tempfile
+    import uuid
+
+    name = f"join_stream_static_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query("agg_stream_update_counts")  # rows-only: update-mode streaming agg smoke
+def agg_stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update output mode — the KTable changelog view [R KGroupedStream
+    #count emits updates downstream]: each batch emits only changed
+    groups. Complete/update/append matrix is covered across this module
+    (complete: join_stream_static; append: windowed aggs)."""
+    import tempfile
+    import uuid
+
+    counts = read_events_stream(spark, sf_dir).groupBy("event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    name = f"agg_stream_update_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 @query("join_interval_stream")  # rows-only: stream-stream join smoke
 def join_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 streaming twin: watermarked stream-stream interval join
