@@ -62,6 +62,10 @@ def main() -> None:
     spark.range(1000, numPartitions=8).mapInPandas(
         lambda it: it, "id LONG"
     ).write.format("noop").mode("overwrite").save()
+    # Streaming machinery init (micro-batch executor, state store,
+    # memory sink) — warm on the smallest fixture.
+    queries["dedup_stream_watermark"](spark, "/root/testdata/sf0.001").count()
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
