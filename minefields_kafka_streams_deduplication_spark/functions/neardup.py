@@ -180,12 +180,12 @@ def _minhash_params(perms: int = MINHASH_PERMS) -> tuple[list[int], list[int]]:
 
 @query("dedup_text_minhash")  # rows-only: xxhash64 values are engine-specific
 def dedup_text_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup dedup: 128 minhashes per doc (one JVM
-    xxhash64 per shingle + vectorized universal-hash permutations in
-    numpy), banded into 32×4; docs sharing any band bucket are
-    candidates; candidates are verified with true Jaccard and the
-    higher doc_id of each verified pair is dropped (keep-first).
-    Returns surviving documents.
+    """MinHash + LSH near-dup dedup: MINHASH_PERMS minhashes per doc
+    (one JVM xxhash64 per shingle + vectorized universal-hash
+    permutations in numpy), banded into MINHASH_BANDS×4; docs sharing
+    any band bucket are candidates; candidates are verified with true
+    Jaccard and the higher doc_id of each verified pair is dropped
+    (keep-first). Returns surviving documents.
 
     Scale shape: one shuffle on doc_id for signatures (numpy kernel is
     O(shingles × perms) vectorized), a candidate equi-join on the
@@ -232,8 +232,8 @@ def dedup_text_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bands = MINHASH_BANDS
 
     def partition_band_sigs(it):
-        """Whole-partition numpy kernel: (shingles × 128) permutation
-        mins per doc, folded into 32 band hashes. `_shingles` already
+        """Whole-partition numpy kernel: (shingles × perms) permutation
+        mins per doc, folded into per-band hashes. `_shingles` already
         hash-partitioned by doc_id, so each doc lives in exactly one
         partition and the mins here are final, not partial."""
         chunks = [pdf for pdf in it if not pdf.empty]
