@@ -12,7 +12,7 @@ from pyspark.sql.types import StructType
 
 from ..session import tune
 
-SUPPORTED_FORMATS = ("parquet", "csv", "json")
+SUPPORTED_FORMATS = ("parquet", "csv", "json", "orc")
 
 
 def read_any(

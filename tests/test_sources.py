@@ -100,3 +100,11 @@ def test_partitioned_sink_prunes(spark):
     # Partition filter must prune directories, not appear as a data filter.
     a = audit_plan(back)
     assert "PartitionFilters" in a.raw and "p1" in a.raw
+
+
+def test_read_any_orc_roundtrip(spark):
+    d = os.path.join(tempfile.mkdtemp(prefix="orc_rt_"), "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id LONG, name STRING")
+    df.write.mode("overwrite").orc(d)
+    got = read_any(spark, d, "orc", "id LONG, name STRING")
+    assert {(r.id, r.name) for r in got.collect()} == {(1, "a"), (2, "b")}
