@@ -171,6 +171,67 @@ def agg_rollup_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q19_disjunctive_predicates",
+    oracle="""
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       count(*) AS n_matches
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+""",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-AND predicate groups spanning both join
+    sides — exercises Catalyst's CNF conversion and partial predicate
+    pushdown (the p_brand/p_size legs push to the part scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part"))
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    leg = lambda brand, smin, smax, qmin, qmax: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(smin, smax)
+        & F.col("l_quantity").between(qmin, qmax)
+    )
+    return j.filter(
+        leg("Brand#1", 1, 15, 1, 20) | leg("Brand#2", 10, 30, 10, 30) | leg("Brand#3", 20, 50, 20, 40)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        F.count("*").alias("n_matches"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_priority,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5c: explicit GROUPING SETS with GROUPING() disambiguation flags
+    (distinguishes 'NULL because subtotal' from a NULL key) — via the
+    SQL entry point since the DataFrame API exposes only rollup/cube."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING(o_orderstatus) AS g_status,
+               GROUPING(o_orderpriority) AS g_priority,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
     "q10_returned_item_customers",
     oracle="""
 SELECT c.c_custkey, c.c_name, n.n_name,

@@ -58,6 +58,45 @@ def window_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(stream, "window_session_stream", partitions=stream_partitions(spark, sf_dir))
 
 
+@query("join_interval_stream_left")  # rows-only: outer stream-stream join smoke
+def join_interval_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 outer form: watermarked stream-stream LEFT interval join —
+    views with no purchase within 10 minutes emit with NULL purchase
+    once the watermark closes their join window [R KStream#leftJoin
+    (KStream, JoinWindows)]. The engine holds left-side rows in state
+    until the time bound expires — the hardest streaming-join case
+    (rows near stream end may never emit their null match; availableNow
+    advances the final watermark past most of the fixture)."""
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", WATERMARK_DELAY)
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK_DELAY)
+    )
+    joined = views.join(
+        purchases,
+        (views.user_id == purchases.p_user_id)
+        & (purchases.p_ts >= views.v_ts)
+        & (purchases.p_ts <= views.v_ts + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    ).select("view_id", "purchase_id", "user_id")
+    return run_to_memory(joined, "join_interval_stream_left", partitions=stream_partitions(spark, sf_dir))
+
+
 @query("join_stream_static")  # rows-only: stream-static enrichment smoke
 def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join — the STREAMING form of the GlobalKTable
