@@ -170,6 +170,87 @@ def agg_rollup_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q2ISH_SQL = """
+SELECT p.p_partkey, p.p_name, l.l_suppkey,
+       round(l.l_extendedprice / l.l_quantity, 4) AS unit_price
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 5
+  AND l.l_extendedprice / l.l_quantity = (
+    SELECT min(l2.l_extendedprice / l2.l_quantity)
+    FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey
+  )
+"""
+
+
+@query("q2_min_price_supplier", oracle=Q2ISH_SQL)
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted — no partsupp table, lineitem is the
+    part↔supplier association): for each small part, the supplier rows
+    offering the minimum unit price, found via a CORRELATED SCALAR
+    SUBQUERY. Run through the SQL entry point so Catalyst's subquery
+    decorrelation (rewrite to aggregate + join) is exercised; the
+    identical text runs on DuckDB. The equality on a computed double is
+    engine-safe: both sides derive it from identical stored values with
+    one IEEE division."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q2ISH_SQL)
+
+
+@query(
+    "scalar_subquery_delta",
+    oracle="""
+SELECT event_id, user_id,
+       round(value - (SELECT avg(value) FROM events), 4) AS value_delta
+FROM events
+WHERE event_type = 'purchase'
+""",
+)
+def scalar_subquery_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in the projection — each purchase's
+    deviation from the global mean (single-row broadcast reused across
+    the scan)."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               round(value - (SELECT avg(value) FROM events), 4) AS value_delta
+        FROM events
+        WHERE event_type = 'purchase'
+        """
+    )
+
+
+@query(
+    "window_daily_distinct_users",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       count(DISTINCT user_id) AS distinct_users,
+       count(*) AS n_events
+FROM events
+GROUP BY 1
+""",
+)
+def window_daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 × A4 composite: daily distinct users — the everyday DAU query
+    (streaming twin would use approx_count_distinct: exact distinct is
+    not incrementally maintainable in append mode)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("distinct_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(F.col("w.start").cast("date").alias("day"), "distinct_users", "n_events")
+    )
+
+
 @query(
     "q7_nation_trade_volume",
     oracle="""
