@@ -142,6 +142,24 @@ def set_intersect_buyers_viewers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "set_except_all_view_surplus",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'view'
+EXCEPT ALL
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def set_except_all_view_surplus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6c: EXCEPT ALL (multiset difference) — one surviving row per
+    view a user made beyond their purchase count; duplicates carry
+    meaning, unlike the distinct EXCEPT."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return views.exceptAll(purchases)
+
+
+@query(
     "set_except_inactive_users",
     oracle="""
 SELECT DISTINCT user_id FROM events
