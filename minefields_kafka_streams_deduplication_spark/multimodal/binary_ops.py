@@ -147,6 +147,52 @@ def sample_frame_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
+AUDIO_WINDOW_BYTES = 256  # stand-in for a PCM analysis window
+
+AUDIO_SCHEMA = "doc_id LONG, window_idx INT, rms DOUBLE, peak INT, n_windows INT"
+
+
+def audio_feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: fixed-rate windowed features over a byte
+    stream — the audio pipeline shape (1 row → n_windows rows, numpy-
+    vectorized per payload). A real implementation decodes PCM via
+    torchaudio/soundfile (NOT in this container); the STUB treats raw
+    bytes as unsigned samples, which keeps the windowing, feature math
+    and fan-out real."""
+    import numpy as np
+
+    for pdf in it:
+        out = {"doc_id": [], "window_idx": [], "rms": [], "peak": [], "n_windows": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None or len(payload) == 0:
+                continue
+            samples = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+            n_win = max(len(samples) // AUDIO_WINDOW_BYTES, 1)
+            usable = samples[: n_win * AUDIO_WINDOW_BYTES]
+            if len(usable) < AUDIO_WINDOW_BYTES:
+                usable = np.pad(samples, (0, AUDIO_WINDOW_BYTES - len(samples)))
+            windows = usable.reshape(n_win, -1)
+            rms = np.sqrt((windows**2).mean(axis=1))
+            peak = windows.max(axis=1).astype(np.int32)
+            out["doc_id"].extend([doc_id] * n_win)
+            out["window_idx"].extend(range(n_win))
+            out["rms"].extend(np.round(rms, 4))
+            out["peak"].extend(peak)
+            out["n_windows"].extend([n_win] * n_win)
+        yield pd.DataFrame(out)
+
+
+@query("multimodal_audio_features_stub")  # rows-only: codec is a documented stub
+def multimodal_audio_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio-feature extraction over binary payloads — the
+    third multimodal shape (image=decode/resize, video=frame-sample,
+    audio=fixed-rate windows). Feature math is vectorized numpy per
+    payload; fan-out is window-count rows per input."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return with_payload.mapInPandas(audio_feature_batches, AUDIO_SCHEMA)
+
+
 @query("multimodal_frame_sample")  # rows-only: frame extraction is a documented stub
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (video analog): 1 row in →
