@@ -31,6 +31,12 @@ HEADLINE = [
     "topk_products_by_revenue",
     "token_frequency",
     "dedup_text_exact",
+    "q5_local_supplier_volume",
+    "q7_nation_trade_volume",
+    "q10_returned_item_customers",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q2_min_price_supplier",
 ]
 
 
