@@ -87,3 +87,15 @@ def test_simhash_identical_docs_zero_hamming(spark, monkeypatch):
     monkeypatch.setattr(neardup, "load_table", lambda s, d, n: df)
     out = neardup.dedup_text_simhash(spark, "ignored").collect()
     assert len(out) == 1 and out[0].hamming == 0
+
+
+def test_sample_mix_deterministic_across_runs(spark, sf_dir):
+    """The md5-coin sampler must select the identical row set on every
+    invocation (no RNG state) — the property that makes training-mix
+    recipes reproducible."""
+    import minefields_kafka_streams_deduplication_spark as engine
+
+    q = engine.get_queries()["sample_mix_by_lang"]
+    a = sorted(r.doc_id for r in q(spark, sf_dir).collect())
+    b = sorted(r.doc_id for r in q(spark, sf_dir).collect())
+    assert a == b and len(a) > 0
