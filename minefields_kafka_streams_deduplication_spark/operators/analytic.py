@@ -50,6 +50,90 @@ def rank_users_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rank_distribution_functions",
+    oracle="""
+SELECT user_id,
+       round(spend, 4) AS spend,
+       round(percent_rank() OVER (ORDER BY spend, user_id), 4) AS spend_pct_rank,
+       round(cume_dist() OVER (ORDER BY spend, user_id), 4) AS spend_cume_dist
+FROM (
+  SELECT user_id, sum(value) AS spend
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+) t
+""",
+)
+def rank_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1b: distribution window functions — percent_rank and cume_dist
+    (exact integer-ratio outputs, engine-stable)."""
+    spend = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("spend"))
+    )
+    w = Window.orderBy("spend", "user_id")
+    return spend.select(
+        "user_id",
+        F.round("spend", 4).alias("spend"),
+        F.round(F.percent_rank().over(w), 4).alias("spend_pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("spend_cume_dist"),
+    )
+
+
+@query(
+    "first_last_event_per_user",
+    oracle="""
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type) OVER w AS last_type,
+       first_value(ts) OVER w AS first_ts,
+       last_value(ts) OVER w AS last_ts
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def first_last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2b: first_value / last_value with an unbounded frame — each
+    user's entry and exit event (deterministic tiebreak on event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.first("ts").over(w).alias("first_ts"),
+        F.last("ts").over(w).alias("last_ts"),
+    ).distinct()
+
+
+@query(
+    "lead_next_event_gap",
+    oracle="""
+SELECT event_id, user_id,
+       lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id,
+       lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts) AS gap_to_next_us
+FROM events
+""",
+)
+def lead_next_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2c: LEAD — forward-looking twin of lag_time_between_events."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lead("event_id").over(w).alias("next_event_id"),
+        (F.lead(us).over(w) - us).alias("gap_to_next_us"),
+    )
+
+
+@query(
     "lag_time_between_events",
     oracle="""
 SELECT event_id, user_id, ts,
