@@ -19,6 +19,32 @@ from ..registry import query
 
 
 @query(
+    "histogram_event_values",
+    oracle="""
+SELECT CAST(floor(value / 20.0) AS INTEGER) AS bucket,
+       count(*) AS cnt,
+       round(min(value), 4) AS bucket_min,
+       round(max(value), 4) AS bucket_max
+FROM events
+GROUP BY 1
+""",
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram via arithmetic bucketing (width 20) — the shuffle-free
+    way to profile a distribution at scale (map-side combinable; one
+    row per bucket crosses the wire)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 20.0).cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.min("value"), 4).alias("bucket_min"),
+            F.round(F.max("value"), 4).alias("bucket_max"),
+        )
+    )
+
+
+@query(
     "agg_count_by_type",
     oracle="SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
 )
