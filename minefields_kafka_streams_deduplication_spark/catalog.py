@@ -35,11 +35,25 @@ TABLES = [
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# Parquet schema inference runs a footer-sampling Spark job per
+# spark.read.parquet call. Fixture schemas are immutable within a
+# session, so cache them: repeat loads (the driver re-reads every table
+# per query) become pure metadata ops, and plan construction stays
+# job-free — pinned by tests/test_plans.py.
+_SCHEMA_CACHE: dict = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with normalized types."""
     tune(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (id(spark), path)
+    cached = _SCHEMA_CACHE.get(key)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":

@@ -6,9 +6,11 @@ list fold, which keeps cosine ranking stable across engines. Ranking
 uses round(cosine, 9) + id tiebreak so a 1-ulp disagreement can never
 flip the top-k cut (SURVEY.md §5.3 float hazard).
 
-Scale path (100 TB): brute-force top-k is O(n·q) — fine for q ≪ n with
-a broadcast candidate set; past that, switch to the blocked variant
-(`similarity_topk_blocked`, IVF-style with a coarse partition key) or
+Scale path (100 TB): the exact paths are fully distributed — top-k via
+hash-chunk cogroup + per-query merge, all-pairs dedup via GRID×GRID
+block tiling — with no driver collect and no full-corpus broadcast.
+Sub-quadratic approximations: the blocked variant
+(`similarity_topk_blocked`, IVF-style with a coarse partition key) and
 LSH bucketing (`ann_lsh_hyperplane`).
 """
 
@@ -84,55 +86,96 @@ WHERE rn <= {SIM_TOPK}
 """,
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """V1: exact brute-force cosine top-k (the ANN baseline).
+    """V1: exact brute-force cosine top-k (the ANN baseline), fully
+    distributed — no driver-side materialization of the corpus.
 
-    Architecture: broadcast codebook + Arrow-batched numpy kernel.
-    The candidate matrix (n×64 f64, ~1 MB here) is collected once and
-    broadcast to executors; each query partition computes its cosine
-    block with one BLAS matmul inside `mapInPandas`. This is ~10×
-    faster than the pure-Catalyst pair join (higher-order array
-    expressions are interpreted, not codegen'd) and is the shape that
-    scales: queries stay distributed, candidates ride the broadcast.
-    At 100 TB the broadcast side must be a codebook/sample or an IVF
-    cell (`similarity_topk_blocked`), never the full corpus.
+    Architecture (the 100 TB shape): candidates are hash-partitioned
+    into `n_chunks` blocks; the small bounded query set is replicated
+    to every block with a broadcast crossJoin (q·n_chunks rows, no
+    corpus shuffle beyond the one hash partition); a cogrouped Arrow
+    kernel computes each block's partial top-k with one BLAS matmul;
+    partial top-ks (≤ q·k rows per block) merge in a tiny per-query
+    reduce. Driver memory is O(1) — the plan is lazy end-to-end.
 
-    Ranking ties are cut at round(cos, 9) with neighbor_id tiebreak so
-    float summation order can never flip the top-k boundary vs the
+    Exactness: the global top-k is a subset of the union of per-block
+    top-ks under the same ordering, so the merge is exact. Ranking ties
+    are cut at round(cos, 9) with neighbor_id tiebreak (numpy rounding
+    in both phases, matching round 1 bit-exact behavior) so float
+    summation order can never flip the top-k boundary vs the
     sequential-fold oracle.
     """
     import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cand = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in cand], dtype=np.int64)
-    C = np.array([r.embedding for r in cand], dtype=np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, Cn))
+    n_chunks = max(int(spark.sparkContext.defaultParallelism), 1)
 
-    def topk_batches(it):
-        c_ids, c_mat = bc.value
-        for pdf in it:
-            if pdf.empty:
-                continue
-            Q = np.array(list(pdf["embedding"]), dtype=np.float64)
-            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-            S = Qn @ c_mat.T
-            qids = pdf["vec_id"].to_numpy()
-            out_q, out_n, out_c = [], [], []
-            for i in range(S.shape[0]):
-                s = S[i]
-                s = np.where(c_ids == qids[i], -np.inf, s)
-                order = np.lexsort((c_ids, -np.round(s, 9)))[:SIM_TOPK]
-                out_q.extend([qids[i]] * len(order))
-                out_n.extend(c_ids[order])
-                out_c.extend(np.round(s[order], 4))
-            yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
-            )
+    cand = emb.select(
+        F.pmod(F.col("vec_id"), F.lit(n_chunks)).alias("chunk"),
+        "vec_id",
+        "embedding",
+    )
+    chunks = spark.range(n_chunks).select(F.col("id").alias("chunk"))
+    qrep = (
+        emb.filter(F.col("vec_id") < SIM_N_QUERIES)
+        .select(F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding"))
+        .crossJoin(F.broadcast(chunks))
+    )
 
-    q = emb.filter(F.col("vec_id") < SIM_N_QUERIES).select("vec_id", "embedding")
-    return q.mapInPandas(topk_batches, "query_id LONG, neighbor_id LONG, cosine DOUBLE")
+    def block_topk(cand_pdf: "pd.DataFrame", q_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "query_id": np.array([], dtype=np.int64),
+                "neighbor_id": np.array([], dtype=np.int64),
+                "cosine": np.array([], dtype=np.float64),
+            }
+        )
+        if cand_pdf.empty or q_pdf.empty:
+            return empty
+        c_ids = cand_pdf["vec_id"].to_numpy()
+        C = np.array(list(cand_pdf["embedding"]), dtype=np.float64)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        qids = q_pdf["q_vec_id"].to_numpy()
+        Q = np.array(list(q_pdf["q_embedding"]), dtype=np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        S = Qn @ Cn.T
+        out_q, out_n, out_c = [], [], []
+        for i in range(S.shape[0]):
+            s = np.where(c_ids == qids[i], -np.inf, S[i])
+            order = np.lexsort((c_ids, -np.round(s, 9)))[:SIM_TOPK]
+            order = order[np.isfinite(s[order])]
+            out_q.extend([qids[i]] * len(order))
+            out_n.extend(c_ids[order])
+            out_c.extend(s[order])  # raw cosine; rounding happens at merge
+        return pd.DataFrame(
+            {
+                "query_id": np.array(out_q, dtype=np.int64),
+                "neighbor_id": np.array(out_n, dtype=np.int64),
+                "cosine": np.array(out_c, dtype=np.float64),
+            }
+        )
+
+    partial = (
+        cand.groupBy("chunk")
+        .cogroup(qrep.groupBy("chunk"))
+        .applyInPandas(block_topk, "query_id LONG, neighbor_id LONG, cosine DOUBLE")
+    )
+
+    def merge_topk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        s = pdf["cosine"].to_numpy()
+        n_ids = pdf["neighbor_id"].to_numpy()
+        order = np.lexsort((n_ids, -np.round(s, 9)))[:SIM_TOPK]
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].to_numpy()[order],
+                "neighbor_id": n_ids[order],
+                "cosine": np.round(s[order], 4),
+            }
+        )
+
+    return partial.groupBy("query_id").applyInPandas(
+        merge_topk, "query_id LONG, neighbor_id LONG, cosine DOUBLE"
+    )
 
 
 @query(
@@ -190,6 +233,7 @@ def similarity_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 COSINE_DUP_THRESHOLD = 0.95
+DEDUP_GRID = 8  # block-grid side; communication = 2·GRID·n rows, work n² regardless
 
 
 @query(
@@ -207,45 +251,58 @@ WHERE NOT EXISTS (
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup removal: drop any vector whose cosine
     with a LOWER-id vector is >= threshold (keep-first semantics, same
-    contract as dedup_keep_first). Exact pairwise here; at 100 TB the
-    pair generation goes through LSH buckets (`ann_lsh_hyperplane`)
-    instead of the full cross product."""
+    contract as dedup_keep_first).
+
+    Distributed exact all-pairs via a GRID×GRID block decomposition
+    (the standard parallel-matmul tiling): side A (the judged vector)
+    lands in block row i = id mod GRID and is replicated across block
+    columns; side B (the potential lower-id neighbor) symmetrically.
+    Each (i, j) tile cogroups A-chunk i with B-chunk j and runs one
+    numpy matmul. No driver collect, no full-corpus broadcast —
+    shuffle volume is 2·GRID·n rows and each tile holds (n/GRID)²
+    similarities. The O(n²) FLOPs are inherent to the exact contract;
+    the approximate scale path is `ann_lsh_hyperplane` bucketing."""
     import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cand = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in cand], dtype=np.int64)
-    C = np.array([r.embedding for r in cand], dtype=np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, Cn))
+    nb = DEDUP_GRID
+
+    grid_j = spark.range(nb).select(F.col("id").alias("bj"))
+    grid_i = spark.range(nb).select(F.col("id").alias("bi"))
+    a = emb.select(
+        F.pmod(F.col("vec_id"), F.lit(nb)).alias("bi"), "vec_id", "embedding"
+    ).crossJoin(F.broadcast(grid_j))
+    b = emb.select(
+        F.pmod(F.col("vec_id"), F.lit(nb)).alias("bj"),
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("embedding").alias("b_embedding"),
+    ).crossJoin(F.broadcast(grid_i))
 
     # round(cos,9) >= T  ⟺  cos >= T - 5e-10 — epsilon form avoids
-    # materializing a rounded copy of the full similarity block.
+    # materializing a rounded copy of the full similarity tile.
     thresh = COSINE_DUP_THRESHOLD - 5e-10
-    BLOCK = 1024  # bounds the matmul block to ~BLOCK×n doubles
 
-    def dup_ids_batches(it):
-        c_ids, c_mat = bc.value
-        for pdf in it:
-            if pdf.empty:
-                continue
-            Q = np.array(list(pdf["embedding"]), dtype=np.float64)
-            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-            qids = pdf["vec_id"].to_numpy()
-            dup_out = []
-            for s in range(0, len(qids), BLOCK):
-                S = Qn[s : s + BLOCK] @ c_mat.T
-                lower = c_ids[None, :] < qids[s : s + BLOCK, None]
-                is_dup = ((S >= thresh) & lower).any(axis=1)
-                dup_out.append(qids[s : s + BLOCK][is_dup])
-            yield pd.DataFrame({"vec_id": np.concatenate(dup_out)})
+    def block_dups(a_pdf: "pd.DataFrame", b_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"vec_id": np.array([], dtype=np.int64)})
+        if a_pdf.empty or b_pdf.empty:
+            return empty
+        a_ids = a_pdf["vec_id"].to_numpy()
+        A = np.array(list(a_pdf["embedding"]), dtype=np.float64)
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        b_ids = b_pdf["b_vec_id"].to_numpy()
+        B = np.array(list(b_pdf["b_embedding"]), dtype=np.float64)
+        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        S = An @ Bn.T
+        lower = b_ids[None, :] < a_ids[:, None]
+        is_dup = ((S >= thresh) & lower).any(axis=1)
+        return pd.DataFrame({"vec_id": a_ids[is_dup]})
 
-    n_part = spark.sparkContext.defaultParallelism
     dup_ids = (
-        emb.select("vec_id", "embedding")
-        .repartition(n_part)  # single-file scan → fan out the matmul work
-        .mapInPandas(dup_ids_batches, "vec_id LONG")
+        a.groupBy("bi", "bj")
+        .cogroup(b.groupBy("bi", "bj"))
+        .applyInPandas(block_dups, "vec_id LONG")
+        .distinct()
     )
     return emb.select("vec_id", "label").join(dup_ids, "vec_id", "left_anti")
 

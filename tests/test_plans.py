@@ -58,6 +58,33 @@ def test_interval_join_is_not_cartesian(spark, sf_dir):
     assert "SortMergeJoin" in s or "ShuffledHashJoin" in s or "BroadcastHashJoin" in s
 
 
+def test_vector_queries_have_no_driver_collect(spark, sf_dir):
+    # VERDICT r1: similarity_topk / dedup_embedding_cosine used to
+    # collect() the full embedding corpus at plan-build time (driver
+    # OOM at 100 TB). The distributed rewrite must build lazily: zero
+    # Spark jobs while constructing the DataFrame, and no .collect(
+    # anywhere in the query-path source.
+    import inspect
+
+    from minefields_kafka_streams_deduplication_spark.functions import vectors
+
+    for fn in (vectors.similarity_topk, vectors.dedup_embedding_cosine):
+        assert ".collect(" not in inspect.getsource(fn), fn.__name__
+
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "embeddings")  # warm the schema cache
+    sc = spark.sparkContext
+    sc.setJobGroup("lazy-build-probe", "plan construction must run no jobs")
+    try:
+        vectors.similarity_topk(spark, sf_dir)
+        vectors.dedup_embedding_cosine(spark, sf_dir)
+        jobs = sc.statusTracker().getJobIdsForGroup("lazy-build-probe")
+    finally:
+        sc.setJobGroup(None, None)
+    assert jobs == [], jobs
+
+
 def test_asof_join_single_shuffle_no_blowup(spark, sf_dir):
     df = engine.get_queries()["join_asof_latest_order_before_event"](spark, sf_dir)
     s = audit_plan(df).raw
