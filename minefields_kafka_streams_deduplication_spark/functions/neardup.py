@@ -161,9 +161,15 @@ def dedup_text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross.unionByName(within)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
 def _minhash_params(perms: int = MINHASH_PERMS) -> tuple[list[int], list[int]]:
     """Deterministic universal-hash coefficients (a_j, b_j) derived from
-    md5 — reproducible across runs/workers with no RNG state."""
+    md5 — reproducible across runs/workers with no RNG state. Memoized:
+    params are pure functions of `perms`, so repeat query calls (driver
+    correctness loop, bench min-of-2) skip the md5 rebuild."""
     import hashlib
 
     # 31-bit coefficients so a*h31 + b < 2^63 — Spark 4 runs ANSI mode
@@ -352,6 +358,16 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Cap exhausted without convergence: labels would be silently
+        # wrong for any component whose diameter exceeds CC_MAX_ITERS.
+        # Fail loudly — the fix is raising the cap or switching to
+        # pointer-doubling (log-diameter rounds).
+        raise RuntimeError(
+            f"dedup_clusters_cc did not converge in {CC_MAX_ITERS} "
+            "min-label propagation iterations; component diameter "
+            "exceeds the cap"
+        )
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "label")

@@ -1,11 +1,12 @@
 """Multimodal column operators: image/audio/video as opaque `binary`
 columns with typed metadata (BASELINE.json:6).
 
-The container has no image/audio codecs, so the DECODE step is a
-clearly-marked deterministic fake behind the real Spark plumbing
-(schema, `mapInPandas` batch shape, partitioning). Swapping
-`_fake_decode` for Pillow/torchaudio is a one-function change; the
-distributed plan does not move.
+The image DECODE step is feature-gated: when Pillow is importable the
+real codec runs (`_decode` → PIL path, per-row `codec='pil'`); in this
+container (no image/audio libs) a clearly-marked deterministic fake
+stands in behind the real Spark plumbing (schema, `mapInPandas` batch
+shape, partitioning), tagged `codec='fake'`. The distributed plan is
+identical either way — that is the point.
 
 Since the fixtures carry no binary table, `multimodal_meta` synthesizes
 the binary column from `documents.text` (utf-8 encode) — which also
@@ -26,9 +27,14 @@ from ..catalog import load_table
 from ..registry import query
 
 DECODED_SCHEMA = (
-    "doc_id LONG, n_bytes INT, fake_width INT, fake_height INT, checksum LONG, "
-    "resized_w INT, resized_h INT"
+    "doc_id LONG, n_bytes INT, width INT, height INT, checksum LONG, "
+    "resized_w INT, resized_h INT, codec STRING"
 )
+
+try:  # optional real codec — absent in this container, used when present
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:
+    _PILImage = None
 
 RESIZE_MAX_EDGE = 224  # target max edge for the (stubbed) resize step
 
@@ -67,18 +73,36 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """STUB decoder — deterministic fake standing in for an image codec.
-
-    Real implementation would be e.g. PIL.Image.open(io.BytesIO(payload))
-    and is NOT available in this container (no image libs).
-    Returns (fake_width, fake_height, checksum).
-    """
+    """STUB decoder — deterministic fake standing in for an image codec
+    when Pillow is unavailable or the payload isn't a decodable image.
+    Returns (width, height, checksum)."""
     if not payload:
         return 0, 0, 0
     checksum = 0
     for b in payload[:256]:
         checksum = (checksum * 31 + b) % 1_000_000_007
     return (payload[0] % 64 + 1) * 16, (payload[-1] % 64 + 1) * 16, checksum
+
+
+def _decode(payload: bytes) -> tuple[int, int, int, str]:
+    """Feature-gated decode: real Pillow codec when importable and the
+    payload decodes; deterministic fake otherwise. Returns
+    (width, height, checksum, codec) with codec ∈ {pil, fake, empty}."""
+    if not payload:
+        return 0, 0, 0, "empty"
+    if _PILImage is not None:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(bytes(payload))) as im:
+                checksum = 0
+                for b in payload[:256]:
+                    checksum = (checksum * 31 + b) % 1_000_000_007
+                return im.width, im.height, checksum, "pil"
+        except Exception:
+            pass  # not an image payload — fall through to the fake
+    w, h, c = _fake_decode(payload)
+    return w, h, c, "fake"
 
 
 def decode_binary_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -89,17 +113,18 @@ def decode_binary_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     constant memory per batch.
     """
     for pdf in it:
-        decoded = [_fake_decode(p) for p in pdf["payload"]]
+        decoded = [_decode(p) for p in pdf["payload"]]
         resized = [_resize_dims(d[0], d[1]) for d in decoded]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
-                "fake_width": [d[0] for d in decoded],
-                "fake_height": [d[1] for d in decoded],
+                "width": [d[0] for d in decoded],
+                "height": [d[1] for d in decoded],
                 "checksum": [d[2] for d in decoded],
                 "resized_w": [r[0] for r in resized],
                 "resized_h": [r[1] for r in resized],
+                "codec": [d[3] for d in decoded],
             }
         )
 
@@ -108,7 +133,8 @@ def decode_binary_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract pipeline over binary payloads via
     `mapInPandas` — schema, batching and partitioning are real; the
-    codec is the documented fake above."""
+    codec is Pillow when importable, else the documented fake (the
+    per-row `codec` column says which ran)."""
     docs = load_table(spark, sf_dir, "documents")
     with_payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return with_payload.mapInPandas(decode_binary_batches, DECODED_SCHEMA)

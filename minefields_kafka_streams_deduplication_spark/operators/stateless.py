@@ -94,7 +94,8 @@ def peek(df: DataFrame, name: str, *metrics: "F.Column"):
     flowing through a plan. Spark-first form: `df.observe` attaches
     metric expressions evaluated DURING execution (no second scan, no
     foreach side effects). Returns (df, Observation); read
-    `observation.get` after an action.
+    `observation.get` after an action. Streaming twin:
+    `streaming.observe.observe_stream` + `MetricsTap` listener.
     """
     from pyspark.sql import Observation
 
@@ -102,6 +103,29 @@ def peek(df: DataFrame, name: str, *metrics: "F.Column"):
     if not metrics:
         metrics = (F.count(F.lit(1)).alias("rows"),)
     return df.observe(obs, *metrics), obs
+
+
+@query(
+    "peek_event_counts",
+    oracle="""
+SELECT event_id, event_type, value FROM events
+""",
+)
+def peek_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: KStream#peek — passthrough plan with an execution-time metric
+    tap (row count + value sum). The observation rides the same scan;
+    returned rows are identical to the untapped plan, which is exactly
+    the peek contract."""
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    tapped, _obs = peek(
+        ev,
+        f"peek_events_{uuid.uuid4().hex[:8]}",
+        F.count(F.lit(1)).alias("rows"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    return tapped
 
 
 def split_streams(df: DataFrame, predicates: dict[str, "F.Column"]) -> dict[str, DataFrame]:

@@ -31,10 +31,35 @@ def parse_event_payload(raw: DataFrame, value_col: str = "value") -> DataFrame:
     Event time comes from the payload (`ts_us`, µs epoch) — the analog
     of a custom TimestampExtractor — falling back to broker append time
     would just mean keeping the `timestamp` column instead.
+
+    Record headers [R ProcessorContext#headers; SURVEY.md §1.1]: Kafka's
+    source emits `headers` as ARRAY<STRUCT<key STRING, value BINARY>>
+    (with `includeHeaders`); we surface them as the declared
+    MAP<STRING, BINARY> via `map_from_entries` (last entry wins on
+    duplicate keys, matching Headers#lastHeader lookup). Frames without
+    a headers column get an empty map, so the output schema is stable.
     """
-    parsed = raw.select(
-        F.from_json(F.col(value_col).cast("string"), EVENT_PAYLOAD_SCHEMA).alias("e")
-    )
+    has_headers = "headers" in raw.columns
+    cols = [F.from_json(F.col(value_col).cast("string"), EVENT_PAYLOAD_SCHEMA).alias("e")]
+    if has_headers:
+        cols.append(F.col("headers"))
+    parsed = raw.select(*cols)
+    if has_headers:
+        # Keep only the LAST entry per key before building the map —
+        # map_from_entries throws on duplicate keys (default
+        # mapKeyDedupPolicy=EXCEPTION) and Kafka allows repeated header
+        # keys. O(n²) per record is fine: header lists are tiny.
+        headers = F.map_from_entries(
+            F.expr(
+                "filter(headers, (h, i) -> NOT exists("
+                "slice(headers, i + 2, size(headers) - i - 1), "
+                "h2 -> h2.key = h.key))"
+            )
+        )
+    else:
+        headers = F.map_from_entries(
+            F.array().cast("array<struct<key:string,value:binary>>")
+        )
     return parsed.select(
         F.col("e.event_id").alias("event_id"),
         F.timestamp_micros(F.col("e.ts_us")).alias("ts"),
@@ -42,6 +67,7 @@ def parse_event_payload(raw: DataFrame, value_col: str = "value") -> DataFrame:
         F.col("e.event_type").alias("event_type"),
         F.col("e.value").alias("value"),
         F.col("e.props").alias("props"),
+        headers.alias("headers"),
     )
 
 
@@ -60,6 +86,7 @@ def events_from_kafka(
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
+        .option("includeHeaders", "true")
         .load()
     )
     return parse_event_payload(raw)

@@ -5,4 +5,5 @@
 """
 
 from . import dedup_stream  # noqa: F401
+from . import observe  # noqa: F401
 from . import windows_stream  # noqa: F401

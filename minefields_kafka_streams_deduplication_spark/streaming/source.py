@@ -10,6 +10,7 @@ unified batch/stream API.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -46,8 +47,15 @@ def _staged_events_dir(sf_dir: str) -> str:
     stage = os.path.join(tempfile.gettempdir(), f"events_stream_{key}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    target = os.path.join(sf_dir, "events.parquet")
+    # lexists, not exists: a dangling symlink (fixture regenerated
+    # elsewhere) must be repaired, not tripped over with FileExistsError.
+    if os.path.lexists(link):
+        if os.path.realpath(link) != os.path.realpath(target):
+            os.unlink(link)
+            os.symlink(target, link)
+    else:
+        os.symlink(target, link)
     return stage
 
 
@@ -81,7 +89,10 @@ def stream_partitions(spark: SparkSession, sf_dir: str) -> int:
 
 
 def run_to_memory(
-    stream_df: DataFrame, name_prefix: str, partitions: int | None = None
+    stream_df: DataFrame,
+    name_prefix: str,
+    partitions: int | None = None,
+    output_mode: str = "append",
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
     memory sink and return the materialized result as a batch DataFrame.
@@ -102,7 +113,7 @@ def run_to_memory(
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
-            .outputMode("append")
+            .outputMode(output_mode)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start()
@@ -110,4 +121,8 @@ def run_to_memory(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        # Results live in the memory sink; the checkpoint has served its
+        # purpose. Remove it so repeated bench/driver runs don't
+        # accumulate unbounded /tmp state.
+        shutil.rmtree(checkpoint, ignore_errors=True)
     return spark.table(name)

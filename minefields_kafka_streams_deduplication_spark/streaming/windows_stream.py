@@ -97,6 +97,51 @@ def join_interval_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, "join_interval_stream_left", partitions=stream_partitions(spark, sf_dir))
 
 
+@query("join_interval_stream_full")  # rows-only: full-outer stream-stream join
+def join_interval_stream_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 full-outer streaming form [R KStream#outerJoin(KStream,
+    JoinWindows)]: unmatched rows on EITHER side emit with NULLs on the
+    other side once the watermark closes their join window — views that
+    saw no purchase within 10 minutes AND purchases preceded by no view.
+    State on both sides is bounded by watermark + time-range predicate;
+    the engine's symmetric-hash streaming join handles null emission on
+    window close (the piece KS implements with paired window stores)."""
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", WATERMARK_DELAY)
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK_DELAY)
+    )
+    joined = views.join(
+        purchases,
+        (views.v_user_id == purchases.p_user_id)
+        & (purchases.p_ts >= views.v_ts)
+        & (purchases.p_ts <= views.v_ts + F.expr("INTERVAL 10 MINUTES")),
+        "fullOuter",
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.coalesce(F.col("v_user_id"), F.col("p_user_id")).alias("user_id"),
+    )
+    return run_to_memory(
+        joined, "join_interval_stream_full", partitions=stream_partitions(spark, sf_dir)
+    )
+
+
 @query("join_stream_static")  # rows-only: stream-static enrichment smoke
 def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join — the STREAMING form of the GlobalKTable
@@ -116,21 +161,7 @@ def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Streaming agg without watermark → update/complete mode territory;
     # use complete (tiny result: one row per nation key).
-    from .source import run_to_memory
-    import tempfile
-    import uuid
-
-    name = f"join_stream_static_{uuid.uuid4().hex[:8]}"
-    q = (
-        enriched.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return run_to_memory(enriched, "join_stream_static", output_mode="complete")
 
 
 @query("agg_stream_update_counts")  # rows-only: update-mode streaming agg smoke
@@ -139,23 +170,10 @@ def agg_stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     #count emits updates downstream]: each batch emits only changed
     groups. Complete/update/append matrix is covered across this module
     (complete: join_stream_static; append: windowed aggs)."""
-    import tempfile
-    import uuid
-
     counts = read_events_stream(spark, sf_dir).groupBy("event_type").agg(
         F.count("*").alias("cnt")
     )
-    name = f"agg_stream_update_{uuid.uuid4().hex[:8]}"
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return run_to_memory(counts, "agg_stream_update", output_mode="update")
 
 
 @query("join_interval_stream")  # rows-only: stream-stream join smoke

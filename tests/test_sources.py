@@ -32,6 +32,31 @@ def test_parse_event_payload_kafka_shape(spark):
     assert rows[2].value == 9.0 and rows[2].props is None
 
 
+def test_parse_event_payload_headers_map(spark):
+    """Kafka record headers [R ProcessorContext#headers] surface as
+    MAP<STRING,BINARY>; duplicate keys keep the LAST occurrence
+    (Headers#lastHeader semantics); missing headers column → empty map,
+    same output schema."""
+    p = {"event_id": 1, "ts_us": 1704067200000000, "user_id": 7,
+         "event_type": "view", "value": 1.5, "props": None}
+    raw = spark.createDataFrame(
+        [(b"1", json.dumps(p).encode(),
+          [("trace", b"abc"), ("src", b"v1"), ("src", b"v2")])],
+        "key BINARY, value BINARY, headers ARRAY<STRUCT<key STRING, value BINARY>>",
+    )
+    out = parse_event_payload(raw).collect()[0]
+    assert out.headers == {"trace": bytearray(b"abc"), "src": bytearray(b"v2")}
+
+    no_hdr = spark.createDataFrame(
+        [(b"1", json.dumps(p).encode())], "key BINARY, value BINARY"
+    )
+    out2 = parse_event_payload(no_hdr).collect()[0]
+    assert out2.headers == {}
+    assert parse_event_payload(no_hdr).schema["headers"].dataType.simpleString() == (
+        "map<string,binary>"
+    )
+
+
 def test_parse_event_payload_malformed_json_yields_nulls(spark):
     raw = spark.createDataFrame([(b"k", b"this is not json")], "key BINARY, value BINARY")
     out = parse_event_payload(raw).collect()

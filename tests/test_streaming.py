@@ -58,6 +58,90 @@ def test_windowed_stream_aggregation(spark, sf_dir):
     assert all(r.n_events > 0 for r in rows)
 
 
+def test_tws_path_selection_is_proven(spark, sf_dir):
+    """VERDICT r1 #6: the transformWithStateInPandas fallback must never
+    engage silently. Either the real Spark 4.x path runs, or the test
+    proves the environment gap (google.protobuf absent) is the reason
+    for the applyInPandasWithState fallback — and the two paths must
+    agree on the survivor set either way."""
+    from minefields_kafka_streams_deduplication_spark.streaming import dedup_stream
+
+    ok, reason = dedup_stream.tws_available()
+    if not ok:
+        # The gap must be the documented one, actually present in the env.
+        assert reason == "google.protobuf not importable", reason
+        with pytest.raises(ImportError):
+            import google.protobuf  # noqa: F401
+
+    tws_ids = sorted(
+        r.event_id for r in engine.get_queries()["dedup_stream_tws"](spark, sf_dir).collect()
+    )
+    expected_path = (
+        "transformWithStateInPandas" if ok else "applyInPandasWithState_fallback"
+    )
+    assert dedup_stream.TWS_LAST_PATH == expected_path
+    ttl_ids = sorted(
+        r.event_id
+        for r in engine.get_queries()["dedup_stream_custom_ttl"](spark, sf_dir).collect()
+    )
+    assert tws_ids == ttl_ids
+
+
+def test_full_outer_stream_join_emits_both_side_nulls(spark, sf_dir):
+    """J4 full-outer [R KStream#outerJoin]: after the watermark closes a
+    join window, unmatched VIEWS emit with NULL purchase and unmatched
+    PURCHASES emit with NULL view; matched pairs agree with the batch
+    interval join."""
+    rows = engine.get_queries()["join_interval_stream_full"](spark, sf_dir).collect()
+    null_purchase = [r for r in rows if r.purchase_id is None]
+    null_view = [r for r in rows if r.view_id is None]
+    matched = [r for r in rows if r.view_id is not None and r.purchase_id is not None]
+    assert null_purchase, "no left-side null emission"
+    assert null_view, "no right-side null emission"
+    batch = engine.get_queries()["join_interval_view_purchase"](spark, sf_dir).collect()
+    assert {(r.view_id, r.purchase_id) for r in matched} == {
+        (r.view_id, r.purchase_id) for r in batch
+    }
+
+
+def test_tumbling_append_stream_matches_batch_after_close(spark, sf_dir):
+    """W5 suppression parity: the append-mode tumbling stream must equal
+    the batch window() aggregate restricted to windows the final
+    watermark (max event ts - delay) has closed — emit-exactly-once,
+    emit-final semantics [R KTable#suppress(untilWindowCloses)]."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    stream_rows = engine.get_queries()["window_tumbling_stream"](spark, sf_dir).collect()
+    ev = engine.load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+        .collect()
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - timedelta(minutes=10)
+
+    def as_set(rows):
+        return {(r.window_start, r.window_end, r.n_events, r.total_value) for r in rows}
+
+    got = as_set(stream_rows)
+    assert got
+    # Spark's close boundary may be < or <= the watermark; accept either,
+    # but the stream must be EXACTLY the closed prefix of the batch agg.
+    assert got in (
+        as_set([r for r in batch if r.window_end < wm]),
+        as_set([r for r in batch if r.window_end <= wm]),
+    )
+
+
 def test_stream_interval_join_matches_batch(spark, sf_dir):
     stream = engine.get_queries()["join_interval_stream"](spark, sf_dir).collect()
     batch = engine.get_queries()["join_interval_view_purchase"](spark, sf_dir).collect()
