@@ -904,3 +904,354 @@ def agg_collect_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+# --- Round-2 TPC-H widening: Q8/Q11/Q13/Q16/Q17/Q20/Q21/Q22 shapes ---
+# (adapted to the reduced fixture schema: no partsupp/phone/commitdate;
+# lineitem serves as the part-supplier link, mktsegment as the customer
+# grouping code, shipdate-vs-orderdate lag as the lateness signal).
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+SELECT year(o.o_orderdate) AS order_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_7'
+                      THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+JOIN region r ON n1.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+GROUP BY 1
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of ECONOMY-part volume sold to
+    EUROPE customers, by year. 7-way join — every dimension broadcast,
+    the two fact tables (lineitem, orders) shuffle once on the order
+    key; the CASE-sum ratio is a single pass (no self-join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    part = F.broadcast(load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY"))
+    cust_nation = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_nation = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust_nation, F.col("c_nationkey") == F.col("cn_key"))
+        .join(supplier, li.l_suppkey == F.col("s_suppkey"))
+        .join(supp_nation, F.col("s_nationkey") == F.col("sn_key"))
+        .join(part, li.l_partkey == F.col("p_partkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+WITH partval AS (
+  SELECT l.l_partkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS part_value
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_3'
+  GROUP BY 1
+)
+SELECT l_partkey, part_value FROM partval
+WHERE part_value > (SELECT 0.002 * sum(part_value) FROM partval)
+""",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted — lineitem value stands in for partsupp
+    stock value): parts whose traded value from one nation's suppliers
+    exceeds 0.2% of that nation's total. The scalar total is a 1-row
+    broadcast crossJoin, not a second scan of the agg (ReuseExchange
+    dedups the shared subtree)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    partval = (
+        li.join(supp, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "part_value"
+            )
+        )
+    )
+    total = partval.agg((F.sum("part_value") * 0.002).alias("threshold"))
+    return (
+        partval.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+  GROUP BY 1
+) t
+GROUP BY 1
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts with a
+    join-predicate filter (LEFT JOIN keeps zero-order customers in the
+    c_count=0 bucket). Two aggregations, one shuffle each; the second
+    input is one row per customer."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q16_supplier_part_cnt",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 9, 15, 23, 36, 45, 49)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+)
+def q16_supplier_part_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted — lineitem is the part-supplier link;
+    negative account balance stands in for the complaints filter):
+    distinct supplier count per (brand, type, size) over a filtered part
+    set, excluding flagged suppliers via anti-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 9, 15, 23, 36, 45, 49)
+        )
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(part, li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#7'
+  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost if below-20%-of-average-quantity
+    orders stopped. The correlated scalar subquery decorrelates into a
+    per-part average aggregate joined back — one extra shuffle keyed on
+    l_partkey instead of a per-row subquery."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#7")
+    )
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        li.join(part, li.l_partkey == F.col("p_partkey"))
+        .join(per_part_avg, li.l_partkey == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q20_promo_part_shippers",
+    oracle="""
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_type = 'PROMO' AND year(l.l_shipdate) = 1997
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING sum(l.l_quantity) > 40
+)
+""",
+)
+def q20_promo_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted — shipped quantity stands in for
+    partsupp availability): suppliers who moved >40 units of some PROMO
+    part in 1997. HAVING-filtered agg → distinct supplier keys →
+    semi-join; the supplier table is never scanned twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO"))
+    heavy = (
+        li.filter(F.year("l_shipdate") == 1997)
+        .join(part, li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    return supplier.join(
+        F.broadcast(heavy), supplier.s_suppkey == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+WITH base AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS is_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+)
+SELECT s.s_name, count(DISTINCT l1.l_orderkey) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM base WHERE is_late) l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (SELECT 1 FROM base l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM base l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late)
+GROUP BY 1
+""",
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted — ship-vs-order lag is the lateness
+    signal): suppliers who were the SOLE late supplier on a
+    multi-supplier finished order. The oracle's EXISTS / NOT EXISTS
+    pair decorrelates into one per-order aggregate (supplier count +
+    late-supplier count) joined back — two shuffles total, no
+    correlated re-scans, which is the shape that survives at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+                "is_late"
+            ),
+        )
+    )
+    per_supp = base.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late")
+    )
+    per_order = per_supp.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).alias("n_late"),
+    )
+    waiting = (
+        per_supp.filter(F.col("supp_late"))
+        .join(per_order, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    return (
+        waiting.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count_distinct(F.col("l_orderkey")).alias("numwait"))
+    )
+
+
+@query(
+    "q22_dormant_rich_customers",
+    oracle="""
+WITH rich AS (
+  SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
+  FROM customer c
+  WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    AND c.c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+)
+SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 4) AS totacctbal
+FROM rich c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY 1
+""",
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted — market segment stands in for the
+    phone country code): above-average-balance customers in selected
+    segments with no urgent orders. Scalar average via 1-row broadcast;
+    the NOT EXISTS is an anti-join against the distinct urgent-customer
+    keys (shuffle carries keys only)."""
+    customer = load_table(spark, sf_dir, "customer")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("bal_cut")
+    )
+    rich = (
+        customer.filter(F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING", "MACHINERY"))
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("bal_cut"))
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        rich.join(urgent, rich.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )

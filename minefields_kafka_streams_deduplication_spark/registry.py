@@ -67,8 +67,32 @@ _R1_DRIVER_VERIFIED = frozenset(
 )
 
 
+# Within the fresh tier, these 30 (oracle-green in round 1 but absent
+# from CORRECTNESS_r01.json) come first — they MUST land driver rows
+# this round; oracle queries added in round 2 follow, then re-verified
+# round-1 rows fill the remainder of the window.
+_R2_WINDOW_PRIORITY = (
+    "window_tumbling_daily", "window_hopping", "window_session_sql",
+    "rank_users_by_spend", "rank_distribution_functions",
+    "first_last_event_per_user", "lead_next_event_gap",
+    "lag_time_between_events", "running_total_by_user",
+    "topk_products_by_revenue", "set_intersect_buyers_viewers",
+    "set_except_all_view_surplus", "set_except_inactive_users",
+    "text_stats", "token_frequency", "lang_id_stopwords",
+    "doc_quality_score", "token_counts", "doc_fingerprint",
+    "sample_mix_by_lang", "tfidf_top_terms", "json_extract_props",
+    "json_parse_struct", "events_by_weekday", "array_vector_norm",
+    "similarity_topk", "similarity_topk_blocked", "dedup_embedding_cosine",
+    "dedup_text_ngram_jaccard", "multimodal_meta",
+)
+
+
 def _driver_order(names: list[str]) -> list[str]:
-    fresh_oracle = [n for n in names if n in ORACLES and n not in _R1_DRIVER_VERIFIED]
+    prio = {n: i for i, n in enumerate(_R2_WINDOW_PRIORITY)}
+    fresh_oracle = sorted(
+        (n for n in names if n in ORACLES and n not in _R1_DRIVER_VERIFIED),
+        key=lambda n: (0, prio[n]) if n in prio else (1, 0),
+    )
     seen_oracle = [n for n in names if n in ORACLES and n in _R1_DRIVER_VERIFIED]
     rows_only = [n for n in names if n not in ORACLES]
     return fresh_oracle + seen_oracle + rows_only

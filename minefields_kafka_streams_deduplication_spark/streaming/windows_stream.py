@@ -142,6 +142,74 @@ def join_interval_stream_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VERSION_RETENTION = "6 hours"  # versioned-store history retention
+ASOF_EMIT_WINDOW = "1 hour"  # emit granularity for the as-of reduction
+
+
+@query("join_asof_stream_versioned")  # rows-only: chained stateful streaming op
+def join_asof_stream_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 streaming twin — the versioned-KTable as-of join [R
+    KStream#join(KTable) with Stores.persistentVersionedKeyValueStore]:
+    for each purchase, the latest prior view ("version") of the same
+    user within VERSION_RETENTION (the versioned store's history
+    retention), NULL when no version is live.
+
+    Spark-first topology, two chained stateful operators instead of a
+    RocksDB versioned store: (1) a watermarked stream-stream LEFT
+    interval join generates the candidate version set per purchase —
+    state bounded by watermark + retention horizon exactly like the
+    store's history window; (2) an event-time-windowed `max_by`
+    reduction picks the newest version and emits once per purchase when
+    the watermark closes its window (versioned `get(key, asOfTs)` ≡
+    max over candidates). Batch parity is pinned in
+    tests/test_streaming.py.
+
+    Emission semantics vs KS: a versioned store answers lookups at
+    process time; this declarative form answers them at WATERMARK time —
+    matched purchases emit when their emit window closes, unmatched ones
+    only after the watermark clears the full retention horizon (their
+    null verdict needs proof that no version can still arrive). That lag
+    is the price of deterministic results under out-of-order input."""
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("version_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", WATERMARK_DELAY)
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK_DELAY)
+    )
+    cand = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {VERSION_RETENTION}")),
+        "leftOuter",
+    )
+    asof = (
+        cand.groupBy(F.window("p_ts", ASOF_EMIT_WINDOW).alias("w"), "purchase_id")
+        .agg(
+            F.max_by("version_id", "v_ts").alias("version_id"),
+            F.max("v_ts").alias("version_ts"),
+        )
+        .select("purchase_id", "version_id", "version_ts")
+    )
+    return run_to_memory(
+        asof, "join_asof_stream_versioned", partitions=stream_partitions(spark, sf_dir)
+    )
+
+
 @query("join_stream_static")  # rows-only: stream-static enrichment smoke
 def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join — the STREAMING form of the GlobalKTable

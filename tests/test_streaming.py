@@ -142,6 +142,69 @@ def test_tumbling_append_stream_matches_batch_after_close(spark, sf_dir):
     )
 
 
+def test_versioned_asof_stream_matches_batch(spark, sf_dir):
+    """J6 streaming twin parity: every emitted (purchase, version) pair
+    must equal the batch as-of answer — latest same-user view within the
+    retention horizon at purchase time, NULL when none — and the emitted
+    purchase set must be exactly a watermark-closed prefix."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    rows = engine.get_queries()["join_asof_stream_versioned"](spark, sf_dir).collect()
+    assert rows
+    got = {r.purchase_id: r.version_id for r in rows}
+    assert any(v is not None for v in got.values()), "no version ever matched"
+
+    ev = engine.load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("version_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id"), F.col("ts").alias("p_ts")
+    )
+    batch = (
+        purchases.join(
+            views,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 6 HOURS")),
+            "left",
+        )
+        .groupBy("purchase_id", "p_ts")
+        .agg(F.max_by("version_id", "v_ts").alias("version_id"))
+        .collect()
+    )
+    expected = {r.purchase_id: r.version_id for r in batch}
+    for pid, vid in got.items():
+        assert expected[pid] == vid, (pid, vid, expected[pid])
+
+    # Emission bounds: a purchase can emit only once its 1h emit window
+    # closes (upper bound: everything emitted is closed), and must have
+    # emitted once the watermark also clears the FULL retention horizon
+    # behind it — unmatched rows sit in join state until no version can
+    # still arrive, so their null verdict lags by up to retention+delay
+    # (lower bound).
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - timedelta(minutes=10)
+
+    def window_end(ts):
+        return (ts.replace(minute=0, second=0, microsecond=0)) + timedelta(hours=1)
+
+    closed = {r.purchase_id for r in batch if window_end(r.p_ts) <= wm}
+    # retention (6h) + watermark delay (10m) + one emit window (1h) of
+    # batch-boundary quantization in the chained-stateful pipeline.
+    settled = {
+        r.purchase_id
+        for r in batch
+        if window_end(r.p_ts) <= wm - timedelta(hours=7, minutes=10)
+    }
+    assert set(got) <= closed, sorted(set(got) - closed)[:5]
+    assert settled <= set(got), sorted(settled - set(got))[:5]
+
+
 def test_stream_interval_join_matches_batch(spark, sf_dir):
     stream = engine.get_queries()["join_interval_stream"](spark, sf_dir).collect()
     batch = engine.get_queries()["join_interval_view_purchase"](spark, sf_dir).collect()
