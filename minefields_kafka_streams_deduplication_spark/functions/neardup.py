@@ -436,3 +436,44 @@ def dedup_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
     return pairs.select("doc_id_1", "doc_id_2", "hamming")
+
+
+BENCHMARK_DOC_CUTOFF = 20  # doc_id < 20 stands in for the held-out eval set
+
+
+@query(
+    "contamination_ngram_check",
+    oracle=f"""
+WITH sh AS ({_SHINGLE_SQL}),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {BENCHMARK_DOC_CUTOFF}),
+corpus AS (SELECT * FROM sh WHERE doc_id >= {BENCHMARK_DOC_CUTOFF})
+SELECT c.doc_id, count(*) AS n_hits
+FROM corpus c JOIN bench b ON c.shingle = b.shingle
+GROUP BY 1
+""",
+)
+def contamination_ngram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data contamination check — the eval-set n-gram overlap
+    scan every LLM data pipeline runs before training: count, per corpus
+    document, the distinct word-3-gram shingles it shares with a
+    benchmark/eval document set (here: doc_id < cutoff stands in for
+    the held-out set).
+
+    Scale shape: the benchmark shingle set is small and bounded (eval
+    sets are ~1e4 docs), so it BROADCASTS; the corpus side streams
+    through one scan + shingle explode and a map-side-combined count —
+    no corpus shuffle keyed on text. At 100 TB this is the canonical
+    broadcast-semi-join-with-count."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)  # distinct (set semantics for hit counting)
+    bench = (
+        sh.filter(F.col("doc_id") < BENCHMARK_DOC_CUTOFF)
+        .select("shingle")
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") >= BENCHMARK_DOC_CUTOFF)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )

@@ -387,3 +387,116 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(fp.alias("fingerprints"))
         .select("doc_id", "fingerprints", F.size("fingerprints").alias("n_fp"))
     )
+
+
+# Portable (Java regex ∩ RE2) patterns — identical semantics in Spark
+# and the DuckDB oracle.
+EMAIL_REGEX = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+LONG_DIGIT_REGEX = "[0-9]{6,}"
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com id 1234567',
+             '{EMAIL_REGEX}', '<EMAIL>', 'g'), '{LONG_DIGIT_REGEX}', '<NUM>', 'g')) AS scrub_sig,
+       len(regexp_extract_all(
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com id 1234567',
+             '{EMAIL_REGEX}')) AS n_emails
+FROM documents
+""",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass an LLM data pipeline runs
+    before training: replace email addresses and long digit runs with
+    placeholder tokens. The fixture corpus carries no PII, so a
+    deterministic synthetic tail (per-doc email + id number) is appended
+    in BOTH engines before scrubbing — the oracle then proves the
+    redaction itself byte-identical (md5 of scrubbed text).
+
+    Pure codegen expressions (regexp_replace / regexp_extract_all) on
+    the scan — zero shuffle, zero Python; the regexes are written in the
+    Java-regex ∩ RE2 portable subset."""
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com id 1234567"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(dirty, EMAIL_REGEX, "<EMAIL>"), LONG_DIGIT_REGEX, "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrub_sig"),
+        F.size(F.regexp_extract_all(dirty, F.lit(EMAIL_REGEX), 0)).alias("n_emails"),
+    )
+
+
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100000
+GOPHER_MIN_MEAN_WORD_LEN = 2.0
+GOPHER_MAX_MEAN_WORD_LEN = 12.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+
+
+@query(
+    "gopher_quality_rules",
+    oracle=f"""
+SELECT doc_id, n_words, round(mean_word_len, 4) AS mean_word_len,
+       round(symbol_ratio, 4) AS symbol_ratio,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+        AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+        AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}) AS passes
+FROM (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         CAST(list_sum(list_transform(string_split(text, ' '), w -> len(w))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS mean_word_len,
+         CAST(len(regexp_extract_all(text, '[#@*<>{{}}]')) AS DOUBLE)
+           / greatest(len(text), 1) AS symbol_ratio
+  FROM documents
+) t
+""",
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule filter (Rae et al. 2021, public) — the
+    rule-based document filter stage of an LLM pipeline: word-count
+    bounds, mean-word-length bounds, symbol-character ratio. Emits the
+    measured features plus the pass verdict so downstream sampling can
+    stratify on WHY a document failed. All codegen expressions riding
+    the scan; the aggregate-free plan shuffles nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    # Materialized words column before the HOF (interpreted-lambda rule).
+    base = docs.select(
+        "doc_id",
+        "text",
+        n_words.alias("n_words"),
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("char_sum"),
+    )
+    mean_word_len = F.col("char_sum") / F.col("n_words")
+    symbol_ratio = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[#@*<>{}]"), 0)).cast("double")
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    passes = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_word_len.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        passes.alias("passes"),
+    )

@@ -369,3 +369,96 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= SIM_TOPK)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+IVF_K = 16  # coarse-quantizer cells
+IVF_NPROBE = 4  # cells searched per query
+
+
+@query("ann_ivf_kmeans")  # rows-only: learned centroids are seed-dependent
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #3 — true IVF: a KMeans coarse quantizer (MLlib,
+    fixed seed) replaces `similarity_topk_blocked`'s label column.
+    Vectors are assigned to their nearest centroid cell; each query
+    probes its IVF_NPROBE nearest cells and ranks exact cosine within
+    them.
+
+    Scale shape: the model fits on a bounded sample (here the whole
+    fixture; at 100 TB a ~1M-row sample), centroids are k×dim — tiny,
+    shipped in the closure; cell assignment is one map pass; the
+    candidate join is an equi-join on cell id, shuffle-partitionable
+    exactly like the blocked variant. nprobe trades recall for cost
+    without changing the plan shape."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", "embedding", array_to_vector(F.col("embedding")).alias("features")
+    )
+    model = KMeans(k=IVF_K, seed=42, maxIter=5).fit(vecs.select("features"))
+    centers = np.array(model.clusterCenters(), dtype=np.float64)
+    cn = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
+
+    def assign_cells(it, nprobe: int):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            M = np.array(list(pdf["embedding"]), dtype=np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            sims = Mn @ cn.T
+            order = np.argsort(-sims, axis=1)[:, :nprobe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                    "embedding": [e for e in pdf["embedding"] for _ in range(nprobe)],
+                    "cell": order.reshape(-1).astype(np.int32),
+                }
+            )
+
+    schema = "vec_id LONG, embedding ARRAY<FLOAT>, cell INT"
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        lambda it: assign_cells(it, 1), schema
+    )
+    queries_df = (
+        emb.filter(F.col("vec_id") < SIM_N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        .mapInPandas(
+            lambda it: (
+                pdf.rename(columns={"vec_id": "query_id", "embedding": "q_emb"})
+                for pdf in assign_cells(
+                    (p.rename(columns={"query_id": "vec_id", "q_emb": "embedding"}) for p in it),
+                    IVF_NPROBE,
+                )
+            ),
+            "query_id LONG, q_emb ARRAY<FLOAT>, cell INT",
+        )
+    )
+    cosine = dot(F.col("q_emb"), F.col("c_emb")) / (
+        l2_norm(F.col("q_emb")) * l2_norm(F.col("c_emb"))
+    )
+    pairs = (
+        queries_df.join(
+            cand.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_emb"),
+                "cell",
+            ),
+            "cell",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cosine, 4).alias("cosine"))
+        .distinct()  # a neighbor reachable via 2 probed cells counts once
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SIM_TOPK)
+        .select("query_id", "neighbor_id", "cosine")
+    )

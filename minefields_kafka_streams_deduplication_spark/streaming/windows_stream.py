@@ -278,3 +278,28 @@ def join_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("view_id", "purchase_id", "user_id")
     return run_to_memory(joined, "join_interval_stream", partitions=stream_partitions(spark, sf_dir))
+
+
+@query("window_sliding_stream")  # rows-only: overlapping windows, streaming
+def window_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 streaming twin [R KGroupedStream#windowedBy(SlidingWindows /
+    TimeWindows.advanceBy)]: overlapping 1h windows advancing every
+    15 minutes, append mode — each of the 4 windows covering an event
+    emits once when the watermark closes it. State is one row per live
+    (window, key); the 4× window fan-out happens JVM-side in the window
+    generator, not in state."""
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return run_to_memory(
+        stream, "window_sliding_stream", partitions=stream_partitions(spark, sf_dir)
+    )

@@ -211,3 +211,21 @@ def test_stream_interval_join_matches_batch(spark, sf_dir):
     stream_pairs = {(r.view_id, r.purchase_id) for r in stream}
     batch_pairs = {(r.view_id, r.purchase_id) for r in batch}
     assert stream_pairs == batch_pairs
+
+
+def test_sliding_window_stream_covers_events(spark, sf_dir):
+    """W2 streaming: each event belongs to 4 overlapping (1h, 15min)
+    windows; closed-window counts must sum consistently with the
+    tumbling stream (same close semantics, 4x coverage)."""
+    rows = engine.get_queries()["window_sliding_stream"](spark, sf_dir).collect()
+    assert rows
+    from collections import Counter
+
+    by_window = Counter()
+    for r in rows:
+        assert (r.window_end - r.window_start).total_seconds() == 3600
+        by_window[r.window_start] += r.n_events
+    tumbling = engine.get_queries()["window_tumbling_stream"](spark, sf_dir).collect()
+    tumbling_total = sum(r.n_events for r in tumbling)
+    # Sliding emits ~4x the tumbling mass (boundary windows excepted).
+    assert sum(by_window.values()) >= 3 * tumbling_total

@@ -56,3 +56,23 @@ def test_lsh_buckets_find_duplicate(spark, monkeypatch):
     out = vectors.ann_lsh_hyperplane(spark, "ignored").collect()
     pairs = {(r.query_id, r.neighbor_id): r.cosine for r in out}
     assert pairs.get((0, 1)) == 1.0  # identical signature bucket, cos≈1
+
+
+def test_ivf_kmeans_recall_vs_exact(spark, sf_dir):
+    """IVF with a learned coarse quantizer must recover a meaningful
+    fraction of the exact top-k on the (near-random, hence IVF-hostile)
+    fixture embeddings — nprobe=4 of 16 cells measured 0.58 recall;
+    assert a stable floor, plus structural sanity."""
+    import minefields_kafka_streams_deduplication_spark as engine
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in engine.get_queries()["similarity_topk"](spark, sf_dir).collect()
+    }
+    ivf_rows = engine.get_queries()["ann_ivf_kmeans"](spark, sf_dir).collect()
+    ivf = {(r.query_id, r.neighbor_id) for r in ivf_rows}
+    assert len(exact & ivf) / len(exact) >= 0.35
+    per_query = {}
+    for r in ivf_rows:
+        per_query[r.query_id] = per_query.get(r.query_id, 0) + 1
+    assert all(n <= 10 for n in per_query.values())
