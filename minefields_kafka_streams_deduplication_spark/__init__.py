@@ -27,8 +27,10 @@ from . import streaming  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import sources  # noqa: F401
 from . import plans  # noqa: F401
+from .topology import StreamsBuilder  # KS DSL facade (migration surface)
 
 __all__ = [
+    "StreamsBuilder",
     "get_spark",
     "tune",
     "TABLES",

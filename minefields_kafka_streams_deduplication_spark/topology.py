@@ -1,0 +1,208 @@
+"""Kafka Streams DSL facade — the migration surface (SURVEY.md §2).
+
+A user of the reference writes topologies against the KS DSL
+[R o.a.k.streams.StreamsBuilder / KStream / KGroupedStream /
+TimeWindows]. This module gives that user the SAME verbs, 1:1, each
+delegating to the engine's Spark-first operators — so a topology ports
+line by line while the execution plan is pure Catalyst:
+
+    b = StreamsBuilder(spark, sf_dir)
+    (b.stream("events")
+       .filter(F.col("event_type") == "purchase")
+       .select_key("user_id")
+       .group_by_key()
+       .windowed_by("1 day")
+       .aggregate(F.sum("value").alias("revenue"))
+       .to_df())
+
+Every verb returns a new wrapper over a lazy DataFrame — no execution
+until an action, exactly like a KS topology before `start()`. The
+wrappers add NO physical behavior of their own: the 100 TB story is the
+wrapped plan's (see SCALING.md), which is the point of a facade.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import DEFAULT_SF_DIR, load_table
+
+
+class StreamsBuilder:
+    """[R StreamsBuilder]: entry point; `stream` / `table` /
+    `global_table` mirror the three KS source kinds."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    def stream(self, name: str) -> "KStream":
+        """[R StreamsBuilder#stream]: record stream (batch replay here;
+        swap load_table for streaming.read_events_stream and every verb
+        downstream is unchanged — unified API)."""
+        return KStream(load_table(self.spark, self.sf_dir, name))
+
+    def table(self, name: str, key: str, ts: str) -> "KTable":
+        """[R StreamsBuilder#table]: changelog → latest row per key."""
+        from pyspark.sql import Window
+
+        df = load_table(self.spark, self.sf_dir, name)
+        w = Window.partitionBy(key).orderBy(F.desc(ts))
+        latest = df.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") == 1
+        ).drop("__rn")
+        return KTable(latest, key)
+
+    def global_table(self, name: str, key: str) -> "KTable":
+        """[R StreamsBuilder#globalTable]: replicated dimension —
+        broadcast, so joins against it never shuffle the stream side."""
+        return KTable(F.broadcast(load_table(self.spark, self.sf_dir, name)), key)
+
+
+class KStream:
+    """[R KStream]: stateless verbs return KStream; `group_by_key`
+    enters the stateful half."""
+
+    def __init__(self, df: DataFrame, key: str | None = None) -> None:
+        self.df = df
+        self.key = key
+
+    def _with(self, df: DataFrame) -> "KStream":
+        return KStream(df, self.key)
+
+    # --- stateless (SURVEY §2.2) ---
+
+    def filter(self, pred: Column) -> "KStream":  # [R KStream#filter]
+        return self._with(self.df.filter(pred))
+
+    def filter_not(self, pred: Column) -> "KStream":  # [R KStream#filterNot]
+        return self._with(self.df.filter(~pred))
+
+    def map_values(self, *cols: Column | str) -> "KStream":  # [R KStream#mapValues]
+        keep = ([self.key] if self.key else []) + list(cols)
+        return self._with(self.df.select(*keep))
+
+    def select_key(self, key: str) -> "KStream":  # [R KStream#selectKey]
+        return KStream(self.df, key)
+
+    def flat_map_values(self, col: Column, alias: str) -> "KStream":
+        """[R KStream#flatMapValues]: 1 → 0..n via explode."""
+        keep = [c for c in self.df.columns]
+        return self._with(self.df.select(*keep, F.explode(col).alias(alias)))
+
+    def peek(self, name: str, *metrics: Column) -> tuple["KStream", object]:
+        """[R KStream#peek]: execution-time metric tap (P7)."""
+        from .operators.stateless import peek as _peek
+
+        df, obs = _peek(self.df, name, *metrics)
+        return self._with(df), obs
+
+    def merge(self, other: "KStream") -> "KStream":  # [R KStream#merge]
+        return self._with(self.df.unionByName(other.df))
+
+    def branch(self, **preds: Column) -> dict[str, "KStream"]:  # [R KStream#split]
+        return {name: self._with(self.df.filter(p)) for name, p in preds.items()}
+
+    def repartition(self, n: int) -> "KStream":  # [R KStream#repartition]
+        cols = [self.key] if self.key else []
+        return self._with(self.df.repartition(n, *cols) if cols else self.df.repartition(n))
+
+    # --- joins (SURVEY §2.4) ---
+
+    def join_table(self, table: "KTable", on: Column, how: str = "inner") -> "KStream":
+        """[R KStream#join(KTable) / #leftJoin(KTable)]."""
+        return self._with(self.df.join(table.df, on, how))
+
+    def join_windowed(
+        self, other: "KStream", on: Column, this_ts: str, other_ts: str, within: str,
+        how: str = "inner",
+    ) -> "KStream":
+        """[R KStream#join(KStream, JoinWindows.ofTimeDifference)]:
+        time-bounded stream-stream join (|Δt| <= within)."""
+        bound = (
+            (F.col(other_ts) >= F.col(this_ts) - F.expr(f"INTERVAL {within}"))
+            & (F.col(other_ts) <= F.col(this_ts) + F.expr(f"INTERVAL {within}"))
+        )
+        return self._with(self.df.join(other.df, on & bound, how))
+
+    # --- stateful entry (SURVEY §2.5/§2.6) ---
+
+    def group_by_key(self, *extra: str) -> "KGroupedStream":
+        """[R KStream#groupByKey / #groupBy]."""
+        keys = ([self.key] if self.key else []) + list(extra)
+        if not keys:
+            raise ValueError("group_by_key needs select_key() or explicit columns")
+        return KGroupedStream(self.df, keys)
+
+    # --- sink (SURVEY §2.1 S4) ---
+
+    def to(self, path: str, fmt: str = "parquet") -> None:  # [R KStream#to]
+        self.df.write.format(fmt).mode("overwrite").save(path)
+
+    def to_df(self) -> DataFrame:
+        return self.df
+
+
+class KGroupedStream:
+    """[R KGroupedStream]: count/reduce/aggregate, optionally windowed."""
+
+    def __init__(self, df: DataFrame, keys: list[str], window: Column | None = None) -> None:
+        self.df = df
+        self.keys = keys
+        self.window = window
+
+    def windowed_by(
+        self, size: str, slide: str | None = None, ts: str = "ts"
+    ) -> "KGroupedStream":
+        """[R KGroupedStream#windowedBy(TimeWindows)]: tumbling (size)
+        or hopping (size, slide) windows."""
+        w = F.window(ts, size, slide) if slide else F.window(ts, size)
+        return KGroupedStream(self.df, self.keys, w.alias("__w"))
+
+    def session_windowed_by(self, gap: str, ts: str = "ts") -> "KGroupedStream":
+        """[R KGroupedStream#windowedBy(SessionWindows)]."""
+        return KGroupedStream(self.df, self.keys, F.session_window(ts, gap).alias("__w"))
+
+    def _group(self):
+        cols = list(self.keys) + ([self.window] if self.window is not None else [])
+        return self.df.groupBy(*cols)
+
+    def count(self) -> "KTable":  # [R KGroupedStream#count]
+        return KTable(self._unwrap(self._group().agg(F.count("*").alias("count"))), self.keys[0])
+
+    def reduce(self, agg: Column) -> "KTable":  # [R KGroupedStream#reduce]
+        return KTable(self._unwrap(self._group().agg(agg)), self.keys[0])
+
+    def aggregate(self, *aggs: Column) -> "KTable":  # [R KGroupedStream#aggregate]
+        return KTable(self._unwrap(self._group().agg(*aggs)), self.keys[0])
+
+    def _unwrap(self, df: DataFrame) -> DataFrame:
+        if self.window is None:
+            return df
+        return df.select(
+            *self.keys,
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            *[c for c in df.columns if c not in self.keys and c != "__w"],
+        )
+
+
+class KTable:
+    """[R KTable]: a keyed changelog view. `to_stream` re-enters the
+    stream verbs [R KTable#toStream]."""
+
+    def __init__(self, df: DataFrame, key: str | list[str]) -> None:
+        self.df = df
+        self.key = key if isinstance(key, str) else key[0]
+
+    def filter(self, pred: Column) -> "KTable":  # [R KTable#filter]
+        return KTable(self.df.filter(pred), self.key)
+
+    def to_stream(self) -> KStream:  # [R KTable#toStream]
+        return KStream(self.df, self.key)
+
+    def to_df(self) -> DataFrame:
+        return self.df

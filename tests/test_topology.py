@@ -1,0 +1,134 @@
+"""Kafka Streams DSL facade: a ported KS topology must produce the same
+results as the engine's direct queries (the migration contract)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import minefields_kafka_streams_deduplication_spark as engine
+from minefields_kafka_streams_deduplication_spark.topology import StreamsBuilder
+
+
+def test_filter_group_count_topology(spark, sf_dir):
+    b = StreamsBuilder(spark, sf_dir)
+    got = (
+        b.stream("events")
+        .filter(F.col("event_type") == "purchase")
+        .select_key("user_id")
+        .group_by_key()
+        .count()
+        .to_df()
+        .collect()
+    )
+    expected = (
+        engine.load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    assert {(r.user_id, r["count"]) for r in got} == {
+        (r.user_id, r["count"]) for r in expected
+    }
+
+
+def test_windowed_aggregate_topology_matches_query(spark, sf_dir):
+    b = StreamsBuilder(spark, sf_dir)
+    got = (
+        b.stream("events")
+        .select_key("event_type")
+        .group_by_key()
+        .windowed_by("1 day")
+        .aggregate(F.count("*").alias("n"))
+        .to_df()
+        .collect()
+    )
+    expected = (
+        engine.load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("event_type", F.col("w.start").alias("ws"), "n")
+        .collect()
+    )
+    assert {(r.event_type, r.window_start, r.n) for r in got} == {
+        (r.event_type, r.ws, r.n) for r in expected
+    }
+
+
+def test_table_is_latest_by_key(spark, sf_dir):
+    b = StreamsBuilder(spark, sf_dir)
+    tbl = b.table("events", key="user_id", ts="ts").to_df()
+    assert tbl.count() == tbl.select("user_id").distinct().count()
+    # Each surviving row carries its user's max timestamp.
+    mx = (
+        engine.load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("max_ts"))
+    )
+    joined = tbl.join(mx, "user_id").filter(F.col("ts") != F.col("max_ts"))
+    assert joined.count() == 0
+
+
+def test_branch_merge_roundtrip(spark, sf_dir):
+    b = StreamsBuilder(spark, sf_dir)
+    s = b.stream("events")
+    branches = s.branch(
+        purchases=F.col("event_type") == "purchase",
+        views=F.col("event_type") == "view",
+    )
+    merged = branches["purchases"].merge(branches["views"]).to_df()
+    direct = engine.load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    assert merged.count() == direct.count()
+
+
+def test_global_table_join_broadcasts(spark, sf_dir):
+    from minefields_kafka_streams_deduplication_spark.plans import audit_plan
+
+    b = StreamsBuilder(spark, sf_dir)
+    customers = b.stream("customer")
+    nations = b.global_table("nation", key="n_nationkey")
+    out = customers.join_table(
+        nations, F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    assert audit_plan(out.to_df()).n_broadcasts >= 1
+    assert out.to_df().count() == engine.load_table(spark, sf_dir, "customer").count()
+
+
+def test_windowed_join_topology_matches_interval_query(spark, sf_dir):
+    b = StreamsBuilder(spark, sf_dir)
+    views = (
+        b.stream("events")
+        .filter(F.col("event_type") == "view")
+        .map_values(F.col("event_id").alias("view_id"), F.col("user_id").alias("v_user"),
+                    F.col("ts").alias("v_ts"))
+    )
+    purchases = (
+        b.stream("events")
+        .filter(F.col("event_type") == "purchase")
+        .map_values(F.col("event_id").alias("purchase_id"),
+                    F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    )
+    got = (
+        views.join_windowed(
+            purchases, F.col("v_user") == F.col("p_user"), "v_ts", "p_ts", "10 minutes"
+        )
+        .filter(F.col("p_ts") >= F.col("v_ts"))  # forward-only, like J4
+        .to_df()
+        .select("view_id", "purchase_id")
+        .collect()
+    )
+    expected = engine.get_queries()["join_interval_view_purchase"](spark, sf_dir).collect()
+    assert {(r.view_id, r.purchase_id) for r in got} == {
+        (r.view_id, r.purchase_id) for r in expected
+    }
+
+
+def test_peek_in_topology(spark, sf_dir):
+    b = StreamsBuilder(spark, sf_dir)
+    import uuid
+
+    tapped, obs = b.stream("events").peek(f"tap_{uuid.uuid4().hex[:6]}")
+    n = tapped.to_df().count()
+    assert obs.get["rows"] == n
