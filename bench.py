@@ -58,14 +58,22 @@ def main() -> None:
     # Warm-up (not timed): JVM/codegen first-call costs + Python worker
     # pool spin-up (Arrow-batched queries pay it otherwise).
     engine.load_table(spark, SF_DIR, "lineitem").count()
-    queries["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     spark.range(1000, numPartitions=8).mapInPandas(
         lambda it: it, "id LONG"
     ).write.format("noop").mode("overwrite").save()
-    # Streaming machinery init (micro-batch executor, state store,
-    # memory sink) — warm on the smallest fixture.
-    queries["dedup_stream_watermark"](spark, "/root/testdata/sf0.001").count()
-    spark.catalog.clearCache()
+    # Per-query warm-up at the smallest fixture: each headline plan SHAPE
+    # is compiled once (whole-stage codegen, broadcast machinery,
+    # streaming micro-batch executor + state store + memory sink) so the
+    # timed sf runs below measure steady-state execution, not one-time
+    # JIT/codegen. sf0.001 is ~1 MB — the warm-up sweep costs seconds and
+    # touches no timed data.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        try:
+            queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # warm-up must never sink the bench; timed run will surface it
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -7,3 +7,4 @@ from . import text  # noqa: F401
 from . import json_dt  # noqa: F401
 from . import vectors  # noqa: F401
 from . import neardup  # noqa: F401
+from . import pipeline  # noqa: F401

@@ -1,0 +1,98 @@
+"""Invariants for the training-data pipeline operators
+(functions/pipeline.py): profiling, splits, shuffle, per-group top-k,
+sequence packing. The oracle-backed queries are additionally
+hash-checked by tools/check.py; these tests pin the semantic properties
+the oracle can't express (determinism, budget invariants, coverage).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from minefields_kafka_streams_deduplication_spark.functions.pipeline import (
+    PACK_BUDGET_TOKENS,
+    TOPK_TERMS_PER_LANG,
+    pack_sequences,
+    profile_lineitem,
+    shuffle_deterministic,
+    topk_terms_per_lang,
+    train_val_split,
+)
+
+
+def test_profile_one_row_per_column(spark, sf_dir):
+    rows = {r["col"]: r for r in profile_lineitem(spark, sf_dir).collect()}
+    assert set(rows) == {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+    q = rows["l_quantity"]
+    assert q["n"] == q["n_nonnull"] > 0  # fixture has no nulls
+    assert q["min_v"] <= q["avg_v"] <= q["max_v"]
+    assert q["n_distinct"] <= q["n"]
+
+
+def test_split_partitions_whole_corpus_and_is_stable(spark, sf_dir):
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    rows = {r["split"]: r["n_docs"] for r in train_val_split(spark, sf_dir).collect()}
+    assert sum(rows.values()) == n_docs
+    assert rows.get("val", 0) > 0 and rows["train"] > rows.get("val", 0)
+    again = {r["split"]: r["n_docs"] for r in train_val_split(spark, sf_dir).collect()}
+    assert rows == again  # salt-determined, not RNG-determined
+
+
+def test_shuffle_is_a_permutation_and_deterministic(spark, sf_dir):
+    out = shuffle_deterministic(spark, sf_dir).collect()
+    n = len(out)
+    assert sorted(r["shuffle_pos"] for r in out) == list(range(1, n + 1))
+    by_doc = {r["doc_id"]: r["shuffle_pos"] for r in out}
+    again = {
+        r["doc_id"]: r["shuffle_pos"] for r in shuffle_deterministic(spark, sf_dir).collect()
+    }
+    assert by_doc == again
+    # A pseudo-random order, not the natural doc_id order.
+    ordered = [by_doc[d] for d in sorted(by_doc)]
+    assert ordered != sorted(ordered)
+
+
+def test_topk_terms_respects_k_and_ordering(spark, sf_dir):
+    out = topk_terms_per_lang(spark, sf_dir).collect()
+    per_lang = defaultdict(list)
+    for r in out:
+        per_lang[r["lang"]].append((r["freq"], r["token"]))
+    for lang, rows in per_lang.items():
+        assert len(rows) <= TOPK_TERMS_PER_LANG
+        # winners are the top frequencies; verify against a full count
+        tf = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("lang") == lang)
+            .select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+            .groupBy("token")
+            .count()
+            .collect()
+        )
+        expect = sorted(((r["count"], r["token"]) for r in tf), key=lambda t: (-t[0], t[1]))
+        got = sorted(rows, key=lambda t: (-t[0], t[1]))
+        assert got == expect[: len(rows)]
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    out = pack_sequences(spark, sf_dir).collect()
+    # every doc packed exactly once
+    assert len(out) == n_docs
+    assert len({r["doc_id"] for r in out}) == n_docs
+    fills = defaultdict(int)
+    sizes = defaultdict(int)
+    for r in out:
+        fills[r["bin_id"]] += r["n_tokens"]
+        sizes[r["bin_id"]] += 1
+    for b, tot in fills.items():
+        # a bin may exceed budget only as a singleton (oversized doc)
+        assert tot <= PACK_BUDGET_TOKENS or sizes[b] == 1
+    # packing must actually pack (bins ≪ docs at 256-token budget)
+    assert len(fills) < n_docs
+    again = pack_sequences(spark, sf_dir).collect()
+    assert sorted((r["doc_id"], r["bin_id"]) for r in again) == sorted(
+        (r["doc_id"], r["bin_id"]) for r in out
+    )
