@@ -43,30 +43,50 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 _SCHEMA_CACHE: dict = {}
 
 
+def raw_schema(spark: SparkSession, sf_dir: str, name: str):
+    """Footer schema of one fixture file (cached per session+path).
+
+    Shared by the batch reader below and the file streaming source
+    (`streaming.source.read_events_stream` — file streams REQUIRE an
+    explicit schema), so both entry points agree on the physical layout
+    however the driver generated it."""
+    path = f"{sf_dir}/{name}.parquet"
+    key = (id(spark), path)
+    cached = _SCHEMA_CACHE.get(key)
+    if cached is None:
+        cached = _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return cached
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Map whichever physical `ts` the fixture carries to TIMESTAMP (µs).
+
+    The driver has generated events.parquet with three layouts across
+    rounds: INT64 TIMESTAMP(NANOS) (reads as bigint nanos under
+    nanosAsLong), µs with isAdjustedToUTC=false (reads as NTZ), and
+    plain UTC µs. Batch and streaming scans both route through here so
+    a fixture regeneration can never skew event-time semantics on one
+    path only."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # nanos → µs truncation. MUST use integer division (`div`):
+        # a double round-trip on epoch-nanos (~1.7e18 > 2^53)
+        # silently corrupts the low-order digits.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Session tz is pinned UTC (tune), so the wall-clock is
+        # preserved by the cast.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with normalized types."""
     tune(spark)
     path = f"{sf_dir}/{name}.parquet"
-    key = (id(spark), path)
-    cached = _SCHEMA_CACHE.get(key)
-    if cached is not None:
-        df = spark.read.schema(cached).parquet(path)
-    else:
-        df = spark.read.parquet(path)
-        _SCHEMA_CACHE[key] = df.schema
+    df = spark.read.schema(raw_schema(spark, sf_dir, name)).parquet(path)
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # nanos → µs truncation. MUST use integer division (`div`):
-            # a double round-trip on epoch-nanos (~1.7e18 > 2^53)
-            # silently corrupts the low-order digits.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            # µs parquet written with isAdjustedToUTC=false (e.g. by
-            # DuckDB) infers as NTZ; normalize so downstream
-            # unix_micros()/watermarks see one type. Session tz is
-            # pinned UTC (tune), so the wall-clock is preserved.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_events_ts(df)
     return df
 
 

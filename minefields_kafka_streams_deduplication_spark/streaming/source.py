@@ -15,29 +15,9 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
+from ..catalog import normalize_events_ts, raw_schema
 from ..session import tune
-
-# events.parquet physical schema (ts stored as raw nanos — INT64
-# TIMESTAMP(NANOS) read under nanosAsLong; see catalog.py).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
 
 
 def _staged_events_dir(sf_dir: str) -> str:
@@ -60,10 +40,18 @@ def _staged_events_dir(sf_dir: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the events fixture with event-time `ts`."""
+    """Streaming scan of the events fixture with event-time `ts`.
+
+    The explicit schema a file stream requires comes from the batch
+    footer (`catalog.raw_schema`) and ts normalization is the SAME
+    helper the batch reader uses — the physical ts layout has changed
+    across driver fixture regenerations, and hardcoding it here once
+    silently compressed every event-time delta by 1000x on the
+    streaming path only (caught by the batch/stream parity tests)."""
     tune(spark)
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_staged_events_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = raw_schema(spark, sf_dir, "events")
+    raw = spark.readStream.schema(schema).parquet(_staged_events_dir(sf_dir))
+    return normalize_events_ts(raw)
 
 
 # State-store partition count for local streaming runs. Each shuffle
