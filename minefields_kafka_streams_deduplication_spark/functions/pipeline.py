@@ -297,3 +297,86 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.concat_ws("-", F.col("pack_group"), F.col("bin_local")).alias("bin_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-selection importance weighting (DSIR-style, Xie et al. 2023).
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "importance_weight_dsir",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+raw_c AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+tgt_c AS (
+  SELECT token, count(*) AS c FROM tok WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY token
+),
+tot AS (
+  SELECT (SELECT count(*) FROM tok) AS t_raw,
+         (SELECT count(*) FROM tok WHERE lang = '{DSIR_TARGET_LANG}') AS t_tgt,
+         (SELECT count(*) FROM raw_c) AS v
+),
+w AS (
+  SELECT r.token,
+         ln((coalesce(g.c, 0) + 1.0) / (t.t_tgt + t.v))
+           - ln((r.c + 1.0) / (t.t_raw + t.v)) AS w
+  FROM raw_c r LEFT JOIN tgt_c g USING (token) CROSS JOIN tot t
+)
+SELECT tok.doc_id, round(sum(w.w), 6) AS dsir_weight
+FROM tok JOIN w USING (token)
+GROUP BY tok.doc_id
+""",
+)
+def importance_weight_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance weight for data selection (DSIR, Xie et al. 2023): each
+    document scores the log-likelihood ratio of its tokens under a
+    target-domain unigram LM (here: the lang='en' slice) vs the raw
+    corpus LM, with add-one smoothing. High weight = looks like the
+    target domain; downstream selection samples proportional to it.
+
+    Scale shape: token explode is JVM codegen; both LMs are bounded by
+    VOCABULARY (not corpus) size, so the per-token weight table
+    broadcasts; the doc score is one map-side-combinable sum per doc.
+    The paper hashes n-grams into a fixed number of buckets to bound the
+    vocab — with a bounded fixture vocab we keep exact unigrams so the
+    DuckDB oracle can replicate the math bit-for-bit; swapping the
+    token column for `pmod(xxhash64(token), B)` is the 100 TB knob and
+    changes no other line of the plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    raw_c = tok.groupBy("token").agg(F.count("*").alias("raw_c"))
+    tgt_c = (
+        tok.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("token")
+        .agg(F.count("*").alias("tgt_c"))
+    )
+    tot = raw_c.agg(
+        F.sum("raw_c").alias("t_raw"), F.count("*").alias("v")
+    ).crossJoin(
+        tgt_c.agg(F.coalesce(F.sum("tgt_c"), F.lit(0)).alias("t_tgt"))
+    )
+    weights = (
+        raw_c.join(tgt_c, "token", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            (
+                F.log((F.coalesce(F.col("tgt_c"), F.lit(0)) + 1.0) / (F.col("t_tgt") + F.col("v")))
+                - F.log((F.col("raw_c") + 1.0) / (F.col("t_raw") + F.col("v")))
+            ).alias("w"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(weights), "token")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("dsir_weight"))
+    )

@@ -500,3 +500,80 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(symbol_ratio, 4).alias("symbol_ratio"),
         passes.alias("passes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval over the documents table.
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ["spark", "hash", "join"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok
+  WHERE token IN ({terms}) GROUP BY doc_id, token
+),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token)
+SELECT tf.doc_id,
+       round(sum(
+         ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         * tf.tf * ({BM25_K1} + 1.0)
+         / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+       ), 6) AS bm25
+FROM tf
+JOIN dl USING (doc_id)
+JOIN df USING (token)
+CROSS JOIN stats s
+GROUP BY tf.doc_id
+"""
+
+
+@query("bm25_doc_search", oracle=_bm25_oracle())
+def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009) for a fixed
+    query-term set — the classic lexical-search scorer a corpus engine
+    pairs with the vector family for hybrid retrieval.
+
+    Scale shape: per-doc length and per-(doc, term) tf are map-side
+    combinable aggregates; the document-frequency table is bounded by
+    the query vocabulary (3 rows here) and broadcasts; corpus-level
+    N/avgdl is a 1-row broadcast crossJoin. One shuffle on doc_id, no
+    Python anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    tf = (
+        tok.filter(F.col("token").isin(BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_t), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (BM25_K1 + 1.0) / denom), 6
+            ).alias("bm25")
+        )
+    )

@@ -462,3 +462,83 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= SIM_TOPK)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDedup: cluster-then-dedup semantic duplicate removal.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_K = 16  # coarse clusters (paper: ~sqrt-ish of corpus / target cluster size)
+
+
+@query("dedup_semantic_clusters")  # rows-only: learned centroids are seed-dependent
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (Abbas et al. 2023): KMeans-cluster the embedding space,
+    then remove near-duplicates WITHIN each cluster only — the linear-
+    cost approximation of `dedup_embedding_cosine`'s exact quadratic
+    contract (cross-cluster duplicates are sacrificed by design; the
+    paper reports they are rare because near-dups co-locate).
+
+    Scale shape: the quantizer fits on a bounded sample; assignment is
+    one Arrow map pass; the quadratic step is per-cluster (corpus/k
+    rows each), distributed as one applyInPandas per cluster — at
+    100 TB, k scales with corpus size to pin the per-cluster matmul to
+    executor memory, and the plan shape never changes. Keep-lowest-id
+    semantics match dedup_embedding_cosine so the two variants are
+    directly comparable (recall pinned in tests/test_vectors.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", array_to_vector(F.col("embedding")).alias("features"))
+    # k must stay well below n — at k≈n every vector is its own cluster
+    # and the intra-cluster pass can find nothing (and MLlib KMeans
+    # refuses k outside [2, n]). Corpora too small to cluster (unit
+    # tests) run as ONE cluster, i.e. exact within-corpus dedup.
+    k = min(SEMDEDUP_K, vecs.count() // 4)
+    if k >= 2:
+        model = KMeans(k=k, seed=42, maxIter=5).fit(vecs.select("features"))
+        centers = np.array(model.clusterCenters(), dtype=np.float64)
+        cn = centers / np.maximum(
+            np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
+        )
+
+        def assign(it):
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                M = np.array(list(pdf["embedding"]), dtype=np.float64)
+                Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+                out = pdf[["vec_id", "embedding"]].copy()
+                out["cluster"] = np.argmax(Mn @ cn.T, axis=1).astype(np.int32)
+                yield out
+
+        assigned = emb.select("vec_id", "embedding").mapInPandas(
+            assign, "vec_id LONG, embedding ARRAY<FLOAT>, cluster INT"
+        )
+    else:
+        assigned = emb.select(
+            "vec_id", "embedding", F.lit(0).cast("int").alias("cluster")
+        )
+
+    thresh = COSINE_DUP_THRESHOLD - 5e-10
+
+    def cluster_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        M = np.array(list(pdf["embedding"]), dtype=np.float64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = Mn @ Mn.T
+        lower = ids[None, :] < ids[:, None]
+        keep = ~((S >= thresh) & lower).any(axis=1)
+        return pd.DataFrame({"vec_id": ids[keep], "cluster": pdf["cluster"][keep]})
+
+    return (
+        assigned.groupBy("cluster")
+        .applyInPandas(cluster_dedup, "vec_id LONG, cluster INT")
+        .orderBy("vec_id")
+    )

@@ -305,3 +305,53 @@ def set_except_inactive_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_users = ev.select("user_id").distinct()
     purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
     return all_users.subtract(purchasers)
+
+
+# ---------------------------------------------------------------------------
+# Rolling time-range distinct aggregation.
+# ---------------------------------------------------------------------------
+
+ROLLING_DAYS = 7
+
+
+@query(
+    "rolling_distinct_users_7d",
+    oracle=f"""
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM du)
+SELECT d.day AS day, count(DISTINCT u.user_id) AS users_7d
+FROM days d JOIN du u ON u.day BETWEEN d.day - {ROLLING_DAYS - 1} AND d.day
+GROUP BY d.day
+""",
+)
+def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 widening: trailing-7-day distinct active users per day — the
+    rolling-retention metric COUNT(DISTINCT) OVER a RANGE frame cannot
+    express in Spark (distinct aggregates are unsupported in windows).
+
+    Scale shape: instead of a range join (days x events theta-join),
+    dedup to (day, user) pairs first — bounded by active-users x days —
+    then each pair fans out to the <=7 report days it contributes to
+    via a JVM-side sequence explode, and one groupBy(day) counts
+    distinct users. Shuffles on day; fan-out is a constant factor, and
+    the final semi-join keeps only days that actually occur (a trailing
+    window must not invent empty report days past the horizon).
+    """
+    du = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    fanned = du.select(
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), ROLLING_DAYS - 1)
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    return (
+        fanned.join(du.select("day").distinct(), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+    )

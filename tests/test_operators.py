@@ -140,3 +140,29 @@ def test_latest_by_key_tiebreak(spark, monkeypatch):
     monkeypatch.setattr(scan, "load_table", lambda s, d, n: events)
     out = scan.latest_by_key(spark, "x").collect()
     assert len(out) == 1 and out[0].event_id == 2
+
+
+def test_rolling_distinct_users_window_semantics(spark, monkeypatch):
+    """Hand fixture: u1 active on d1 and d9 (outside any shared 7-day
+    trail), u2 on d1 only — day 9's trailing count must NOT see day 1."""
+    from minefields_kafka_streams_deduplication_spark.operators import analytic
+
+    rows = [
+        (0, "2024-01-01 10:00:00", 1, "view", 1.0),
+        (1, "2024-01-01 11:00:00", 2, "view", 1.0),
+        (2, "2024-01-09 10:00:00", 1, "view", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import minefields_kafka_streams_deduplication_spark.catalog as catalog
+
+    monkeypatch.setattr(
+        "minefields_kafka_streams_deduplication_spark.operators.analytic.load_table",
+        lambda s, d, n: df,
+    )
+    out = {
+        str(r.day): r.users_7d
+        for r in analytic.rolling_distinct_users_7d(spark, "ignored").collect()
+    }
+    assert out == {"2024-01-01": 2, "2024-01-09": 1}

@@ -96,3 +96,25 @@ def test_pack_sequences_invariants(spark, sf_dir):
     assert sorted((r["doc_id"], r["bin_id"]) for r in again) == sorted(
         (r["doc_id"], r["bin_id"]) for r in out
     )
+
+
+def test_dsir_weight_orders_target_like_docs(spark, monkeypatch):
+    """A doc made of target-domain (en) vocabulary must outweigh a doc of
+    out-of-domain vocabulary under the importance LLR."""
+    from minefields_kafka_streams_deduplication_spark.functions import pipeline
+
+    rows = [
+        (0, "alpha beta alpha beta", "en", "s", 21),
+        (1, "gamma delta gamma delta", "de", "s", 23),
+        (2, "alpha beta gamma delta", "de", "s", 22),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    monkeypatch.setattr(pipeline, "load_table", lambda s, d, n: df)
+    w = {
+        r.doc_id: r.dsir_weight
+        for r in pipeline.importance_weight_dsir(spark, "ignored").collect()
+    }
+    # doc 0 is pure target vocab, doc 2 half, doc 1 none.
+    assert w[0] > w[2] > w[1]

@@ -99,3 +99,22 @@ def test_sample_mix_deterministic_across_runs(spark, sf_dir):
     a = sorted(r.doc_id for r in q(spark, sf_dir).collect())
     b = sorted(r.doc_id for r in q(spark, sf_dir).collect())
     assert a == b and len(a) > 0
+
+
+def test_bm25_prefers_term_dense_docs(spark, monkeypatch):
+    """BM25 must rank a doc saturated with a query term above one with a
+    single mention, and ignore docs with none."""
+    from minefields_kafka_streams_deduplication_spark.functions import text
+
+    rows = [
+        (0, "spark spark spark spark", "en", "s", 23),
+        (1, "spark table row line sort", "en", "s", 25),
+        (2, "table row line sort merge", "en", "s", 25),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    monkeypatch.setattr(text, "load_table", lambda s, d, n: df)
+    scores = {r.doc_id: r.bm25 for r in text.bm25_doc_search(spark, "ignored").collect()}
+    assert set(scores) == {0, 1}  # doc 2 matches no term
+    assert scores[0] > scores[1] > 0

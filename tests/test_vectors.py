@@ -76,3 +76,35 @@ def test_ivf_kmeans_recall_vs_exact(spark, sf_dir):
     for r in ivf_rows:
         per_query[r.query_id] = per_query.get(r.query_id, 0) + 1
     assert all(n <= 10 for n in per_query.values())
+
+
+def test_semantic_cluster_dedup_drops_planted_dups(spark, monkeypatch):
+    """SemDedup must drop planted near-identical vectors (keep-lowest-id)
+    while keeping well-separated ones, and agree with the exact path on
+    a corpus whose duplicates are intra-cluster by construction."""
+    import math
+
+    from minefields_kafka_streams_deduplication_spark.functions import vectors
+
+    a = [math.sin(i * 0.7) for i in range(8)]
+    b = [math.cos(i * 1.3) for i in range(8)]
+    vecs = [a, [x * 2.0 for x in a], b, [x + 1e-6 for x in b], [-x for x in a]]
+    df = vec_df(spark, vecs)
+    monkeypatch.setattr(vectors, "load_table", lambda s, d, n: df)
+    kept = sorted(
+        r.vec_id for r in vectors.dedup_semantic_clusters(spark, "ignored").collect()
+    )
+    assert kept == [0, 2, 4]  # 1 ∥ 0, 3 ≈ 2; anti-parallel 4 is NOT a dup
+    exact = sorted(
+        r.vec_id for r in vectors.dedup_embedding_cosine(spark, "ignored").collect()
+    )
+    assert kept == exact
+
+
+def test_semantic_cluster_dedup_deterministic(spark, sf_dir):
+    import minefields_kafka_streams_deduplication_spark as engine
+
+    q = engine.get_queries()["dedup_semantic_clusters"]
+    r1 = [(r.vec_id, r.cluster) for r in q(spark, sf_dir).collect()]
+    r2 = [(r.vec_id, r.cluster) for r in q(spark, sf_dir).collect()]
+    assert r1 == r2 and len(r1) > 0
