@@ -91,3 +91,29 @@ def test_asof_join_single_shuffle_no_blowup(spark, sf_dir):
     # The sort-based as-of must not contain a join node at all.
     assert "Join" not in s or "BroadcastHashJoin" not in s
     assert "Window" in s
+
+
+def test_unpivot_is_pure_projection(spark, sf_dir):
+    """stack() must stay a zero-shuffle single-codegen projection."""
+    df = engine.get_queries()["unpivot_lineitem_measures"](spark, sf_dir)
+    a = audit_plan(df)
+    assert a.n_exchanges == 0 and a.n_codegen_stages == 1
+
+
+def test_rolling_distinct_has_no_cartesian(spark, sf_dir):
+    """The trailing-window distinct count must be the fan-out/equi-join
+    form, never a days x events nested-loop range join."""
+    s = audit_plan(
+        engine.get_queries()["rolling_distinct_users_7d"](spark, sf_dir)
+    ).raw
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+
+
+def test_dsir_weight_table_broadcasts(spark, sf_dir):
+    """The per-token weight table is vocab-bounded and must broadcast —
+    the doc-score join shuffles tokens only once (on doc_id for the
+    final agg), never weight-side."""
+    a = audit_plan(
+        engine.get_queries()["importance_weight_dsir"](spark, sf_dir)
+    )
+    assert a.n_broadcasts >= 1

@@ -42,11 +42,12 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or HEADLINE  # extra args: audit a specific subset
     spark = engine.get_spark("plan-audit")
     queries = engine.get_queries()
     print("| query | pushed filters | shuffles | broadcasts | codegen stages | topk-pushdown |")
     print("| --- | --- | --- | --- | --- | --- |")
-    for name in HEADLINE:
+    for name in names:
         df = queries[name](spark, sf_dir)
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
