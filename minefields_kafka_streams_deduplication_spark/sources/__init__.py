@@ -11,5 +11,9 @@ from .sinks import (  # noqa: F401
     write_bucketed_table,
 )
 from .formats import read_any, SUPPORTED_FORMATS  # noqa: F401
-from .kafka import events_from_kafka, parse_event_payload  # noqa: F401
+from .kafka import (  # noqa: F401
+    events_from_kafka,
+    parse_event_payload,
+    serialize_event_payload,
+)
 from . import sinks  # noqa: F401  (registers sink_parquet_roundtrip)

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..registry import query
 from ..session import tune
 
 # JSON payload schema of an event record on the topic (value side).
@@ -90,3 +91,52 @@ def events_from_kafka(
         .load()
     )
     return parse_event_payload(raw)
+
+
+def serialize_event_payload(events: DataFrame) -> DataFrame:
+    """Encode typed event rows back into the Kafka wire shape — the
+    produce-side serde [R KStream#to(topic, Produced.with(serdes))]:
+    key = user_id bytes (the partitioning key, so co-partitioning
+    survives the round-trip), value = JSON payload bytes, headers
+    MAP<STRING,BINARY> → ARRAY<STRUCT<key,value>> (the sink format the
+    kafka writer expects), timestamp from event time.
+    """
+    has_headers = "headers" in events.columns
+    headers = (
+        F.expr("transform(map_entries(headers), h -> struct(h.key as key, h.value as value))")
+        if has_headers
+        else F.array().cast("array<struct<key:string,value:binary>>")
+    )
+    return events.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.to_json(
+            F.struct(
+                "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+        .cast("binary")
+        .alias("value"),
+        headers.alias("headers"),
+        F.col("ts").alias("timestamp"),
+    )
+
+
+@query("kafka_wire_roundtrip")  # rows-only: binary serde, no SQL oracle
+def kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S4 serde proof without a broker: events → produce-side wire
+    frame (`serialize_event_payload`) → consume-side parser
+    (`parse_event_payload`) must reproduce the typed rows bit-exactly
+    (asserted in tests/test_sources.py). Registered so the driver
+    exercises the full serde pair; both directions are pure codegen
+    expressions (from_json/to_json), zero Python.
+    """
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    wire = serialize_event_payload(ev)
+    return parse_event_payload(wire).drop("headers")

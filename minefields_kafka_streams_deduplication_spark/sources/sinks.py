@@ -71,3 +71,58 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .orderBy("event_date")
     )
+
+
+@query("sink_exactly_once_parquet")  # rows-only: exercises idempotent restart
+def sink_exactly_once_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 exactly-once: the foreachBatch idempotent-write pattern
+    [R Kafka Streams EOS / processing.guarantee=exactly_once_v2].
+    Structured Streaming guarantees at-least-once delivery of each
+    micro-batch to foreachBatch; writing every batch to a
+    batchId-addressed directory and SKIPPING already-present ids makes
+    the sink idempotent, so replays after failure cannot double-write —
+    at-least-once delivery + idempotent writes = exactly-once output.
+    The restart-replay path itself is exercised in
+    tests/test_recovery.py-style fashion by re-running the same batch
+    id through the writer below (tests/test_sources.py).
+    """
+    from ..streaming.source import read_events_stream, stream_partitions
+
+    out_root = tempfile.mkdtemp(prefix="sink_eos_")
+    checkpoint = tempfile.mkdtemp(prefix="sink_eos_ckpt_")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_idempotent_batch(batch_df, out_root, batch_id)
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stream_partitions(spark, sf_dir))
+    )
+    try:
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        import shutil
+
+        shutil.rmtree(checkpoint, ignore_errors=True)
+    back = spark.read.parquet(os.path.join(out_root, "batch_id=*"))
+    return back.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")
+
+
+def write_idempotent_batch(batch_df: DataFrame, out_root: str, batch_id: int) -> None:
+    """Idempotent per-batch parquet write: batchId-addressed directory,
+    `_SUCCESS`-gated skip on replay. Shared by the streaming sink above
+    and the replay test."""
+    dest = os.path.join(out_root, f"batch_id={batch_id}")
+    if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        return  # replayed batch: already committed, skip (idempotence)
+    batch_df.write.mode("overwrite").parquet(dest)

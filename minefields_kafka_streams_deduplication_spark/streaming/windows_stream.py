@@ -303,3 +303,112 @@ def window_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         stream, "window_sliding_stream", partitions=stream_partitions(spark, sf_dir)
     )
+
+
+TOPK_PER_WINDOW = 3
+
+
+@query("window_topk_stream")  # rows-only: streaming agg + finalize rank
+def window_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window top-k [R windowedBy(TimeWindows)+count → topology-level
+    rank]: the streaming stage maintains incremental (window, event_type)
+    counts with watermarked state and emits each window once it closes
+    (append mode); ranking within a closed window is the finalize pass
+    over the emitted frame — Spark's streaming model forbids a second
+    stateful sort after a windowed agg in one query, and once a window
+    has closed its counts are immutable, so the rank is exact, not a
+    retraction-prone approximation.
+
+    Scale: state is (windows x event-types) — bounded by watermark
+    horizon; the finalize rank partitions by window (thousands of rows
+    per window at most, one per event type).
+    """
+    from pyspark.sql import Window as W
+
+    stream = read_events_stream(spark, sf_dir)
+    counts = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n")
+    )
+    emitted = run_to_memory(
+        counts, "window_topk_stream", partitions=stream_partitions(spark, sf_dir)
+    )
+    rank = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    )
+    return (
+        emitted.withColumn("rank", rank)
+        .filter(F.col("rank") <= TOPK_PER_WINDOW)
+        .orderBy("window_start", "rank")
+    )
+
+
+CHANGELOG_REPLAY_FILES = 4
+
+
+@query("table_changelog_stream")  # rows-only: update-mode changelog emission
+def table_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KTable changelog [R KTable#toStream / Materialized view +
+    changelog topic]: a latest-value-per-key table maintained as an
+    update-mode streaming aggregate; every micro-batch emits the keys
+    whose latest value CHANGED — the changelog stream a downstream
+    system tails for CDC.
+
+    To make the changelog real (multiple updates per key over time),
+    the fixture replays as CHANGELOG_REPLAY_FILES time-ordered chunks
+    with maxFilesPerTrigger=1 — one micro-batch per chunk, exactly a
+    topic replayed in timestamp order. The memory sink in update mode
+    accumulates each batch's changed rows: the changelog history. Final
+    state per key == the batch `latest_by_key` table (parity pinned in
+    tests/test_streaming.py).
+
+    Scale: state is one row per live key (the KTable), sharded across
+    state-store partitions; emission volume per batch is bounded by
+    changed keys, not table size.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from ..catalog import load_table
+    from .source import run_to_memory, stream_partitions
+
+    # Stage the events as time-ordered chunks (the "topic").
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        f"changelog_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.repartitionByRange(CHANGELOG_REPLAY_FILES, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    table = stream.groupBy("user_id").agg(
+        F.max_by(F.struct("value", "event_type"), F.struct("ts", "event_id")).alias(
+            "last"
+        ),
+        F.max("ts").alias("last_ts"),
+    )
+    changelog = table.select(
+        "user_id",
+        F.col("last.value").alias("last_value"),
+        F.col("last.event_type").alias("last_type"),
+        "last_ts",
+    )
+    return run_to_memory(
+        changelog,
+        "table_changelog_stream",
+        partitions=stream_partitions(spark, sf_dir),
+        output_mode="update",
+    )

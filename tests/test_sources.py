@@ -133,3 +133,59 @@ def test_read_any_orc_roundtrip(spark):
     df.write.mode("overwrite").orc(d)
     got = read_any(spark, d, "orc", "id LONG, name STRING")
     assert {(r.id, r.name) for r in got.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_kafka_wire_roundtrip_bit_exact(spark, sf_dir):
+    """produce-serde → consume-serde must reproduce the typed event rows
+    exactly (ids, µs timestamps, floats, nullable props)."""
+    import minefields_kafka_streams_deduplication_spark as engine
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+
+    orig = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .collect()
+    )
+    back = sorted(
+        engine.get_queries()["kafka_wire_roundtrip"](spark, sf_dir).collect()
+    )
+    assert back == orig
+
+
+def test_kafka_wire_headers_survive_roundtrip(spark):
+    """Headers attached on the produce side come back as the declared
+    MAP<STRING,BINARY> on the consume side."""
+    from minefields_kafka_streams_deduplication_spark.sources.kafka import (
+        parse_event_payload,
+        serialize_event_payload,
+    )
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, "view", 1.5, None)],
+        "event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    ).select(
+        "event_id", F.to_timestamp("ts").alias("ts"), "user_id", "event_type",
+        "value", "props",
+        F.create_map(F.lit("trace"), F.lit("abc").cast("binary")).alias("headers"),
+    )
+    row = parse_event_payload(serialize_event_payload(ev)).collect()[0]
+    assert row.headers == {"trace": bytearray(b"abc")}
+    assert row.event_id == 1 and row.user_id == 7
+
+
+def test_idempotent_batch_write_skips_replay(spark, tmp_path):
+    """EOS building block: re-delivering the same batchId must not
+    double-write (at-least-once delivery + idempotent sink = EOS)."""
+    from minefields_kafka_streams_deduplication_spark.sources.sinks import (
+        write_idempotent_batch,
+    )
+
+    df1 = spark.range(10)
+    out = str(tmp_path / "eos")
+    write_idempotent_batch(df1, out, 0)
+    # replay the SAME batch id with different (corrupt) content: skipped
+    write_idempotent_batch(spark.range(99), out, 0)
+    write_idempotent_batch(spark.range(10, 15), out, 1)
+    back = spark.read.parquet(out + "/batch_id=*")
+    assert sorted(r.id for r in back.collect()) == list(range(15))

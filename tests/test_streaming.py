@@ -229,3 +229,51 @@ def test_sliding_window_stream_covers_events(spark, sf_dir):
     tumbling_total = sum(r.n_events for r in tumbling)
     # Sliding emits ~4x the tumbling mass (boundary windows excepted).
     assert sum(by_window.values()) >= 3 * tumbling_total
+
+
+def test_window_topk_stream_matches_batch_on_closed_windows(spark, sf_dir):
+    """The streamed per-window top-k must equal the batch rank over the
+    same tumbling counts, for every window the stream emitted (append
+    mode only emits closed windows; the final open window is withheld
+    by design — suppress-until-close semantics)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    stream_rows = engine.get_queries()["window_topk_stream"](spark, sf_dir).collect()
+    assert stream_rows, "stream emitted no closed windows"
+    ev = engine.load_table(spark, sf_dir, "events")
+    rank = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    )
+    batch = {
+        (r.window_start, r.rank): (r.event_type, r.n)
+        for r in ev.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n")
+        .withColumn("rank", rank)
+        .filter(F.col("rank") <= 3)
+        .collect()
+    }
+    for r in stream_rows:
+        assert batch[(r.window_start, r.rank)] == (r.event_type, r.n)
+
+
+def test_changelog_stream_final_state_matches_latest_by_key(spark, sf_dir):
+    """The LAST changelog emission per key must equal the batch KTable
+    (latest_by_key), and replaying in >1 micro-batch must emit genuine
+    intermediate updates (changelog history longer than the key set)."""
+    rows = engine.get_queries()["table_changelog_stream"](spark, sf_dir).collect()
+    # memory sink accumulates per-batch update emissions in order; the
+    # last occurrence per key is the final state.
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.last_value, r.last_ts)
+    batch = {
+        r.user_id: (r.value, r.ts)
+        for r in engine.get_queries()["latest_by_key"](spark, sf_dir).collect()
+    }
+    assert len(rows) > len(batch), "no intermediate changelog emissions"
+    assert set(final) == set(batch)
+    for k, (v, ts) in batch.items():
+        assert final[k][1] == ts
+        assert abs(final[k][0] - v) < 1e-12
