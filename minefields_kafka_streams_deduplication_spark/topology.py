@@ -137,6 +137,30 @@ class KStream:
             raise ValueError("group_by_key needs select_key() or explicit columns")
         return KGroupedStream(self.df, keys)
 
+    def process(self, fn: Callable, schema: str) -> "KStream":
+        """[R KStream#process(ProcessorSupplier)]: the imperative escape
+        hatch. KS hands each record to user code; the Spark-native analog
+        hands user code ARROW BATCHES via mapInPandas — same power
+        (arbitrary per-record logic, 1→0..n emission), but vectorized and
+        parallel by partition instead of per-record callbacks. For KEYED
+        state use group_by_key() + the engine's applyInPandasWithState
+        dedup/windows, which is what a stateful Processor becomes."""
+        return self._with(self.df.mapInPandas(fn, schema))
+
+    def to_table(self, ts: str = "ts") -> "KTable":
+        """[R KStream#toTable]: stream → changelog view (latest per key)."""
+        if not self.key:
+            raise ValueError("to_table needs select_key() first")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(self.key).orderBy(F.desc(ts))
+        latest = (
+            self.df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        return KTable(latest, self.key)
+
     # --- sink (SURVEY §2.1 S4) ---
 
     def to(self, path: str, fmt: str = "parquet") -> None:  # [R KStream#to]
@@ -200,6 +224,38 @@ class KTable:
 
     def filter(self, pred: Column) -> "KTable":  # [R KTable#filter]
         return KTable(self.df.filter(pred), self.key)
+
+    def map_values(self, *cols: Column | str) -> "KTable":  # [R KTable#mapValues]
+        return KTable(self.df.select(self.key, *cols), self.key)
+
+    def join(self, other: "KTable", on: Column | str, how: str = "inner") -> "KTable":
+        """[R KTable#join/#leftJoin/#outerJoin(KTable)]: table-table join —
+        in KS both sides are materialized changelogs and the result
+        updates on either side; in batch replay that is exactly a join of
+        the two latest-per-key views (how='inner'|'left'|'full')."""
+        return KTable(self.df.join(other.df, on, how), self.key)
+
+    def fk_join(
+        self, other: "KTable", fk: str, how: str = "inner"
+    ) -> "KTable":
+        """[R KTable#join(KTable, Function foreignKeyExtractor)]: the
+        KS 2.4+ foreign-key table join (this side's fk column → other
+        side's primary key). KS runs a two-hop subscription/response
+        topology to keep it incrementally correct; Catalyst just joins
+        on the extracted key — broadcast when the dimension side is
+        small (the globalTable wrapper already carries the hint)."""
+        return KTable(
+            self.df.join(other.df, F.col(fk) == F.col(other.key), how), self.key
+        )
+
+    def suppress(self) -> "KTable":
+        """[R KTable#suppress(Suppressed.untilWindowCloses)]: emit only
+        the FINAL result per window/key. In batch replay every result is
+        already final, so this is the identity; on the streaming twins
+        the same semantics is append output mode + watermark
+        (streaming/windows_stream.py docstrings) — suppression is an
+        OUTPUT-MODE property in Spark, not an operator."""
+        return self
 
     def to_stream(self) -> KStream:  # [R KTable#toStream]
         return KStream(self.df, self.key)

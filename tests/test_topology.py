@@ -132,3 +132,67 @@ def test_peek_in_topology(spark, sf_dir):
     tapped, obs = b.stream("events").peek(f"tap_{uuid.uuid4().hex[:6]}")
     n = tapped.to_df().count()
     assert obs.get["rows"] == n
+
+
+def test_to_table_matches_builder_table(spark, sf_dir):
+    """[R KStream#toTable]: stream → table must equal building the table
+    directly from the source."""
+    b = StreamsBuilder(spark, sf_dir)
+    via_stream = (
+        b.stream("events").select_key("user_id").to_table().to_df()
+        .select("user_id", "ts", "value")
+    )
+    direct = b.table("events", "user_id", "ts").to_df().select("user_id", "ts", "value")
+    assert sorted(map(tuple, via_stream.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_table_table_fk_join_matches_engine_query(spark, sf_dir):
+    """[R KTable#join(KTable, foreignKeyExtractor)]: facade FK join over
+    orders→nation must reproduce the engine's join_fk_orders_nation."""
+    b = StreamsBuilder(spark, sf_dir)
+    customers = b.table("customer", "c_custkey", "c_custkey")
+    nations = b.global_table("nation", "n_nationkey")
+    got = (
+        b.table("orders", "o_orderkey", "o_orderkey")
+        .fk_join(customers, "o_custkey")
+        .fk_join(nations, "c_nationkey")
+        .to_df()
+        .select("o_orderkey", "o_totalprice", "n_name")
+    )
+    expected = engine.get_queries()["join_fk_orders_nation"](spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_process_escape_hatch_vectorized(spark, sf_dir):
+    """[R KStream#process]: arbitrary per-batch logic with 1→0..n
+    emission — here a filter+project written imperatively."""
+    b = StreamsBuilder(spark, sf_dir)
+
+    def double_purchases(batches):
+        for pdf in batches:
+            out = pdf[pdf["event_type"] == "purchase"][["event_id", "value"]].copy()
+            out["value"] = out["value"] * 2.0
+            yield out
+
+    got = (
+        b.stream("events")
+        .process(double_purchases, "event_id LONG, value DOUBLE")
+        .to_df()
+    )
+    expected = (
+        engine.load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", (F.col("value") * 2).alias("value"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_suppress_is_identity_in_batch_replay(spark, sf_dir):
+    b = StreamsBuilder(spark, sf_dir)
+    t = (
+        b.stream("events").select_key("user_id").group_by_key()
+        .windowed_by("1 day").count()
+    )
+    assert t.suppress() is t
