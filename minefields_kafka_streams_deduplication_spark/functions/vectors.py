@@ -468,7 +468,15 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDedup: cluster-then-dedup semantic duplicate removal.
 # ---------------------------------------------------------------------------
 
-SEMDEDUP_K = 16  # coarse clusters (paper: ~sqrt-ish of corpus / target cluster size)
+# Target members per cluster: k = n / TARGET, so the per-cluster
+# quadratic cosine pass is (TARGET)² FLOP-bounded no matter the corpus
+# size — the 100× probe measured fixed-k=16 going 14× superlinear
+# (55 s at 200K vectors) before this; scaled-k brought it back linear.
+SEMDEDUP_TARGET_CLUSTER = 512
+SEMDEDUP_MIN_K = 2
+# The quantizer fits on a bounded sample (the paper's approach): fit
+# cost stays O(sample·k·d), independent of corpus size.
+SEMDEDUP_FIT_SAMPLE = 50_000
 
 
 @query("dedup_semantic_clusters")  # rows-only: learned centroids are seed-dependent
@@ -495,13 +503,19 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", array_to_vector(F.col("embedding")).alias("features"))
-    # k must stay well below n — at k≈n every vector is its own cluster
-    # and the intra-cluster pass can find nothing (and MLlib KMeans
-    # refuses k outside [2, n]). Corpora too small to cluster (unit
-    # tests) run as ONE cluster, i.e. exact within-corpus dedup.
-    k = min(SEMDEDUP_K, vecs.count() // 4)
+    # k scales with corpus size (n / target-cluster-size) so per-cluster
+    # work is bounded; it must also stay well below n — at k≈n every
+    # vector is its own cluster and the intra-cluster pass can find
+    # nothing (and MLlib KMeans refuses k outside [2, n]). Corpora too
+    # small to cluster (unit tests) run as ONE cluster, i.e. exact
+    # within-corpus dedup.
+    n = vecs.count()
+    k = min(max(SEMDEDUP_MIN_K, n // SEMDEDUP_TARGET_CLUSTER), n // 4)
     if k >= 2:
-        model = KMeans(k=k, seed=42, maxIter=5).fit(vecs.select("features"))
+        fit_df = vecs.select("features")
+        if n > SEMDEDUP_FIT_SAMPLE:
+            fit_df = fit_df.sample(SEMDEDUP_FIT_SAMPLE / n, seed=42)
+        model = KMeans(k=k, seed=42, maxIter=5).fit(fit_df)
         centers = np.array(model.clusterCenters(), dtype=np.float64)
         cn = centers / np.maximum(
             np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
