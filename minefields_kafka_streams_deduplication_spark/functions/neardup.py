@@ -477,3 +477,109 @@ def contamination_ngram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated-span scrubbing (exact-substring dedup family).
+# ---------------------------------------------------------------------------
+
+SCRUB_SPAN_TOKENS = 8
+
+
+@query("scrub_repeated_spans")  # rows-only: reconstruction is engine-specific
+def scrub_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring scrub (the span-level counterpart
+    of doc-level dedup; cf. Lee et al. 2021 "Deduplicating Training
+    Data Makes Language Models Better" and C4's repeated-line rule):
+    any SCRUB_SPAN_TOKENS-token span occurring in more than one
+    document is removed from every document EXCEPT the lowest-doc_id
+    occurrence (one canonical copy survives, keep-first like the doc
+    dedups). Returns (doc_id, scrubbed_text, n_removed_tokens).
+
+    Scale shape — everything is equi-keyed, no Python: span hashes
+    explode JVM-side (one row per token, 8-token window via
+    transform/sequence); the repeated-span table aggregates on the
+    hash (map-side combinable, output bounded by DISTINCT repeated
+    spans, a tiny fraction of the corpus); marks join back on the hash;
+    per-doc covered-position sets ride a collect_list; reconstruction
+    is a higher-order filter over the token array. Span REMOVAL is a
+    per-doc operation, so unlike a suffix array no global order is
+    needed — the price is fixed span granularity instead of maximal
+    repeats.
+
+    Exact-copy collapse prefilter (same minefield the minhash probe
+    caught in round 1): a duplicate-heavy corpus marks ~every span in
+    ~every copy, blowing up the marks join (measured 250 s at the
+    100×-replicated probe). Identical texts collapse to their min-id
+    representative first; the span pipeline runs over representatives
+    only. The collapsed copies' answers are FULLY DETERMINED: every
+    span of a copy also lives in its lower-id representative, so every
+    position of a ≥n-token copy is covered (scrubs to empty) and a
+    <n-token copy has no windows (passes through) — proven by the
+    keep_doc ≤ rep < copy ordering. 100× probe: 250 s → linear.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = SCRUB_SPAN_TOKENS
+    all_toks = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("t"), F.md5(F.lower("text")).alias("th")
+    )
+    # No broadcast hint on the rep set: it is proportional to DISTINCT
+    # docs (huge at scale); Catalyst/AQE picks the strategy.
+    rep_ids = all_toks.groupBy("th").agg(F.min("doc_id").alias("doc_id"))
+    toks = all_toks.join(rep_ids.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", "t"
+    )
+    copies = all_toks.join(rep_ids.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id",
+        F.when(F.size("t") >= n, F.lit("")).otherwise(F.concat_ws(" ", "t")).alias(
+            "scrubbed_text"
+        ),
+        F.when(F.size("t") >= n, F.size("t")).otherwise(F.lit(0)).alias(
+            "n_removed_tokens"
+        ),
+    )
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            # sequence(0, stop) DESCENDS when stop < 0 — docs shorter
+            # than the span width must yield NO windows, not phantom
+            # negative positions.
+            F.expr(
+                f"IF(size(t) >= {n},"
+                f" transform(sequence(0, size(t) - {n}),"
+                f" i -> struct(i as pos,"
+                f" xxhash64(concat_ws(' ', slice(t, i + 1, {n}))) as h)),"
+                f" array())"
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.h")
+    repeated = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"), F.min("doc_id").alias("keep_doc"))
+        .filter(F.col("nd") > 1)
+        .select("h", "keep_doc")
+    )
+    marks = (
+        spans.join(repeated, "h")
+        .filter(F.col("doc_id") != F.col("keep_doc"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("marks"))
+    )
+    out = (
+        toks.join(marks, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr(
+                f"filter(transform(t, (tok, i) -> "
+                f"IF(marks IS NULL OR NOT exists(marks, p -> i >= p AND i < p + {n}),"
+                f" tok, cast(null as string))), x -> x IS NOT NULL)"
+            ).alias("kept"),
+            F.size("t").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("kept")).alias("scrubbed_text"),
+            (F.col("n_tokens") - F.size("kept")).alias("n_removed_tokens"),
+        )
+    )
+    return out.unionByName(copies)

@@ -577,3 +577,64 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bm25")
         )
     )
+
+
+@query(
+    "doc_repetition_metrics",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, t[i + 1] || ' ' || t[i + 2] AS gram
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents) s
+  CROSS JOIN unnest(range(len(t) - 1)) AS u(i)
+),
+c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+SELECT doc_id,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top2_frac,
+       round(CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS DOUBLE) / sum(c), 4) AS dup2_frac
+FROM c GROUP BY doc_id
+""",
+)
+def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition features (the Gopher repetition-rule
+    family, Rae et al. 2021 §A1.1): fraction of 2-gram occurrences taken
+    by the single most frequent 2-gram, and fraction covered by any
+    repeated 2-gram. High values flag boilerplate/spam for the quality
+    filter (`gopher_quality_rules` handles the length/symbol rules).
+
+    Scale shape: the bigram explode is a JVM codegen transform (no
+    Python); counts shuffle once on (doc_id, gram) with map-side
+    combine; the per-doc reduction is a second map-side-combinable agg
+    on doc_id only. Docs with <2 tokens have no bigrams and drop out in
+    both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # Materialize the token array BEFORE the lambda: an expression
+    # inside a higher-order function re-evaluates per element, so
+    # split() referenced in the transform body is O(tokens²) per doc
+    # (measured 7× slower at 10× before this).
+    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            # sequence(0, stop) DESCENDS for stop < 0: single-token docs
+            # must yield no bigrams, not phantom ones.
+            F.expr(
+                "IF(size(t) >= 2,"
+                " transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1])),"
+                " array())"
+            )
+        ).alias("gram"),
+    )
+    c = grams.groupBy("doc_id", F.xxhash64("gram").alias("gram_h")).agg(
+        F.count("*").alias("c")
+    )
+    return c.groupBy("doc_id").agg(
+        F.round(F.max("c").cast("double") / F.sum("c"), 4).alias("top2_frac"),
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)).cast(
+                "double"
+            )
+            / F.sum("c"),
+            4,
+        ).alias("dup2_frac"),
+    )

@@ -125,3 +125,42 @@ def test_permutation_invariance(spark):
         mk(spark, rows[::-1]), ["user_id", "value"], [F.col("ts").asc(), F.col("event_id").asc()]
     )
     assert ids(a) == ids(b)
+
+
+def test_scrub_repeated_spans_keeps_one_canonical_copy(spark, monkeypatch):
+    """An 8-token span shared by two docs survives only in the lower
+    doc_id; unique text is untouched."""
+    from minefields_kafka_streams_deduplication_spark.functions import neardup
+
+    boiler = "a b c d e f g h"
+    rows = [
+        (0, boiler + " unique tail zero", "en", "s", 1),
+        (1, "other head one " + boiler, "en", "s", 1),
+        (2, "totally different words here nothing shared at all", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    monkeypatch.setattr(neardup, "load_table", lambda s, d, n: df)
+    out = {r.doc_id: r for r in neardup.scrub_repeated_spans(spark, "ignored").collect()}
+    assert out[0].scrubbed_text == rows[0][1]  # canonical copy untouched
+    assert out[0].n_removed_tokens == 0
+    assert "a b c d e f g h" not in out[1].scrubbed_text
+    assert out[1].scrubbed_text.startswith("other head one")
+    assert out[1].n_removed_tokens == 8
+    assert out[2].scrubbed_text == rows[2][1]
+
+
+def test_scrub_repeated_spans_short_docs_untouched(spark, monkeypatch):
+    """Docs shorter than the span width generate no windows — identical
+    short docs must pass through unmodified (no phantom spans)."""
+    from minefields_kafka_streams_deduplication_spark.functions import neardup
+
+    rows = [(0, "tiny doc", "en", "s", 1), (1, "tiny doc", "en", "s", 1)]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    monkeypatch.setattr(neardup, "load_table", lambda s, d, n: df)
+    out = {r.doc_id: r for r in neardup.scrub_repeated_spans(spark, "ignored").collect()}
+    assert out[0].scrubbed_text == "tiny doc" and out[1].scrubbed_text == "tiny doc"
+    assert out[0].n_removed_tokens == 0 and out[1].n_removed_tokens == 0
