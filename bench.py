@@ -47,6 +47,11 @@ HEADLINE = [
     "q5_local_supplier_volume",  # 6-way join (broadcast dims + AQE)
     "dedup_batch_custom_ttl",    # D5 batch twin (JVM TTL fold)
     "dedup_stream_watermark",    # D4 streaming dedup end-to-end
+    # Round-2 continuation: LLM-pipeline ops promoted to headline.
+    "importance_weight_dsir",    # DSIR data-selection LLR
+    "bm25_doc_search",           # BM25 lexical retrieval
+    "doc_repetition_metrics",    # Gopher repetition rules
+    "scrub_repeated_spans",      # cross-doc exact-substring scrub
 ]
 
 
