@@ -488,6 +488,12 @@ SCRUB_SPAN_TOKENS = 8
 
 @query("scrub_repeated_spans")  # rows-only: reconstruction is engine-specific
 def scrub_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See :func:`scrub_repeated_spans_df` — registered over the
+    documents fixture."""
+    return scrub_repeated_spans_df(load_table(spark, sf_dir, "documents"))
+
+
+def scrub_repeated_spans_df(docs: DataFrame) -> DataFrame:
     """Cross-document exact-substring scrub (the span-level counterpart
     of doc-level dedup; cf. Lee et al. 2021 "Deduplicating Training
     Data Makes Language Models Better" and C4's repeated-line rule):
@@ -518,7 +524,6 @@ def scrub_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     <n-token copy has no windows (passes through) — proven by the
     keep_doc ≤ rep < copy ordering. 100× probe: 250 s → linear.
     """
-    docs = load_table(spark, sf_dir, "documents")
     n = SCRUB_SPAN_TOKENS
     all_toks = docs.select(
         "doc_id", F.split(F.lower("text"), " ").alias("t"), F.md5(F.lower("text")).alias("th")

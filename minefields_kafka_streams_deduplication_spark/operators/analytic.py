@@ -355,3 +355,76 @@ def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("users_7d"))
     )
+
+
+@query(
+    "third_event_per_user",
+    oracle="""
+SELECT DISTINCT user_id,
+       nth_value(event_id, 3) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS third_event_id
+FROM events
+""",
+)
+def third_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 widening: nth_value — the n-th event in each user's ordered
+    history (NULL for users with fewer). Deterministic order: (ts,
+    event_id). Single shuffle on user_id; frame must be the full
+    partition or nth_value degrades to a running variant.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id", F.nth_value("event_id", 3).over(w).alias("third_event_id")
+        )
+        .distinct()
+    )
+
+
+@query(
+    "agg_mode_median_by_type",
+    oracle="""
+WITH c AS (
+  SELECT event_type, user_id, count(*) AS n
+  FROM events GROUP BY event_type, user_id
+),
+m AS (
+  SELECT event_type, user_id AS mode_user,
+         row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS rn
+  FROM c
+)
+SELECT e.event_type,
+       max(m.mode_user) AS mode_user,
+       round(median(e.value), 4) AS median_value
+FROM events e JOIN m ON e.event_type = m.event_type AND m.rn = 1
+GROUP BY e.event_type
+""",
+)
+def agg_mode_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family widening: deterministic MODE (most frequent user per
+    event type, ties → smallest user_id — built-in mode() is
+    tie-nondeterministic, so we spell it out) and exact interpolated
+    MEDIAN. Mode rides a two-level map-side-combinable count +
+    max_by(user, (n, -user)); median is one percentile pass. Both
+    shuffle bounded by group cardinality.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    mode = counts.groupBy("event_type").agg(
+        F.max_by("user_id", F.struct(F.col("n"), (-F.col("user_id")).alias("nu"))).alias(
+            "mode_user"
+        )
+    )
+    med = ev.groupBy("event_type").agg(
+        F.round(F.median("value"), 4).alias("median_value")
+    )
+    return mode.join(med, "event_type").select(
+        "event_type", "mode_user", "median_value"
+    )

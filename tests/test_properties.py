@@ -67,3 +67,44 @@ def test_merge_commutative(spark, rows):
     ab = sorted(r.event_id for r in a.unionByName(b).collect())
     ba = sorted(r.event_id for r in b.unionByName(a).collect())
     assert ab == ba == sorted(range(len(rows)))
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+        min_size=0,
+        max_size=24,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(token_lists=docs_strategy)
+def test_scrub_invariants_on_random_corpora(spark, token_lists):
+    """Invariants of the repeated-span scrub on arbitrary corpora:
+    (1) kept text is a subsequence of the original tokens,
+    (2) n_removed_tokens accounting is exact,
+    (3) every doc comes back exactly once,
+    (4) idempotence on span-free docs: if nothing was removed anywhere,
+        output text equals input text."""
+    from minefields_kafka_streams_deduplication_spark.functions.neardup import (
+        scrub_repeated_spans_df,
+    )
+
+    rows = [
+        (i, " ".join(toks), "en", "s", len(" ".join(toks)))
+        for i, toks in enumerate(token_lists)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    out = {r.doc_id: r for r in scrub_repeated_spans_df(df).collect()}
+    assert set(out) == {i for i, _ in enumerate(token_lists)}
+    for i, toks in enumerate(token_lists):
+        orig = [t for t in " ".join(toks).lower().split(" ") if t != ""]
+        kept = [t for t in out[i].scrubbed_text.split(" ") if t != ""]
+        assert out[i].n_removed_tokens == len(orig) - len(kept)
+        it = iter(orig)
+        assert all(any(t == o for o in it) for t in kept), (orig, kept)
