@@ -524,17 +524,23 @@ def scrub_repeated_spans_df(docs: DataFrame) -> DataFrame:
     <n-token copy has no windows (passes through) — proven by the
     keep_doc ≤ rep < copy ordering. 100× probe: 250 s → linear.
     """
+    from pyspark.sql import Window
+
     n = SCRUB_SPAN_TOKENS
     all_toks = docs.select(
         "doc_id", F.split(F.lower("text"), " ").alias("t"), F.md5(F.lower("text")).alias("th")
     )
-    # No broadcast hint on the rep set: it is proportional to DISTINCT
-    # docs (huge at scale); Catalyst/AQE picks the strategy.
-    rep_ids = all_toks.groupBy("th").agg(F.min("doc_id").alias("doc_id"))
-    toks = all_toks.join(rep_ids.select("doc_id"), "doc_id", "left_semi").select(
-        "doc_id", "t"
+    # Representative flag via a min-over-text-hash window rather than
+    # groupBy + semi/anti joins: one exchange on th, shared by BOTH
+    # branches through ReuseExchange (the join form re-scanned and
+    # re-split the corpus three times — measured 2.05 → 1.31 s at
+    # sf0.1). No broadcast anywhere: the rep set is proportional to
+    # DISTINCT docs (huge at scale).
+    flagged = all_toks.withColumn(
+        "rep_id", F.min("doc_id").over(Window.partitionBy("th"))
     )
-    copies = all_toks.join(rep_ids.select("doc_id"), "doc_id", "left_anti").select(
+    toks = flagged.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "t")
+    copies = flagged.filter(F.col("doc_id") != F.col("rep_id")).select(
         "doc_id",
         F.when(F.size("t") >= n, F.lit("")).otherwise(F.concat_ws(" ", "t")).alias(
             "scrubbed_text"
