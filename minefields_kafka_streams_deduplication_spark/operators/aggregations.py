@@ -1282,3 +1282,76 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'discount', l_discount) as (measure, value)"
         ),
     )
+
+
+@query("agg_hll_mergeable_daily")  # rows-only: sketch binary is engine-specific
+def agg_hll_mergeable_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch aggregation (Apache DataSketches HLL, built into
+    Spark 3.5+): per-day distinct-user sketches UNIONED into per-week
+    estimates — the 100 TB pattern for distinct counts, because daily
+    sketches (KBs each) materialize once and any rollup
+    (week/month/campaign) is a cheap reaggregation of sketches instead
+    of a rescan of raw events. [R windowed count-distinct has no exact
+    mergeable form; HLL union is the industry answer.]
+
+    Output: (week, est_users, exact_users, rel_err) — the exact count
+    rides along so the driver row itself witnesses the sketch's
+    accuracy (rel_err < 5% asserted in tests).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.weekofyear("ts").alias("week"), F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("week", "day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    weekly_est = daily.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    )
+    weekly_exact = ev.groupBy("week").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        weekly_est.join(weekly_exact, "week")
+        .select(
+            "week",
+            "est_users",
+            "exact_users",
+            F.round(
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("week")
+    )
+
+
+CMS_EPS = 0.001  # relative error vs total count
+CMS_CONF = 0.99
+CMS_SEED = 42
+
+
+@query("agg_countmin_type_freq")  # rows-only: sketch binary is engine-specific
+def agg_countmin_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (Cormode-Muthukrishnan;
+    Spark's count_min_sketch agg): one fixed-size sketch of the
+    event_type stream, point-queried per type. At 100 TB the sketch is
+    the shuffle payload (KBs) instead of a per-key count table — the
+    heavy-hitters primitive for unbounded key domains.
+
+    The per-type probe runs through the JVM CountMinSketch reader on
+    the driver over a KB-sized byte array — bounded work independent of
+    corpus size. Estimate >= true count always (CMS overcounts only);
+    tests pin both bounds.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sk_row = ev.agg(
+        F.count_min_sketch(
+            "event_type", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(CMS_SEED)
+        ).alias("sk")
+    ).collect()[0]
+    sc = spark.sparkContext
+    jsk = sc._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk_row.sk)
+    )
+    types = [r.event_type for r in ev.select("event_type").distinct().collect()]
+    est = [(t, int(jsk.estimateCount(t))) for t in sorted(types)]
+    return spark.createDataFrame(est, "event_type STRING, est_count LONG")

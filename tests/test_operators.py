@@ -166,3 +166,33 @@ def test_rolling_distinct_users_window_semantics(spark, monkeypatch):
         for r in analytic.rolling_distinct_users_7d(spark, "ignored").collect()
     }
     assert out == {"2024-01-01": 2, "2024-01-09": 1}
+
+
+def test_hll_weekly_rollup_accuracy(spark, sf_dir):
+    import minefields_kafka_streams_deduplication_spark as engine
+
+    rows = engine.get_queries()["agg_hll_mergeable_daily"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.rel_err < 0.05, (r.week, r.rel_err)
+
+
+def test_countmin_estimates_bound_true_counts(spark, sf_dir):
+    import minefields_kafka_streams_deduplication_spark as engine
+
+    exact = {
+        r.event_type: r.n
+        for r in engine.load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    est = {
+        r.event_type: r.est_count
+        for r in engine.get_queries()["agg_countmin_type_freq"](spark, sf_dir).collect()
+    }
+    total = sum(exact.values())
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        assert est[t] >= n  # CMS never undercounts
+        assert est[t] <= n + 0.01 * total  # eps * total overcount bound
