@@ -13,6 +13,7 @@ from .sinks import (  # noqa: F401
 from .formats import read_any, SUPPORTED_FORMATS  # noqa: F401
 from .kafka import (  # noqa: F401
     events_from_kafka,
+    events_to_kafka,
     parse_event_payload,
     serialize_event_payload,
 )

@@ -140,3 +140,29 @@ def kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     wire = serialize_event_payload(ev)
     return parse_event_payload(wire).drop("headers")
+
+
+def events_to_kafka(
+    events: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+):
+    """Streaming Kafka sink [R KStream#to(topic, Produced.with(serdes))]:
+    serializes typed event rows through `serialize_event_payload` (the
+    same serde pair `kafka_wire_roundtrip` proves bit-exact) and starts
+    the streaming write. Untestable here (no broker in this container)
+    for the same reason as `events_from_kafka`; on a cluster this is
+    the only line that changes between file-replay and live-topic
+    deployments. Returns the StreamingQuery.
+    """
+    wire = serialize_event_payload(events)
+    return (
+        wire.selectExpr("key", "value", "headers")
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("includeHeaders", "true")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
