@@ -145,3 +145,42 @@ def window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+SLIDING_TRAIL_MINUTES = 30
+
+
+@query(
+    "window_sliding_event_anchored",
+    oracle=f"""
+SELECT event_id, user_id,
+       count(*) OVER w AS n_trailing,
+       round(sum(value) OVER w, 4) AS v_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL {SLIDING_TRAIL_MINUTES} MINUTES PRECEDING
+             AND CURRENT ROW)
+""",
+)
+def window_sliding_event_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 true-sliding form [R SlidingWindows.ofTimeDifferenceWithNoGrace
+    — KS 2.7+]: unlike hopping windows (fixed grid), a sliding window is
+    ANCHORED AT EACH EVENT — per event, aggregate everything from the
+    same key in the trailing interval. That is exactly a RANGE-frame
+    window over event time: one shuffle on the key, no window-grid
+    explosion, peers with equal timestamps treated identically in Spark
+    and the oracle (RANGE semantics).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = SLIDING_TRAIL_MINUTES * 60 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-us, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_trailing"),
+        F.round(F.sum("value").over(w), 4).alias("v_trailing"),
+    )
