@@ -153,3 +153,26 @@ def merge_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = ev.filter(F.col("event_type") == "view")
     purchases = ev.filter(F.col("event_type") == "purchase")
     return views.unionByName(purchases)
+
+
+@query(
+    "explode_tokens_with_position",
+    oracle="""
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS token
+FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents) s
+CROSS JOIN unnest(range(1, len(t) + 1)) AS u(i)
+""",
+)
+def explode_tokens_with_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 positional form: posexplode keeps each element's index — the
+    building block for span/position-aware text ops (the repeated-span
+    scrub's mark join keys on exactly this (doc, pos) shape). Pure
+    codegen generator, zero shuffle.
+    """
+    from ..catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "token"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")

@@ -262,3 +262,25 @@ def dedup_batch_custom_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("k.event_id", "k.ts_us", "user_id", "event_type", "k.value")
     )
+
+
+@query("dedup_stream_global")  # rows-only: unbounded-state streaming op
+def dedup_stream_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 streaming twin [R dedup store with INFINITE retention]:
+    `dropDuplicates` (no watermark) keeps every seen key in state
+    forever — the semantics a KS app gets from a non-windowed
+    persistent KeyValueStore. Deliberately registered NEXT TO the
+    watermarked form (D4): infinite retention is correct-but-unbounded,
+    which is exactly the trade the reference's minefield teaches —
+    state grows with distinct keys, so production pipelines take D4's
+    watermark eviction. Parity with batch `dedup_exact`'s key-set is
+    pinned in tests/test_streaming.py.
+    """
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .dropDuplicates(BUSINESS_KEY)
+    )
+    return run_to_memory(
+        stream, "dedup_stream_global", partitions=stream_partitions(spark, sf_dir)
+    )

@@ -277,3 +277,13 @@ def test_changelog_stream_final_state_matches_latest_by_key(spark, sf_dir):
     for k, (v, ts) in batch.items():
         assert final[k][1] == ts
         assert abs(final[k][0] - v) < 1e-12
+
+
+def test_global_stream_dedup_matches_batch_keyset(spark, sf_dir):
+    """Infinite-retention stream dedup keeps exactly one row per
+    business key — same key-set as batch D1."""
+    rows = engine.get_queries()["dedup_stream_global"](spark, sf_dir).collect()
+    keys = [(r.user_id, r.event_type, r.value) for r in rows]
+    assert len(keys) == len(set(keys))
+    batch = engine.get_queries()["dedup_exact"](spark, sf_dir).collect()
+    assert set(keys) == {(r.user_id, r.event_type, r.value) for r in batch}
