@@ -380,3 +380,58 @@ def importance_weight_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum("w"), 6).alias("dsir_weight"))
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus dedup pipeline (the composed production run).
+# ---------------------------------------------------------------------------
+
+
+@query("corpus_dedup_pipeline_report")  # rows-only: composes hash-based stages
+def corpus_dedup_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training dedup run — what a user actually
+    executes over a crawl, as ONE query: stage 1 exact dedup (md5
+    winner-set), stage 2 MinHash-LSH near-dup removal over the exact
+    survivors, stage 3 cross-doc repeated-span scrub over the remaining
+    docs, reported as (stage, docs_in, docs_out, removed_docs,
+    tokens_removed). Every stage is the engine's own registered
+    operator (operators/dedup.py, functions/neardup.py) — this query
+    adds composition, not new semantics; invariants (monotone doc
+    counts, stage-1 parity with dedup_text_exact) are pinned in
+    tests/test_pipeline.py.
+
+    Scale shape is each stage's documented shape; stages communicate by
+    doc_id (anti-join on loser ids), so no stage re-shuffles bodies the
+    previous one already collapsed.
+    """
+    from ..operators.dedup import dedup_text_exact
+    from .neardup import dedup_text_minhash, scrub_repeated_spans_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    exact_survivors = dedup_text_exact(spark, sf_dir).select("doc_id")
+    n1 = exact_survivors.count()
+
+    near_survivors = (
+        dedup_text_minhash(spark, sf_dir)
+        .select("doc_id")
+        .join(exact_survivors, "doc_id", "left_semi")
+    )
+    n2 = near_survivors.count()
+
+    remaining = docs.join(near_survivors, "doc_id", "left_semi")
+    scrubbed = scrub_repeated_spans_df(remaining)
+    tokens_removed = scrubbed.agg(
+        F.coalesce(F.sum("n_removed_tokens"), F.lit(0)).alias("t")
+    ).collect()[0].t
+
+    report = [
+        ("1_exact_dedup", n0, n1, n0 - n1, 0),
+        ("2_minhash_near_dedup", n1, n2, n1 - n2, 0),
+        ("3_span_scrub", n2, n2, 0, int(tokens_removed)),
+    ]
+    return spark.createDataFrame(
+        report,
+        "stage STRING, docs_in LONG, docs_out LONG, removed_docs LONG, tokens_removed LONG",
+    )

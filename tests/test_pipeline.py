@@ -118,3 +118,27 @@ def test_dsir_weight_orders_target_like_docs(spark, monkeypatch):
     }
     # doc 0 is pure target vocab, doc 2 half, doc 1 none.
     assert w[0] > w[2] > w[1]
+
+
+def test_corpus_pipeline_report_invariants(spark, sf_dir):
+    """Stages must chain: docs_out(i) == docs_in(i+1), counts monotone,
+    stage-1 parity with the standalone exact dedup."""
+    import minefields_kafka_streams_deduplication_spark as engine
+
+    rows = {
+        r.stage: r
+        for r in engine.get_queries()["corpus_dedup_pipeline_report"](
+            spark, sf_dir
+        ).collect()
+    }
+    s1, s2, s3 = (
+        rows["1_exact_dedup"],
+        rows["2_minhash_near_dedup"],
+        rows["3_span_scrub"],
+    )
+    assert s1.docs_out == s2.docs_in and s2.docs_out == s3.docs_in
+    assert s1.docs_in >= s1.docs_out >= s2.docs_out
+    assert s1.removed_docs == s1.docs_in - s1.docs_out
+    exact = engine.get_queries()["dedup_text_exact"](spark, sf_dir).count()
+    assert s1.docs_out == exact
+    assert s3.tokens_removed >= 0
