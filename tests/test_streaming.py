@@ -287,3 +287,55 @@ def test_global_stream_dedup_matches_batch_keyset(spark, sf_dir):
     assert len(keys) == len(set(keys))
     batch = engine.get_queries()["dedup_exact"](spark, sf_dir).collect()
     assert set(keys) == {(r.user_id, r.event_type, r.value) for r in batch}
+
+
+def test_left_interval_stream_superset_of_inner(spark, sf_dir):
+    """J4 left-outer streaming: matched pairs == inner streaming join;
+    unmatched views carry NULL purchase."""
+    left = engine.get_queries()["join_interval_stream_left"](spark, sf_dir).collect()
+    inner = engine.get_queries()["join_interval_stream"](spark, sf_dir).collect()
+    left_matched = {(r.view_id, r.purchase_id) for r in left if r.purchase_id is not None}
+    assert left_matched == {(r.view_id, r.purchase_id) for r in inner}
+    assert any(r.purchase_id is None for r in left), "no null emission"
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """Stream-static enrichment (complete mode) must equal the same
+    broadcast join + count run in batch."""
+    from pyspark.sql import functions as F
+
+    got = {
+        r.c_nationkey: r.n_events
+        for r in engine.get_queries()["join_stream_static"](spark, sf_dir).collect()
+    }
+    ev = engine.load_table(spark, sf_dir, "events")
+    customer = engine.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    batch = {
+        r.c_nationkey: r.n_events
+        for r in ev.join(customer, F.col("user_id") == F.col("c_custkey"), "left")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert got == batch
+
+
+def test_update_counts_final_state_matches_batch(spark, sf_dir):
+    """Update-mode streaming counts: last emission per key must equal the
+    batch group count."""
+    from pyspark.sql import functions as F
+
+    rows = engine.get_queries()["agg_stream_update_counts"](spark, sf_dir).collect()
+    final = {}
+    for r in rows:
+        final[r.event_type] = r.cnt
+    batch = {
+        r.event_type: r.n
+        for r in engine.load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == batch

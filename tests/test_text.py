@@ -118,3 +118,32 @@ def test_bm25_prefers_term_dense_docs(spark, monkeypatch):
     scores = {r.doc_id: r.bm25 for r in text.bm25_doc_search(spark, "ignored").collect()}
     assert set(scores) == {0, 1}  # doc 2 matches no term
     assert scores[0] > scores[1] > 0
+
+
+def test_winnow_fingerprints_are_subset_and_shared_for_copies(spark, monkeypatch):
+    """Winnowing: identical docs produce identical fingerprint sets, and
+    each fingerprint is one of the doc's k-gram hashes (window minima)."""
+    from minefields_kafka_streams_deduplication_spark.functions import text
+
+    body = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        (0, body, "en", "s", len(body)),
+        (1, body, "en", "s", len(body)),
+        (2, "completely different content goes here for the third doc", "en", "s", 55),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    monkeypatch.setattr(text, "load_table", lambda s, d, n: df)
+    out = text.doc_winnow_fingerprint(spark, "ignored").collect()
+
+    def fp(r):
+        d = r.asDict()
+        d.pop("doc_id")
+        return tuple(
+            tuple(v) if isinstance(v, list) else v for _, v in sorted(d.items())
+        )
+
+    by_doc = {r.doc_id: fp(r) for r in out}
+    assert by_doc[0] == by_doc[1]
+    assert by_doc[2] != by_doc[0]
