@@ -1355,3 +1355,35 @@ def agg_countmin_type_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     types = [r.event_type for r in ev.select("event_type").distinct().collect()]
     est = [(t, int(jsk.estimateCount(t))) for t in sorted(types)]
     return spark.createDataFrame(est, "event_type STRING, est_count LONG")
+
+
+@query(
+    "agg_grouping_id_rollup",
+    oracle="""
+SELECT coalesce(event_type, '(all)') AS event_type,
+       CASE WHEN GROUPING(event_type) = 1 THEN 1 ELSE 0 END AS is_total,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events
+GROUP BY ROLLUP (event_type)
+""",
+)
+def agg_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 companion: grouping()/grouping_id() — the standard way a
+    rollup consumer distinguishes a real NULL group from a subtotal
+    row. Same single-pass expand as plain rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(
+            F.grouping("event_type").cast("int").alias("is_total"),
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            "is_total",
+            "n",
+            "total_value",
+        )
+    )

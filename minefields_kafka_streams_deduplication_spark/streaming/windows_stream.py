@@ -412,3 +412,43 @@ def table_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         partitions=stream_partitions(spark, sf_dir),
         output_mode="update",
     )
+
+
+@query("join_interval_stream_right")  # rows-only: outer stream-stream join smoke
+def join_interval_stream_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 right-outer form — the mirror of `join_interval_stream_left`:
+    purchases with no preceding view within the bound emit with NULL
+    view on window close. Completes the inner/left/right/full
+    stream-stream matrix [R KStream join/leftJoin/outerJoin; KS has no
+    rightJoin verb — a KS user writes other.leftJoin(this), which is
+    exactly what this plan is]."""
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", WATERMARK_DELAY)
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK_DELAY)
+    )
+    joined = views.join(
+        purchases,
+        (purchases.user_id == views.v_user_id)
+        & (purchases.p_ts >= views.v_ts)
+        & (purchases.p_ts <= views.v_ts + F.expr("INTERVAL 10 MINUTES")),
+        "rightOuter",
+    ).select("view_id", "purchase_id", "user_id")
+    return run_to_memory(
+        joined, "join_interval_stream_right", partitions=stream_partitions(spark, sf_dir)
+    )

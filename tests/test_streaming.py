@@ -339,3 +339,13 @@ def test_update_counts_final_state_matches_batch(spark, sf_dir):
         .collect()
     }
     assert final == batch
+
+
+def test_right_interval_stream_mirrors_left(spark, sf_dir):
+    """Right-outer: matched pairs equal the inner join; unmatched
+    purchases emit with NULL view."""
+    right = engine.get_queries()["join_interval_stream_right"](spark, sf_dir).collect()
+    inner = engine.get_queries()["join_interval_stream"](spark, sf_dir).collect()
+    matched = {(r.view_id, r.purchase_id) for r in right if r.view_id is not None}
+    assert matched == {(r.view_id, r.purchase_id) for r in inner}
+    assert any(r.view_id is None for r in right), "no right-side null emission"
