@@ -17,7 +17,7 @@ state, mirroring the reference's Processor-API dedup transformer).
 """
 
 from .session import get_spark, tune
-from .catalog import TABLES, load_table, load_tables, register_views
+from .catalog import TABLES, dec6, load_table, load_tables, register_views
 from .registry import QUERIES, ORACLES, query, get_queries, get_oracles
 
 # Importing these modules registers every query in the registry.
@@ -34,6 +34,7 @@ __all__ = [
     "get_spark",
     "tune",
     "TABLES",
+    "dec6",
     "load_table",
     "load_tables",
     "register_views",

@@ -80,6 +80,27 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def dec6(col) -> F.Column:
+    """Cast a float column to DECIMAL(18,6) for order-independent sums.
+
+    Float summation order differs between Spark's partial aggregates and
+    DuckDB's sequential/segment-tree sums — and across fixture
+    regenerations — so a per-group `round(sum(double), 4)` can straddle a
+    rounding boundary on one engine and not the other (observed:
+    CORRECTNESS_r02 `window_session_sql` hash mismatch with rows+schema
+    green). DECIMAL addition is exact and associative, so summing the
+    6-decimal cast is identical under any grouping/order; the final
+    `round(...).cast("double")` keeps the published schema. No finite
+    double sits exactly on a 6-decimal tie (x.xxxxxx5 has no exact binary
+    representation), so Spark and DuckDB round the cast identically.
+
+    Oracle mirror: ``round(sum(CAST(x AS DECIMAL(18,6))), s)`` then
+    ``CAST(... AS DOUBLE)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,6)")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with normalized types."""
     tune(spark)

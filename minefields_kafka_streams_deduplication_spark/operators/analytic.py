@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import dec6, load_table
 from ..registry import query
 
 
@@ -203,8 +203,10 @@ def lag_time_between_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_total_by_user",
     oracle="""
 SELECT event_id, user_id, ts,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  4) AS DOUBLE) AS running_value
 FROM events
 """,
 )
@@ -217,7 +219,10 @@ def running_total_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return ev.select(
-        "event_id", "user_id", "ts", F.round(F.sum("value").over(w), 4).alias("running_value")
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum(dec6("value")).over(w), 4).cast("double").alias("running_value"),
     )
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import dec6, load_table
 from ..registry import query
 
 
@@ -21,7 +21,7 @@ from ..registry import query
     oracle="""
 SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
        count(*) AS n_events,
-       round(sum(value), 4) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1
 """,
@@ -33,7 +33,10 @@ def window_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 day").alias("w"))
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(dec6("value")), 4).cast("double").alias("total_value"),
+        )
         .select(F.col("w.start").cast("date").alias("day"), "n_events", "total_value")
     )
 
@@ -44,7 +47,7 @@ def window_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT window_start,
        window_start + INTERVAL 1 HOUR AS window_end,
        count(*) AS n_events,
-       round(sum(value), 4) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
 FROM (
   SELECT ts, value,
          time_bucket(INTERVAL '15 minutes', ts) - to_minutes(15 * k) AS window_start
@@ -64,7 +67,10 @@ def window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(dec6("value")), 4).cast("double").alias("total_value"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
@@ -94,11 +100,11 @@ sessions AS (
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 )
-SELECT user_id, session_id,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        count(*) AS n_events,
        min(ts) AS session_start,
        max(ts) AS session_end,
-       round(sum(value), 4) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
 FROM sessions
 GROUP BY user_id, session_id
 """,
@@ -123,7 +129,7 @@ def window_session_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.sum(dec6("value")), 4).cast("double").alias("total_value"),
         )
     )
 
@@ -136,7 +142,10 @@ def window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes").alias("w"))
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(dec6("value")), 4).cast("double").alias("total_value"),
+        )
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
@@ -155,7 +164,7 @@ SLIDING_TRAIL_MINUTES = 30
     oracle=f"""
 SELECT event_id, user_id,
        count(*) OVER w AS n_trailing,
-       round(sum(value) OVER w, 4) AS v_trailing
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 4) AS DOUBLE) AS v_trailing
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL {SLIDING_TRAIL_MINUTES} MINUTES PRECEDING
@@ -182,5 +191,5 @@ def window_sliding_event_anchored(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_id",
         "user_id",
         F.count("*").over(w).alias("n_trailing"),
-        F.round(F.sum("value").over(w), 4).alias("v_trailing"),
+        F.round(F.sum(dec6("value")).over(w), 4).cast("double").alias("v_trailing"),
     )

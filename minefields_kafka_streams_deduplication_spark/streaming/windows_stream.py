@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import dec6
 from ..registry import query
 from .source import read_events_stream, run_to_memory, stream_partitions
 
@@ -27,7 +28,10 @@ def window_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream(spark, sf_dir)
         .withWatermark("ts", WATERMARK_DELAY)
         .groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(dec6("value")), 4).cast("double").alias("total_value"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),

@@ -222,16 +222,15 @@ def test_session_native_matches_sql_form(spark, sf_dir):
     same (user, session boundaries, counts) as the SQL islands form."""
     import minefields_kafka_streams_deduplication_spark as engine
 
-    native = sorted(
-        map(tuple, engine.get_queries()["window_session_native"](spark, sf_dir).collect())
-    )
-    sql = sorted(
-        map(tuple, engine.get_queries()["window_session_sql"](spark, sf_dir).collect())
-    )
-    n_cols = engine.get_queries()["window_session_native"](spark, sf_dir).columns
-    s_cols = engine.get_queries()["window_session_sql"](spark, sf_dir).columns
-    if n_cols == s_cols:
-        assert native == sql
-    else:
-        # schemas differ; compare the shared session-count signature
-        assert len(native) == len(sql)
+    # Project both forms onto the shared exact signature and compare
+    # VALUES. (session_end differs by design: native w.end = last ts +
+    # gap, SQL form = max(ts) — so it is excluded, not silently skipped.)
+    sig = ["user_id", "session_start", "n_events", "total_value"]
+    native_df = engine.get_queries()["window_session_native"](spark, sf_dir)
+    sql_df = engine.get_queries()["window_session_sql"](spark, sf_dir)
+    for col in sig:
+        assert col in native_df.columns, f"native form lost column {col}"
+        assert col in sql_df.columns, f"sql form lost column {col}"
+    native = sorted(map(tuple, native_df.select(*sig).collect()))
+    sql = sorted(map(tuple, sql_df.select(*sig).collect()))
+    assert native == sql

@@ -117,7 +117,10 @@ def test_tumbling_append_stream_matches_batch_after_close(spark, sf_dir):
     ev = engine.load_table(spark, sf_dir, "events")
     batch = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(engine.dec6("value")), 4).cast("double").alias("total_value"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
