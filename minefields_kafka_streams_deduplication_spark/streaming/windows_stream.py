@@ -374,15 +374,21 @@ def table_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
     import tempfile
-    import uuid
 
     from ..catalog import load_table
     from .source import run_to_memory, stream_partitions
 
-    # Stage the events as time-ordered chunks (the "topic").
+    # Stage the events as time-ordered chunks (the "topic"). The staged
+    # path is keyed on the fixture's IDENTITY — full path plus the
+    # source file's (mtime, size) fingerprint — like _staged_events_dir,
+    # so a driver fixture regeneration (or two sf_dirs sharing a
+    # basename) re-stages instead of silently replaying stale chunks.
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = sf_dir.strip("/").replace("/", "_")
     staged = os.path.join(
         tempfile.gettempdir(),
-        f"changelog_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"changelog_{key}_{st.st_mtime_ns}_{st.st_size}",
     )
     if not os.path.exists(os.path.join(staged, "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events")

@@ -46,15 +46,10 @@ class StreamsBuilder:
         return KStream(load_table(self.spark, self.sf_dir, name))
 
     def table(self, name: str, key: str, ts: str) -> "KTable":
-        """[R StreamsBuilder#table]: changelog → latest row per key."""
-        from pyspark.sql import Window
-
-        df = load_table(self.spark, self.sf_dir, name)
-        w = Window.partitionBy(key).orderBy(F.desc(ts))
-        latest = df.withColumn("__rn", F.row_number().over(w)).filter(
-            F.col("__rn") == 1
-        ).drop("__rn")
-        return KTable(latest, key)
+        """[R StreamsBuilder#table]: changelog → latest row per key.
+        Delegates to KStream.to_table so the deterministic timestamp
+        tiebreak lives in exactly one place."""
+        return KStream(load_table(self.spark, self.sf_dir, name), key).to_table(ts)
 
     def global_table(self, name: str, key: str) -> "KTable":
         """[R StreamsBuilder#globalTable]: replicated dimension —
@@ -147,13 +142,21 @@ class KStream:
         dedup/windows, which is what a stateful Processor becomes."""
         return self._with(self.df.mapInPandas(fn, schema))
 
-    def to_table(self, ts: str = "ts") -> "KTable":
-        """[R KStream#toTable]: stream → changelog view (latest per key)."""
+    def to_table(self, ts: str = "ts", tiebreak: str | None = None) -> "KTable":
+        """[R KStream#toTable]: stream → changelog view (latest per key).
+
+        Ties on `ts` are broken by `tiebreak` (default: `event_id` when
+        present) so the winner is deterministic run-to-run and agrees
+        with the engine's `latest_by_key` (ADVICE r2: ORDER BY ts DESC
+        alone picks an arbitrary row among equal timestamps)."""
         if not self.key:
             raise ValueError("to_table needs select_key() first")
         from pyspark.sql import Window
 
-        w = Window.partitionBy(self.key).orderBy(F.desc(ts))
+        if tiebreak is None and "event_id" in self.df.columns:
+            tiebreak = "event_id"
+        order = [F.desc(ts)] + ([F.desc(tiebreak)] if tiebreak else [])
+        w = Window.partitionBy(self.key).orderBy(*order)
         latest = (
             self.df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -243,10 +246,17 @@ class KTable:
         side's primary key). KS runs a two-hop subscription/response
         topology to keep it incrementally correct; Catalyst just joins
         on the extracted key — broadcast when the dimension side is
-        small (the globalTable wrapper already carries the hint)."""
-        return KTable(
-            self.df.join(other.df, F.col(fk) == F.col(other.key), how), self.key
-        )
+        small (the globalTable wrapper already carries the hint).
+
+        The join condition uses frame-QUALIFIED columns and the
+        dimension-side key is dropped afterwards, so chained fk_joins
+        through tables sharing column names neither throw
+        AMBIGUOUS_REFERENCE nor carry duplicate key columns (ADVICE r2).
+        """
+        joined = self.df.join(
+            other.df, self.df[fk] == other.df[other.key], how
+        ).drop(other.df[other.key])
+        return KTable(joined, self.key)
 
     def suppress(self) -> "KTable":
         """[R KTable#suppress(Suppressed.untilWindowCloses)]: emit only

@@ -73,6 +73,98 @@ def test_fake_codec_used_when_pillow_absent():
     assert out.width.iloc[0] > 0 and out.height.iloc[0] > 0
 
 
+def test_bmp_roundtrip_pure_python():
+    """REAL codec, no external libs: encode a 24-bit BMP, decode it,
+    recover exact dimensions; corrupted magic falls through to None."""
+    from minefields_kafka_streams_deduplication_spark.multimodal.binary_ops import (
+        _decode_bmp,
+        _encode_bmp,
+    )
+
+    payload = _encode_bmp(13, 7, b"seed-bytes")
+    got = _decode_bmp(payload)
+    assert got is not None and (got[0], got[1]) == (13, 7)
+    assert _decode_bmp(payload) == got  # deterministic
+    assert _decode_bmp(b"XX" + payload[2:]) is None  # bad magic
+    assert _decode_bmp(payload[:40]) is None  # truncated header
+
+
+def test_decode_tier_prefers_bmp_codec():
+    from minefields_kafka_streams_deduplication_spark.multimodal.binary_ops import (
+        _encode_bmp,
+    )
+
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [_encode_bmp(5, 4, b"abc")]})
+    out = pd.concat(list(decode_binary_batches(iter([pdf]))))
+    assert out.codec.iloc[0] == "bmp"
+    assert (out.width.iloc[0], out.height.iloc[0]) == (5, 4)
+
+
+def test_wav_roundtrip_pure_python():
+    """PCM16 WAV: encode a known sine, parse it back, features match the
+    analytic values (rms of a full-cycle sine = amp/sqrt(2))."""
+    import numpy as np
+
+    from minefields_kafka_streams_deduplication_spark.multimodal.binary_ops import (
+        _encode_wav,
+        _parse_wav,
+    )
+
+    n, amp = 8000, 10000.0
+    t = np.arange(n) / 8000.0
+    samples = (amp * np.sin(2 * np.pi * 100.0 * t)).astype("<i2")
+    payload = _encode_wav(samples, 8000)
+    parsed = _parse_wav(payload)
+    assert parsed is not None
+    got, rate = parsed
+    assert rate == 8000 and len(got) == n
+    assert np.allclose(got, samples.astype(np.float64))
+    assert abs(np.sqrt((got**2).mean()) - amp / np.sqrt(2)) < amp * 0.01
+    assert _parse_wav(b"not riff data" * 10) is None
+
+
+def test_audio_kernel_tags_wav_codec():
+    from minefields_kafka_streams_deduplication_spark.multimodal.binary_ops import (
+        AUDIO_WINDOW_SAMPLES,
+        _encode_wav,
+    )
+
+    payload = _encode_wav([1000] * (AUDIO_WINDOW_SAMPLES * 2))
+    pdf = pd.DataFrame({"doc_id": [3], "payload": [payload]})
+    out = pd.concat(list(audio_feature_batches(iter([pdf]))))
+    assert (out.codec == "wav").all()
+    assert len(out) == 2
+    assert (out.rms == 1000.0).all() and (out.peak == 1000).all()
+
+
+def test_decode_bmp_query_end_to_end(spark, sf_dir):
+    """VERDICT r2 #7 done-criterion: multimodal decode emits codec='bmp'
+    rows end-to-end through Spark without external libs."""
+    import minefields_kafka_streams_deduplication_spark as engine
+
+    out = engine.get_queries()["multimodal_decode_bmp"](spark, sf_dir).collect()
+    n_docs = engine.load_table(spark, sf_dir, "documents").count()
+    assert len(out) == n_docs
+    assert all(r.codec == "bmp" for r in out)
+    assert all(r.width >= 2 and r.height >= 2 for r in out)
+    # dimensions are the deterministic function of doc_id the synth used
+    from minefields_kafka_streams_deduplication_spark.multimodal.binary_ops import (
+        BMP_MAX_EDGE,
+    )
+
+    for r in out[:20]:
+        assert r.width == r.doc_id % (BMP_MAX_EDGE - 1) + 2
+        assert r.height == r.doc_id // 7 % (BMP_MAX_EDGE - 1) + 2
+
+
+def test_audio_wav_query_end_to_end(spark, sf_dir):
+    import minefields_kafka_streams_deduplication_spark as engine
+
+    out = engine.get_queries()["multimodal_audio_wav"](spark, sf_dir).collect()
+    assert out and all(r.codec == "wav" for r in out)
+    assert all(r.rms > 0 for r in out)
+
+
 def test_frame_sample_fanout_bounded():
     payload = bytes(range(256)) * 64  # 16384 bytes → 256 frames
     pdf = pd.DataFrame({"doc_id": [7], "payload": [payload]})

@@ -85,6 +85,18 @@ def test_vector_queries_have_no_driver_collect(spark, sf_dir):
     assert jobs == [], jobs
 
 
+def test_two_phase_rank_reuses_shared_exchange(spark, sf_dir):
+    """VERDICT r2 #5: the two-phase global rank consumes the same
+    filtered-aggregate subtree from several branches (ranked rows,
+    per-partition counts, offsets, total). The executed AQE plan must
+    dedup those consumers via ReusedExchange so the heavy scan+agg+
+    range-shuffle runs once, not once per branch."""
+    df = engine.get_queries()["rank_users_by_spend"](spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, "shared subtree re-executed per branch"
+
+
 def test_countmin_probe_is_bounded(spark, sf_dir):
     # VERDICT r2: the CMS probe enumerated the key domain with
     # distinct().collect() — a driver collect proportional to key

@@ -148,6 +148,22 @@ def test_to_table_matches_builder_table(spark, sf_dir):
     )
 
 
+def test_to_table_tiebreak_deterministic(spark):
+    """ADVICE r2: equal timestamps must have a deterministic winner that
+    agrees with the engine's latest_by_key (max event_id)."""
+    import datetime as dt
+
+    from minefields_kafka_streams_deduplication_spark.topology import KStream
+
+    t0 = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [(1, t0, 7, "a", 1.0), (2, t0, 7, "b", 2.0)],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE",
+    )
+    out = KStream(events, "user_id").to_table().to_df().collect()
+    assert len(out) == 1 and out[0].event_id == 2
+
+
 def test_table_table_fk_join_matches_engine_query(spark, sf_dir):
     """[R KTable#join(KTable, foreignKeyExtractor)]: facade FK join over
     orders→nation must reproduce the engine's join_fk_orders_nation."""
