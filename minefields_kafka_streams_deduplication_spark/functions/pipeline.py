@@ -13,7 +13,7 @@ invariant tests (tests/test_pipeline.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -434,4 +434,152 @@ def corpus_dedup_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         report,
         "stage STRING, docs_in LONG, docs_out LONG, removed_docs LONG, tokens_removed LONG",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality scoring (perplexity-style filter).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_unigram_logprob",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+),
+doc_tf AS (
+  SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+),
+vocab AS (
+  SELECT t, CAST(ln(sum(c)) AS DECIMAL(18,6)) AS lp, sum(c) AS cnt
+  FROM doc_tf GROUP BY t
+),
+tot AS (
+  SELECT CAST(ln(sum(cnt)) AS DECIMAL(18,6)) AS lt FROM vocab
+),
+per_doc AS (
+  SELECT d.doc_id, sum(d.c) AS n_tokens, sum(d.c * v.lp) AS s
+  FROM doc_tf d JOIN vocab v USING (t)
+  GROUP BY d.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round((CAST(n_tokens * lt AS DOUBLE) - CAST(s AS DOUBLE))
+             / n_tokens, 4) AS avg_nll
+FROM per_doc, tot
+""",
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality score: per-document average negative
+    log-likelihood under the corpus's own unigram LM (the computational
+    shape of the CCNet/LLaMA "perplexity filter"; a production pipeline
+    swaps the self-fit LM for a reference-corpus LM — same plan, the
+    vocab frame just comes from the other table).
+
+    avg_nll = (1/n) * sum_t -ln(cnt_t / total) = ln(total) - mean(ln cnt_t).
+
+    Cross-engine exactness: JVM and DuckDB `ln` disagree by 1 ulp on
+    ~1% of inputs (measured), and float summation order is engine-
+    specific — so each per-token term is snapped to DECIMAL(18,6)
+    BEFORE the sum. Decimal addition is exact and associative; the only
+    remaining risk is a vocab value landing within 1 ulp of a 6-decimal
+    edge (P ~ 1e-7 per distinct count value).
+
+    100 TB shape: tokens are pre-aggregated to (doc_id, token, c)
+    before the vocab join, so join input is distinct-tokens-per-doc
+    (~10x smaller than occurrences) and Zipf-head skew is bounded by
+    doc count, not token count; the vocab aggregate is map-side
+    combined and vocabulary-bounded. Two shuffles + one scalar
+    broadcast. (At an extreme corpus, broadcast the Zipf head of the
+    vocab and shuffle-join only the tail.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+    doc_tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    vocab = doc_tf.groupBy("t").agg(F.sum("c").alias("cnt")).select(
+        "t", F.log("cnt").cast("decimal(18,6)").alias("lp"), "cnt"
+    )
+    total = vocab.agg(F.log(F.sum("cnt")).cast("decimal(18,6)").alias("lt"))
+    per_doc = (
+        doc_tf.join(vocab.select("t", "lp"), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("lp")).alias("s"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            ((F.col("n_tokens") * F.col("lt")).cast("double") - F.col("s").cast("double"))
+            / F.col("n_tokens"),
+            4,
+        ).alias("avg_nll"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group K-sample with threshold pruning.
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 50
+SAMPLE_SALT = "sample-v1"
+# Prune keeps ~8x the needed rows; P(top-K member above the cutoff) ≈
+# P(Binomial(n, 8K/n) < K) ≤ exp(-153) — not a realistic failure mode.
+SAMPLE_PRUNE_FACTOR = 8
+
+
+@query(
+    "sample_topk_per_group",
+    oracle=f"""
+SELECT lang, doc_id, hash FROM (
+  SELECT lang, doc_id, hash,
+         row_number() OVER (PARTITION BY lang ORDER BY hash, doc_id) AS rn
+  FROM (SELECT lang, doc_id,
+               md5('{SAMPLE_SALT}:' || CAST(doc_id AS VARCHAR)) AS hash
+        FROM documents) h
+) t
+WHERE rn <= {SAMPLE_K}
+""",
+)
+def sample_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group K-sample (eval/holdout set construction):
+    the K documents with the smallest salted md5 per language — stable
+    under corpus growth for surviving docs, reshuffled only by a salt
+    bump (same contract as train_val_split).
+
+    100 TB shape — the naive form is `row_number() OVER (PARTITION BY
+    lang ...)`, which shuffles EVERY row to one partition per language
+    (langs are few → giant skewed partitions, full sort each). Instead:
+    a per-group count (KB-sized, broadcast) sets a hash cutoff at
+    ~PRUNE_FACTOR*K/n of the uniform hash space, a codegen filter
+    discards ~99.99%% of rows with zero shuffle, and only the ~8K
+    survivors per group enter the window sort. Exactness: survivors
+    provably contain the true top-K (cutoff probability bound above);
+    groups with n <= 8K skip pruning entirely.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "lang",
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(f"{SAMPLE_SALT}:"), F.col("doc_id").cast("string"))
+        ).alias("hash"),
+    )
+    counts = hashed.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    # Cutoff on the first 8 hex digits (16^8 buckets of uniform space).
+    keep_frac = F.least(
+        F.lit(1.0), F.lit(float(SAMPLE_PRUNE_FACTOR * SAMPLE_K)) / F.col("_n")
+    )
+    cutoff = F.ceil(keep_frac * F.lit(float(16**8))).cast("long")
+    pruned = (
+        hashed.join(F.broadcast(counts.select("lang", cutoff.alias("_cut"))), "lang")
+        .filter(F.conv(F.substring("hash", 1, 8), 16, 10).cast("long") < F.col("_cut"))
+    )
+    w = Window.partitionBy("lang").orderBy("hash", "doc_id")
+    return (
+        pruned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= SAMPLE_K)
+        .select("lang", "doc_id", "hash")
     )

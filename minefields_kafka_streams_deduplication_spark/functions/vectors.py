@@ -556,3 +556,77 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(cluster_dedup, "vec_id LONG, cluster INT")
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (vector-store compression pass).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+WITH x AS (
+  SELECT vec_id, label,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, label, xs,
+         list_max(list_transform(xs, v -> abs(v))) / 127.0 AS scale
+  FROM x
+),
+q AS (
+  SELECT vec_id, label, scale,
+         CASE WHEN scale = 0 THEN list_transform(xs, v -> 0)
+              ELSE list_transform(xs, v -> CAST(floor(v / scale + 0.5) AS INT))
+         END AS qv
+  FROM s
+)
+SELECT vec_id, label, round(scale, 6) AS scale,
+       list_min(qv) AS q_min, list_max(qv) AS q_max,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * i))
+            AS BIGINT) AS q_checksum
+FROM q
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the vector-store
+    compression pass (4x smaller than float32, dot products stay
+    proportional): scale = max|x|/127, q_i = floor(x_i/scale + 0.5).
+
+    floor(x + 0.5) instead of round(): Spark's round is HALF_UP and
+    DuckDB's is engine-defined on doubles, but floor and IEEE division
+    are bit-identical everywhere, so the quantized values match the
+    oracle exactly. The result columns are exact-integer summaries
+    (min/max/sum/position-weighted checksum) rather than the raw array,
+    keeping the driver's value-hash comparison type-stable.
+
+    100 TB shape: pure per-row codegen HOFs — zero shuffle, zero Python.
+    The `scale` column is materialized BEFORE the quantize lambda so the
+    per-element expression reads an attribute instead of recomputing the
+    array max per element (the measured O(d^2) HOF pitfall).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = (
+        emb.withColumn("xs", F.expr("transform(embedding, v -> CAST(v AS DOUBLE))"))
+        .withColumn("max_abs", F.expr("array_max(transform(xs, v -> abs(v)))"))
+        .withColumn("scale", F.col("max_abs") / F.lit(127.0))
+    )
+    qv = F.when(
+        F.col("scale") == 0, F.expr("transform(xs, v -> 0)")
+    ).otherwise(F.expr("transform(xs, v -> CAST(floor(v / scale + 0.5) AS INT))"))
+    q = base.withColumn("qv", qv)
+    return q.select(
+        "vec_id",
+        "label",
+        F.round("scale", 6).alias("scale"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.expr("aggregate(qv, 0L, (acc, v) -> acc + v)").alias("q_sum"),
+        F.expr(
+            "aggregate(zip_with(qv, sequence(1, size(qv)), (a, i) -> CAST(a AS LONG) * i),"
+            " 0L, (acc, v) -> acc + v)"
+        ).alias("q_checksum"),
+    )

@@ -11,6 +11,8 @@ from collections import defaultdict
 
 from pyspark.sql import functions as F
 
+import minefields_kafka_streams_deduplication_spark as engine
+
 from minefields_kafka_streams_deduplication_spark.functions.pipeline import (
     PACK_BUDGET_TOKENS,
     TOPK_TERMS_PER_LANG,
@@ -142,3 +144,81 @@ def test_corpus_pipeline_report_invariants(spark, sf_dir):
     exact = engine.get_queries()["dedup_text_exact"](spark, sf_dir).count()
     assert s1.docs_out == exact
     assert s3.tokens_removed >= 0
+
+
+def test_unigram_logprob_semantics(spark, sf_dir):
+    """avg_nll is positive, bounded by ln(total), and a doc made of the
+    corpus's rarest tokens scores higher than one of its most common."""
+    import math
+
+    out = engine.get_queries()["doc_unigram_logprob"](spark, sf_dir)
+    rows = out.collect()
+    docs = engine.load_table(spark, sf_dir, "documents")
+    assert len(rows) == docs.count()
+    total_tokens = docs.select(
+        F.sum(F.size(F.split(F.lower("text"), " "))).alias("n")
+    ).collect()[0].n
+    assert sum(r.n_tokens for r in rows) == total_tokens
+    for r in rows:
+        assert 0.0 <= r.avg_nll <= math.log(total_tokens) + 1e-9, r
+
+    # Rank correlation with rarity: the doc whose tokens are rarest on
+    # average must not score below the doc whose tokens are commonest.
+    tf = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .groupBy("t").count()
+    )
+    tok = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+    mean_rarity = (
+        tok.join(tf, "t")
+        .groupBy("doc_id")
+        .agg(F.avg(F.log("count")).alias("mean_log_cnt"))
+        .collect()
+    )
+    rarest = min(mean_rarity, key=lambda r: r.mean_log_cnt).doc_id
+    commonest = max(mean_rarity, key=lambda r: r.mean_log_cnt).doc_id
+    nll = {r.doc_id: r.avg_nll for r in rows}
+    assert nll[rarest] >= nll[commonest]
+
+
+def test_sample_topk_per_group_exact_and_stable(spark, sf_dir):
+    """The threshold-pruned sample must equal the naive full-window
+    top-K exactly, cap at K per group, and be identical across runs."""
+    from pyspark.sql import Window
+
+    from minefields_kafka_streams_deduplication_spark.functions.pipeline import (
+        SAMPLE_K,
+        SAMPLE_SALT,
+    )
+
+    got = engine.get_queries()["sample_topk_per_group"](spark, sf_dir)
+    rows = sorted(map(tuple, got.collect()))
+    per_group = {}
+    for lang, _, _ in rows:
+        per_group[lang] = per_group.get(lang, 0) + 1
+    sizes = {
+        r.lang: r.n
+        for r in engine.load_table(spark, sf_dir, "documents")
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in per_group.items():
+        assert n == min(SAMPLE_K, sizes[lang])
+
+    naive = (
+        engine.load_table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            "doc_id",
+            F.md5(
+                F.concat(F.lit(f"{SAMPLE_SALT}:"), F.col("doc_id").cast("string"))
+            ).alias("hash"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("lang").orderBy("hash", "doc_id")),
+        )
+        .filter(F.col("_rn") <= SAMPLE_K)
+        .select("lang", "doc_id", "hash")
+    )
+    assert rows == sorted(map(tuple, naive.collect()))
+    assert rows == sorted(map(tuple, got.collect()))  # run-to-run stable

@@ -6,6 +6,8 @@ import math
 
 from pyspark.sql import functions as F
 
+import minefields_kafka_streams_deduplication_spark as engine
+
 from minefields_kafka_streams_deduplication_spark.functions.vectors import dot, l2_norm
 
 
@@ -108,3 +110,29 @@ def test_semantic_cluster_dedup_deterministic(spark, sf_dir):
     r1 = [(r.vec_id, r.cluster) for r in q(spark, sf_dir).collect()]
     r2 = [(r.vec_id, r.cluster) for r in q(spark, sf_dir).collect()]
     assert r1 == r2 and len(r1) > 0
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark, sf_dir):
+    """q in [-127,127]; dequantized values within scale/2 of the input;
+    zero vectors quantize to all-zero with scale 0."""
+    out = {
+        r.vec_id: r
+        for r in engine.get_queries()["embedding_quantize_int8"](spark, sf_dir).collect()
+    }
+    emb = engine.load_table(spark, sf_dir, "embeddings").collect()
+    assert len(out) == len(emb)
+    for e in emb[:50]:
+        r = out[e.vec_id]
+        assert -127 <= r.q_min <= r.q_max <= 127
+        xs = [float(v) for v in e.embedding]
+        max_abs = max(abs(v) for v in xs)
+        scale = max_abs / 127.0
+        if scale == 0:
+            assert r.q_min == r.q_max == r.q_sum == 0
+            continue
+        # reconstruct from the checksum identity: recompute locally and
+        # compare the exact integer summaries
+        q = [int((v / scale + 0.5) // 1) for v in xs]
+        assert r.q_sum == sum(q)
+        assert r.q_checksum == sum(qi * (i + 1) for i, qi in enumerate(q))
+        assert all(abs(qi * scale - v) <= scale / 2 + 1e-12 for qi, v in zip(q, xs))
