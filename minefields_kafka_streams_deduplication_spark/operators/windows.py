@@ -134,11 +134,44 @@ def window_session_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("window_session_native")  # rows-only: session_window() is the streaming-native form
+@query(
+    "window_session_native",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   >= {SESSION_GAP_MINUTES} * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_MINUTES} MINUTES AS session_end,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+FROM sessions
+GROUP BY user_id, sid
+""",
+)
 def window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3 (native form): `session_window()` — identical semantics to
-    window_session_sql, expressed with the built-in session operator
-    (works unchanged under readStream + watermark)."""
+    """W3 (native form): `session_window()` — the built-in session
+    operator (works unchanged under readStream + watermark).
+
+    Oracle (promoted from rows-only in round 3): a session window is
+    [min ts, last ts + gap); two events merge iff the younger starts
+    BEFORE the older's window ends, so the islands boundary is
+    `gap >= GAP` for a new session — note the deliberate difference
+    from window_session_sql's `gap > GAP` (KS SessionWindows merges on
+    <= inactivity-gap; Spark's half-open window excludes the exact-gap
+    event). Point events at exactly the gap are measure-zero in the
+    fixtures but the oracle must mirror Spark's boundary, not KS's."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes").alias("w"))

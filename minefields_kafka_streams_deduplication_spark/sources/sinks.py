@@ -55,11 +55,21 @@ def write_bucketed_table(
     )
 
 
-@query("sink_parquet_roundtrip")  # rows-only: exercises the write path
+@query(
+    "sink_parquet_roundtrip",
+    oracle="""
+SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events
+FROM events
+GROUP BY 1
+ORDER BY 1
+""",
+)
 def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4 smoke: write events partitioned by event date, read it back,
-    count per partition — proves the sink + partition-pruned scan path.
-    The read-back filter prunes to a single date directory."""
+    """S4: write events partitioned by event date, read it back, count
+    per partition — proves the sink + partitioned-scan path. Oracle
+    (promoted from rows-only in round 3): the round-trip must be
+    lossless, so the read-back per-date counts equal counting the
+    source directly — any write/read corruption breaks the hash."""
     ev = load_table(spark, sf_dir, "events").withColumn(
         "event_date", F.col("ts").cast("date")
     )
@@ -73,9 +83,22 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sink_exactly_once_parquet")  # rows-only: exercises idempotent restart
+@query(
+    "sink_exactly_once_parquet",
+    oracle="""
+SELECT event_type, count(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
 def sink_exactly_once_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4 exactly-once: the foreachBatch idempotent-write pattern
+    """S4 exactly-once: the foreachBatch idempotent-write pattern.
+
+    Oracle (promoted from rows-only in round 3): the per-type counts of
+    what the EOS sink wrote must equal counting the source table — a
+    duplicate-delivered or lost batch breaks the hash, so the oracle
+    row IS the end-to-end exactly-once witness, not just a rows check.
     [R Kafka Streams EOS / processing.guarantee=exactly_once_v2].
     Structured Streaming guarantees at-least-once delivery of each
     micro-batch to foreachBatch; writing every batch to a

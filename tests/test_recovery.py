@@ -59,6 +59,52 @@ def test_restart_resumes_from_committed_offsets(spark):
     assert run2 == [1, 2, 4], f"expected state-restored dedup + no reprocessing, got {run2}"
 
 
+def test_windowed_agg_restart_no_reemission(spark):
+    """W1/W4 recovery: a restarted append-mode windowed count must (a)
+    not re-emit windows it already closed, and (b) close newly-eligible
+    windows using RESTORED watermark state — emissions across both runs
+    are disjoint and together equal the closed-window batch aggregate."""
+    src = tempfile.mkdtemp(prefix="wrec_src_")
+    ckpt = tempfile.mkdtemp(prefix="wrec_ckpt_")
+    out = os.path.join(tempfile.mkdtemp(prefix="wrec_out_"), "sink")
+    m = lambda minutes: T0 + dt.timedelta(minutes=minutes)
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(os.path.join(src, "*.parquet"))
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    # Run 1: hours 12 and 13 populated; watermark ends inside hour 13,
+    # so only the hour-12 window closes and emits.
+    _write(spark, src, "b0.parquet", [(1, m(0), 7, 1.0), (2, m(30), 7, 1.0), (3, m(70), 8, 1.0)])
+    first = {(r.ws, r.n) for r in run()}
+    assert first == {(T0, 2)}, first
+
+    # Run 2 (restart from checkpoint): a late hour-13 event plus an
+    # hour-15 event that pushes the watermark past hour 13's close.
+    _write(spark, src, "b1.parquet", [(4, m(80), 9, 1.0), (5, m(195), 9, 1.0)])
+    both = [(r.ws, r.n) for r in run()]
+    assert len(both) == len(set(both)), f"re-emitted a closed window: {both}"
+    assert set(both) == {
+        (T0, 2),
+        (T0 + dt.timedelta(hours=1), 2),
+    }, both
+
+
 def test_eos_sink_replays_partially_written_batch(spark):
     """EOS recovery depth (VERDICT r2 #6): foreachBatch delivery is
     at-least-once, so a crash can leave a batch directory PARTIALLY
