@@ -583,3 +583,104 @@ def sample_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= SAMPLE_K)
         .select("lang", "doc_id", "hash")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary statistics (the Zipf/TTR health check).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_vocab_stats",
+    oracle="""
+WITH tok AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS t FROM documents
+),
+tf AS (
+  SELECT lang, t, count(*) AS c FROM tok GROUP BY lang, t
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(max(c) AS BIGINT) AS top_token_freq,
+       round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS type_token_ratio
+FROM tf
+GROUP BY lang
+""",
+)
+def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary health check: vocabulary size, token
+    count, hapax-legomena count (freq-1 types — a tokenizer-noise /
+    OCR-junk signal), top token frequency and type-token ratio. The
+    standard pre-tokenizer corpus diagnostic.
+
+    100 TB shape: both aggregates are map-side combined; the second is
+    vocabulary-bounded. Integer outputs except the final exact-division
+    ratio (deterministic IEEE divide of two exact ints both engines).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tf.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.max("c").alias("top_token_freq"),
+        F.round(
+            F.count(F.lit(1)) / F.sum("c").cast("double"), 6
+        ).alias("type_token_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (zlib, stdlib — no external deps).
+# ---------------------------------------------------------------------------
+
+COMPRESSION_LEVEL = 6  # zlib default; fixed so the signal is stable
+
+
+def compression_ratio_batches(it):
+    """mapInPandas kernel: deflate each document (stdlib zlib, fixed
+    level) and report bytes-in/bytes-out. Arrow-batched, one pass."""
+    import zlib
+
+    import pandas as pd
+
+    for pdf in it:
+        raw = [t.encode("utf-8") if isinstance(t, str) else b"" for t in pdf["text"]]
+        comp = [len(zlib.compress(b, COMPRESSION_LEVEL)) for b in raw]
+        n = [len(b) for b in raw]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n,
+                "n_compressed": comp,
+                "ratio": [
+                    round(c / b, 6) if b else 1.0 for c, b in zip(comp, n)
+                ],
+            }
+        )
+
+
+@query("doc_compression_ratio")  # rows-only: zlib output is library-specific
+def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (the Dolma/FineWeb-family
+    heuristic): highly repetitive or templated documents deflate far
+    below normal prose, and near-random noise doesn't deflate at all —
+    both tails are what a pre-training filter drops. Ratio =
+    compressed/raw bytes at a fixed zlib level.
+
+    Rows-only by design: the exact deflate byte count is zlib-build-
+    specific, so semantics are pinned by tests (monotonicity on
+    constructed repetitive vs high-entropy docs) rather than a DuckDB
+    oracle. 100 TB shape: one Arrow-batched pass, zero shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        compression_ratio_batches,
+        "doc_id LONG, n_bytes INT, n_compressed INT, ratio DOUBLE",
+    )

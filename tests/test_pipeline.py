@@ -222,3 +222,47 @@ def test_sample_topk_per_group_exact_and_stable(spark, sf_dir):
     )
     assert rows == sorted(map(tuple, naive.collect()))
     assert rows == sorted(map(tuple, got.collect()))  # run-to-run stable
+
+
+def test_compression_ratio_separates_repetitive_from_noise(spark):
+    """The quality-filter contract: repetitive text compresses far
+    below prose, high-entropy text barely compresses at all."""
+    import random
+    import string
+
+    from minefields_kafka_streams_deduplication_spark.functions.pipeline import (
+        compression_ratio_batches,
+    )
+    import pandas as pd
+
+    rng = random.Random(7)
+    noise = "".join(rng.choice(string.ascii_letters + string.digits) for _ in range(4000))
+    repetitive = "spam ham " * 500
+    prose = " ".join(
+        rng.choice(["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog"])
+        for _ in range(800)
+    )
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": [repetitive, prose, noise]})
+    out = pd.concat(list(compression_ratio_batches(iter([pdf])))).set_index("doc_id")
+    assert out.loc[1, "ratio"] < out.loc[2, "ratio"] < out.loc[3, "ratio"]
+    assert out.loc[1, "ratio"] < 0.05       # pure repetition collapses
+    assert out.loc[3, "ratio"] > 0.7        # noise is incompressible
+    assert (out["n_bytes"] > 0).all() and (out["n_compressed"] > 0).all()
+
+
+def test_compression_ratio_query_runs_distributed(spark, sf_dir):
+    out = engine.get_queries()["doc_compression_ratio"](spark, sf_dir)
+    rows = out.collect()
+    n_docs = engine.load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert all(0 < r.ratio <= 1.5 for r in rows)
+
+
+def test_vocab_stats_invariants(spark, sf_dir):
+    rows = engine.get_queries()["corpus_vocab_stats"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.vocab_size <= r.n_tokens
+        assert 0 <= r.n_hapax <= r.vocab_size
+        assert r.top_token_freq >= 1
+        assert abs(r.type_token_ratio - r.vocab_size / r.n_tokens) < 1e-6

@@ -2,7 +2,9 @@
 between every Spark query and its DuckDB oracle — a stronger gate than
 the driver's hash (any hashing scheme passes if this does).
 
-Usage: python tools/check_strict.py [sf_dir]
+Usage: python tools/check_strict.py [sf_dir] [query_name ...]
+(extra args restrict the check to those queries; seconds instead of
+~3 min for a subset)
 """
 
 from __future__ import annotations
@@ -51,6 +53,12 @@ def main() -> None:
         )
     oracles = engine.get_oracles()
     queries = engine.get_queries()
+    subset = sys.argv[2:]
+    if subset:
+        unknown = [n for n in subset if n not in oracles]
+        if unknown:
+            sys.exit(f"not oracle queries: {unknown}")
+        oracles = {n: oracles[n] for n in subset}
     n_exact = n_diff = 0
     for name in sorted(oracles):
         try:
