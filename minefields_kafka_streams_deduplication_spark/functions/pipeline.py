@@ -324,11 +324,11 @@ tot AS (
 ),
 w AS (
   SELECT r.token,
-         ln((coalesce(g.c, 0) + 1.0) / (t.t_tgt + t.v))
-           - ln((r.c + 1.0) / (t.t_raw + t.v)) AS w
+         CAST(ln((coalesce(g.c, 0) + 1.0) / (t.t_tgt + t.v))
+                - ln((r.c + 1.0) / (t.t_raw + t.v)) AS DECIMAL(18,6)) AS w
   FROM raw_c r LEFT JOIN tgt_c g USING (token) CROSS JOIN tot t
 )
-SELECT tok.doc_id, round(sum(w.w), 6) AS dsir_weight
+SELECT tok.doc_id, CAST(sum(w.w) AS DOUBLE) AS dsir_weight
 FROM tok JOIN w USING (token)
 GROUP BY tok.doc_id
 """,
@@ -369,16 +369,21 @@ def importance_weight_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select(
             "token",
+            # Snap each per-token LLR to DECIMAL(18,6) before the per-doc
+            # sum: JVM and DuckDB ln differ by 1 ulp on ~1% of inputs and
+            # float summation order is engine-specific — the decimal sum
+            # is exact and associative (same hardening as the window
+            # family / doc_unigram_logprob).
             (
                 F.log((F.coalesce(F.col("tgt_c"), F.lit(0)) + 1.0) / (F.col("t_tgt") + F.col("v")))
                 - F.log((F.col("raw_c") + 1.0) / (F.col("t_raw") + F.col("v")))
-            ).alias("w"),
+            ).cast("decimal(18,6)").alias("w"),
         )
     )
     return (
         tok.join(F.broadcast(weights), "token")
         .groupBy("doc_id")
-        .agg(F.round(F.sum("w"), 6).alias("dsir_weight"))
+        .agg(F.sum("w").cast("double").alias("dsir_weight"))
     )
 
 

@@ -61,8 +61,8 @@ def agg_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_revenue_by_user",
     oracle="""
 SELECT user_id,
-       round(sum(value), 4) AS total_value,
-       round(avg(value), 4) AS avg_value,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_value,
        round(min(value), 4) AS min_value,
        round(max(value), 4) AS max_value,
        count(*) AS n_events
@@ -71,13 +71,19 @@ GROUP BY user_id
 """,
 )
 def agg_revenue_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: KGroupedStream#aggregate — multi-measure fold per key."""
+    """A2: KGroupedStream#aggregate — multi-measure fold per key.
+    sum/avg go through the DECIMAL(18,6) order-independent sum
+    (round-3 hardening; min/max are exact order stats and need none)."""
+    from ..catalog import dec6
+
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
-            F.round(F.sum("value"), 4).alias("total_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.sum(dec6("value")), 4).cast("double").alias("total_value"),
+            F.round(
+                F.sum(dec6("value")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_value"),
             F.round(F.min("value"), 4).alias("min_value"),
             F.round(F.max("value"), 4).alias("max_value"),
             F.count("*").alias("n_events"),
@@ -328,7 +334,8 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_subquery_delta",
     oracle="""
 SELECT event_id, user_id,
-       round(value - (SELECT avg(value) FROM events), 4) AS value_delta
+       round(value - (SELECT CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                             / count(*) FROM events), 4) AS value_delta
 FROM events
 WHERE event_type = 'purchase'
 """,
@@ -336,14 +343,17 @@ WHERE event_type = 'purchase'
 def scalar_subquery_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subquery in the projection — each purchase's
     deviation from the global mean (single-row broadcast reused across
-    the scan)."""
+    the scan). The mean is the DECIMAL-exact sum over count so the
+    2000 per-row round(value - mean) deltas can't straddle a rounding
+    edge on engine-specific summation order (round-3 hardening)."""
     from ..catalog import register_views
 
     register_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT event_id, user_id,
-               round(value - (SELECT avg(value) FROM events), 4) AS value_delta
+               round(value - (SELECT CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                                     / count(*) FROM events), 4) AS value_delta
         FROM events
         WHERE event_type = 'purchase'
         """
@@ -806,9 +816,11 @@ SELECT COALESCE(e.user_id, o.o_custkey) AS user_id,
        round(COALESCE(e.event_value, 0.0), 4) AS event_value,
        COALESCE(o.n_orders, 0) AS n_orders,
        round(COALESCE(o.order_value, 0.0), 4) AS order_value
-FROM (SELECT user_id, count(*) AS n_events, sum(value) AS event_value
+FROM (SELECT user_id, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS event_value
       FROM events GROUP BY user_id) e
-FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS order_value
+FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders,
+                        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS order_value
                  FROM orders GROUP BY o_custkey) o
   ON e.user_id = o.o_custkey
 """,
@@ -827,11 +839,15 @@ def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
+    from ..catalog import dec6
+
     e = ev.groupBy("user_id").agg(
-        F.count("*").alias("n_events"), F.sum("value").alias("event_value")
+        F.count("*").alias("n_events"),
+        F.sum(dec6("value")).cast("double").alias("event_value"),
     )
     o = orders.groupBy("o_custkey").agg(
-        F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("order_value")
+        F.count("*").alias("n_orders"),
+        F.sum(dec6("o_totalprice")).cast("double").alias("order_value"),
     )
     joined = e.join(o, e.user_id == o.o_custkey, "full_outer")
     return joined.select(
@@ -851,7 +867,7 @@ SALT_BUCKETS = 16
     oracle="""
 SELECT event_type,
        count(*) AS cnt,
-       round(sum(value), 4) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
 FROM events
 GROUP BY event_type
 """,
@@ -865,20 +881,23 @@ def agg_salted_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     — this is the manual fallback when AQE skew handling can't split an
     agg (it only splits joins).
 
-    NOTE on floats: the salted sum reassociates additions, so the
-    rounded total can differ from the unsalted plan in the last ulp —
-    round(…, 4) absorbs ~9 orders of magnitude of that here.
+    Floats: salting deliberately reassociates the additions, which is
+    exactly why the measure runs through the DECIMAL(18,6) exact sum —
+    salted == unsalted is now an identity, not a round-absorbs-ulp
+    hope (round-3 hardening).
     """
+    from ..catalog import dec6
+
     ev = load_table(spark, sf_dir, "events")
     salt = F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS))
     partial = (
         ev.withColumn("salt", salt)
         .groupBy("event_type", "salt")
-        .agg(F.count("*").alias("c"), F.sum("value").alias("v"))
+        .agg(F.count("*").alias("c"), F.sum(dec6("value")).alias("v"))
     )
     return partial.groupBy("event_type").agg(
         F.sum("c").alias("cnt"),
-        F.round(F.sum("v"), 4).alias("total_value"),
+        F.round(F.sum("v"), 4).cast("double").alias("total_value"),
     )
 
 

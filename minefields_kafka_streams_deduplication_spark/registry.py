@@ -106,6 +106,10 @@ _R3_REVERIFY = (
     "window_hopping",            # DECIMAL-hardened
     "window_sliding_event_anchored",  # DECIMAL-hardened
     "running_total_by_user",     # DECIMAL-hardened
+    "agg_revenue_by_user",       # DECIMAL-hardened (sum + avg)
+    "agg_salted_by_type",        # DECIMAL-hardened (reassociating salt sum)
+    "cogroup_user_activity",     # DECIMAL-hardened (both sides)
+    "scalar_subquery_delta",     # DECIMAL-hardened global mean
 )
 
 
