@@ -108,3 +108,66 @@ def test_scrub_invariants_on_random_corpora(spark, token_lists):
         assert out[i].n_removed_tokens == len(orig) - len(kept)
         it = iter(orig)
         assert all(any(t == o for o in it) for t in kept), (orig, kept)
+
+
+SESSION_GAP = dt.timedelta(minutes=30)
+
+
+def _reference_sessions(rows, *, new_session_at_exact_gap):
+    """Brute-force sessionization model: per user, time-ordered events
+    split where the gap exceeds (or, for the native half-open window
+    form, reaches) 30 minutes. Returns {(user, start_minute_offset,
+    n_events, total_value)}."""
+    t0 = dt.datetime(2024, 1, 1)
+    by_user = {}
+    for i, (m, u, v) in enumerate(rows):
+        by_user.setdefault(u, []).append((t0 + dt.timedelta(minutes=m), i, v))
+    out = set()
+    for u, evs in by_user.items():
+        evs.sort()
+        cur = []
+        for ts, i, v in evs:
+            if cur:
+                gap = ts - cur[-1][0]
+                is_new = (
+                    gap >= SESSION_GAP if new_session_at_exact_gap else gap > SESSION_GAP
+                )
+            else:
+                is_new = True
+            if is_new and cur:
+                out.add((u, cur[0][0], len(cur), round(sum(x[2] for x in cur), 4)))
+                cur = []
+            cur.append((ts, i, v))
+        if cur:
+            out.add((u, cur[0][0], len(cur), round(sum(x[2] for x in cur), 4)))
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=events_strategy)
+def test_sessionization_both_forms_match_reference(spark, rows):
+    """W3 property: window_session_native (half-open session_window:
+    new session at gap >= 30 min) and window_session_sql (KS islands:
+    new session at gap > 30 min) each match their brute-force model on
+    random event sets — minute-granularity offsets make exact-gap
+    events common, so the boundary divergence is genuinely exercised."""
+    from minefields_kafka_streams_deduplication_spark.operators import windows
+
+    df = mk(spark, rows)
+    orig = windows.load_table
+    windows.load_table = lambda s, d, n: df
+    try:
+        native = {
+            (r.user_id, r.session_start, r.n_events, round(r.total_value, 4))
+            for r in windows.window_session_native(spark, "ignored").collect()
+        }
+        sql_form = {
+            (r.user_id, r.session_start, r.n_events, round(r.total_value, 4))
+            for r in windows.window_session_sql(spark, "ignored")
+            .select("user_id", "session_start", "n_events", "total_value")
+            .collect()
+        }
+    finally:
+        windows.load_table = orig
+    assert native == _reference_sessions(rows, new_session_at_exact_gap=True)
+    assert sql_form == _reference_sessions(rows, new_session_at_exact_gap=False)
