@@ -565,24 +565,29 @@ def sample_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups with n <= 8K skip pruning entirely.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # Group on a null-safe key: a plain equi-join on `lang` would DROP
+    # NULL-lang docs while the oracle's PARTITION BY lang keeps them as
+    # their own group. chr(0) cannot appear in a real lang code.
+    lg = F.coalesce(F.col("lang"), F.lit("\x00null"))
     hashed = docs.select(
         "lang",
+        lg.alias("_lg"),
         "doc_id",
         F.md5(
             F.concat(F.lit(f"{SAMPLE_SALT}:"), F.col("doc_id").cast("string"))
         ).alias("hash"),
     )
-    counts = hashed.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    counts = hashed.groupBy("_lg").agg(F.count(F.lit(1)).alias("_n"))
     # Cutoff on the first 8 hex digits (16^8 buckets of uniform space).
     keep_frac = F.least(
         F.lit(1.0), F.lit(float(SAMPLE_PRUNE_FACTOR * SAMPLE_K)) / F.col("_n")
     )
     cutoff = F.ceil(keep_frac * F.lit(float(16**8))).cast("long")
     pruned = (
-        hashed.join(F.broadcast(counts.select("lang", cutoff.alias("_cut"))), "lang")
+        hashed.join(F.broadcast(counts.select("_lg", cutoff.alias("_cut"))), "_lg")
         .filter(F.conv(F.substring("hash", 1, 8), 16, 10).cast("long") < F.col("_cut"))
     )
-    w = Window.partitionBy("lang").orderBy("hash", "doc_id")
+    w = Window.partitionBy("_lg").orderBy("hash", "doc_id")
     return (
         pruned.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= SAMPLE_K)

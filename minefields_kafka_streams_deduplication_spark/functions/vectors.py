@@ -585,9 +585,9 @@ q AS (
 )
 SELECT vec_id, label, round(scale, 6) AS scale,
        list_min(qv) AS q_min, list_max(qv) AS q_max,
-       CAST(list_sum(qv) AS BIGINT) AS q_sum,
-       CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * i))
-            AS BIGINT) AS q_checksum
+       COALESCE(CAST(list_sum(qv) AS BIGINT), 0) AS q_sum,
+       COALESCE(CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * i))
+                     AS BIGINT), 0) AS q_checksum
 FROM q
 """,
 )
@@ -625,8 +625,12 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("qv").alias("q_min"),
         F.array_max("qv").alias("q_max"),
         F.expr("aggregate(qv, 0L, (acc, v) -> acc + v)").alias("q_sum"),
+        # sequence(1, 0) DESCENDS on an empty array (documented project
+        # pitfall) — guard with size(); both engines emit 0 for empty
+        # vectors (oracle: COALESCE(list_sum(...), 0)).
         F.expr(
-            "aggregate(zip_with(qv, sequence(1, size(qv)), (a, i) -> CAST(a AS LONG) * i),"
-            " 0L, (acc, v) -> acc + v)"
+            "IF(size(qv) = 0, 0L,"
+            " aggregate(zip_with(qv, sequence(1, size(qv)), (a, i) -> CAST(a AS LONG) * i),"
+            " 0L, (acc, v) -> acc + v))"
         ).alias("q_checksum"),
     )

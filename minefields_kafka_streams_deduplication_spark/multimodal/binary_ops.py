@@ -100,30 +100,46 @@ def _encode_bmp(width: int, height: int, seed: bytes) -> bytes:
     return header + info + bytes(pixel_data)
 
 
-def _decode_bmp(payload: bytes) -> tuple[int, int, int] | None:
-    """Parse an uncompressed 24-bit BMP: validate the magic, header
-    sizes, BI_RGB compression and bit depth, and checksum the pixel
-    array. Returns (width, height, checksum) or None if the payload is
-    not a BMP this decoder handles."""
+def _parse_bmp_header(payload: bytes):
+    """Validate an uncompressed 24-bit BMP header (magic, header sizes,
+    BI_RGB, bit depth, payload length). Returns (width, height,
+    data_offset, top_down) or None — shared by the checksum decode and
+    the pixel decode so validation is paid once and row order is
+    interpreted identically (negative biHeight = top-down per spec)."""
     import struct
 
     if len(payload) < 54 or payload[:2] != b"BM":
         return None
-    _, file_size, _, _, data_offset = struct.unpack_from("<2sIHHI", payload, 0)
+    _, _file_size, _, _, data_offset = struct.unpack_from("<2sIHHI", payload, 0)
     (
         hdr_size, width, height, planes, bpp, compression, _img_size,
         _xppm, _yppm, _used, _important,
     ) = struct.unpack_from("<IiiHHIIiiII", payload, 14)
     if hdr_size != 40 or planes != 1 or bpp != 24 or compression != 0:
         return None
-    height = abs(height)  # negative height = top-down row order
+    top_down = height < 0
+    height = abs(height)
     row_bytes = width * 3
     pad = (4 - row_bytes % 4) % 4
     expected = data_offset + (row_bytes + pad) * height
     if width <= 0 or height <= 0 or len(payload) < expected:
         return None
+    return width, height, data_offset, top_down
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, int] | None:
+    """Metadata decode of a 24-bit BMP: (width, height, checksum of the
+    pixel array) or None if the payload is not a BMP this parser
+    handles."""
+    meta = _parse_bmp_header(payload)
+    if meta is None:
+        return None
+    width, height, data_offset, _top_down = meta
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    end = data_offset + (row_bytes + pad) * height
     checksum = 0
-    for b in payload[data_offset:expected]:
+    for b in payload[data_offset:end]:
         checksum = (checksum * 31 + b) % 1_000_000_007
     return width, height, checksum
 
@@ -175,24 +191,23 @@ def _parse_wav(payload: bytes):
 
 def _decode_bmp_pixels(payload: bytes):
     """Decode a validated 24-bit BMP into an (h, w, 3) uint8 numpy array
-    (bottom-up row order flipped to top-down). Returns None when
-    _decode_bmp would."""
-    import struct
-
+    in top-down row order. Header validation is shared with _decode_bmp
+    (no checksum pass here); bottom-up files (positive biHeight) are
+    flipped, genuine top-down files (negative biHeight) are not."""
     import numpy as np
 
-    meta = _decode_bmp(payload)
+    meta = _parse_bmp_header(payload)
     if meta is None:
         return None
-    width, height, _ = meta
-    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height, data_offset, top_down = meta
     row_bytes = width * 3
     pad = (4 - row_bytes % 4) % 4
     stride = row_bytes + pad
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=stride * height, offset=data_offset
     ).reshape(height, stride)[:, :row_bytes]
-    return rows.reshape(height, width, 3)[::-1]  # BMP stores bottom-up
+    img = rows.reshape(height, width, 3)
+    return img if top_down else img[::-1]
 
 
 def _resize_nearest(img, out_w: int, out_h: int):

@@ -1387,14 +1387,16 @@ def agg_countmin_type_freq(
         # reported frequency still comes from the sketch.
         candidates = [
             r.event_type
-            for r in ev.groupBy("event_type")
+            for r in ev.filter(F.col("event_type").isNotNull())
+            .groupBy("event_type")
             .count()
             .orderBy(F.desc("count"), "event_type")
             .limit(CMS_MAX_PROBE)
             .select("event_type")
             .collect()
         ]
-    candidates = candidates[:CMS_MAX_PROBE]
+    # NULL keys cannot be point-queried (and break the sorted() below).
+    candidates = [c for c in candidates if c is not None][:CMS_MAX_PROBE]
     est = [(t, int(jsk.estimateCount(t))) for t in sorted(candidates)]
     return spark.createDataFrame(est, "event_type STRING, est_count LONG")
 

@@ -73,14 +73,23 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "event_date", F.col("ts").cast("date")
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="sink_rt_"), "events_by_date")
+    root = tempfile.mkdtemp(prefix="sink_rt_")
+    out = os.path.join(root, "events_by_date")
     write_partitioned_parquet(ev, out, ["event_date"])
     back = spark.read.parquet(out)
-    return (
+    agg = (
         back.groupBy("event_date")
         .agg(F.count("*").alias("n_events"))
         .orderBy("event_date")
     )
+    # Materialize the tiny per-date aggregate, then remove the staging
+    # copy — same /tmp-leak fix as the EOS sink (one full events copy
+    # per driver/bench/test run otherwise).
+    rows = agg.collect()
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, agg.schema)
 
 
 @query(

@@ -390,6 +390,14 @@ def table_changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"changelog_{key}_{st.st_mtime_ns}_{st.st_size}",
     )
+    # Fingerprint rotation must not accumulate: drop stale siblings of
+    # this fixture (older mtime/size fingerprints) before staging anew.
+    import glob
+    import shutil
+
+    for old in glob.glob(os.path.join(tempfile.gettempdir(), f"changelog_{key}_*")):
+        if old != staged:
+            shutil.rmtree(old, ignore_errors=True)
     if not os.path.exists(os.path.join(staged, "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events")
         (

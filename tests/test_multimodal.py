@@ -197,14 +197,44 @@ def test_bmp_pixel_decode_roundtrip():
     img = _decode_bmp_pixels(_encode_bmp(w, h, seed))
     assert img is not None and img.shape == (h, w, 3)
     n = len(seed)
-    # _encode_bmp writes rows in y order then flips via BMP bottom-up
-    # storage; _decode_bmp_pixels flips back, so img[y, x] must equal
-    # the generator formula directly.
+    # _encode_bmp writes its y-loop rows straight into the file; BMP
+    # files are bottom-up, so file row y is image row h-1-y, and the
+    # decoder's flip must land generator row y at img[h-1-y] — asserted
+    # strictly (no disjunct) so dropping the flip fails the test.
     for y in range(h):
         for x in range(w):
             i = (y * w + x) * 3
             expect = [seed[(i + k) % n] ^ ((x * 7 + y * 13 + k) & 0xFF) for k in range(3)]
-            assert list(img[h - 1 - y, x]) == expect or list(img[y, x]) == expect
+            assert list(img[h - 1 - y, x]) == expect
+
+
+def test_bmp_topdown_rows_not_mirrored():
+    """A genuine top-down BMP (negative biHeight) must decode in file
+    order — no flip — so both storage orders yield the same image."""
+    import struct
+
+    import numpy as np
+
+    from minefields_kafka_streams_deduplication_spark.multimodal.binary_ops import (
+        _decode_bmp_pixels,
+        _encode_bmp,
+    )
+
+    bottom_up = _encode_bmp(4, 3, b"xy")
+    img_bu = _decode_bmp_pixels(bottom_up)
+    # Rewrite the header with negative height and the pixel rows
+    # reversed: semantically the same image, stored top-down.
+    h, w = 3, 4
+    stride = w * 3  # 12 bytes/row, already 4-aligned
+    rows = [bottom_up[54 + r * stride : 54 + (r + 1) * stride] for r in range(h)]
+    top_down = (
+        bottom_up[:22]
+        + struct.pack("<i", -h)
+        + bottom_up[26:54]
+        + b"".join(reversed(rows))
+    )
+    img_td = _decode_bmp_pixels(top_down)
+    assert img_td is not None and (img_td == img_bu).all()
 
 
 def test_resize_nearest_known_values():

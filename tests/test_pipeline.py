@@ -266,3 +266,22 @@ def test_vocab_stats_invariants(spark, sf_dir):
         assert 0 <= r.n_hapax <= r.vocab_size
         assert r.top_token_freq >= 1
         assert abs(r.type_token_ratio - r.vocab_size / r.n_tokens) < 1e-6
+
+
+def test_sample_topk_keeps_null_lang_group(spark, monkeypatch):
+    """Review fix: NULL-lang docs must form their own sample group (the
+    oracle's PARTITION BY keeps them; a plain equi-join would drop
+    them)."""
+    from minefields_kafka_streams_deduplication_spark.functions import pipeline
+
+    df = spark.createDataFrame(
+        [(i, "t", None if i % 2 else "en", "s", 1) for i in range(10)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    monkeypatch.setattr(pipeline, "load_table", lambda s, d, n: df)
+    rows = pipeline.sample_topk_per_group(spark, "x").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert by_lang.get("en") == {0, 2, 4, 6, 8}
+    assert by_lang.get(None) == {1, 3, 5, 7, 9}

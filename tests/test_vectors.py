@@ -136,3 +136,22 @@ def test_quantize_int8_bounds_and_reconstruction(spark, sf_dir):
         assert r.q_sum == sum(q)
         assert r.q_checksum == sum(qi * (i + 1) for i, qi in enumerate(q))
         assert all(abs(qi * scale - v) <= scale / 2 + 1e-12 for qi, v in zip(q, xs))
+
+
+def test_quantize_int8_empty_and_zero_vectors(spark, monkeypatch):
+    """Edge cases from review: an empty embedding must not trip the
+    descending-sequence pitfall (q_sum = q_checksum = 0, matching the
+    oracle's COALESCE), and an all-zero vector quantizes to zeros."""
+    from minefields_kafka_streams_deduplication_spark.functions import vectors
+
+    df = spark.createDataFrame(
+        [(1, [], 0), (2, [0.0, 0.0, 0.0], 0), (3, [1.0, -2.0], 0)],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+    )
+    monkeypatch.setattr(vectors, "load_table", lambda s, d, n: df)
+    out = {r.vec_id: r for r in vectors.embedding_quantize_int8(spark, "x").collect()}
+    assert out[1].q_sum == 0 and out[1].q_checksum == 0
+    assert out[2].q_sum == 0 and out[2].q_min == 0 and out[2].q_max == 0
+    # max|x| = 2.0 → scale = 2/127: the -2.0 extreme hits -127, and
+    # 1.0 (half the range) lands at floor(63.5 + 0.5) = 64.
+    assert out[3].q_min == -127 and out[3].q_max == 64
