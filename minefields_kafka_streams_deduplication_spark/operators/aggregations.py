@@ -62,7 +62,8 @@ def agg_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id,
        CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value,
-       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_value,
+       floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 10000 + 0.5)
+         / 10000 AS avg_value,
        round(min(value), 4) AS min_value,
        round(max(value), 4) AS max_value,
        count(*) AS n_events
@@ -81,8 +82,18 @@ def agg_revenue_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.round(F.sum(dec6("value")), 4).cast("double").alias("total_value"),
-            F.round(
-                F.sum(dec6("value")).cast("double") / F.count(F.lit(1)), 4
+            # floor-based rounding: the avg quotient can land within an
+            # ulp of a 5th-decimal tie where round() diverges across
+            # engines (observed at sf0.1); floor/multiply/divide are
+            # bit-identical IEEE everywhere.
+            (
+                F.floor(
+                    F.sum(dec6("value")).cast("double")
+                    / F.count(F.lit(1))
+                    * 10000
+                    + 0.5
+                )
+                / 10000.0
             ).alias("avg_value"),
             F.round(F.min("value"), 4).alias("min_value"),
             F.round(F.max("value"), 4).alias("max_value"),
@@ -300,9 +311,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(Q15_SQL)
 
 
+# unit_price rounding is floor(x*1e4 + 0.5)/1e4 rather than round(x, 4):
+# a price quotient can sit within 1 ulp of a 5th-decimal tie, where
+# Spark (HALF_UP on the double's shortest decimal repr) and DuckDB
+# (nearest on the binary value) disagree — observed at sf0.1. floor,
+# multiply and divide are bit-identical IEEE ops on both engines.
 Q2ISH_SQL = """
 SELECT p.p_partkey, p.p_name, l.l_suppkey,
-       round(l.l_extendedprice / l.l_quantity, 4) AS unit_price
+       floor(l.l_extendedprice / l.l_quantity * 10000 + 0.5) / 10000 AS unit_price
 FROM part p
 JOIN lineitem l ON l.l_partkey = p.p_partkey
 WHERE p.p_size <= 5
