@@ -101,6 +101,23 @@ def dec6(col) -> F.Column:
     return c.cast("decimal(18,6)")
 
 
+def round4f(col) -> F.Column:
+    """Engine-deterministic 4-decimal rounding of a DIVISION-derived
+    double: floor(x*1e4 + 0.5)/1e4.
+
+    `round(double, 4)` is not cross-engine safe on quotients — Spark
+    rounds the double's shortest decimal representation HALF_UP while
+    DuckDB rounds the binary value, and a quotient can sit within 1 ulp
+    of a x.xxxx5 tie (observed at sf0.1 on per-user averages and unit
+    prices). floor, multiply and divide are bit-identical IEEE ops on
+    both engines, so this form always agrees with the mirrored oracle
+    fragment ``floor(x * 10000 + 0.5) / 10000``. Use for ratios/avgs;
+    exact-decimal sums keep ``round(sum(dec6(x)), 4)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 10000 + F.lit(0.5)) / 10000.0
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with normalized types."""
     tune(spark)

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, round4f
 from ..operators.analytic import _global_row_number
 from ..registry import query
 
@@ -31,23 +31,27 @@ from ..registry import query
 SELECT 'l_quantity' AS col, count(*) AS n, count(l_quantity) AS n_nonnull,
        count(DISTINCT l_quantity) AS n_distinct,
        round(min(l_quantity), 4) AS min_v, round(max(l_quantity), 4) AS max_v,
-       round(avg(l_quantity), 4) AS avg_v, round(stddev_samp(l_quantity), 4) AS std_v
+       floor(avg(l_quantity) * 10000 + 0.5) / 10000 AS avg_v,
+       round(stddev_samp(l_quantity), 4) AS std_v
 FROM lineitem
 UNION ALL
 SELECT 'l_extendedprice', count(*), count(l_extendedprice),
        count(DISTINCT l_extendedprice),
        round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
-       round(avg(l_extendedprice), 4), round(stddev_samp(l_extendedprice), 4)
+       floor(avg(l_extendedprice) * 10000 + 0.5) / 10000,
+       round(stddev_samp(l_extendedprice), 4)
 FROM lineitem
 UNION ALL
 SELECT 'l_discount', count(*), count(l_discount), count(DISTINCT l_discount),
        round(min(l_discount), 4), round(max(l_discount), 4),
-       round(avg(l_discount), 4), round(stddev_samp(l_discount), 4)
+       floor(avg(l_discount) * 10000 + 0.5) / 10000,
+       round(stddev_samp(l_discount), 4)
 FROM lineitem
 UNION ALL
 SELECT 'l_tax', count(*), count(l_tax), count(DISTINCT l_tax),
        round(min(l_tax), 4), round(max(l_tax), 4),
-       round(avg(l_tax), 4), round(stddev_samp(l_tax), 4)
+       floor(avg(l_tax) * 10000 + 0.5) / 10000,
+       round(stddev_samp(l_tax), 4)
 FROM lineitem
 """,
 )
@@ -80,7 +84,7 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(c).alias(f"{c}__n_distinct"),
             F.round(F.min(c), 4).alias(f"{c}__min_v"),
             F.round(F.max(c), 4).alias(f"{c}__max_v"),
-            F.round(F.avg(c), 4).alias(f"{c}__avg_v"),
+            round4f(F.avg(c)).alias(f"{c}__avg_v"),
             F.round(F.stddev_samp(c), 4).alias(f"{c}__std_v"),
         ]
     wide = li.agg(*aggs)

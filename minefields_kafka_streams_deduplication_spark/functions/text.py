@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, round4f
 from ..registry import query
 
 
@@ -18,8 +18,8 @@ from ..registry import query
     oracle="""
 SELECT lang,
        count(*) AS n_docs,
-       round(avg(n_chars), 4) AS avg_chars,
-       round(avg(len(string_split(text, ' '))), 4) AS avg_words,
+       floor(avg(n_chars) * 10000 + 0.5) / 10000 AS avg_chars,
+       floor(avg(len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS avg_words,
        min(n_chars) AS min_chars,
        max(n_chars) AS max_chars
 FROM documents
@@ -31,8 +31,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-        F.round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_words"),
+        round4f(F.avg("n_chars")).alias("avg_chars"),
+        round4f(F.avg(F.size(F.split("text", " ")))).alias("avg_words"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
@@ -162,12 +162,13 @@ QUALITY_STOPWORD_REGEX = "\\b(" + "|".join(QUALITY_STOPWORDS) + ")\\b"
 @query(
     "doc_quality_score",
     oracle=f"""
-SELECT doc_id, lang, n_words, round(avg_word_len, 4) AS avg_word_len,
-       round(punct_ratio, 4) AS punct_ratio,
-       round(stop_ratio, 4) AS stop_ratio,
-       round(0.4 * least(n_words / 100.0, 1.0)
-           + 0.3 * (1.0 - punct_ratio)
-           + 0.3 * least(stop_ratio * 5.0, 1.0), 4) AS quality
+SELECT doc_id, lang, n_words,
+       floor(avg_word_len * 10000 + 0.5) / 10000 AS avg_word_len,
+       floor(punct_ratio * 10000 + 0.5) / 10000 AS punct_ratio,
+       floor(stop_ratio * 10000 + 0.5) / 10000 AS stop_ratio,
+       floor((0.4 * least(n_words / 100.0, 1.0)
+            + 0.3 * (1.0 - punct_ratio)
+            + 0.3 * least(stop_ratio * 5.0, 1.0)) * 10000 + 0.5) / 10000 AS quality
 FROM (
   SELECT doc_id, lang,
          len(string_split(text, ' ')) AS n_words,
@@ -209,10 +210,10 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "n_words",
-        F.round("avg_word_len", 4).alias("avg_word_len"),
-        F.round("punct_ratio", 4).alias("punct_ratio"),
-        F.round("stop_ratio", 4).alias("stop_ratio"),
-        F.round(quality, 4).alias("quality"),
+        round4f("avg_word_len").alias("avg_word_len"),
+        round4f("punct_ratio").alias("punct_ratio"),
+        round4f("stop_ratio").alias("stop_ratio"),
+        round4f(quality).alias("quality"),
     )
 
 
@@ -446,8 +447,9 @@ GOPHER_MAX_SYMBOL_RATIO = 0.1
 @query(
     "gopher_quality_rules",
     oracle=f"""
-SELECT doc_id, n_words, round(mean_word_len, 4) AS mean_word_len,
-       round(symbol_ratio, 4) AS symbol_ratio,
+SELECT doc_id, n_words,
+       floor(mean_word_len * 10000 + 0.5) / 10000 AS mean_word_len,
+       floor(symbol_ratio * 10000 + 0.5) / 10000 AS symbol_ratio,
        (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
         AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
         AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}) AS passes
@@ -496,8 +498,8 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id",
         "n_words",
-        F.round(mean_word_len, 4).alias("mean_word_len"),
-        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        round4f(mean_word_len).alias("mean_word_len"),
+        round4f(symbol_ratio).alias("symbol_ratio"),
         passes.alias("passes"),
     )
 
@@ -589,8 +591,8 @@ WITH g AS (
 ),
 c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
 SELECT doc_id,
-       round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top2_frac,
-       round(CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS DOUBLE) / sum(c), 4) AS dup2_frac
+       floor(CAST(max(c) AS DOUBLE) / sum(c) * 10000 + 0.5) / 10000 AS top2_frac,
+       floor(CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS DOUBLE) / sum(c) * 10000 + 0.5) / 10000 AS dup2_frac
 FROM c GROUP BY doc_id
 """,
 )
@@ -629,12 +631,11 @@ def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("c")
     )
     return c.groupBy("doc_id").agg(
-        F.round(F.max("c").cast("double") / F.sum("c"), 4).alias("top2_frac"),
-        F.round(
+        round4f(F.max("c").cast("double") / F.sum("c")).alias("top2_frac"),
+        round4f(
             F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)).cast(
                 "double"
             )
-            / F.sum("c"),
-            4,
+            / F.sum("c")
         ).alias("dup2_frac"),
     )

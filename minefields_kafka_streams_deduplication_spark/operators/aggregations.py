@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import dec6, load_table, round4f
 from ..registry import query
 
 
@@ -75,8 +75,6 @@ def agg_revenue_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: KGroupedStream#aggregate — multi-measure fold per key.
     sum/avg go through the DECIMAL(18,6) order-independent sum
     (round-3 hardening; min/max are exact order stats and need none)."""
-    from ..catalog import dec6
-
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -608,10 +606,11 @@ def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_effect",
     oracle="""
-SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+SELECT floor(100.0 * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                                       THEN l_extendedprice * (1 - l_discount)
+                                       ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS promo_revenue_pct
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l.l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
@@ -630,7 +629,13 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
         )
         .join(part, li.l_partkey == F.col("p_partkey"))
-        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"))
+        .agg(
+            round4f(
+                100.0
+                * F.sum(dec6(promo)).cast("double")
+                / F.sum(dec6(rev)).cast("double")
+            ).alias("promo_revenue_pct")
+        )
     )
 
 
@@ -855,8 +860,6 @@ def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
-    from ..catalog import dec6
-
     e = ev.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.sum(dec6("value")).cast("double").alias("event_value"),
@@ -902,8 +905,6 @@ def agg_salted_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted == unsalted is now an identity, not a round-absorbs-ulp
     hope (round-3 hardening).
     """
-    from ..catalog import dec6
-
     ev = load_table(spark, sf_dir, "events")
     salt = F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS))
     partial = (
@@ -951,9 +952,11 @@ def agg_collect_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle="""
 SELECT year(o.o_orderdate) AS order_year,
-       round(sum(CASE WHEN n2.n_name = 'NATION_7'
-                      THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
-             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share
+       floor(CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_7'
+                                THEN l.l_extendedprice * (1 - l.l_discount)
+                                ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS mkt_share
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -996,10 +999,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(part, li.l_partkey == F.col("p_partkey"))
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(F.lit(0.0)))
-                / F.sum(vol),
-                4,
+            round4f(
+                F.sum(dec6(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(F.lit(0.0))))
+                .cast("double")
+                / F.sum(dec6(vol)).cast("double")
             ).alias("mkt_share")
         )
     )
@@ -1121,7 +1124,7 @@ def q16_supplier_part_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_quantity_revenue",
     oracle="""
-SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+SELECT floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 * 10000 + 0.5) / 10000 AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#7'
@@ -1145,7 +1148,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li.l_partkey == F.col("p_partkey"))
         .join(per_part_avg, li.l_partkey == F.col("ap_key"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+        .agg(
+            round4f(F.sum(dec6("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly")
+        )
     )
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import dec6, load_table
+from ..catalog import dec6, load_table, round4f
 from ..registry import query
 
 
@@ -53,11 +53,11 @@ def _global_row_number(df: DataFrame, order_cols: list) -> DataFrame:
     "rank_users_by_spend",
     oracle="""
 SELECT user_id,
-       round(spend, 4) AS spend,
+       CAST(round(spend, 4) AS DOUBLE) AS spend,
        row_number() OVER (ORDER BY spend DESC, user_id) AS spend_rank,
        ntile(10) OVER (ORDER BY spend DESC, user_id) AS spend_decile
 FROM (
-  SELECT user_id, sum(value) AS spend
+  SELECT user_id, sum(CAST(value AS DECIMAL(18,6))) AS spend
   FROM events
   WHERE event_type = 'purchase'
   GROUP BY user_id
@@ -74,7 +74,7 @@ def rank_users_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
-        .agg(F.sum("value").alias("spend"))
+        .agg(F.sum(dec6("value")).alias("spend"))
     )
     ranked = _global_row_number(spend, [F.desc("spend"), F.asc("user_id")])
     rn, n = F.col("_rn"), F.col("_n")
@@ -86,7 +86,7 @@ def rank_users_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.select(
         "user_id",
-        F.round("spend", 4).alias("spend"),
+        F.round("spend", 4).cast("double").alias("spend"),
         rn.cast("int").alias("spend_rank"),
         decile.cast("int").alias("spend_decile"),
     )
@@ -96,11 +96,13 @@ def rank_users_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rank_distribution_functions",
     oracle="""
 SELECT user_id,
-       round(spend, 4) AS spend,
-       round(percent_rank() OVER (ORDER BY spend, user_id), 4) AS spend_pct_rank,
-       round(cume_dist() OVER (ORDER BY spend, user_id), 4) AS spend_cume_dist
+       CAST(round(spend, 4) AS DOUBLE) AS spend,
+       floor(percent_rank() OVER (ORDER BY spend, user_id) * 10000 + 0.5) / 10000
+         AS spend_pct_rank,
+       floor(cume_dist() OVER (ORDER BY spend, user_id) * 10000 + 0.5) / 10000
+         AS spend_cume_dist
 FROM (
-  SELECT user_id, sum(value) AS spend
+  SELECT user_id, sum(CAST(value AS DECIMAL(18,6))) AS spend
   FROM events WHERE event_type = 'purchase' GROUP BY user_id
 ) t
 """,
@@ -115,16 +117,16 @@ def rank_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
-        .agg(F.sum("value").alias("spend"))
+        .agg(F.sum(dec6("value")).alias("spend"))
     )
     ranked = _global_row_number(spend, [F.asc("spend"), F.asc("user_id")])
     rn, n = F.col("_rn"), F.col("_n")
     pct = F.when(n > 1, (rn - 1) / (n - 1)).otherwise(F.lit(0.0))
     return ranked.select(
         "user_id",
-        F.round("spend", 4).alias("spend"),
-        F.round(pct, 4).alias("spend_pct_rank"),
-        F.round(rn / n, 4).alias("spend_cume_dist"),
+        F.round("spend", 4).cast("double").alias("spend"),
+        round4f(pct).alias("spend_pct_rank"),
+        round4f(rn / n).alias("spend_cume_dist"),
     )
 
 
