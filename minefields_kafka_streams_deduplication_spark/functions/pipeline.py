@@ -698,3 +698,56 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         compression_ratio_batches,
         "doc_id LONG, n_bytes INT, n_compressed INT, ratio DOUBLE",
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnostic (the pre-salting / join-strategy check).
+# ---------------------------------------------------------------------------
+
+SKEW_TOP_KEYS = 20
+
+
+@query(
+    "diagnose_key_skew",
+    oracle=f"""
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+t AS (SELECT sum(n) AS tot, count(*) AS n_keys FROM c)
+SELECT c.user_id, CAST(c.n AS BIGINT) AS n,
+       floor(CAST(c.n AS DOUBLE) / t.tot * 10000 + 0.5) / 10000 AS share,
+       floor(CAST(c.n AS DOUBLE) * t.n_keys / t.tot * 10000 + 0.5) / 10000
+         AS skew_ratio
+FROM c, t
+ORDER BY c.n DESC, c.user_id
+LIMIT {SKEW_TOP_KEYS}
+""",
+)
+def diagnose_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic: the heaviest keys with their share of all
+    rows and their skew ratio (count / mean-count-per-key). This is the
+    report a 100 TB pipeline materializes BEFORE picking a join/agg
+    strategy — skew_ratio >> 1 on a join key means salting or AQE skew
+    handling; share near 1 means broadcast the other side.
+
+    Scale shape: one map-side-combined count per key, a 1-row scalar
+    broadcast, and a TakeOrderedAndProject cut — heavy keys surface
+    without any global sort. floor-based rounding keeps the ratio
+    columns engine-exact (round4f rationale in catalog.py).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            round4f(F.col("n").cast("double") / F.col("tot")).alias("share"),
+            round4f(
+                F.col("n").cast("double") * F.col("n_keys") / F.col("tot")
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(SKEW_TOP_KEYS)
+    )

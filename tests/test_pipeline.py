@@ -285,3 +285,13 @@ def test_sample_topk_keeps_null_lang_group(spark, monkeypatch):
         by_lang.setdefault(r.lang, set()).add(r.doc_id)
     assert by_lang.get("en") == {0, 2, 4, 6, 8}
     assert by_lang.get(None) == {1, 3, 5, 7, 9}
+
+
+def test_key_skew_diagnostic_invariants(spark, sf_dir):
+    rows = engine.get_queries()["diagnose_key_skew"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(0 < r.share <= 1 for r in rows)
+    # the heaviest key is at least as skewed as average by definition
+    assert rows[0].skew_ratio >= 1.0
