@@ -527,11 +527,11 @@ tf AS (
 ),
 df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token)
 SELECT tf.doc_id,
-       round(sum(
+       CAST(sum(CAST(
          ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
          * tf.tf * ({BM25_K1} + 1.0)
          / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
-       ), 6) AS bm25
+       AS DECIMAL(18,6))) AS DOUBLE) AS bm25
 FROM tf
 JOIN dl USING (doc_id)
 JOIN df USING (token)
@@ -574,9 +574,14 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum(idf * F.col("tf") * (BM25_K1 + 1.0) / denom), 6
-            ).alias("bm25")
+            # Per-term scores snap to DECIMAL(18,6) before the per-doc
+            # sum (ln is 1-ulp engine-divergent and sum order is not):
+            # same hardening as DSIR / the unigram scorer.
+            F.sum(
+                (idf * F.col("tf") * (BM25_K1 + 1.0) / denom).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("bm25")
         )
     )
 
