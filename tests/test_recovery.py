@@ -191,3 +191,71 @@ def test_foreach_batch_partitioned_upsert(spark):
     q2.awaitTermination()
     second = sorted((r.event_id, str(r.event_date)) for r in spark.read.parquet(out).collect())
     assert second == first
+
+
+def test_custom_ttl_state_survives_restart(spark):
+    """D5 recovery: the applyInPandasWithState TTL dedup's per-key state
+    (last forwarded timestamp) must be RESTORED on restart — a repeat
+    inside the TTL that arrives in the second run is suppressed only if
+    the first run's state came back from the checkpoint."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from minefields_kafka_streams_deduplication_spark.streaming.dedup_stream import (
+        DEDUP_TTL_OUTPUT_SCHEMA,
+        DEDUP_TTL_STATE_SCHEMA,
+        TTL_KEY,
+        _dedup_ttl_fn,
+    )
+
+    schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+    src = tempfile.mkdtemp(prefix="ttlrec_src_")
+    ckpt = tempfile.mkdtemp(prefix="ttlrec_ckpt_")
+    out = os.path.join(tempfile.mkdtemp(prefix="ttlrec_out_"), "sink")
+    m = lambda minutes: T0 + dt.timedelta(minutes=minutes)
+
+    def write(fname, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, fname)
+        )
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(os.path.join(src, "*.parquet"))
+            .select(
+                "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "user_id",
+                "event_type",
+                "value",
+                F.col("ts"),
+            )
+            .withWatermark("ts", "10 minutes")
+            .groupBy(*TTL_KEY)
+            .applyInPandasWithState(
+                _dedup_ttl_fn,
+                outputStructType=DEDUP_TTL_OUTPUT_SCHEMA,
+                stateStructType=DEDUP_TTL_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r.event_id for r in spark.read.parquet(out).collect())
+
+    # Run 1: keeper at t0, repeat at +5 min (suppressed, TTL 30 min).
+    write("b0.parquet", [(1, m(0), 7, "a", 1.0), (2, m(5), 7, "a", 1.0)])
+    assert run() == [1]
+
+    # Run 2 (restart): +20 min repeat is inside the RESTORED TTL state
+    # and must stay suppressed; +45 min is past the TTL and forwards.
+    write("b1.parquet", [(3, m(20), 7, "a", 1.0), (4, m(45), 7, "a", 1.0)])
+    assert run() == [1, 4], "state not restored: the +20min repeat leaked"
