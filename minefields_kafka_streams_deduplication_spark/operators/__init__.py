@@ -10,3 +10,4 @@ from . import joins  # noqa: F401
 from . import aggregations  # noqa: F401
 from . import windows  # noqa: F401
 from . import analytic  # noqa: F401
+from . import timeseries  # noqa: F401

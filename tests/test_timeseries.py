@@ -1,0 +1,84 @@
+"""Timeseries operator semantics on hand-built fixtures (the oracles
+pin fixture-scale equality; these pin the semantics on adversarial
+minimal cases)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from minefields_kafka_streams_deduplication_spark.operators import timeseries as ts_ops
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+EV_SCHEMA = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, T0 + dt.timedelta(minutes=m), u, "purchase", v) for i, (m, u, v) in enumerate(rows)],
+        EV_SCHEMA,
+    )
+
+
+def test_ohlc_open_close_ordering(spark, monkeypatch):
+    """open = first tick by (ts, event_id), close = last — including a
+    same-timestamp tie broken by event_id."""
+    rows = [(0, 7, 5.0), (0, 7, 6.0), (30, 7, 1.0), (59, 7, 3.0)]
+    monkeypatch.setattr(ts_ops, "load_table", lambda s, d, n: _ev(spark, rows))
+    out = ts_ops.ohlc_bars_hourly(spark, "x").collect()
+    assert len(out) == 1
+    bar = out[0]
+    assert bar.open == 5.0  # event_id 0 wins the same-ts tie
+    assert bar.close == 3.0
+    assert bar.high == 6.0 and bar.low == 1.0 and bar.n_ticks == 4
+
+
+def test_twa_weights_by_duration(spark, monkeypatch):
+    """value 10 held for 30 min then value 0 for 30 min -> TWA 5; the
+    final sample carries no weight."""
+    rows = [(0, 7, 10.0), (30, 7, 0.0), (60, 7, 99.0)]
+    monkeypatch.setattr(ts_ops, "load_table", lambda s, d, n: _ev(spark, rows))
+    out = ts_ops.time_weighted_avg_daily(spark, "x").collect()
+    assert len(out) == 1
+    assert out[0].twa == 5.0
+    assert out[0].n_events == 2  # the last sample has no successor
+
+
+def test_locf_fills_empty_hours(spark, monkeypatch):
+    """An entity with ticks at hour 0 and hour 3 gets a dense 4-hour
+    grid; hours 1-2 carry hour 0's close forward and are unobserved."""
+    rows = [(0, 7, 1.0), (10, 7, 2.0), (185, 7, 9.0)]
+    monkeypatch.setattr(ts_ops, "load_table", lambda s, d, n: _ev(spark, rows))
+    out = {
+        r.hour_ts: (r.value_locf, r.observed)
+        for r in ts_ops.gap_fill_locf_hourly(spark, "x").collect()
+    }
+    h = lambda k: T0.replace(minute=0) + dt.timedelta(hours=k)
+    assert set(out) == {h(0), h(1), h(2), h(3)}
+    assert out[h(0)] == (2.0, True)  # hour close = last tick in hour
+    assert out[h(1)] == (2.0, False)
+    assert out[h(2)] == (2.0, False)
+    assert out[h(3)] == (9.0, True)
+
+
+def test_asof_forward_tolerance_and_boundary(spark, monkeypatch):
+    """Same-instant order matches (>=); an order past the tolerance
+    yields null; the earliest qualifying order wins."""
+    orders_schema = "o_orderkey LONG, o_custkey LONG, o_orderdate TIMESTAMP, o_totalprice DOUBLE"
+    ev = _ev(spark, [(0, 7, 1.0), (0, 8, 1.0), (0, 9, 1.0)])
+    d = lambda days, minutes=0: T0 + dt.timedelta(days=days, minutes=minutes)
+    orders = spark.createDataFrame(
+        [
+            (1, 7, d(0), 10.0),      # exact same instant -> matches user 7
+            (2, 7, d(2), 10.0),      # later order exists but first wins
+            (3, 8, d(8), 10.0),      # past 7-day tolerance -> null for user 8
+        ],
+        orders_schema,
+    )
+    tables = {"events": ev, "orders": orders}
+    monkeypatch.setattr(ts_ops, "load_table", lambda s, dd, n: tables[n])
+    out = {r.user_id: r.next_order_date for r in ts_ops.join_asof_forward_order(spark, "x").collect()}
+    assert out[7] == d(0)
+    assert out[8] is None
+    assert out[9] is None  # no orders at all
