@@ -470,3 +470,39 @@ def join_interval_stream_right(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         joined, "join_interval_stream_right", partitions=stream_partitions(spark, sf_dir)
     )
+
+
+@query("ohlc_bars_stream")  # rows-only: streaming twin of ohlc_bars_hourly
+def ohlc_bars_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeseries streaming twin: hourly OHLC bars in append mode —
+    each bar emits exactly once when the watermark closes its hour
+    (emit-final), with open/close resolved by min_by/max_by on the
+    (ts, event_id) struct INSIDE the streaming state — the same
+    aggregate the batch form runs, which is the point of the unified
+    API. Parity with the batch form on closed windows is pinned in
+    tests/test_streaming.py."""
+    order_key = F.struct("ts", "event_id")
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", WATERMARK_DELAY)
+        .groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.min_by("value", order_key).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            F.count("*").alias("n_ticks"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("bar_ts"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_ticks",
+        )
+    )
+    return run_to_memory(
+        stream, "ohlc_bars_stream", partitions=stream_partitions(spark, sf_dir)
+    )

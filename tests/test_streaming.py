@@ -352,3 +352,21 @@ def test_right_interval_stream_mirrors_left(spark, sf_dir):
     matched = {(r.view_id, r.purchase_id) for r in right if r.view_id is not None}
     assert matched == {(r.view_id, r.purchase_id) for r in inner}
     assert any(r.view_id is None for r in right), "no right-side null emission"
+
+
+def test_ohlc_stream_matches_batch_on_closed_bars(spark, sf_dir):
+    """Streaming OHLC emits exactly the batch bars whose hour the final
+    watermark closed — same open/close/high/low values."""
+    stream_rows = engine.get_queries()["ohlc_bars_stream"](spark, sf_dir).collect()
+    assert stream_rows
+    batch = {
+        (r.user_id, r.bar_ts): (r.open, r.high, r.low, r.close, r.n_ticks)
+        for r in engine.get_queries()["ohlc_bars_hourly"](spark, sf_dir).collect()
+    }
+    for r in stream_rows:
+        assert batch[(r.user_id, r.bar_ts)] == (
+            r.open, r.high, r.low, r.close, r.n_ticks,
+        ), (r.user_id, r.bar_ts)
+    # emit-final: no bar appears twice
+    keys = [(r.user_id, r.bar_ts) for r in stream_rows]
+    assert len(keys) == len(set(keys))
