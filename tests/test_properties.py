@@ -171,3 +171,44 @@ def test_sessionization_both_forms_match_reference(spark, rows):
         windows.load_table = orig
     assert native == _reference_sessions(rows, new_session_at_exact_gap=True)
     assert sql_form == _reference_sessions(rows, new_session_at_exact_gap=False)
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=events_strategy)
+def test_time_weighted_avg_matches_reference(spark, rows):
+    """Timeseries property: the TWA equals the brute-force
+    duration-weighted mean on random irregular event sets (same-day
+    fixture; duplicate timestamps contribute zero-length segments and
+    are excluded on both sides)."""
+    from minefields_kafka_streams_deduplication_spark.operators import timeseries as ts_ops
+
+    df = mk(spark, rows).withColumn("event_type", F.lit("x"))
+    orig = ts_ops.load_table
+    ts_ops.load_table = lambda s, d, n: df
+    try:
+        got = {
+            (r.user_id, r.day): (r.n_events, r.twa)
+            for r in ts_ops.time_weighted_avg_daily(spark, "x").collect()
+        }
+    finally:
+        ts_ops.load_table = orig
+
+    t0 = dt.datetime(2024, 1, 1)
+    by_user = {}
+    for i, (m, u, v) in enumerate(rows):
+        by_user.setdefault(u, []).append((t0 + dt.timedelta(minutes=m), i, v))
+    expected = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        num = den = 0.0
+        n_seg = 0
+        for (ts1, _, v), (ts2, _, _) in zip(evs, evs[1:]):
+            dur = (ts2 - ts1).total_seconds() * 1e6
+            if dur > 0:
+                num += v * dur
+                den += dur
+                n_seg += 1
+        if n_seg:
+            q = num / den
+            expected[(u, t0.date())] = (n_seg, (q * 10000 + 0.5) // 1 / 10000)
+    assert got == expected
