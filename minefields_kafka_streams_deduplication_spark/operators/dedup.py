@@ -161,6 +161,137 @@ def dedup_incremental_new_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bloom parameters: 32 buckets x 32768 bits = 1,048,576 bits (128 KiB
+# broadcast regardless of history size), k=5 hash probes. Sized for
+# ~10 bits/key at 100k distinct history keys (~1% false-positive rate);
+# at 100 TB you scale BLOOM_BUCKETS with the seen-keys cardinality
+# (m ~ 10 bits/key keeps fp ~1%) — the broadcast stays m/8 bytes.
+BLOOM_BUCKETS = 32
+BLOOM_BITS = BLOOM_BUCKETS * 32768
+BLOOM_K = 5
+
+
+def _bloom_positions(cols: list[str]) -> F.Column:
+    """Array of BLOOM_K bit positions in [0, BLOOM_BITS) for a key."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(*cols, F.lit(i)), F.lit(BLOOM_BITS))
+            for i in range(BLOOM_K)
+        ]
+    )
+
+
+def bloom_prefilter(
+    history_keys: DataFrame, batch: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Append boolean ``maybe_seen`` to ``batch``: False means the key
+    is DEFINITELY absent from ``history_keys`` (Bloom filters have no
+    false negatives); True means it might be present (~1% false
+    positives at design load) and needs exact verification.
+
+    The filter is an m-bit bitmap built with ``bitmap_construct_agg``
+    (one 4096-byte bucket per 32768 bits, pivoted into a SINGLE row so
+    the probe side receives the whole structure as a 1-row broadcast
+    cross join — m/8 bytes on the wire regardless of history size).
+    Each probe is whole-stage-codegen byte arithmetic: bit p of a bucket
+    lives in byte ``p/8 + 1`` at LSB-first position ``p%8`` (layout
+    verified against ``bitmap_bit_position``), read back via
+    ``conv(hex(substring(bm, byte, 1)), 16, 10) & (1 << bit)``.
+    """
+    bloom_row = (
+        history_keys.select(F.explode(_bloom_positions(cols)).alias("p"))
+        .groupBy(F.floor(F.col("p") / 32768).cast("int").alias("bucket"))
+        .agg(F.expr("bitmap_construct_agg(cast(p % 32768 as int))").alias("bm"))
+        .groupBy()
+        .pivot("bucket", list(range(BLOOM_BUCKETS)))
+        .agg(F.first("bm"))
+    )
+    out_cols = batch.columns
+    with_bloom = batch.crossJoin(F.broadcast(bloom_row))
+    blooms = F.array(*[F.col(f"`{b}`") for b in range(BLOOM_BUCKETS)])
+
+    def _probe_hit(i: int) -> F.Column:
+        pos = F.pmod(F.xxhash64(*cols, F.lit(i)), F.lit(BLOOM_BITS))
+        bm = F.element_at(blooms, F.floor(pos / 32768).cast("int") + 1)
+        inb = F.pmod(pos, F.lit(32768))
+        byte = F.conv(
+            F.hex(F.substring(bm, F.floor(inb / 8).cast("int") + 1, F.lit(1))),
+            16,
+            10,
+        ).cast("int")
+        mask = F.element_at(
+            F.array(*[F.lit(1 << j) for j in range(8)]),
+            F.pmod(inb, F.lit(8)).cast("int") + 1,
+        )
+        return bm.isNotNull() & (byte.bitwiseAND(mask) != 0)
+
+    maybe_seen = F.lit(True)
+    for i in range(BLOOM_K):
+        maybe_seen = maybe_seen & _probe_hit(i)
+    return with_bloom.select(*out_cols, maybe_seen.alias("maybe_seen"))
+
+
+@query(
+    "dedup_incremental_bloom",
+    oracle=f"""
+SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value
+FROM events e
+WHERE e.ts >= TIMESTAMP '{INCREMENTAL_CUTOFF}'
+  AND NOT EXISTS (
+    SELECT 1 FROM events h
+    WHERE h.ts < TIMESTAMP '{INCREMENTAL_CUTOFF}'
+      AND h.user_id = e.user_id
+      AND h.event_type = e.event_type
+      AND h.value = e.value
+  )
+""",
+)
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup with a Bloom-filter prefilter — identical
+    semantics (and oracle) to :func:`dedup_incremental_new_events`, but
+    the batch side never shuffles into the anti-join unless the Bloom
+    filter says the key MIGHT be seen.
+
+    This is the shape that matters at 100 TB: the seen-keys table is
+    reduced to an m-bit Bloom bitmap (fixed 128 KiB broadcast here,
+    m ~ 10 bits/key in production — still MBs for billions of keys,
+    vs TBs for the key table itself). Each new row tests its k=5 bit
+    positions against the broadcast bitmap in whole-stage codegen; rows
+    failing ANY probe are DEFINITELY new (Bloom filters have no false
+    negatives) and bypass the shuffle entirely. Only the candidate
+    residue — true dupes plus ~1% false positives — pays the exact
+    anti-join, so the expensive shuffle processes ~1% of the batch
+    instead of 100%.
+
+    Built entirely from public Spark bitmap built-ins: the bitmap is
+    `bitmap_construct_agg` over per-bucket bit positions (4096-byte
+    buckets, verified layout: bit p sets byte p/8+1, bit p%8 LSB-first),
+    and the probe reads the byte back with
+    `conv(hex(substring(bm, byte, 1)), 16, 10) & (1 << bit)` — all
+    codegen, no UDF. Correctness does not depend on Bloom parameters
+    (any fp rate only shrinks the bypass set); the oracle is the exact
+    anti-join, and tests/test_operators.py pins both the parity with
+    the plain anti-join and that the prefilter actually bypasses rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(INCREMENTAL_CUTOFF).cast("timestamp")
+    hist_keys = ev.filter(F.col("ts") < cutoff).select(*BUSINESS_KEY).distinct()
+
+    new_events = ev.filter(F.col("ts") >= cutoff).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    flagged = bloom_prefilter(hist_keys, new_events, BUSINESS_KEY)
+
+    definitely_new = flagged.filter(~F.col("maybe_seen"))
+    verified_new = flagged.filter(F.col("maybe_seen")).join(
+        hist_keys, BUSINESS_KEY, "left_anti"
+    )
+    return (
+        definitely_new.unionByName(verified_new)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
 @query(
     "dedup_text_exact",
     oracle="""

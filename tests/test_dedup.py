@@ -181,3 +181,43 @@ def test_cc_clusters_consistent_with_pair_graph(spark, sf_dir):
     # cluster ids are min-doc labels: every cluster id is a member of itself
     for d, c in clusters.items():
         assert clusters.get(c) == c
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Every key present in history MUST flag maybe_seen=True — a false
+    negative would silently drop a duplicate check and break the
+    incremental-dedup contract."""
+    from minefields_kafka_streams_deduplication_spark.operators.dedup import bloom_prefilter
+
+    hist = spark.createDataFrame([(i, f"t{i % 7}", float(i) / 3) for i in range(500)],
+                                 "user_id LONG, event_type STRING, value DOUBLE")
+    flagged = bloom_prefilter(hist, hist, ["user_id", "event_type", "value"])
+    assert flagged.filter("NOT maybe_seen").count() == 0
+
+
+def test_bloom_prefilter_bypasses_unseen_keys(spark):
+    """Keys absent from history should nearly all flag maybe_seen=False
+    (the whole point of the prefilter: they skip the exact anti-join).
+    At 500 history keys x 5 probes in a 1M-bit filter the expected
+    false-positive rate is ~(2500/1e6)^5 ~ 1e-13; assert < 1%."""
+    from minefields_kafka_streams_deduplication_spark.operators.dedup import bloom_prefilter
+
+    hist = spark.createDataFrame([(i, f"t{i % 7}", float(i) / 3) for i in range(500)],
+                                 "user_id LONG, event_type STRING, value DOUBLE")
+    probe = spark.createDataFrame(
+        [(i + 1_000_000, f"x{i % 11}", float(i) * 7.5) for i in range(2000)],
+        "user_id LONG, event_type STRING, value DOUBLE")
+    n_candidates = bloom_prefilter(hist, probe, ["user_id", "event_type", "value"]) \
+        .filter("maybe_seen").count()
+    assert n_candidates <= 20, n_candidates
+
+
+def test_bloom_incremental_matches_plain_anti_join(spark, sf_dir):
+    """dedup_incremental_bloom must return exactly the plain anti-join's
+    rows — the Bloom stage is a pure prefilter, never a semantics change."""
+    import minefields_kafka_streams_deduplication_spark as engine
+
+    qs = engine.get_queries()
+    bloom = {r.event_id for r in qs["dedup_incremental_bloom"](spark, sf_dir).collect()}
+    plain = {r.event_id for r in qs["dedup_incremental_new_events"](spark, sf_dir).collect()}
+    assert bloom == plain
