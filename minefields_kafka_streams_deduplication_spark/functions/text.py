@@ -6,7 +6,7 @@ Python UDFs — so the whole family stays inside whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, round4f
@@ -643,4 +643,74 @@ def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / F.sum("c")
         ).alias("dup2_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-distribution entropy — gibberish / low-diversity detector.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_char_entropy",
+    oracle="""
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+),
+cc AS (
+  SELECT doc_id, c, count(*) AS cnt FROM ch WHERE c <> '' GROUP BY doc_id, c
+),
+t AS (
+  SELECT doc_id, cnt, sum(cnt) OVER (PARTITION BY doc_id) AS n FROM cc
+),
+terms AS (
+  SELECT doc_id, n,
+         CAST((CAST(cnt AS DOUBLE) / n) * log2(CAST(cnt AS DOUBLE) / n)
+              AS DECIMAL(18,6)) AS term
+  FROM t
+)
+SELECT doc_id,
+       CAST(max(n) AS BIGINT) AS n_chars_counted,
+       count(*) AS n_distinct_chars,
+       CAST(round(-sum(term), 4) AS DOUBLE) AS entropy_bits
+FROM terms GROUP BY doc_id
+""",
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution (bits
+    per char) — the classic cheap gibberish/boilerplate signal: natural
+    prose sits ~4-4.5 bits, single-char spam near 0, random base64
+    near 6. Emitted with the char counts so a filter stage can threshold
+    on both (e.g. entropy < 2.0 AND n_chars > 100 => machine junk).
+
+    Cross-engine exactness: each p*log2(p) term is snapped to
+    DECIMAL(18,6) BEFORE summing (JVM/DuckDB log2 can differ by 1 ulp,
+    and float summation order is engine-specific — same hardening as
+    doc_unigram_logprob); the decimal sum is exact and associative, and
+    round() is applied to the DECIMAL, not the double.
+
+    100 TB shape: the char explode is collapsed by a map-side partial
+    aggregate before anything shuffles, so the (doc_id, char) shuffle
+    carries ~distinct-chars-per-doc rows (~30-100/doc), not one row per
+    character; the per-doc total rides a window over the second
+    (doc_id-partitioned) exchange — 2 shuffles of counter rows, bodies
+    never shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cc = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .filter(F.col("c") != "")
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    t = cc.withColumn("n", F.sum("cnt").over(Window.partitionBy("doc_id")))
+    p = F.col("cnt").cast("double") / F.col("n")
+    return (
+        t.select("doc_id", "n", (p * F.log2(p)).cast("decimal(18,6)").alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_chars_counted"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.round(-F.sum("term"), 4).cast("double").alias("entropy_bits"),
+        )
     )

@@ -147,3 +147,42 @@ def test_winnow_fingerprints_are_subset_and_shared_for_copies(spark, monkeypatch
     by_doc = {r.doc_id: fp(r) for r in out}
     assert by_doc[0] == by_doc[1]
     assert by_doc[2] != by_doc[0]
+
+
+def test_char_entropy_known_values(spark, monkeypatch):
+    """Entropy of hand-computable distributions: a single repeated char
+    is 0 bits, a perfectly uniform 2-char string is exactly 1 bit, a
+    uniform 4-char string exactly 2 bits."""
+    from minefields_kafka_streams_deduplication_spark.functions import text
+
+    rows = [
+        (0, "aaaaaaaa", "en", "s", 8),
+        (1, "abababab", "en", "s", 8),
+        (2, "abcdabcd", "en", "s", 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    monkeypatch.setattr(text, "load_table", lambda s, d, n: df)
+    out = {r.doc_id: r for r in text.doc_char_entropy(spark, "ignored").collect()}
+    assert out[0].entropy_bits == 0.0 and out[0].n_distinct_chars == 1
+    assert out[1].entropy_bits == 1.0 and out[1].n_distinct_chars == 2
+    assert out[2].entropy_bits == 2.0 and out[2].n_distinct_chars == 4
+    assert all(out[d].n_chars_counted == 8 for d in out)
+
+
+def test_char_entropy_orders_quality(spark, monkeypatch):
+    """Natural-looking prose must score strictly higher than repetitive
+    junk — the property the quality filter relies on."""
+    from minefields_kafka_streams_deduplication_spark.functions import text
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s", 43),
+        (1, "aaaa bbbb aaaa bbbb aaaa bbbb aaaa bbbb aaa", "en", "s", 43),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    monkeypatch.setattr(text, "load_table", lambda s, d, n: df)
+    out = {r.doc_id: r.entropy_bits for r in text.doc_char_entropy(spark, "ignored").collect()}
+    assert out[0] > out[1]
