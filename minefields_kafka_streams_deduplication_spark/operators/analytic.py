@@ -435,3 +435,101 @@ def agg_mode_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mode.join(med, "event_type").select(
         "event_type", "mode_user", "median_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential funnel analysis (view -> click -> purchase).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+),
+steps AS (
+  SELECT 1 AS step_no, '1_view' AS step, count(*) AS n_users FROM v
+  UNION ALL
+  SELECT 2, '2_click_after_view', count(*) FROM c
+  UNION ALL
+  SELECT 3, '3_purchase_after_click', count(*) FROM p
+)
+SELECT step_no, step, n_users,
+       floor(CAST(n_users AS DOUBLE)
+             / nullif(lag(n_users) OVER (ORDER BY step_no), 0)
+             * 10000 + 0.5) / 10000 AS conv_from_prev
+FROM steps
+""",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel — for each user, the first 'view',
+    the first 'click' STRICTLY AFTER that view, and the first 'purchase'
+    strictly after that click; reports users reaching each step and the
+    step-over-step conversion rate. The order constraint is what makes
+    this a funnel rather than three set intersections (a click before
+    the first view does not count).
+
+    Scale shape: each step is a groupBy(user_id) min over a
+    predicate-pruned scan (event_type pushed to parquet), then an
+    equi-join to the previous step's (user_id, ts) frame — all three
+    steps hash-partition on user_id, so AQE/ReuseExchange co-locates
+    the chain with ONE logical partitioning and the join inputs are
+    one-row-per-user frames, never raw events. The 3-row funnel summary
+    uses an unpartitioned lag, which is safe because the frame is
+    exactly n_steps rows (bounded by funnel definition, not data).
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def _step(df: DataFrame, no: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(no).alias("step_no"),
+            F.lit(name).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    steps = (
+        _step(v, 1, "1_view")
+        .unionByName(_step(c, 2, "2_click_after_view"))
+        .unionByName(_step(p, 3, "3_purchase_after_click"))
+    )
+    w = Window.orderBy("step_no")
+    conv = F.col("n_users").cast("double") / F.nullif(
+        F.lag("n_users").over(w), F.lit(0)
+    )
+    return steps.select(
+        "step_no", "step", "n_users", round4f(conv).alias("conv_from_prev")
+    )

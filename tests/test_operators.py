@@ -234,3 +234,43 @@ def test_session_native_matches_sql_form(spark, sf_dir):
     native = sorted(map(tuple, native_df.select(*sig).collect()))
     sql = sorted(map(tuple, sql_df.select(*sig).collect()))
     assert native == sql
+
+
+def test_funnel_order_constraint(spark, monkeypatch):
+    """The funnel counts a click only STRICTLY AFTER the user's first
+    view and a purchase only strictly after that click — out-of-order
+    steps must not convert."""
+    from minefields_kafka_streams_deduplication_spark.operators import analytic
+
+    t = lambda d: dt.datetime(2024, 1, d)
+    events = spark.createDataFrame(
+        [
+            # u1: full ordered funnel
+            (1, t(1), 1, "view", 0.0, "{}"),
+            (2, t(2), 1, "click", 0.0, "{}"),
+            (3, t(3), 1, "purchase", 0.0, "{}"),
+            # u2: click BEFORE first view → no click step
+            (4, t(5), 2, "click", 0.0, "{}"),
+            (5, t(6), 2, "view", 0.0, "{}"),
+            (6, t(7), 2, "purchase", 0.0, "{}"),
+            # u3: view then purchase but never clicks → stops at step 1
+            (7, t(1), 3, "view", 0.0, "{}"),
+            (8, t(2), 3, "purchase", 0.0, "{}"),
+            # u4: purchase before click (click after view, purchase early)
+            (9, t(1), 4, "view", 0.0, "{}"),
+            (10, t(2), 4, "purchase", 0.0, "{}"),
+            (11, t(3), 4, "click", 0.0, "{}"),
+        ],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    monkeypatch.setattr(analytic, "load_table", lambda s, d, n: events)
+    out = {r.step: r for r in analytic.funnel_view_click_purchase(spark, "x").collect()}
+    assert out["1_view"].n_users == 4
+    # u1 (ordered) and u4 (click t3 > first view t1) reach step 2;
+    # u2's click precedes their first view, u3 never clicks.
+    assert out["2_click_after_view"].n_users == 2
+    # only u1's purchase follows their qualifying click (u4 bought early).
+    assert out["3_purchase_after_click"].n_users == 1
+    assert out["1_view"].conv_from_prev is None
+    assert out["2_click_after_view"].conv_from_prev == 0.5
+    assert out["3_purchase_after_click"].conv_from_prev == 0.5
