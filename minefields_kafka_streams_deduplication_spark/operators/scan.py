@@ -57,3 +57,51 @@ def latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type", "value")
     )
+
+
+@query(
+    "latest_by_key_tombstoned",
+    oracle="""
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t
+WHERE rn = 1 AND value IS NOT NULL
+""",
+)
+def latest_by_key_tombstoned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 with DELETE semantics — the half of KTable compaction that
+    plain latest-per-key misses: a changelog record with a NULL value is
+    a tombstone [R o.a.k.streams.kstream.KTable: "records with null
+    value are treated as deletes"], so a key whose LATEST record is a
+    tombstone is absent from the materialized table, while a key that
+    was deleted and later re-inserted resurfaces with the newer value.
+
+    The fixture carries no physical nulls, so the changelog is derived
+    identically on both engines: 'error' events emit a tombstone for
+    their user (the GDPR-style "erase this key" shape). Semantics are
+    pinned on a hand fixture in tests/test_operators.py
+    (delete-then-reinsert resurfaces, delete-last disappears).
+
+    Scale shape: identical to latest_by_key — ONE hash shuffle on the
+    key; the tombstone filter is applied AFTER the per-key winner is
+    chosen (filtering tombstones first would wrongly resurrect older
+    non-tombstone records), and costs nothing extra: it rides the same
+    window pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    changelog = ev.withColumn(
+        "value",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(
+            F.col("value")
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        changelog.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )

@@ -274,3 +274,30 @@ def test_funnel_order_constraint(spark, monkeypatch):
     assert out["1_view"].conv_from_prev is None
     assert out["2_click_after_view"].conv_from_prev == 0.5
     assert out["3_purchase_after_click"].conv_from_prev == 0.5
+
+
+def test_tombstone_table_semantics(spark, monkeypatch):
+    """KTable tombstone semantics: a key whose latest record is a
+    delete vanishes; a delete followed by a newer insert resurfaces."""
+    from minefields_kafka_streams_deduplication_spark.operators import scan
+
+    t = lambda d: dt.datetime(2024, 1, d)
+    events = spark.createDataFrame(
+        [
+            # u1: insert then tombstone LAST → absent
+            (1, t(1), 1, "view", 10.0, "{}"),
+            (2, t(2), 1, "error", 99.0, "{}"),
+            # u2: tombstone then newer insert → present with new value
+            (3, t(1), 2, "error", 0.0, "{}"),
+            (4, t(2), 2, "purchase", 42.0, "{}"),
+            # u3: never tombstoned → latest wins
+            (5, t(1), 3, "view", 1.0, "{}"),
+            (6, t(2), 3, "click", 2.0, "{}"),
+        ],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    monkeypatch.setattr(scan, "load_table", lambda s, d, n: events)
+    out = {r.user_id: r for r in scan.latest_by_key_tombstoned(spark, "x").collect()}
+    assert 1 not in out
+    assert out[2].value == 42.0 and out[2].event_id == 4
+    assert out[3].value == 2.0 and out[3].event_id == 6
