@@ -1452,3 +1452,38 @@ def agg_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query("agg_approx_quantiles_by_type")  # rows-only: KLL/GK result is impl-specific
+def agg_approx_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles per event_type (Greenwald-Khanna via
+    `percentile_approx`, accuracy 10000 => rank error <= 1e-4·n) with
+    the exact interpolated percentiles riding along — the driver row
+    itself witnesses the sketch error, like agg_hll_mergeable_daily.
+
+    This closes the sketch family (HLL distinct, count-min frequency,
+    GK quantiles): at 100 TB the exact per-group percentile needs a
+    per-group sort, while the GK summary is a bounded-memory mergeable
+    state — map-side partials merge in the combine step, so the shuffle
+    carries one KB-scale summary per (task, group) instead of the
+    value stream. tests/test_operators.py asserts the p50/p90/p99
+    estimates land within the documented rank error of the exact values.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    acc = F.lit(10000)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), acc).alias(
+            "approx"
+        ),
+        F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("exact"),
+    ).select(
+        "event_type",
+        "n",
+        F.col("approx")[0].alias("p50_est"),
+        F.col("approx")[1].alias("p90_est"),
+        F.col("approx")[2].alias("p99_est"),
+        F.col("exact")[0].alias("p50_exact"),
+        F.col("exact")[1].alias("p90_exact"),
+        F.col("exact")[2].alias("p99_exact"),
+    )

@@ -301,3 +301,24 @@ def test_tombstone_table_semantics(spark, monkeypatch):
     assert 1 not in out
     assert out[2].value == 42.0 and out[2].event_id == 4
     assert out[3].value == 2.0 and out[3].event_id == 6
+
+
+def test_approx_quantiles_rank_error(spark, sf_dir):
+    """percentile_approx estimates must sit at (nearly) the requested
+    rank: the fraction of group values <= estimate stays within 1% of
+    the target quantile (accuracy 10000 => rank error 1e-4·n, asserted
+    with a generous margin)."""
+    import minefields_kafka_streams_deduplication_spark as engine
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+
+    rows = engine.get_queries()["agg_approx_quantiles_by_type"](spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for r in rows:
+        vals = sorted(by_type[r.event_type])
+        for p, est in [(0.5, r.p50_est), (0.9, r.p90_est), (0.99, r.p99_est)]:
+            frac = sum(v <= est for v in vals) / len(vals)
+            assert abs(frac - p) <= 0.01, (r.event_type, p, est, frac)
