@@ -533,3 +533,79 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return steps.select(
         "step_no", "step", "n_users", round4f(conv).alias("conv_from_prev")
     )
+
+
+@query(
+    "cohort_weekly_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(datediff('day', f.cohort_week,
+                       CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS BIGINT)
+           AS week_offset
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+),
+counts AS (
+  SELECT cohort_week, week_offset, count(*) AS n_active
+  FROM activity GROUP BY cohort_week, week_offset
+)
+SELECT cohort_week, week_offset, n_active,
+       floor(CAST(n_active AS DOUBLE)
+             / first_value(n_active) OVER (PARTITION BY cohort_week ORDER BY week_offset)
+             * 10000 + 0.5) / 10000 AS retention
+FROM counts
+""",
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — users grouped by first-seen week, with
+    the share still active N weeks later: the canonical product-health
+    rollup (and, for a training-data pipeline, the crawl-freshness view
+    of how much of each ingest cohort is still contributing events).
+
+    week_offset is integer weeks between Monday-truncated dates, so the
+    whole matrix is integer arithmetic — no float-determinism exposure
+    except the final ratio, which uses the floor-rounded quotient form.
+    The offset-0 row is every cohort's own size (a user's first event is
+    by construction in their cohort week), so the denominator comes from
+    first_value over the cohort partition — no self-join.
+
+    Scale shape: one user_id shuffle for first-seen, one join back on
+    user_id (co-partitioned with the aggregate), then the DISTINCT and
+    count collapse to (cohort, offset) — output is weeks x offsets, thousands
+    of rows at any corpus size. The retention window partitions by
+    cohort_week (bounded by calendar weeks), never a single partition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    counts = activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_offset")
+    return counts.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        round4f(
+            F.col("n_active").cast("double") / F.first("n_active").over(w)
+        ).alias("retention"),
+    )

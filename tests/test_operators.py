@@ -322,3 +322,34 @@ def test_approx_quantiles_rank_error(spark, sf_dir):
         for p, est in [(0.5, r.p50_est), (0.9, r.p90_est), (0.99, r.p99_est)]:
             frac = sum(v <= est for v in vals) / len(vals)
             assert abs(frac - p) <= 0.01, (r.event_type, p, est, frac)
+
+
+def test_cohort_retention_semantics(spark, monkeypatch):
+    """Offset-0 is each cohort's size with retention 1.0; later offsets
+    count only still-active users; users never appear before their own
+    cohort week."""
+    from minefields_kafka_streams_deduplication_spark.operators import analytic
+
+    t = lambda d: dt.datetime(2024, 1, d)  # 2024-01-01 is a Monday
+    events = spark.createDataFrame(
+        [
+            # cohort wk0 (Jan 1): u1 active wk0+wk1, u2 wk0 only
+            (1, t(2), 1, "view", 0.0, "{}"),
+            (2, t(9), 1, "view", 0.0, "{}"),
+            (3, t(3), 2, "view", 0.0, "{}"),
+            # cohort wk1 (Jan 8): u3 active wk1 and wk3
+            (4, t(10), 3, "view", 0.0, "{}"),
+            (5, t(23), 3, "view", 0.0, "{}"),
+        ],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    monkeypatch.setattr(analytic, "load_table", lambda s, d, n: events)
+    rows = analytic.cohort_weekly_retention(spark, "x").collect()
+    m = {(str(r.cohort_week), r.week_offset): (r.n_active, r.retention) for r in rows}
+    assert m[("2024-01-01", 0)] == (2, 1.0)
+    assert m[("2024-01-01", 1)] == (1, 0.5)
+    assert m[("2024-01-08", 0)] == (1, 1.0)
+    assert m[("2024-01-08", 2)] == (1, 1.0)
+    assert not any(off < 0 for (_, off) in m)
+    assert set(m) == {("2024-01-01", 0), ("2024-01-01", 1),
+                      ("2024-01-08", 0), ("2024-01-08", 2)}
