@@ -609,3 +609,68 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_active").cast("double") / F.first("n_active").over(w)
         ).alias("retention"),
     )
+
+
+ZSCORE_MIN_EVENTS = 10
+ZSCORE_THRESHOLD = 3.0
+
+
+@query(
+    "anomaly_value_zscore",
+    oracle=f"""
+WITH stats AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+              AS DOUBLE) AS s2
+  FROM events GROUP BY user_id
+),
+scored AS (
+  SELECT e.event_id, e.user_id, e.value,
+         (e.value - s.s1 / s.n)
+           / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS z
+  FROM events e JOIN stats s ON e.user_id = s.user_id
+  WHERE s.n >= {ZSCORE_MIN_EVENTS}
+    AND (s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1) > 0
+)
+SELECT event_id, user_id, value,
+       floor(z * 10000 + 0.5) / 10000 AS zscore
+FROM scored
+WHERE abs(z) > {ZSCORE_THRESHOLD}
+""",
+)
+def anomaly_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring/outlier detection: events whose value deviates more
+    than {threshold} sigma from the SAME USER's own distribution (per-key
+    baselines, not a global cutoff — a whale user's normal purchase is
+    not an anomaly, a bot's sudden spike is). Users with fewer than
+    ZSCORE_MIN_EVENTS events or zero variance are skipped: no baseline,
+    no verdict.
+
+    Float determinism: per-user sum and sum-of-squares go through exact
+    DECIMAL(18,6) (order-free), are cast to double ONCE, and everything
+    after (mean, variance, sqrt, z) is the identical IEEE expression on
+    both engines — sqrt is correctly rounded per IEEE-754, so no 1-ulp
+    divergence anywhere; the published z uses the floor-rounded form.
+
+    Scale shape: one hash aggregate on user_id, stats joined back on the
+    same partitioning (co-located; AQE reuses the exchange), flagged
+    rows only in the output. At 100 TB the stats side is one row per
+    user — orders of magnitude smaller than events — and could be
+    broadcast outright below the driver's hint threshold.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = dec6("value")
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).cast("double").alias("s1"),
+        F.sum(d * d).cast("double").alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("value") - F.col("s1") / F.col("n")) / F.sqrt(var)
+    return (
+        ev.join(stats, "user_id")
+        .filter((F.col("n") >= ZSCORE_MIN_EVENTS) & (var > 0))
+        .filter(F.abs(z) > ZSCORE_THRESHOLD)
+        .select("event_id", "user_id", "value", round4f(z).alias("zscore"))
+    )

@@ -161,24 +161,15 @@ def dedup_incremental_new_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Bloom parameters: 32 buckets x 32768 bits = 1,048,576 bits (128 KiB
-# broadcast regardless of history size), k=5 hash probes. Sized for
-# ~10 bits/key at 100k distinct history keys (~1% false-positive rate);
-# at 100 TB you scale BLOOM_BUCKETS with the seen-keys cardinality
-# (m ~ 10 bits/key keeps fp ~1%) — the broadcast stays m/8 bytes.
-BLOOM_BUCKETS = 32
-BLOOM_BITS = BLOOM_BUCKETS * 32768
+# Bloom parameters: k=5 hash probes, m >= BLOOM_BITS_PER_KEY bits per
+# distinct history key (10 bits/key + k=5 => ~1% false positives),
+# rounded up to whole 32768-bit bitmap_construct_agg buckets with a
+# 32-bucket (128 KiB) floor. m adapts to the measured key count — a
+# fixed m saturates once keys ~ m/10 and the prefilter silently turns
+# into a no-op (caught by the 100x probe, SCALING.md).
 BLOOM_K = 5
-
-
-def _bloom_positions(cols: list[str]) -> F.Column:
-    """Array of BLOOM_K bit positions in [0, BLOOM_BITS) for a key."""
-    return F.array(
-        *[
-            F.pmod(F.xxhash64(*cols, F.lit(i)), F.lit(BLOOM_BITS))
-            for i in range(BLOOM_K)
-        ]
-    )
+BLOOM_BITS_PER_KEY = 10
+BLOOM_MIN_BUCKETS = 32
 
 
 def bloom_prefilter(
@@ -189,46 +180,71 @@ def bloom_prefilter(
     false negatives); True means it might be present (~1% false
     positives at design load) and needs exact verification.
 
-    The filter is an m-bit bitmap built with ``bitmap_construct_agg``
-    (one 4096-byte bucket per 32768 bits, pivoted into a SINGLE row so
-    the probe side receives the whole structure as a 1-row broadcast
-    cross join — m/8 bytes on the wire regardless of history size).
-    Each probe is whole-stage-codegen byte arithmetic: bit p of a bucket
-    lives in byte ``p/8 + 1`` at LSB-first position ``p%8`` (layout
-    verified against ``bitmap_bit_position``), read back via
-    ``conv(hex(substring(bm, byte, 1)), 16, 10) & (1 << bit)``.
+    The bitmap is built distributed with ``bitmap_construct_agg`` (one
+    4096-byte bucket per 32768 bits; verified layout: bit p sets byte
+    ``p/8 + 1`` at LSB-first position ``p%8``), then the m/8 bytes are
+    collected ONCE and embedded as a BINARY plan literal — two bounded
+    driver actions (a count to size m, ~10 bits/key of bitmap), the
+    same KB-to-MB budget as the sketch family. Each batch row then
+    tests its k positions with pure codegen byte arithmetic
+    (``conv(hex(substring(<lit>, byte, 1)), 16, 10) & (1 << bit)``) —
+    no join, no shuffle, no per-row copy of the filter.
+
+    (A 1-row broadcast cross join carrying the bitmap column was the
+    first implementation; BroadcastNestedLoopJoin splices the blob into
+    EVERY output row, which the 100x probe measured at 128 s for a 10M
+    row batch. The literal form is 4.3 s. SCALING.md records both.)
     """
-    bloom_row = (
-        history_keys.select(F.explode(_bloom_positions(cols)).alias("p"))
+    # Two bounded build jobs over the RAW key stream — no distinct
+    # anywhere in the build: duplicate keys set the same bits, and the
+    # sizing only needs an approximate cardinality (HLL partial agg, no
+    # shuffle). The bitmap aggregate itself partial-merges map-side, so
+    # its shuffle carries <= n_buckets bitmaps per task, not positions.
+    n_keys = history_keys.agg(
+        F.approx_count_distinct(F.struct(*cols)).alias("n")
+    ).collect()[0].n
+    n_buckets = max(BLOOM_MIN_BUCKETS, -(-n_keys * BLOOM_BITS_PER_KEY // 32768))
+    m_bits = n_buckets * 32768
+
+    def _positions() -> F.Column:
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(*cols, F.lit(i)), F.lit(m_bits))
+                for i in range(BLOOM_K)
+            ]
+        )
+
+    bucket_rows = (
+        history_keys.select(F.explode(_positions()).alias("p"))
         .groupBy(F.floor(F.col("p") / 32768).cast("int").alias("bucket"))
         .agg(F.expr("bitmap_construct_agg(cast(p % 32768 as int))").alias("bm"))
-        .groupBy()
-        .pivot("bucket", list(range(BLOOM_BUCKETS)))
-        .agg(F.first("bm"))
+        .collect()
     )
-    out_cols = batch.columns
-    with_bloom = batch.crossJoin(F.broadcast(bloom_row))
-    blooms = F.array(*[F.col(f"`{b}`") for b in range(BLOOM_BUCKETS)])
+    bloom = bytearray(n_buckets * 4096)
+    for r in bucket_rows:
+        bloom[r.bucket * 4096 : (r.bucket + 1) * 4096] = r.bm
+    bloom_lit = F.lit(bytes(bloom))
 
     def _probe_hit(i: int) -> F.Column:
-        pos = F.pmod(F.xxhash64(*cols, F.lit(i)), F.lit(BLOOM_BITS))
-        bm = F.element_at(blooms, F.floor(pos / 32768).cast("int") + 1)
-        inb = F.pmod(pos, F.lit(32768))
-        byte = F.conv(
-            F.hex(F.substring(bm, F.floor(inb / 8).cast("int") + 1, F.lit(1))),
-            16,
-            10,
-        ).cast("int")
+        pos = F.pmod(F.xxhash64(*cols, F.lit(i)), F.lit(m_bits))
+        # Byte decode via Latin-1 (byte-preserving) + ascii: measured
+        # ~15% faster than the conv(hex(...)) base conversion.
+        byte = F.ascii(
+            F.decode(
+                F.substring(bloom_lit, F.floor(pos / 8).cast("int") + 1, F.lit(1)),
+                "ISO-8859-1",
+            )
+        )
         mask = F.element_at(
             F.array(*[F.lit(1 << j) for j in range(8)]),
-            F.pmod(inb, F.lit(8)).cast("int") + 1,
+            F.pmod(pos, F.lit(8)).cast("int") + 1,
         )
-        return bm.isNotNull() & (byte.bitwiseAND(mask) != 0)
+        return byte.bitwiseAND(mask) != 0
 
     maybe_seen = F.lit(True)
     for i in range(BLOOM_K):
         maybe_seen = maybe_seen & _probe_hit(i)
-    return with_bloom.select(*out_cols, maybe_seen.alias("maybe_seen"))
+    return batch.withColumn("maybe_seen", maybe_seen)
 
 
 @query(
@@ -253,42 +269,46 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter says the key MIGHT be seen.
 
     This is the shape that matters at 100 TB: the seen-keys table is
-    reduced to an m-bit Bloom bitmap (fixed 128 KiB broadcast here,
-    m ~ 10 bits/key in production — still MBs for billions of keys,
-    vs TBs for the key table itself). Each new row tests its k=5 bit
-    positions against the broadcast bitmap in whole-stage codegen; rows
-    failing ANY probe are DEFINITELY new (Bloom filters have no false
-    negatives) and bypass the shuffle entirely. Only the candidate
-    residue — true dupes plus ~1% false positives — pays the exact
-    anti-join, so the expensive shuffle processes ~1% of the batch
-    instead of 100%.
+    reduced to an m-bit Bloom bitmap sized at 10 bits per distinct key
+    (~1% false positives with k=5 — MBs for billions of keys, vs TBs
+    for the key table itself). Each new row tests its k=5 bit positions
+    against the bitmap in whole-stage codegen; rows failing ANY probe
+    are DEFINITELY new (Bloom filters have no false negatives) and
+    bypass the shuffle entirely. Only the candidate residue — true
+    dupes plus ~1% false positives — pays the exact anti-join, so the
+    expensive shuffle processes ~1% of the batch instead of 100%.
 
-    Built entirely from public Spark bitmap built-ins: the bitmap is
-    `bitmap_construct_agg` over per-bucket bit positions (4096-byte
-    buckets, verified layout: bit p sets byte p/8+1, bit p%8 LSB-first),
-    and the probe reads the byte back with
-    `conv(hex(substring(bm, byte, 1)), 16, 10) & (1 << bit)` — all
-    codegen, no UDF. Correctness does not depend on Bloom parameters
-    (any fp rate only shrinks the bypass set); the oracle is the exact
-    anti-join, and tests/test_operators.py pins both the parity with
-    the plain anti-join and that the prefilter actually bypasses rows.
+    Built from public Spark bitmap built-ins (see
+    :func:`bloom_prefilter` for the mechanism and the measured
+    cross-join-vs-literal design note). Correctness does not depend on
+    Bloom parameters (any fp rate only shrinks the bypass set); the
+    oracle is the exact anti-join, and tests/test_dedup.py pins both
+    the parity with the plain anti-join and that the prefilter actually
+    bypasses rows.
     """
     ev = load_table(spark, sf_dir, "events")
     cutoff = F.lit(INCREMENTAL_CUTOFF).cast("timestamp")
-    hist_keys = ev.filter(F.col("ts") < cutoff).select(*BUSINESS_KEY).distinct()
+    # The prefilter build reads the RAW projected history (duplicate
+    # keys set the same bits — no distinct needed anywhere).
+    hist_raw = ev.filter(F.col("ts") < cutoff).select(*BUSINESS_KEY)
 
     new_events = ev.filter(F.col("ts") >= cutoff).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    flagged = bloom_prefilter(hist_keys, new_events, BUSINESS_KEY)
-
-    definitely_new = flagged.filter(~F.col("maybe_seen"))
-    verified_new = flagged.filter(F.col("maybe_seen")).join(
-        hist_keys, BUSINESS_KEY, "left_anti"
+    # ONE probe pass produces the candidate keys (~fp-rate of the
+    # batch); history is then REDUCED to the keys that collide with a
+    # candidate (semi join against the small side — AQE broadcasts it),
+    # and the final anti-join tests the batch against only that tiny
+    # verified-seen set. No full-size shuffle on either input at any
+    # step: the batch never shuffles, the history only scans.
+    candidate_keys = (
+        bloom_prefilter(hist_raw, new_events, BUSINESS_KEY)
+        .filter(F.col("maybe_seen"))
+        .select(*BUSINESS_KEY)
     )
-    return (
-        definitely_new.unionByName(verified_new)
-        .select("event_id", "ts", "user_id", "event_type", "value")
+    seen_keys = hist_raw.join(candidate_keys, BUSINESS_KEY, "left_semi").distinct()
+    return new_events.join(seen_keys, BUSINESS_KEY, "left_anti").select(
+        "event_id", "ts", "user_id", "event_type", "value"
     )
 
 

@@ -1,0 +1,106 @@
+"""Streaming anomaly detection — per-key running z-score with arbitrary
+state (the monitoring twin of the batch ``anomaly_value_zscore``).
+
+The reference shape [R o.a.k.streams.kstream.KStream#processValues +
+KeyValueStore]: a processor keeps per-key running statistics and flags
+records that deviate from the key's OWN history-so-far. Spark-first
+port: ``applyInPandasWithState`` with a (count, mean, M2) Welford state
+— numerically stable single-pass mean/variance, one double triple per
+live key, updated Arrow-batch-at-a-time.
+
+Unlike the batch op (global per-user stats), the streaming op scores
+each event against the statistics of the events BEFORE it — exactly
+what an online monitor can know — so an early spike both gets flagged
+and then joins the baseline. Semantics are pinned against a pure-Python
+Welford model in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..registry import query
+from .source import read_events_stream, run_to_memory
+
+ZSCORE_MIN_EVENTS = 10
+ZSCORE_THRESHOLD = 3.0
+
+ANOMALY_OUTPUT_SCHEMA = (
+    "event_id LONG, user_id LONG, value DOUBLE, zscore DOUBLE, n_baseline LONG"
+)
+ANOMALY_STATE_SCHEMA = "n LONG, mean DOUBLE, m2 DOUBLE"
+
+
+def welford_step(n: int, mean: float, m2: float, v: float) -> tuple[int, float, float]:
+    """One Welford update — shared by the operator and the test model."""
+    n += 1
+    delta = v - mean
+    mean += delta / n
+    m2 += delta * (v - mean)
+    return n, mean, m2
+
+
+def _anomaly_fn(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+    out = []
+    for pdf in pdfs:
+        pdf = pdf[["event_id", "ts_us", "user_id", "value"]].sort_values(
+            ["ts_us", "event_id"]
+        )
+        for row in pdf.itertuples(index=False):
+            # Score against history-so-far BEFORE absorbing the value.
+            if n >= ZSCORE_MIN_EVENTS and m2 > 0:
+                std = math.sqrt(m2 / (n - 1))
+                z = (row.value - mean) / std
+                if abs(z) > ZSCORE_THRESHOLD:
+                    zr = math.floor(z * 10000 + 0.5) / 10000
+                    out.append((row.event_id, row.user_id, row.value, zr, n))
+            n, mean, m2 = welford_step(n, mean, m2, row.value)
+    state.update((n, mean, m2))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["event_id", "user_id", "value", "zscore", "n_baseline"]
+        )
+
+
+@query("anomaly_stream_zscore")  # rows-only: online state op, no SQL oracle
+def anomaly_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online per-user outlier stream: |z| > 3 against the user's
+    running Welford statistics, minimum 10 prior events.
+
+    Scale shape: ONE shuffle on user_id into the state operator; state
+    is three numbers per live user regardless of history length (the
+    whole point of Welford vs storing the window), and the Python hop
+    is Arrow-batched. At 100 TB the state store holds |users| triples —
+    KBs per million users — and the op emits only anomalies, so the
+    output stream is sparse.
+    """
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "value",
+        F.col("ts"),
+    )
+    flagged = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _anomaly_fn,
+            outputStructType=ANOMALY_OUTPUT_SCHEMA,
+            stateStructType=ANOMALY_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    n_part = spark.sparkContext.defaultParallelism
+    return run_to_memory(flagged, "anomaly_stream_zscore", partitions=n_part)

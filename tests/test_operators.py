@@ -353,3 +353,30 @@ def test_cohort_retention_semantics(spark, monkeypatch):
     assert not any(off < 0 for (_, off) in m)
     assert set(m) == {("2024-01-01", 0), ("2024-01-01", 1),
                       ("2024-01-08", 0), ("2024-01-08", 2)}
+
+
+def test_zscore_flags_only_true_outliers(spark, monkeypatch):
+    """Per-user baseline: one 100.0 among ten 10.0s is ~3.02 sigma ->
+    flagged; constant-value users (zero variance) and users below the
+    minimum history are never scored."""
+    from minefields_kafka_streams_deduplication_spark.operators import analytic
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for _ in range(10):                       # u1: ten normal events
+        rows.append((eid, t0, 1, "view", 10.0, "{}")); eid += 1
+    rows.append((eid, t0, 1, "view", 100.0, "{}")); eid += 1   # the spike
+    for _ in range(12):                       # u2: constant values, var 0
+        rows.append((eid, t0, 2, "view", 5.0, "{}")); eid += 1
+    for v in (1.0, 2.0, 500.0):               # u3: too little history
+        rows.append((eid, t0, 3, "view", v, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    monkeypatch.setattr(analytic, "load_table", lambda s, d, n: events)
+    out = analytic.anomaly_value_zscore(spark, "x").collect()
+    assert len(out) == 1
+    assert out[0].event_id == 10 and out[0].user_id == 1
+    assert out[0].zscore == 3.0151
