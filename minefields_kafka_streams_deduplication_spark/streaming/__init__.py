@@ -4,6 +4,7 @@
 "Structured Streaming + deduplication via watermarks/state"].
 """
 
+from . import anomaly_stream  # noqa: F401
 from . import dedup_stream  # noqa: F401
 from . import observe  # noqa: F401
 from . import windows_stream  # noqa: F401

@@ -370,3 +370,41 @@ def test_ohlc_stream_matches_batch_on_closed_bars(spark, sf_dir):
     # emit-final: no bar appears twice
     keys = [(r.user_id, r.bar_ts) for r in stream_rows]
     assert len(keys) == len(set(keys))
+
+
+def test_stream_zscore_matches_welford_model(spark, sf_dir):
+    """The streaming anomaly op must flag exactly the events a
+    pure-Python Welford replay over the ts-ordered history flags —
+    state carries across micro-batches, scoring precedes absorption."""
+    import math
+
+    import minefields_kafka_streams_deduplication_spark as engine
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+    from minefields_kafka_streams_deduplication_spark.streaming.anomaly_stream import (
+        ZSCORE_MIN_EVENTS,
+        ZSCORE_THRESHOLD,
+        welford_step,
+    )
+
+    got = {
+        r.event_id: (r.zscore, r.n_baseline)
+        for r in engine.get_queries()["anomaly_stream_zscore"](spark, sf_dir).collect()
+    }
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("event_id", "unix_micros(ts) AS ts_us", "user_id", "value")
+        .collect()
+    )
+    state: dict = {}
+    want = {}
+    for r in sorted(ev, key=lambda r: (r.ts_us, r.event_id)):
+        n, mean, m2 = state.get(r.user_id, (0, 0.0, 0.0))
+        if n >= ZSCORE_MIN_EVENTS and m2 > 0:
+            z = (r.value - mean) / math.sqrt(m2 / (n - 1))
+            if abs(z) > ZSCORE_THRESHOLD:
+                want[r.event_id] = (math.floor(z * 10000 + 0.5) / 10000, n)
+        state[r.user_id] = welford_step(n, mean, m2, r.value)
+
+    assert got == want
+    assert want, "fixture produced no anomalies — model check is vacuous"
