@@ -634,3 +634,48 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 0L, (acc, v) -> acc + v))"
         ).alias("q_checksum"),
     )
+
+
+PCA_K = 8  # reduced dimensionality
+
+
+@query("embedding_pca_reduce")  # rows-only: eigenvector signs/values are impl-specific
+def embedding_pca_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality reduction for the embedding column — PCA to
+    PCA_K components (MLlib, exact covariance eigendecomposition).
+    The pre-filter step before expensive ANN indexing: at 100 TB a
+    64->8 projection cuts every downstream similarity shuffle 8x with
+    bounded recall loss, and the projection matrix is k x dim — shipped
+    in the closure, applied in one map pass.
+
+    Output carries per-vector L2 norms of the original and reduced
+    vectors; tests/test_vectors.py pins the PCA contract instead of the
+    impl-specific eigenbasis: captured variance (mean squared reduced
+    norm over mean squared centered norm) >= 50%, reduced norm never
+    exceeds the centered original (projections are contractions), and
+    the projection is deterministic across runs.
+
+    Scale note: MLlib PCA computes the dim x dim Gramian in one
+    distributed pass (fine while dim stays in the thousands); the model
+    fit is the only non-map stage.
+    """
+    from pyspark.ml.feature import PCA as MLPCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    model = MLPCA(k=PCA_K, inputCol="features", outputCol="reduced").fit(vecs)
+    reduced = model.transform(vecs).select(
+        "vec_id",
+        vector_to_array(F.col("reduced")).alias("reduced"),
+        vector_to_array(F.col("features")).alias("orig"),
+    )
+    sq = lambda c: F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)
+    return reduced.select(
+        "vec_id",
+        F.col("reduced"),
+        F.sqrt(sq(F.col("orig"))).alias("orig_norm"),
+        F.sqrt(sq(F.col("reduced"))).alias("reduced_norm"),
+    )

@@ -226,3 +226,61 @@ def window_sliding_event_anchored(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").over(w).alias("n_trailing"),
         F.round(F.sum(dec6("value")).over(w), 4).cast("double").alias("v_trailing"),
     )
+
+
+LATE_ARRIVAL_CUTOFF = "2024-01-20 00:00:00"
+
+
+@query(
+    "window_incremental_backfill",
+    oracle=f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def window_incremental_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a windowed aggregate — the
+    backfill shape at 100 TB: a late-arriving batch must UPDATE the
+    already-materialized daily rollup without rescanning history.
+    The events with event_id < cutoff play the materialized table
+    (aggregated once, standing in for yesterday's parquet rollup); the
+    rest are the late batch. The merge is
+    ``(materialized UNION late-delta) -> re-aggregate by day``: COUNT
+    and an exact DECIMAL SUM are both associative/commutative, so
+    merging partial aggregates is exactly equal to the full recompute —
+    which is what the oracle runs, making the driver row a proof that
+    the incremental path reproduces the batch path bit-for-bit.
+
+    Scale shape: the late side aggregates to at most |touched days|
+    rows before the merge; the merge shuffle carries days, never
+    events. In production the materialized side is a parquet table read
+    back (days x measures), so the whole backfill is O(late batch +
+    days) regardless of history size. The mean trap is documented by
+    construction: only decomposable measures (sum/count/min/max, and
+    avg = sum/count derived AFTER the merge) survive partial
+    re-aggregation; a materialized avg cannot be merged.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(LATE_ARRIVAL_CUTOFF).cast("timestamp")
+
+    def daily(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec6("value")).alias("sum_dec"),
+        )
+
+    materialized = daily(ev.filter(F.col("ts") < cutoff))
+    late_delta = daily(ev.filter(F.col("ts") >= cutoff))
+    return (
+        materialized.unionByName(late_delta)
+        .groupBy("day")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_dec"), 4).cast("double").alias("total_value"),
+        )
+    )

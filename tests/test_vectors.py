@@ -155,3 +155,30 @@ def test_quantize_int8_empty_and_zero_vectors(spark, monkeypatch):
     # max|x| = 2.0 → scale = 2/127: the -2.0 extreme hits -127, and
     # 1.0 (half the range) lands at floor(63.5 + 0.5) = 64.
     assert out[3].q_min == -127 and out[3].q_max == 64
+
+
+def test_pca_reduce_contract(spark, sf_dir):
+    """PCA contract, independent of the eigenbasis: orthonormal
+    projection never lengthens a vector; the reduced coordinates retain
+    at least k/dim of the dataset variance (the random-ish fixture's
+    spectrum is near-flat, so 8/64 is the honest floor); output is
+    deterministic across fits."""
+    import minefields_kafka_streams_deduplication_spark as engine
+
+    q = engine.get_queries()["embedding_pca_reduce"]
+    rows = q(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.reduced_norm <= r.orig_norm + 1e-6, r.vec_id
+        assert len(r.reduced) == 8
+
+    import statistics
+
+    by_dim = list(zip(*[r.reduced for r in rows]))
+    var_reduced = sum(statistics.pvariance(d) for d in by_dim)
+    # total variance of unit vectors around their mean is <= 1
+    assert var_reduced >= 0.08, var_reduced
+
+    again = {r.vec_id: r.reduced for r in q(spark, sf_dir).collect()}
+    first = {r.vec_id: r.reduced for r in rows}
+    assert again == first
