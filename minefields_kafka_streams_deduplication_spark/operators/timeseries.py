@@ -253,3 +253,41 @@ def join_asof_forward_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_next") <= tol, F.col("_next")).alias("next_order_date"),
         )
     )
+
+
+EWMA_ALPHA = 0.2
+
+
+@query("ewma_user_value")  # rows-only: recursive smoothing, no clean SQL form
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of `value` per user in
+    event-time order — the standard smoothing/trend signal
+    (y_i = α·x_i + (1-α)·y_{i-1}, adjust=False seed y_0 = x_0).
+
+    The recursion is order-dependent, so it is NOT SQL-expressible
+    without a recursive CTE (and the closed-form power-sum rewrite
+    underflows once (1-α)^-i leaves double range), hence rows-only with
+    a pure-Python recursion replay pinned in tests/test_timeseries.py.
+
+    Implementation: one hash shuffle on user_id into an Arrow-batched
+    ``applyInPandas`` whose kernel is pandas' vectorized
+    ``ewm(alpha, adjust=False).mean()`` — the same "Python only when the
+    JVM can't express it, and then vectorized" rule as sequence packing.
+    State is nothing (batch kernel sees the whole key group); the
+    streaming twin of this shape would carry (y, ts) per key like
+    anomaly_stream_zscore carries Welford triples.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "value"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        pdf["ewma"] = pdf["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean()
+        return pdf[["event_id", "user_id", "value", "ewma"]]
+
+    return ev.groupBy("user_id").applyInPandas(
+        kernel, "event_id LONG, user_id LONG, value DOUBLE, ewma DOUBLE"
+    )

@@ -141,7 +141,7 @@ WITH flagged AS (
   SELECT user_id, event_id, ts, value,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                 OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
-                   >= {SESSION_GAP_MINUTES} * 60 * 1000000
+                   > {SESSION_GAP_MINUTES} * 60 * 1000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ),
@@ -165,13 +165,17 @@ def window_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator (works unchanged under readStream + watermark).
 
     Oracle (promoted from rows-only in round 3): a session window is
-    [min ts, last ts + gap); two events merge iff the younger starts
-    BEFORE the older's window ends, so the islands boundary is
-    `gap >= GAP` for a new session — note the deliberate difference
-    from window_session_sql's `gap > GAP` (KS SessionWindows merges on
-    <= inactivity-gap; Spark's half-open window excludes the exact-gap
-    event). Point events at exactly the gap are measure-zero in the
-    fixtures but the oracle must mirror Spark's boundary, not KS's."""
+    [min ts, last ts + gap), and two events merge iff the younger
+    starts AT OR before the older's window end — Spark merges TOUCHING
+    windows, so the islands boundary is `gap > GAP` for a new session,
+    the SAME inclusive-gap rule as window_session_sql and as KS
+    SessionWindows (merge on <= inactivity-gap). An earlier version of
+    this oracle asserted `gap >= GAP` (assuming the half-open end
+    excluded the exact-gap event); exact-gap pairs are measure-zero in
+    the microsecond fixtures so strict checks never caught it — the
+    hypothesis sessionization property (tests/test_properties.py,
+    minute-granularity offsets) falsified it with two events exactly
+    30 minutes apart and Spark returning ONE merged session."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes").alias("w"))

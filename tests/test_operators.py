@@ -380,3 +380,29 @@ def test_zscore_flags_only_true_outliers(spark, monkeypatch):
     assert len(out) == 1
     assert out[0].event_id == 10 and out[0].user_id == 1
     assert out[0].zscore == 3.0151
+
+
+def test_native_session_merges_touching_windows(spark, monkeypatch):
+    """Spark's session_window merges sessions whose windows TOUCH: two
+    events exactly 30min apart form ONE session (found by the
+    sessionization hypothesis property; pins the corrected oracle)."""
+    from minefields_kafka_streams_deduplication_spark.operators import windows
+
+    base = dt.datetime(2024, 1, 1)
+    gap = dt.timedelta(minutes=30)
+    us = dt.timedelta(microseconds=1)
+    events = spark.createDataFrame(
+        [
+            (1, 7, base, 1.0),
+            (2, 7, base + gap, 1.0),             # touches → merged
+            (3, 7, base + gap + gap + us, 1.0),  # 30min + 1µs → new session
+        ],
+        "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE",
+    )
+    monkeypatch.setattr(windows, "load_table", lambda s, d, n: events)
+    out = sorted(
+        (r.n_events, r.session_start)
+        for r in windows.window_session_native(spark, "x").collect()
+    )
+    assert [n for n, _ in out] == [1, 2]
+    assert out[1][1] == base

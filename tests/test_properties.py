@@ -115,9 +115,12 @@ SESSION_GAP = dt.timedelta(minutes=30)
 
 def _reference_sessions(rows, *, new_session_at_exact_gap):
     """Brute-force sessionization model: per user, time-ordered events
-    split where the gap exceeds (or, for the native half-open window
-    form, reaches) 30 minutes. Returns {(user, start_minute_offset,
-    n_events, total_value)}."""
+    split where the gap exceeds 30 minutes. The new_session_at_exact_gap
+    knob is retained to DOCUMENT the falsified hypothesis: Spark's
+    session_window merges touching windows (exact gap == same session),
+    so both engine forms use the > boundary and passing True here
+    describes a semantics Spark does not have. Returns {(user,
+    start_minute_offset, n_events, total_value)}."""
     t0 = dt.datetime(2024, 1, 1)
     by_user = {}
     for i, (m, u, v) in enumerate(rows):
@@ -146,11 +149,12 @@ def _reference_sessions(rows, *, new_session_at_exact_gap):
 @settings(max_examples=5, deadline=None)
 @given(rows=events_strategy)
 def test_sessionization_both_forms_match_reference(spark, rows):
-    """W3 property: window_session_native (half-open session_window:
-    new session at gap >= 30 min) and window_session_sql (KS islands:
-    new session at gap > 30 min) each match their brute-force model on
-    random event sets — minute-granularity offsets make exact-gap
-    events common, so the boundary divergence is genuinely exercised."""
+    """W3 property: both sessionization forms share the inclusive-gap
+    boundary (new session only at gap > 30 min — Spark's session_window
+    merges touching windows, same as KS SessionWindows) and must match
+    the brute-force model on random event sets. Minute-granularity
+    offsets make exact-gap pairs common: this property falsified the
+    earlier claim that the native form split at gap >= 30."""
     from minefields_kafka_streams_deduplication_spark.operators import windows
 
     df = mk(spark, rows)
@@ -169,7 +173,7 @@ def test_sessionization_both_forms_match_reference(spark, rows):
         }
     finally:
         windows.load_table = orig
-    assert native == _reference_sessions(rows, new_session_at_exact_gap=True)
+    assert native == _reference_sessions(rows, new_session_at_exact_gap=False)
     assert sql_form == _reference_sessions(rows, new_session_at_exact_gap=False)
 
 

@@ -82,3 +82,34 @@ def test_asof_forward_tolerance_and_boundary(spark, monkeypatch):
     assert out[7] == d(0)
     assert out[8] is None
     assert out[9] is None  # no orders at all
+
+
+def test_ewma_matches_recursion_replay(spark, sf_dir):
+    """The vectorized pandas kernel must equal the textbook recursion
+    y_i = a*x_i + (1-a)*y_{i-1} replayed in pure Python over the
+    ts-ordered events of every user."""
+    import minefields_kafka_streams_deduplication_spark as engine
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+    from minefields_kafka_streams_deduplication_spark.operators.timeseries import (
+        EWMA_ALPHA,
+    )
+
+    got = {
+        r.event_id: r.ewma
+        for r in engine.get_queries()["ewma_user_value"](spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("event_id", "unix_micros(ts) AS ts_us", "user_id", "value")
+        .collect()
+    )
+    state: dict = {}
+    want = {}
+    for r in sorted(ev, key=lambda r: (r.ts_us, r.event_id)):
+        y = state.get(r.user_id)
+        y = r.value if y is None else EWMA_ALPHA * r.value + (1 - EWMA_ALPHA) * y
+        state[r.user_id] = y
+        want[r.event_id] = y
+    assert set(got) == set(want)
+    for eid, y in want.items():
+        assert abs(got[eid] - y) < 1e-9, eid
