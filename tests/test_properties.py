@@ -216,3 +216,134 @@ def test_time_weighted_avg_matches_reference(spark, rows):
             q = num / den
             expected[(u, t0.date())] = (n_seg, (q * 10000 + 0.5) // 1 / 10000)
     assert got == expected
+
+
+typed_events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 60 * 24 * 20),   # minutes offset over ~3 weeks
+        st.integers(0, 3),              # user_id
+        st.sampled_from(["view", "click", "purchase"]),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+def mk_typed(spark, rows):
+    t0 = dt.datetime(2024, 1, 1)  # a Monday — cohort weeks align
+    data = [
+        (i, t0 + dt.timedelta(minutes=m), u, ty, 1.0, "{}")
+        for i, (m, u, ty) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=typed_events_strategy)
+def test_funnel_matches_reference(spark, rows):
+    """Funnel property: step counts equal the brute-force
+    min-chaining model (first view, first click strictly after it,
+    first purchase strictly after that) on random event sets."""
+    from minefields_kafka_streams_deduplication_spark.operators import analytic
+
+    df = mk_typed(spark, rows)
+    orig = analytic.load_table
+    analytic.load_table = lambda s, d, n: df
+    try:
+        got = {
+            r.step: r.n_users
+            for r in analytic.funnel_view_click_purchase(spark, "x").collect()
+        }
+    finally:
+        analytic.load_table = orig
+
+    t0 = dt.datetime(2024, 1, 1)
+    by_user = {}
+    for i, (m, u, ty) in enumerate(rows):
+        by_user.setdefault(u, []).append((t0 + dt.timedelta(minutes=m), ty))
+    v = c = p = 0
+    for u, evs in by_user.items():
+        t1 = min((t for t, ty in evs if ty == "view"), default=None)
+        if t1 is None:
+            continue
+        v += 1
+        t2 = min((t for t, ty in evs if ty == "click" and t > t1), default=None)
+        if t2 is None:
+            continue
+        c += 1
+        t3 = min((t for t, ty in evs if ty == "purchase" and t > t2), default=None)
+        if t3 is not None:
+            p += 1
+    assert got.get("1_view", 0) == v
+    assert got.get("2_click_after_view", 0) == (c if v else 0)
+    assert got.get("3_purchase_after_click", 0) == (p if v else 0)
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=typed_events_strategy)
+def test_interval_join_matches_reference(spark, rows):
+    """Interval-join property: the (view, purchase) pair set equals the
+    brute-force window filter v.ts <= p.ts <= v.ts + 10min per user."""
+    from minefields_kafka_streams_deduplication_spark.operators import joins
+
+    df = mk_typed(spark, rows)
+    orig = joins.load_table
+    joins.load_table = lambda s, d, n: df
+    try:
+        got = {
+            (r.view_id, r.purchase_id)
+            for r in joins.join_interval_view_purchase(spark, "x").collect()
+        }
+    finally:
+        joins.load_table = orig
+
+    t0 = dt.datetime(2024, 1, 1)
+    ten = dt.timedelta(minutes=10)
+    evs = [
+        (i, t0 + dt.timedelta(minutes=m), u, ty) for i, (m, u, ty) in enumerate(rows)
+    ]
+    want = {
+        (vi, pi)
+        for vi, vt, vu, vty in evs
+        if vty == "view"
+        for pi, pt, pu, pty in evs
+        if pty == "purchase" and pu == vu and vt <= pt <= vt + ten
+    }
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=typed_events_strategy)
+def test_cohort_retention_matches_reference(spark, rows):
+    """Cohort property: the (cohort_week, offset) -> n_active matrix
+    equals the brute-force first-seen-week model."""
+    from minefields_kafka_streams_deduplication_spark.operators import analytic
+
+    df = mk_typed(spark, rows)
+    orig = analytic.load_table
+    analytic.load_table = lambda s, d, n: df
+    try:
+        got = {
+            (str(r.cohort_week), r.week_offset): r.n_active
+            for r in analytic.cohort_weekly_retention(spark, "x").collect()
+        }
+    finally:
+        analytic.load_table = orig
+
+    t0 = dt.datetime(2024, 1, 1)
+    by_user = {}
+    for i, (m, u, ty) in enumerate(rows):
+        ts = t0 + dt.timedelta(minutes=m)
+        by_user.setdefault(u, []).append(ts)
+    want: dict = {}
+    for u, tss in by_user.items():
+        wk = lambda ts: (ts - dt.timedelta(days=ts.weekday())).date()
+        cohort = wk(min(tss))
+        offsets = {(wk(ts) - cohort).days // 7 for ts in tss}
+        for off in offsets:
+            key = (str(cohort), off)
+            want[key] = want.get(key, 0) + 1
+    assert got == want
