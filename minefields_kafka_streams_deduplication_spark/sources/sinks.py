@@ -173,6 +173,52 @@ def write_idempotent_batch(batch_df: DataFrame, out_root: str, batch_id: int) ->
 UPSERT_BUCKETS = 16
 
 
+def _latest_per_key(df: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def merge_batch_into_state(
+    spark: SparkSession, state_dir: str, batch_df: DataFrame
+) -> None:
+    """Fold one micro-batch into the bucketed current-state table:
+    latest-per-key over (touched old buckets ∪ batch), dynamic
+    partition overwrite of only those buckets. REPLAY-SAFE BY ALGEBRA:
+    latest-per-key is an idempotent fold (max by (ts, event_id)), so
+    re-merging an already-applied batch leaves the state unchanged —
+    at-least-once foreachBatch delivery therefore yields exactly-once
+    state (pinned by tests/test_sources.py's double-merge test).
+
+    `localCheckpoint` materializes the merge BEFORE the write because
+    it reads the same files the write replaces (self-overwrite hazard
+    of in-place parquet merges)."""
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(UPSERT_BUCKETS)).alias("bucket")
+    b_latest = _latest_per_key(
+        batch_df.select("user_id", "event_id", "ts", "event_type", "value", bucket)
+    )
+    touched = [r.bucket for r in b_latest.select("bucket").distinct().collect()]
+    existing = [
+        p
+        for t in touched
+        if os.path.exists(p := os.path.join(state_dir, f"bucket={t}"))
+    ]
+    if existing:
+        # The partition column lives in the directory name, not the
+        # files — recompute it after reading the touched buckets.
+        old = spark.read.parquet(*existing).withColumn(
+            "bucket", F.pmod(F.xxhash64("user_id"), F.lit(UPSERT_BUCKETS))
+        )
+        b_latest = _latest_per_key(b_latest.unionByName(old))
+    merged = b_latest.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(state_dir)
+
+
 @query(
     "sink_upsert_keyed_table",
     oracle="""
@@ -214,40 +260,8 @@ def sink_upsert_keyed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_dir = os.path.join(out_root, "state")
     checkpoint = tempfile.mkdtemp(prefix="sink_upsert_ckpt_")
 
-    bucket = F.pmod(F.xxhash64("user_id"), F.lit(UPSERT_BUCKETS)).alias("bucket")
-
-    def latest(df: DataFrame) -> DataFrame:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("user_id").orderBy(
-            F.desc("ts"), F.desc("event_id")
-        )
-        return (
-            df.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
-
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        b = batch_df.select(
-            "user_id", "event_id", "ts", "event_type", "value", bucket
-        )
-        b_latest = latest(b)
-        touched = [r.bucket for r in b_latest.select("bucket").distinct().collect()]
-        existing = [
-            p
-            for t in touched
-            if os.path.exists(p := os.path.join(state_dir, f"bucket={t}"))
-        ]
-        if existing:
-            # The partition column lives in the directory name, not the
-            # files — recompute it after reading the touched buckets.
-            old = spark.read.parquet(*existing).withColumn(
-                "bucket", F.pmod(F.xxhash64("user_id"), F.lit(UPSERT_BUCKETS))
-            )
-            b_latest = latest(b_latest.unionByName(old))
-        merged = b_latest.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(state_dir)
+        merge_batch_into_state(spark, state_dir, batch_df)
 
     stream = read_events_stream(spark, sf_dir).select(
         "event_id", "ts", "user_id", "event_type", "value"
