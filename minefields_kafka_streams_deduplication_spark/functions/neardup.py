@@ -594,3 +594,96 @@ def scrub_repeated_spans_df(docs: DataFrame) -> DataFrame:
         )
     )
     return out.unionByName(copies)
+
+
+EDITDIST_LEN_BUCKET = 25
+EDITDIST_REL_MAX = 0.3
+
+
+@query(
+    "dedup_text_editdistance",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, text,
+         CAST(floor(n_chars / {EDITDIST_LEN_BUCKET}) AS BIGINT) AS lb
+  FROM documents
+),
+cand AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         levenshtein(a.text, b.text) AS edit_dist,
+         greatest(len(a.text), len(b.text)) AS longer
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+)
+SELECT doc_id_1, doc_id_2, edit_dist,
+       floor(CAST(edit_dist AS DOUBLE) / longer * 10000 + 0.5) / 10000 AS rel_dist
+FROM cand
+WHERE edit_dist <= {EDITDIST_REL_MAX} * longer
+""",
+)
+def dedup_text_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs by RELATIVE EDIT DISTANCE with declared
+    blocking — the character-level complement to MinHash (token
+    shingles miss single-char typo storms; levenshtein catches them).
+    Semantics are exactly what the oracle states: pairs within the same
+    (lang, 25-char length bucket) whose edit distance is <= 30% of the
+    longer text. The blocking is PART of the contract (true dups differ
+    in length by < the bucket width with high probability) — same
+    candidate-pruning honesty as the MinHash bands.
+
+    Scale shape: the O(n^2) explosion is confined within blocks by the
+    equi-join on (lang, length bucket); levenshtein (O(len^2) per pair,
+    JVM codegen) runs on candidates only, never the cross product. At
+    100 TB you tighten blocks (add a cheap signature like first-token
+    hash) before paying the quadratic kernel — the plan shape is
+    unchanged, only the block key widens.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        F.floor(F.col("n_chars") / EDITDIST_LEN_BUCKET).alias("lb"),
+    )
+    # The documents fixture arrives as one or two parquet splits, so
+    # without an explicit spread every per-pair levenshtein would run
+    # on one core (measured: 121 s single-threaded vs 6 s spread at
+    # sf0.1). The build side is broadcast, so ANY partitioning of the
+    # probe side is join-correct: round-robin gives an even spread with
+    # no residual block-key skew.
+    a = d.repartition(d.sparkSession.sparkContext.defaultParallelism).alias("a")
+    b = d.alias("b")
+    # Materialize the distance ONCE per candidate pair (it is the whole
+    # cost of the query), then filter/derive from the column. The
+    # `+ rand(42)*0` no-op marks the projection nondeterministic so
+    # Catalyst CANNOT push the threshold filter into the join residual —
+    # measured 251 s at sf0.1 with the pushed-down form (levenshtein
+    # evaluated inside the join condition, before the cheap doc_id
+    # prune and again in the projection) vs seconds with the barrier.
+    cand = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.lb") == F.col("b.lb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            (
+                F.levenshtein(F.col("a.text"), F.col("b.text"))
+                + (F.rand(42) * 0).cast("int")
+            ).alias("edit_dist"),
+            F.greatest(F.length("a.text"), F.length("b.text")).alias("longer"),
+        )
+    )
+    return cand.filter(
+        F.col("edit_dist") <= EDITDIST_REL_MAX * F.col("longer")
+    ).select(
+        "doc_id_1",
+        "doc_id_2",
+        "edit_dist",
+        (
+            F.floor(F.col("edit_dist").cast("double") / F.col("longer") * 10000 + F.lit(0.5))
+            / 10000.0
+        ).alias("rel_dist"),
+    )

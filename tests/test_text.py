@@ -186,3 +186,28 @@ def test_char_entropy_orders_quality(spark, monkeypatch):
     monkeypatch.setattr(text, "load_table", lambda s, d, n: df)
     out = {r.doc_id: r.entropy_bits for r in text.doc_char_entropy(spark, "ignored").collect()}
     assert out[0] > out[1]
+
+
+def test_editdistance_finds_typo_storm(spark, monkeypatch):
+    """A doc differing only by scattered single-char typos (which break
+    token shingles) must pair with its original; unrelated docs and
+    docs in other length buckets must not."""
+    from minefields_kafka_streams_deduplication_spark.functions import neardup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    typos = "thе quick brwn fox jumps ovr the lazy dog agan and again todey"
+    rows = [
+        (0, base, "en", "s", len(base)),
+        (1, typos, "en", "s", len(typos)),
+        (2, "completely different text about spark query planning internals", "en", "s", 62),
+        (3, base * 4, "en", "s", len(base) * 4),   # other length bucket
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    monkeypatch.setattr(neardup, "load_table", lambda s, d, n: df)
+    pairs = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in neardup.dedup_text_editdistance(spark, "x").collect()
+    }
+    assert pairs == {(0, 1)}
