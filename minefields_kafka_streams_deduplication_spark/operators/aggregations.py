@@ -1487,3 +1487,57 @@ def agg_approx_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact")[1].alias("p90_exact"),
         F.col("exact")[2].alias("p99_exact"),
     )
+
+
+EQUIDEPTH_BUCKETS = 10
+
+
+@query(
+    "histogram_equidepth_value",
+    oracle=f"""
+WITH r AS (
+  SELECT value,
+         ntile({EQUIDEPTH_BUCKETS}) OVER (ORDER BY value, event_id) AS bucket
+  FROM events
+)
+SELECT bucket, count(*) AS n_rows,
+       min(value) AS lo, max(value) AS hi
+FROM r GROUP BY bucket
+""",
+)
+def histogram_equidepth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-FREQUENCY histogram of `value` (the equi-width twin is
+    histogram_event_values): {EQUIDEPTH_BUCKETS} buckets of near-equal
+    row count with their value ranges — the distribution summary that
+    stays informative under heavy skew, and the boundary source for
+    range-partitioning decisions.
+
+    ntile is computed ARITHMETICALLY from the two-phase global rank
+    (`_global_row_number`: range partition + local rank + offsets), so
+    no single-partition WindowExec exists at any scale — same plan
+    discipline as rank_users_by_spend. The (value, event_id) ordering
+    key is unique, making the bucket assignment deterministic and the
+    oracle's ntile bit-identical. Bucket mins/maxes are SELECTED order
+    statistics, not arithmetic — no float-determinism exposure.
+    """
+    from .analytic import _global_row_number
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    ranked = _global_row_number(ev, [F.asc("value"), F.asc("event_id")])
+    rn, n = F.col("_rn"), F.col("_n")
+    k = EQUIDEPTH_BUCKETS
+    base = F.floor(n / k).cast("long")
+    rem = (n % k).cast("long")
+    big = rem * (base + 1)
+    bucket = F.when(rn <= big, F.ceil(rn / (base + 1))).otherwise(
+        rem + F.ceil((rn - big) / F.greatest(base, F.lit(1)))
+    )
+    return (
+        ranked.select(bucket.cast("int").alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
