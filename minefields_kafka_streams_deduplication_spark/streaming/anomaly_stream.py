@@ -1,5 +1,6 @@
-"""Streaming anomaly detection — per-key running z-score with arbitrary
-state (the monitoring twin of the batch ``anomaly_value_zscore``).
+"""Arbitrary-state streaming ops: per-key running z-score anomaly
+detection (the monitoring twin of the batch ``anomaly_value_zscore``)
+and the tombstone-aware KTable changelog.
 
 The reference shape [R o.a.k.streams.kstream.KStream#processValues +
 KeyValueStore]: a processor keeps per-key running statistics and flags
@@ -104,3 +105,95 @@ def anomaly_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_part = spark.sparkContext.defaultParallelism
     return run_to_memory(flagged, "anomaly_stream_zscore", partitions=n_part)
+
+
+# ---------------------------------------------------------------------------
+# Tombstone-aware KTable changelog (streaming twin of
+# operators/scan.latest_by_key_tombstoned).
+# ---------------------------------------------------------------------------
+
+CHANGELOG_OUTPUT_SCHEMA = (
+    "user_id LONG, op STRING, event_id LONG, ts_us LONG, event_type STRING, "
+    "value DOUBLE"
+)
+CHANGELOG_STATE_SCHEMA = (
+    "w_ts_us LONG, w_event_id LONG, w_is_del INT, w_type STRING, w_value DOUBLE"
+)
+
+
+def _tombstone_changelog_fn(key, pdfs, state):
+    """Per-key changelog emitter: track the latest record (max by
+    (ts, event_id)); when the winner changes, emit 'upsert' — or
+    'delete' when the new winner is a tombstone ('error' events stand
+    in for null-value records, same derivation as the batch op)."""
+    import pandas as pd
+
+    (uid,) = key
+    if state.exists:
+        w_ts, w_eid, w_del, w_type, w_val = state.get
+    else:
+        w_ts = w_eid = None
+        w_del, w_type, w_val = 0, None, None
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for row in pdf.itertuples(index=False):
+            if w_ts is None or (row.ts_us, row.event_id) > (w_ts, w_eid):
+                w_ts, w_eid = row.ts_us, row.event_id
+                w_del = 1 if row.event_type == "error" else 0
+                w_type, w_val = row.event_type, row.value
+                out.append(
+                    (
+                        uid,
+                        "delete" if w_del else "upsert",
+                        w_eid,
+                        w_ts,
+                        w_type,
+                        None if w_del else w_val,
+                    )
+                )
+    state.update((w_ts, w_eid, w_del, w_type, w_val))
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "op", "event_id", "ts_us", "event_type", "value"],
+        )
+
+
+@query("table_changelog_tombstone_stream")  # rows-only: stateful changelog emission
+def table_changelog_tombstone_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KTable changelog WITH DELETE semantics [R KTable: records with
+    null value are tombstones; the changelog topic carries them so
+    downstream materializations drop the key]: every change of a key's
+    winning record emits an 'upsert' row, and a winning tombstone emits
+    'delete' — replaying the ops in order reconstructs exactly the
+    batch latest_by_key_tombstoned table (parity pinned in
+    tests/test_streaming.py).
+
+    Scale shape: one shuffle on the key into arbitrary state; state is
+    one winner tuple per live key; emission volume per batch is bounded
+    by changed keys. The batch op answers "what is the table NOW"; this
+    op answers "what happened", which is what a downstream CDC consumer
+    tails.
+    """
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        F.col("ts"),
+    )
+    log = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _tombstone_changelog_fn,
+            outputStructType=CHANGELOG_OUTPUT_SCHEMA,
+            stateStructType=CHANGELOG_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    n_part = spark.sparkContext.defaultParallelism
+    return run_to_memory(log, "table_changelog_tombstone_stream", partitions=n_part)

@@ -408,3 +408,27 @@ def test_stream_zscore_matches_welford_model(spark, sf_dir):
 
     assert got == want
     assert want, "fixture produced no anomalies — model check is vacuous"
+
+
+def test_tombstone_changelog_reconstructs_batch_table(spark, sf_dir):
+    """Replaying the tombstone changelog in (ts_us, event_id) order per
+    key must reconstruct exactly the batch tombstoned KTable: keys
+    whose last op is 'delete' absent, others at their latest value."""
+    import minefields_kafka_streams_deduplication_spark as engine
+
+    qs = engine.get_queries()
+    ops = qs["table_changelog_tombstone_stream"](spark, sf_dir).collect()
+    assert ops
+    state: dict = {}
+    for r in sorted(ops, key=lambda r: (r.ts_us, r.event_id)):
+        if r.op == "delete":
+            state[r.user_id] = None
+        else:
+            state[r.user_id] = (r.event_id, r.value)
+    rebuilt = {u: v for u, v in state.items() if v is not None}
+    batch = {
+        r.user_id: (r.event_id, r.value)
+        for r in qs["latest_by_key_tombstoned"](spark, sf_dir).collect()
+    }
+    assert rebuilt == batch
+    assert any(r.op == "delete" for r in ops), "no tombstones exercised"
