@@ -603,10 +603,18 @@ EDITDIST_REL_MAX = 0.3
 @query(
     "dedup_text_editdistance",
     oracle=f"""
-WITH d AS (
+WITH reps AS (
+  SELECT doc_id, lang, text, n_chars
+  FROM (
+    SELECT doc_id, lang, text, n_chars,
+           row_number() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn
+    FROM documents
+  ) t WHERE rn = 1
+),
+d AS (
   SELECT doc_id, lang, text,
          CAST(floor(n_chars / {EDITDIST_LEN_BUCKET}) AS BIGINT) AS lb
-  FROM documents
+  FROM reps
 ),
 cand AS (
   SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
@@ -631,14 +639,30 @@ def dedup_text_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     in length by < the bucket width with high probability) — same
     candidate-pruning honesty as the MinHash bands.
 
+    EXACT-COPY COLLAPSE comes first (one representative per normalized
+    text, min doc_id — the same prefilter that killed the MinHash and
+    span-scrub hot-key quadratics): on a duplicate-heavy corpus the
+    within-block pair count is quadratic in the copy count, and the
+    100x replica probe measured the naive form heading for 1.6 B pairs
+    while the collapsed form stays at the distinct-text pair count.
+    Exact duplicates are dedup_text_exact's job; this operator reports
+    NEAR pairs among distinct texts.
+
     Scale shape: the O(n^2) explosion is confined within blocks by the
-    equi-join on (lang, length bucket); levenshtein (O(len^2) per pair,
-    JVM codegen) runs on candidates only, never the cross product. At
-    100 TB you tighten blocks (add a cheap signature like first-token
-    hash) before paying the quadratic kernel — the plan shape is
-    unchanged, only the block key widens.
+    equi-join on (lang, length bucket) over representatives;
+    levenshtein (O(len^2) per pair, JVM codegen) runs on candidates
+    only, never the cross product. At 100 TB you tighten blocks (add a
+    cheap signature like first-token hash) before paying the quadratic
+    kernel — the plan shape is unchanged, only the block key widens.
     """
-    d = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents")
+    winners = (
+        docs.select(F.md5(F.lower(F.trim(F.col("text")))).alias("nh"), "doc_id")
+        .groupBy("nh")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d = docs.join(F.broadcast(winners), "doc_id", "left_semi").select(
         "doc_id",
         "lang",
         "text",
