@@ -100,6 +100,27 @@ def _encode_bmp(width: int, height: int, seed: bytes) -> bytes:
     return header + info + bytes(pixel_data)
 
 
+def _encode_bmp_pixels(img) -> bytes:
+    """Encode an (h, w, 3) uint8 array (top-down row order, RGB-agnostic
+    byte triples) as a real bottom-up 24-bit BMP — the inverse of
+    `_decode_bmp_pixels`, used by tests and re-encode paths that need
+    exact pixel control rather than `_encode_bmp`'s seeded synthesis."""
+    import struct
+
+    height, width = img.shape[:2]
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    img_size = (row_bytes + pad) * height
+    pixel_data = bytearray()
+    for row in img[::-1]:  # bottom-up storage
+        pixel_data += row.tobytes() + b"\x00" * pad
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return header + info + bytes(pixel_data)
+
+
 def _parse_bmp_header(payload: bytes):
     """Validate an uncompressed 24-bit BMP header (magic, header sizes,
     BI_RGB, bit depth, payload length). Returns (width, height,
@@ -522,3 +543,110 @@ def multimodal_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     payloads = docs.mapInPandas(synthesize_bmp_batches, "doc_id LONG, payload BINARY")
     return payloads.mapInPandas(resize_bmp_batches, RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup over the real BMP pipeline.
+# ---------------------------------------------------------------------------
+
+PHASH_EDGE = 8  # aHash grid: 8x8 -> 64-bit signature
+PHASH_MAX_HAMMING = 10
+
+
+def _ahash(img) -> int:
+    """Average hash: grayscale -> 8x8 nearest resample -> bit = pixel >
+    mean. The standard cheap perceptual signature (public aHash
+    algorithm); robust to resizes and small pixel edits, which byte
+    hashes are not."""
+    import numpy as np
+
+    gray = img.astype(np.uint16).sum(axis=2) // 3
+    small = _resize_nearest(gray, PHASH_EDGE, PHASH_EDGE).astype(np.float64)
+    bits = (small > small.mean()).astype(np.uint64).ravel()
+    # Bit 63 kept zero so the signature stays a positive LONG.
+    return int((bits[:63] << np.arange(63, dtype=np.uint64)).sum())
+
+
+def phash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, payload) -> (doc_id, phash). Rows
+    whose payload fails BMP validation are dropped (no signature, no
+    verdict — same policy as the anomaly ops)."""
+    for pdf in it:
+        ids, sigs = [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            img = _decode_bmp_pixels(bytes(payload))
+            # Images smaller than the hash grid cannot fill an 8x8
+            # resample without duplicating pixels — their signatures
+            # are degenerate (near-constant bits) and everything pairs
+            # with everything. No signature, no verdict.
+            if img is None or img.shape[0] < PHASH_EDGE or img.shape[1] < PHASH_EDGE:
+                continue
+            ids.append(int(doc_id))
+            sigs.append(_ahash(img))
+        yield pd.DataFrame({"doc_id": ids, "phash": sigs})
+
+
+def phash_pairs(payloads: DataFrame) -> DataFrame:
+    """Near-dup image pairs from a (doc_id, payload BINARY) frame:
+    aHash signatures, banded into 4x16-bit chunks (pigeonhole: two
+    signatures within Hamming distance 3 share a chunk; wider
+    distances are still found when any chunk collides — banding recall
+    is declared, as in SimHash/MinHash), exact Hamming verification on
+    candidates only.
+
+    Scale shape: signatures are 8 bytes/image; the chunk equi-join is
+    the only shuffle, and payload bytes never leave the signature
+    kernel's executors.
+    """
+    sigs = payloads.mapInPandas(phash_batches, "doc_id LONG, phash LONG")
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("phash"), c * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("cval"),
+            )
+            for c in range(4)
+        ]
+    )
+    chunked = sigs.select("doc_id", "phash", F.explode(chunks).alias("cc")).select(
+        "doc_id",
+        "phash",
+        F.col("cc.chunk").alias("chunk"),
+        F.col("cc.cval").alias("cval"),
+    )
+    x = chunked.select(
+        "chunk", "cval", F.col("doc_id").alias("doc_id_1"), F.col("phash").alias("p1")
+    )
+    y = chunked.select(
+        "chunk", "cval", F.col("doc_id").alias("doc_id_2"), F.col("phash").alias("p2")
+    )
+    return (
+        x.join(y, ["chunk", "cval"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2", "p1", "p2")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("p1").bitwiseXOR(F.col("p2"))))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .select("doc_id_1", "doc_id_2", "hamming")
+    )
+
+
+@query("multimodal_phash_dedup_bmp")  # rows-only: signatures are impl-specific
+def multimodal_phash_dedup_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dedup end-to-end on the REAL BMP path: synthesize
+    genuine 24-bit BMPs from the documents table, decode pixels with
+    the pure-Python parser, aHash each image, and report banded
+    Hamming-verified near-dup pairs — the multimodal member of the
+    dedup family (exact text / MinHash / SimHash / edit distance /
+    embedding cosine / image perceptual hash).
+
+    tests/test_multimodal.py pins the signature invariances that make
+    this a PERCEPTUAL dedup: identical images pair at distance 0, a
+    single-pixel edit stays within threshold, a 2x nearest upscale is
+    signature-identical (resize invariance), and unrelated images do
+    not pair."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = docs.mapInPandas(synthesize_bmp_batches, "doc_id LONG, payload BINARY")
+    return phash_pairs(payloads)

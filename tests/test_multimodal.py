@@ -263,3 +263,53 @@ def test_resize_bmp_query_end_to_end(spark, sf_dir):
         assert max(r.resized_w, r.resized_h) <= 8
         # nearest-neighbor sampling keeps the mean in the same range
         assert abs(r.resized_mean - r.pixel_mean) < 64, r
+
+
+def test_phash_perceptual_invariances(spark):
+    """aHash contract: identical images pair at distance 0; a
+    single-pixel edit stays within threshold; a 2x nearest upscale
+    yields the SAME signature (resize invariance); a structurally
+    different image does not pair."""
+    import numpy as np
+
+    from minefields_kafka_streams_deduplication_spark.multimodal.binary_ops import (
+        _ahash,
+        _decode_bmp_pixels,
+        _encode_bmp,
+        _encode_bmp_pixels,
+        _resize_nearest,
+        phash_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base_seed = bytes(rng.integers(0, 256, 256, dtype=np.uint8))
+    img_a = _encode_bmp(16, 16, base_seed)
+
+    # Single-pixel edit: flip one byte inside the pixel array.
+    edited = bytearray(img_a)
+    edited[-5] ^= 0xFF
+    img_b = bytes(edited)
+
+    # 2x nearest upscale of the same pixels, re-encoded.
+    px = _decode_bmp_pixels(img_a)
+    up = _resize_nearest(px, 32, 32)
+    img_c = _encode_bmp_pixels(up)
+
+    # Structurally different: half black, half white.
+    contrast = np.zeros((16, 16, 3), dtype=np.uint8)
+    contrast[:, 8:] = 255
+    img_d = _encode_bmp_pixels(contrast)
+
+    assert _ahash(_decode_bmp_pixels(img_c)) == _ahash(px)  # resize-invariant
+
+    payloads = spark.createDataFrame(
+        [(0, img_a), (1, img_a), (2, img_b), (3, img_c), (4, img_d)],
+        "doc_id LONG, payload BINARY",
+    )
+    pairs = {
+        (r.doc_id_1, r.doc_id_2): r.hamming for r in phash_pairs(payloads).collect()
+    }
+    assert pairs[(0, 1)] == 0                 # identical
+    assert (0, 2) in pairs                    # one-pixel edit within threshold
+    assert (0, 3) in pairs and pairs[(0, 3)] == 0  # upscale pairs at 0
+    assert not any(4 in p for p in pairs)     # contrast image unrelated
