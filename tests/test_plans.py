@@ -156,3 +156,26 @@ def test_dsir_weight_table_broadcasts(spark, sf_dir):
         engine.get_queries()["importance_weight_dsir"](spark, sf_dir)
     )
     assert a.n_broadcasts >= 1
+
+
+def test_bloom_prefilter_plan_has_no_nested_loop_and_no_blob_columns(spark, sf_dir):
+    """Regression pin for the measured 128 s pathology: the Bloom
+    prefilter must NOT carry the bitmap via a cross/nested-loop join
+    (BroadcastNestedLoopJoin splices the blob into every output row) —
+    the filter lives in the plan as a literal, so the probe plan is
+    join-free and the output schema carries only the batch columns plus
+    the verdict."""
+    from minefields_kafka_streams_deduplication_spark.operators.dedup import (
+        BUSINESS_KEY,
+        bloom_prefilter,
+    )
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = ev.limit(500).select(*BUSINESS_KEY)
+    batch = ev.select("event_id", *BUSINESS_KEY)
+    flagged = bloom_prefilter(hist, batch, BUSINESS_KEY)
+    assert flagged.columns == ["event_id", *BUSINESS_KEY, "maybe_seen"]
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Join" not in plan  # probe path is pure scan + codegen project

@@ -259,3 +259,71 @@ def test_custom_ttl_state_survives_restart(spark):
     # and must stay suppressed; +45 min is past the TTL and forwards.
     write("b1.parquet", [(3, m(20), 7, "a", 1.0), (4, m(45), 7, "a", 1.0)])
     assert run() == [1, 4], "state not restored: the +20min repeat leaked"
+
+
+def test_anomaly_welford_state_survives_restart(spark):
+    """Streaming z-score recovery: the Welford (n, mean, m2) state must
+    be RESTORED from the checkpoint — a spike arriving in the second
+    run is only flagged if the first run's 10-event baseline came back;
+    a fresh state would stay silent (n < minimum)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from minefields_kafka_streams_deduplication_spark.streaming.anomaly_stream import (
+        ANOMALY_OUTPUT_SCHEMA,
+        ANOMALY_STATE_SCHEMA,
+        _anomaly_fn,
+    )
+
+    schema = "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE"
+    src = tempfile.mkdtemp(prefix="anorec_src_")
+    ckpt = tempfile.mkdtemp(prefix="anorec_ckpt_")
+    out = os.path.join(tempfile.mkdtemp(prefix="anorec_out_"), "sink")
+    m = lambda minutes: T0 + dt.timedelta(minutes=minutes)
+
+    def write(fname, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, fname)
+        )
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(os.path.join(src, "*.parquet"))
+            .select(
+                "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "user_id",
+                "value",
+                F.col("ts"),
+            )
+            .withWatermark("ts", "10 minutes")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _anomaly_fn,
+                outputStructType=ANOMALY_OUTPUT_SCHEMA,
+                stateStructType=ANOMALY_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    # Run 1: ten calm events build user 7's baseline. No anomaly yet.
+    write("b0.parquet", [(i, m(i), 7, 10.0 + (i % 2)) for i in range(10)])
+    assert run().count() == 0
+
+    # Run 2 (restart from checkpoint): one spike. Flagged IFF the
+    # restored state carries the 10-event baseline.
+    write("b1.parquet", [(100, m(60), 7, 1000.0)])
+    flagged = run().collect()
+    assert [r.event_id for r in flagged] == [100]
+    assert flagged[0].n_baseline == 10
