@@ -222,7 +222,7 @@ typed_events_strategy = st.lists(
     st.tuples(
         st.integers(0, 60 * 24 * 20),   # minutes offset over ~3 weeks
         st.integers(0, 3),              # user_id
-        st.sampled_from(["view", "click", "purchase"]),
+        st.sampled_from(["view", "click", "purchase", "error"]),
     ),
     min_size=0,
     max_size=30,
@@ -346,4 +346,37 @@ def test_cohort_retention_matches_reference(spark, rows):
         for off in offsets:
             key = (str(cohort), off)
             want[key] = want.get(key, 0) + 1
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=typed_events_strategy)
+def test_tombstone_table_matches_reference(spark, rows):
+    """Tombstone-KTable property: the materialized table equals the
+    brute-force model (latest record per key by (ts, event_id); key
+    absent iff that record is an 'error' tombstone) on random typed
+    event sets — exercises delete-last, delete-then-reinsert, and
+    same-ts tiebreaks."""
+    from minefields_kafka_streams_deduplication_spark.operators import scan
+
+    df = mk_typed(spark, rows)
+    orig = scan.load_table
+    scan.load_table = lambda s, d, n: df
+    try:
+        got = {
+            r.user_id: (r.event_id, r.event_type)
+            for r in scan.latest_by_key_tombstoned(spark, "x").collect()
+        }
+    finally:
+        scan.load_table = orig
+
+    t0 = dt.datetime(2024, 1, 1)
+    winners: dict = {}
+    for i, (m, u, ty) in enumerate(rows):
+        key = (t0 + dt.timedelta(minutes=m), i)
+        if u not in winners or key > winners[u][0]:
+            winners[u] = (key, i, ty)
+    want = {
+        u: (eid, ty) for u, (_, eid, ty) in winners.items() if ty != "error"
+    }
     assert got == want
