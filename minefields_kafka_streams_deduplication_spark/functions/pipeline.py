@@ -111,7 +111,7 @@ _VAL_THRESHOLD = format(0x10000 // VAL_BUCKETS, "04x")
 @query(
     "train_val_split",
     oracle=f"""
-SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM (
   SELECT CASE WHEN substr(md5('{SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 4)
                    < '{_VAL_THRESHOLD}'

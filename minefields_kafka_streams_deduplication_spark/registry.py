@@ -99,23 +99,45 @@ _R2_DRIVER_VERIFIED = frozenset(
     }
 )
 
+# Oracle queries that landed a green row in CORRECTNESS_r03.json (49 of
+# 50; the one red — train_val_split — sits in the round-4 reverify tier).
+_R3_DRIVER_VERIFIED = frozenset(
+    {
+        "latest_by_key_tombstoned", "dedup_incremental_bloom",
+        "histogram_equidepth_value", "window_session_native",
+        "window_incremental_backfill", "funnel_view_click_purchase",
+        "cohort_weekly_retention", "anomaly_value_zscore", "ohlc_bars_hourly",
+        "time_weighted_avg_daily", "gap_fill_locf_hourly",
+        "join_asof_forward_order", "doc_char_entropy",
+        "embedding_quantize_int8", "contamination_ngram_check",
+        "dedup_text_editdistance", "profile_lineitem", "shuffle_deterministic",
+        "topk_terms_per_lang", "importance_weight_dsir", "doc_unigram_logprob",
+        "sample_topk_per_group", "corpus_vocab_stats", "diagnose_key_skew",
+        "sink_parquet_roundtrip", "sink_exactly_once_parquet",
+        "sink_upsert_keyed_table", "window_session_sql",
+        "window_tumbling_daily", "window_hopping",
+        "window_sliding_event_anchored", "running_total_by_user",
+        "agg_revenue_by_user", "agg_salted_by_type", "cogroup_user_activity",
+        "scalar_subquery_delta", "scan_events", "latest_by_key",
+        "filter_purchases", "project_events", "explode_tokens",
+        "branch_by_type", "merge_streams", "dedup_exact", "dedup_keep_first",
+        "dedup_windowed", "dedup_incremental_new_events", "dedup_text_exact",
+        "join_orders_customer",
+    }
+)
+
 # Tier 1: failed-or-hardened this round — re-verify ahead of rotation.
-_R3_REVERIFY = (
-    "window_session_sql",        # r02 red (hash); DECIMAL-hardened
-    "window_tumbling_daily",     # DECIMAL-hardened
-    "window_hopping",            # DECIMAL-hardened
-    "window_sliding_event_anchored",  # DECIMAL-hardened
-    "running_total_by_user",     # DECIMAL-hardened
-    "agg_revenue_by_user",       # DECIMAL-hardened (sum + avg)
-    "agg_salted_by_type",        # DECIMAL-hardened (reassociating salt sum)
-    "cogroup_user_activity",     # DECIMAL-hardened (both sides)
-    "scalar_subquery_delta",     # DECIMAL-hardened global mean
+_R4_REVERIFY = (
+    "train_val_split",  # r03 red: oracle sum(n_chars) was DuckDB HUGEINT;
+                        # now CAST AS BIGINT (pipeline.py) — values equal.
 )
 
 
 def _driver_order(names: list[str]) -> list[str]:
-    driver_seen = _R1_DRIVER_VERIFIED | _R2_DRIVER_VERIFIED
-    reverify = {n: i for i, n in enumerate(_R3_REVERIFY)}
+    driver_seen = (
+        _R1_DRIVER_VERIFIED | _R2_DRIVER_VERIFIED | _R3_DRIVER_VERIFIED
+    )
+    reverify = {n: i for i, n in enumerate(_R4_REVERIFY)}
     never_checked = [
         n for n in names if n in ORACLES and n not in driver_seen and n not in reverify
     ]
@@ -125,8 +147,17 @@ def _driver_order(names: list[str]) -> list[str]:
         for n in names
         if n in ORACLES and n in driver_seen and n not in reverify
     ]
-    # Oldest driver rows re-verify first.
-    rest_oracle.sort(key=lambda n: 0 if n in _R1_DRIVER_VERIFIED else 1)
+
+    # Oldest driver rows re-verify first: sort by the LATEST round in which
+    # the driver checked the query (r1-only rows are the stalest).
+    def last_verified(n: str) -> int:
+        if n in _R3_DRIVER_VERIFIED:
+            return 3
+        if n in _R2_DRIVER_VERIFIED:
+            return 2
+        return 1
+
+    rest_oracle.sort(key=last_verified)
     rows_only = [n for n in names if n not in ORACLES]
     return never_checked + tier1 + rest_oracle + rows_only
 

@@ -39,3 +39,32 @@ def test_query_runs(spark, sf_dir, name):
     df = engine.get_queries()[name](spark, sf_dir)
     assert df.columns, f"{name} has no columns"
     df.limit(5).collect()  # schema + execution smoke
+
+
+def test_oracle_types_duckdb_hash_safe(sf_dir):
+    """No oracle may emit a DuckDB-only numeric type (HUGEINT / UHUGEINT /
+    DECIMAL): the driver hashes values per-column after a schema compare,
+    and a DuckDB ``sum(int)`` silently widens to HUGEINT, failing the hash
+    even when values are equal (r03: ``train_val_split``). Every integer
+    ``sum()`` in an oracle must be ``CAST(... AS BIGINT)``; every decimal
+    aggregate must be cast/rounded to DOUBLE."""
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    bad = []
+    for name, sql in engine.get_oracles().items():
+        rel = con.sql(sql)
+        for col, typ in zip(rel.columns, rel.types):
+            s = str(typ)
+            if s in ("HUGEINT", "UHUGEINT", "UBIGINT") or s.startswith("DECIMAL"):
+                bad.append((name, col, s))
+    assert not bad, f"hash-unsafe oracle column types: {bad}"
