@@ -247,6 +247,94 @@ def bloom_prefilter(
     return batch.withColumn("maybe_seen", maybe_seen)
 
 
+# ---------------------------------------------------------------------------
+# Bloom-vs-anti-join decision rule (codified; SCALING.md "Bloom decision
+# rule"). Measured: at local[32] the plain anti-join beats the literal
+# bloom 4.7 s vs 20.8 s at 100x because the shuffle runs at memory speed
+# — the bloom only pays off when the shuffle is network-bound AND the
+# history is too big to move. The literal form then has a hard ceiling:
+# at 10 bits/key, 1e9 keys is a ~1.25 GB driver collect embedded as a
+# plan literal, and ~1.7e9 keys exceeds the JVM 2 GB byte-array limit.
+# Above that the bitmap must STAY distributed (bloom_prefilter_partitioned).
+# ---------------------------------------------------------------------------
+
+# Below this, the distinct-key table shuffles in seconds even over the
+# network — the exact anti-join is both simpler and faster.
+ANTI_JOIN_MAX_KEYS = 50_000_000
+# Above this, the driver-assembled literal bitmap (10 bits/key) crosses
+# ~0.6 GB and plan-literal shipping + driver heap become the bottleneck
+# well before the 2 GB hard wall.
+BLOOM_LITERAL_MAX_KEYS = 500_000_000
+
+
+def choose_dedup_strategy(n_history_keys: int) -> str:
+    """Pick the incremental-dedup physical strategy from the (approx)
+    distinct history-key count: ``anti_join`` below
+    ``ANTI_JOIN_MAX_KEYS``, ``bloom_literal`` up to
+    ``BLOOM_LITERAL_MAX_KEYS``, ``bloom_partitioned`` beyond (the
+    driver-assembled bitmap is the literal form's ceiling)."""
+    if n_history_keys < ANTI_JOIN_MAX_KEYS:
+        return "anti_join"
+    if n_history_keys <= BLOOM_LITERAL_MAX_KEYS:
+        return "bloom_literal"
+    return "bloom_partitioned"
+
+
+def bloom_prefilter_partitioned(
+    history_keys: DataFrame, batch: DataFrame, cols: list[str], id_col: str
+) -> DataFrame:
+    """``bloom_prefilter`` for histories past the literal ceiling: the
+    bitmap NEVER reaches the driver. Same hashes, same m sizing, same
+    no-false-negative guarantee — bit-for-bit identical ``maybe_seen``
+    to the literal form (parity-pinned in tests/test_dedup.py).
+
+    Shape: history positions aggregate into (bucket, 4 KiB bitmap) rows
+    that stay distributed (bitmap_construct_agg partial-merges
+    map-side); the batch explodes to k=5 position rows (~40 bytes each)
+    that shuffle-join on bucket, then regroup on ``id_col`` to AND the
+    probes. Cost is two skinny shuffles of k x |batch| position rows —
+    at 1e10 history keys that is still orders of magnitude less traffic
+    than anti-joining the batch against the key table, and no single
+    machine ever holds the ~12 GB of bitmap."""
+    n_keys = history_keys.agg(
+        F.approx_count_distinct(F.struct(*cols)).alias("n")
+    ).collect()[0].n
+    n_buckets = max(BLOOM_MIN_BUCKETS, -(-n_keys * BLOOM_BITS_PER_KEY // 32768))
+    m_bits = n_buckets * 32768
+    pos_arr = F.array(
+        *[F.pmod(F.xxhash64(*cols, F.lit(i)), F.lit(m_bits)) for i in range(BLOOM_K)]
+    )
+    bitmap = (
+        history_keys.select(F.explode(pos_arr).alias("p"))
+        .groupBy(F.floor(F.col("p") / 32768).cast("int").alias("bucket"))
+        .agg(F.expr("bitmap_construct_agg(cast(p % 32768 as int))").alias("bm"))
+    )
+    probes = batch.select(F.col(id_col), F.explode(pos_arr).alias("p")).select(
+        id_col,
+        F.floor(F.col("p") / 32768).cast("int").alias("bucket"),
+        F.pmod(F.col("p"), F.lit(32768)).cast("int").alias("off"),
+    )
+    byte = F.ascii(
+        F.decode(
+            F.col("bm").substr(
+                F.floor(F.col("off") / 8).cast("int") + F.lit(1), F.lit(1)
+            ),
+            "ISO-8859-1",
+        )
+    )
+    mask = F.element_at(
+        F.array(*[F.lit(1 << j) for j in range(8)]),
+        F.pmod(F.col("off"), F.lit(8)).cast("int") + 1,
+    )
+    hit = (F.col("bm").isNotNull() & (byte.bitwiseAND(mask) != 0)).cast("int")
+    per_row = (
+        probes.join(bitmap, "bucket", "left")
+        .groupBy(id_col)
+        .agg((F.min(hit) == 1).alias("maybe_seen"))
+    )
+    return batch.join(per_row, id_col, "inner")
+
+
 @query(
     "dedup_incremental_bloom",
     oracle=f"""
@@ -270,8 +358,15 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the shape that matters at 100 TB: the seen-keys table is
     reduced to an m-bit Bloom bitmap sized at 10 bits per distinct key
-    (~1% false positives with k=5 — MBs for billions of keys, vs TBs
-    for the key table itself). Each new row tests its k=5 bit positions
+    (~1% false positives with k=5 — ~125 MB per 1e8 keys, vs TBs for
+    the key table itself). The LITERAL form below has a ceiling: the
+    bitmap is a driver collect embedded in the plan, so ~5e8 keys
+    (~0.6 GB) is the practical limit and ~1.7e9 keys the hard JVM
+    2 GB byte-array wall — beyond it use
+    :func:`bloom_prefilter_partitioned` (distributed bitmap, bucket
+    join), per :func:`choose_dedup_strategy`'s codified rule, and below
+    ~5e7 keys skip the bloom entirely (the plain anti-join measured
+    4.4x faster at local[32]; SCALING.md). Each new row tests its k=5 bit positions
     against the bitmap in whole-stage codegen; rows failing ANY probe
     are DEFINITELY new (Bloom filters have no false negatives) and
     bypass the shuffle entirely. Only the candidate residue — true

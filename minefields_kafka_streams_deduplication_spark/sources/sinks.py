@@ -216,7 +216,16 @@ def merge_batch_into_state(
         )
         b_latest = _latest_per_key(b_latest.unionByName(old))
     merged = b_latest.localCheckpoint(eager=True)
-    merged.write.mode("overwrite").partitionBy("bucket").parquet(state_dir)
+    # partitionOverwriteMode=dynamic as a PER-WRITE option, not a session
+    # conf: under the default static mode this overwrite would delete ALL
+    # bucket directories and rewrite only the touched ones — silent loss
+    # of untouched state if the helper is called standalone (ADVICE r3).
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(state_dir)
+    )
 
 
 @query(
@@ -251,14 +260,32 @@ def sink_upsert_keyed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     `localCheckpoint` materializes the merged state BEFORE the write
     because the merge reads the same files the write replaces —
     classic self-overwrite hazard of in-place parquet merges.
+
+    The returned DataFrame is a LAZY scan of the materialized state
+    table (no driver collect — at real state sizes the KTable does not
+    fit a driver). The state root is keyed on the fixture's identity
+    (path + mtime/size fingerprint, same scheme as the changelog
+    stager), so each run overwrites its own staging and stale
+    fingerprints of the same fixture are swept — bounded /tmp usage of
+    one state copy per live fixture.
     """
+    import glob
     import shutil
 
     from ..streaming.source import read_events_stream, stream_partitions
 
-    out_root = tempfile.mkdtemp(prefix="sink_upsert_")
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = sf_dir.strip("/").replace("/", "_")
+    out_root = os.path.join(
+        tempfile.gettempdir(), f"sink_upsert_{key}_{st.st_mtime_ns}_{st.st_size}"
+    )
+    for old in glob.glob(os.path.join(tempfile.gettempdir(), f"sink_upsert_{key}_*")):
+        if old != out_root:
+            shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(out_root, ignore_errors=True)  # fresh fold this run
     state_dir = os.path.join(out_root, "state")
-    checkpoint = tempfile.mkdtemp(prefix="sink_upsert_ckpt_")
+    checkpoint = os.path.join(out_root, "checkpoint")
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         merge_batch_into_state(spark, state_dir, batch_df)
@@ -266,9 +293,7 @@ def sink_upsert_keyed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(stream_partitions(spark, sf_dir))
     )
@@ -281,13 +306,9 @@ def sink_upsert_keyed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(checkpoint, ignore_errors=True)
 
-    back = spark.read.parquet(os.path.join(state_dir, "bucket=*")).select(
+    return spark.read.parquet(os.path.join(state_dir, "bucket=*")).select(
         "user_id", "event_id", "ts", "event_type", "value"
     )
-    rows = back.collect()
-    shutil.rmtree(out_root, ignore_errors=True)
-    return spark.createDataFrame(rows, back.schema)

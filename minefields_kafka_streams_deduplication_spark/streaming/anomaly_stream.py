@@ -53,8 +53,13 @@ def _anomaly_fn(
 ) -> Iterator[pd.DataFrame]:
     n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
     out = []
-    for pdf in pdfs:
-        pdf = pdf[["event_id", "ts_us", "user_id", "value"]].sort_values(
+    # A key's micro-batch rows arrive as MULTIPLE Arrow chunks once they
+    # exceed arrow.maxRecordsPerBatch, with arbitrary cross-chunk order —
+    # concatenate first so the (ts_us, event_id) sort spans the whole
+    # batch, else Welford absorption order diverges from event-time order.
+    chunks = [c[["event_id", "ts_us", "user_id", "value"]] for c in pdfs]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
             ["ts_us", "event_id"]
         )
         for row in pdf.itertuples(index=False):
@@ -135,8 +140,13 @@ def _tombstone_changelog_fn(key, pdfs, state):
         w_ts = w_eid = None
         w_del, w_type, w_val = 0, None, None
     out = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts_us", "event_id"])
+    # Same multi-chunk hazard as _anomaly_fn: concat before the sort so
+    # changelog emission order is ts-ordered across the whole micro-batch.
+    chunks = list(pdfs)
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts_us", "event_id"]
+        )
         for row in pdf.itertuples(index=False):
             if w_ts is None or (row.ts_us, row.event_id) > (w_ts, w_eid):
                 w_ts, w_eid = row.ts_us, row.event_id

@@ -221,3 +221,52 @@ def test_bloom_incremental_matches_plain_anti_join(spark, sf_dir):
     bloom = {r.event_id for r in qs["dedup_incremental_bloom"](spark, sf_dir).collect()}
     plain = {r.event_id for r in qs["dedup_incremental_new_events"](spark, sf_dir).collect()}
     assert bloom == plain
+
+
+def test_dedup_strategy_decision_rule():
+    """The codified Bloom-vs-anti-join rule (SCALING.md 'Bloom decision
+    rule'): plain anti-join below 5e7 keys (measured 4.4x faster at
+    local[32]), literal bitmap to 5e8 (driver/plan-literal budget),
+    distributed-bitmap probe beyond (the literal form's 2 GB JVM
+    byte-array wall sits at ~1.7e9 keys)."""
+    from minefields_kafka_streams_deduplication_spark.operators.dedup import (
+        choose_dedup_strategy,
+    )
+
+    assert choose_dedup_strategy(1_000_000) == "anti_join"
+    assert choose_dedup_strategy(49_999_999) == "anti_join"
+    assert choose_dedup_strategy(200_000_000) == "bloom_literal"
+    assert choose_dedup_strategy(500_000_000) == "bloom_literal"
+    assert choose_dedup_strategy(5_000_000_000) == "bloom_partitioned"
+
+
+def test_bloom_partitioned_matches_literal(spark):
+    """bloom_prefilter_partitioned must produce bit-for-bit the same
+    maybe_seen verdicts as the literal form — same hashes, same m —
+    while never collecting the bitmap to the driver."""
+    from minefields_kafka_streams_deduplication_spark.operators.dedup import (
+        bloom_prefilter,
+        bloom_prefilter_partitioned,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, f"t{i % 7}", float(i) / 3) for i in range(500)],
+        "user_id LONG, event_type STRING, value DOUBLE",
+    )
+    probe = spark.createDataFrame(
+        [(i, i, f"t{i % 7}", float(i) / 3) for i in range(250)]
+        + [(10_000 + i, i + 1_000_000, f"x{i % 11}", float(i) * 7.5) for i in range(250)],
+        "row_id LONG, user_id LONG, event_type STRING, value DOUBLE",
+    )
+    cols = ["user_id", "event_type", "value"]
+    lit_verdicts = {
+        r.row_id: r.maybe_seen
+        for r in bloom_prefilter(hist, probe, cols).collect()
+    }
+    part_verdicts = {
+        r.row_id: r.maybe_seen
+        for r in bloom_prefilter_partitioned(hist, probe, cols, "row_id").collect()
+    }
+    assert part_verdicts == lit_verdicts
+    # the seen half must all flag True (no false negatives)
+    assert all(part_verdicts[i] for i in range(250))

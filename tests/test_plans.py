@@ -179,3 +179,21 @@ def test_bloom_prefilter_plan_has_no_nested_loop_and_no_blob_columns(spark, sf_d
     plan = flagged._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "Join" not in plan  # probe path is pure scan + codegen project
+
+
+def test_editdistance_join_condition_has_no_levenshtein(spark, sf_dir):
+    """Regression pin for the measured 251 s pathology: Catalyst must
+    NOT push the edit-distance threshold into the join condition (the
+    `+ rand(42)*0` nondeterminism barrier blocks it today; a future
+    optimizer that constant-folds rand*0 would silently re-enable the
+    cliff). The executed join's condition may reference only the block
+    keys (lang, lb) and doc_id ordering — never levenshtein."""
+    import re
+
+    df = engine.get_queries()["dedup_text_editdistance"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if re.search(r"Join\b", line) and "levenshtein" in line:
+            raise AssertionError(f"levenshtein pushed into join condition: {line}")
+    # the barrier itself must still be in force somewhere in the plan
+    assert "levenshtein" in plan

@@ -242,26 +242,25 @@ def test_upsert_merge_is_replay_idempotent(spark, tmp_path):
     state = str(tmp_path / "state")
     t = lambda d: dt.datetime(2024, 1, d)
     schema = "user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
-    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        b1 = spark.createDataFrame(
-            [(1, 10, t(1), "view", 1.0), (2, 11, t(1), "view", 2.0)], schema
-        )
-        merge_batch_into_state(spark, state, b1)
-        merge_batch_into_state(spark, state, b1)  # crash-replay of batch 1
+    # Deliberately NO session partitionOverwriteMode conf: the helper must
+    # be self-contained (per-write dynamic option). Under the session
+    # default (static) a non-self-contained overwrite would delete the
+    # untouched bucket of the user NOT in batch 2 (ADVICE r3).
+    b1 = spark.createDataFrame(
+        [(1, 10, t(1), "view", 1.0), (2, 11, t(1), "view", 2.0)], schema
+    )
+    merge_batch_into_state(spark, state, b1)
+    merge_batch_into_state(spark, state, b1)  # crash-replay of batch 1
 
-        def read_state():
-            return {
-                r.user_id: (r.event_id, r.value)
-                for r in spark.read.parquet(f"{state}/bucket=*").collect()
-            }
+    def read_state():
+        return {
+            r.user_id: (r.event_id, r.value)
+            for r in spark.read.parquet(f"{state}/bucket=*").collect()
+        }
 
-        assert read_state() == {1: (10, 1.0), 2: (11, 2.0)}
+    assert read_state() == {1: (10, 1.0), 2: (11, 2.0)}
 
-        b2 = spark.createDataFrame([(1, 12, t(2), "purchase", 9.0)], schema)
-        merge_batch_into_state(spark, state, b2)
-        merge_batch_into_state(spark, state, b2)  # replay of batch 2
-        assert read_state() == {1: (12, 9.0), 2: (11, 2.0)}
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    b2 = spark.createDataFrame([(1, 12, t(2), "purchase", 9.0)], schema)
+    merge_batch_into_state(spark, state, b2)
+    merge_batch_into_state(spark, state, b2)  # replay of batch 2
+    assert read_state() == {1: (12, 9.0), 2: (11, 2.0)}

@@ -432,3 +432,49 @@ def test_tombstone_changelog_reconstructs_batch_table(spark, sf_dir):
     }
     assert rebuilt == batch
     assert any(r.op == "delete" for r in ops), "no tombstones exercised"
+
+
+def test_stream_zscore_multichunk_arrow_batches(spark, sf_dir):
+    """applyInPandasWithState delivers a key's micro-batch as MULTIPLE
+    Arrow chunks once it exceeds arrow.maxRecordsPerBatch, in arbitrary
+    cross-chunk order. Force tiny chunks (5 rows) and require the exact
+    same flags as the ts-ordered Welford model — a per-chunk sort (the
+    pre-fix code) diverges here."""
+    import math
+
+    import minefields_kafka_streams_deduplication_spark as engine
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+    from minefields_kafka_streams_deduplication_spark.streaming.anomaly_stream import (
+        ZSCORE_MIN_EVENTS,
+        ZSCORE_THRESHOLD,
+        welford_step,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "5")
+    try:
+        got = {
+            r.event_id: (r.zscore, r.n_baseline)
+            for r in engine.get_queries()["anomaly_stream_zscore"](
+                spark, sf_dir
+            ).collect()
+        }
+    finally:
+        spark.conf.set(key, prev)
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("event_id", "unix_micros(ts) AS ts_us", "user_id", "value")
+        .collect()
+    )
+    state: dict = {}
+    want = {}
+    for r in sorted(ev, key=lambda r: (r.ts_us, r.event_id)):
+        n, mean, m2 = state.get(r.user_id, (0, 0.0, 0.0))
+        if n >= ZSCORE_MIN_EVENTS and m2 > 0:
+            z = (r.value - mean) / math.sqrt(m2 / (n - 1))
+            if abs(z) > ZSCORE_THRESHOLD:
+                want[r.event_id] = (math.floor(z * 10000 + 0.5) / 10000, n)
+        state[r.user_id] = welford_step(n, mean, m2, r.value)
+    assert got == want
