@@ -184,50 +184,23 @@ def _minhash_params(perms: int = MINHASH_PERMS) -> tuple[list[int], list[int]]:
     return a, b
 
 
-@query("dedup_text_minhash")  # rows-only: xxhash64 values are engine-specific
-def dedup_text_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup dedup: MINHASH_PERMS minhashes per doc
-    (one JVM xxhash64 per shingle + vectorized universal-hash
-    permutations in numpy), banded into MINHASH_BANDS×4; docs sharing
-    any band bucket are candidates; candidates are verified with true
-    Jaccard and the higher doc_id of each verified pair is dropped
-    (keep-first). Returns surviving documents.
+def _banded_sigs(hashed: DataFrame, n_bands: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, band, bhash) banded MinHash signatures from a
+    (doc_id, h) shingle-hash stream. PRECONDITION: ``hashed`` is
+    hash-partitioned by doc_id (``_shingles`` repartitions before the
+    explode), so each doc lives in exactly one partition and the
+    per-partition numpy mins are final, not partial.
 
-    Scale shape: one shuffle on doc_id for signatures (numpy kernel is
-    O(shingles × perms) vectorized), a candidate equi-join on the
-    16-byte (band, bhash) key — shuffle volume O(docs × bands),
-    independent of text size — and Jaccard verification restricted to
-    candidate docs only (semi-join pruned inverted index).
-    """
+    Whole-partition numpy kernel: (shingles × perms) permutation mins
+    per doc, folded into per-band hashes (xor of mixed row-mins)."""
     import hashlib
 
     import numpy as np
     import pandas as pd
 
-    all_docs = load_table(spark, sf_dir, "documents")
-    # Stage 0 — exact-duplicate collapse (md5 winner set). Web-scale
-    # corpora are dominated by EXACT copies; feeding them to LSH makes
-    # every shingle a hot key and the verify join quadratic in copy
-    # count (measured 79s on a 10x-replicated corpus vs 7s after this
-    # prefilter). Near-dup detection then runs on distinct texts only;
-    # exact copies are definitionally near-dups of their keeper, so the
-    # final survivor set is unchanged.
-    exact_winner = (
-        all_docs.select(F.md5(F.lower(F.trim(F.col("text")))).alias("nh"), "doc_id")
-        .groupBy("nh")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    docs = all_docs.join(F.broadcast(exact_winner), "doc_id", "left_semi")
-    # Signature path: NON-distinct shingles (narrow plan — duplicates
-    # cannot change a min, so the distinct shuffle is pure waste here).
-    sh_raw = _shingles(docs, distinct=False)
-    hashed = sh_raw.select("doc_id", F.xxhash64("shingle").alias("h"))
-
-    a_co, b_co = _minhash_params()
+    a_co, b_co = _minhash_params(n_bands * rows_per_band)
     A = np.array(a_co, dtype=np.uint64)
     B = np.array(b_co, dtype=np.uint64)
-    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
     MIX = np.array(
         [
             int.from_bytes(hashlib.md5(f"mix:{r}".encode()).digest()[:8], "little") | 1
@@ -235,13 +208,8 @@ def dedup_text_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         dtype=np.uint64,
     )
-    n_bands = MINHASH_BANDS
 
     def partition_band_sigs(it):
-        """Whole-partition numpy kernel: (shingles × perms) permutation
-        mins per doc, folded into per-band hashes. `_shingles` already
-        hash-partitioned by doc_id, so each doc lives in exactly one
-        partition and the mins here are final, not partial."""
         chunks = [pdf for pdf in it if not pdf.empty]
         if not chunks:
             return
@@ -262,8 +230,45 @@ def dedup_text_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    banded = hashed.mapInPandas(
-        partition_band_sigs, "doc_id LONG, band INT, bhash LONG"
+    return hashed.mapInPandas(partition_band_sigs, "doc_id LONG, band INT, bhash LONG")
+
+
+@query("dedup_text_minhash")  # rows-only: xxhash64 values are engine-specific
+def dedup_text_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup dedup: MINHASH_PERMS minhashes per doc
+    (one JVM xxhash64 per shingle + vectorized universal-hash
+    permutations in numpy), banded into MINHASH_BANDS×4; docs sharing
+    any band bucket are candidates; candidates are verified with true
+    Jaccard and the higher doc_id of each verified pair is dropped
+    (keep-first). Returns surviving documents.
+
+    Scale shape: one shuffle on doc_id for signatures (numpy kernel is
+    O(shingles × perms) vectorized), a candidate equi-join on the
+    16-byte (band, bhash) key — shuffle volume O(docs × bands),
+    independent of text size — and Jaccard verification restricted to
+    candidate docs only (semi-join pruned inverted index).
+    """
+    all_docs = load_table(spark, sf_dir, "documents")
+    # Stage 0 — exact-duplicate collapse (md5 winner set). Web-scale
+    # corpora are dominated by EXACT copies; feeding them to LSH makes
+    # every shingle a hot key and the verify join quadratic in copy
+    # count (measured 79s on a 10x-replicated corpus vs 7s after this
+    # prefilter). Near-dup detection then runs on distinct texts only;
+    # exact copies are definitionally near-dups of their keeper, so the
+    # final survivor set is unchanged.
+    exact_winner = (
+        all_docs.select(F.md5(F.lower(F.trim(F.col("text")))).alias("nh"), "doc_id")
+        .groupBy("nh")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    docs = all_docs.join(F.broadcast(exact_winner), "doc_id", "left_semi")
+    # Signature path: NON-distinct shingles (narrow plan — duplicates
+    # cannot change a min, so the distinct shuffle is pure waste here).
+    sh_raw = _shingles(docs, distinct=False)
+    hashed = sh_raw.select("doc_id", F.xxhash64("shingle").alias("h"))
+    banded = _banded_sigs(
+        hashed, MINHASH_BANDS, MINHASH_PERMS // MINHASH_BANDS
     ).cache()
     cand = (
         banded.alias("x")
@@ -300,6 +305,139 @@ def dedup_text_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dupes = verified.select(F.col("doc_id_2").alias("doc_id")).distinct()
     return docs.select("doc_id", "lang", "source").join(dupes, "doc_id", "left_anti")
+
+
+# Witness band shape: the SAME 64 permutations re-banded 32×2 for recall.
+# P(candidate | J) = 1-(1-J^2)^32 ⇒ P(miss | J=0.7) = 0.51^32 ≈ 4e-10,
+# so on any real corpus the LSH stage finds EVERY pair above the verify
+# threshold and the exact-Jaccard verify makes precision exact — which is
+# what lets an engine-independent SQL oracle (all true pairs ≥ 0.7 via the
+# inverted shingle index) check the pipeline end-to-end. The production
+# 16×4 shape trades that near-total recall for 4× fewer candidates.
+MINHASH_WITNESS_BANDS = 32
+
+
+@query(
+    "neardup_minhash_verified",
+    oracle=f"""
+WITH shingles AS ({_SHINGLE_SQL}),
+counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_1, doc_id_2,
+       round(CAST(n_common AS DOUBLE) / (c1.n + c2.n - n_common), 4) AS jaccard
+FROM inter
+JOIN counts c1 ON doc_id_1 = c1.doc_id
+JOIN counts c2 ON doc_id_2 = c2.doc_id
+WHERE CAST(n_common AS DOUBLE) / (c1.n + c2.n - n_common) >= {MINHASH_VERIFY_THRESHOLD}
+""",
+)
+def neardup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible witness for the MinHash-LSH pipeline (VERDICT r3
+    #5): LSH candidate generation → exact shingle-Jaccard verification,
+    checked against an engine-independent oracle (ALL true pairs with
+    Jaccard ≥ {MINHASH_VERIFY_THRESHOLD} via the inverted shingle
+    index). The minhash signatures themselves are xxhash-based and
+    engine-specific — what both engines CAN agree on is the verified
+    output, and the 32×2 witness banding makes LSH recall
+    deterministic-complete in practice (miss probability ~4e-10 per
+    true pair; the strict gate checks it end-to-end at two SFs).
+
+    Same exact-copy collapse + group re-expansion as
+    :func:`dedup_text_ngram_jaccard`: LSH runs on one representative
+    per distinct text (hot-band quadratic blowup from copies is gone),
+    member pairs are expanded back afterwards — identical output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    member = docs.select("doc_id", F.md5("text").alias("nh"))
+    rep = member.groupBy("nh").agg(F.min("doc_id").alias("rep_id"))
+    members = member.join(F.broadcast(rep), "nh").select("doc_id", "rep_id").cache()
+    reps = docs.join(
+        F.broadcast(rep.select(F.col("rep_id").alias("doc_id"))), "doc_id", "left_semi"
+    )
+
+    # LSH candidates over representatives (non-distinct shingles — a
+    # duplicate shingle cannot change a min, so the plan stays narrow).
+    hashed = _shingles(reps, distinct=False).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
+    banded = _banded_sigs(
+        hashed, MINHASH_WITNESS_BANDS, MINHASH_PERMS // MINHASH_WITNESS_BANDS
+    ).cache()
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bhash"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("rep_1"), F.col("y.doc_id").alias("rep_2")
+        )
+        .distinct()
+        .cache()
+    )
+
+    # Exact verify: distinct shingles recomputed for candidate reps only.
+    cand_reps = (
+        cand.select(F.col("rep_1").alias("doc_id"))
+        .union(cand.select(F.col("rep_2").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingles(reps.join(cand_reps, "doc_id", "left_semi"))
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("rep_1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("rep_2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("rep_1") < F.col("rep_2"))
+        .groupBy("rep_1", "rep_2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    c1 = counts.select(F.col("doc_id").alias("rep_1"), F.col("n").alias("n1"))
+    c2 = counts.select(F.col("doc_id").alias("rep_2"), F.col("n").alias("n2"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_common")
+    )
+    rep_pairs = (
+        cand.join(inter, ["rep_1", "rep_2"])
+        .join(c1, "rep_1")
+        .join(c2, "rep_2")
+        .filter(jac >= MINHASH_VERIFY_THRESHOLD)
+        .select("rep_1", "rep_2", F.round(jac, 4).alias("jaccard"))
+    )
+
+    # Expand cross-group pairs: every (member of rep_1) × (member of rep_2).
+    m1 = members.select(F.col("rep_id").alias("rep_1"), F.col("doc_id").alias("d1"))
+    m2 = members.select(F.col("rep_id").alias("rep_2"), F.col("doc_id").alias("d2"))
+    cross = rep_pairs.join(m1, "rep_1").join(m2, "rep_2").select(
+        F.least("d1", "d2").alias("doc_id_1"),
+        F.greatest("d1", "d2").alias("doc_id_2"),
+        "jaccard",
+    )
+    # Within-group pairs: exact copies, Jaccard 1.0 by construction —
+    # independent of the LSH candidate set (a multi-member group needs
+    # no collision to be a true pair set). Gated on the rep actually
+    # having shingles (<3 tokens ⇒ no shingles ⇒ no oracle pair), which
+    # is decidable from the text without shingling: size(tokens) >= 3.
+    shingled_reps = (
+        reps.filter(F.size(F.split(F.lower("text"), " ")) >= 3)
+        .select(F.col("doc_id").alias("rep_id"))
+    )
+    g1 = members.join(F.broadcast(shingled_reps), "rep_id").select(
+        "rep_id", F.col("doc_id").alias("d1")
+    )
+    g2 = members.select("rep_id", F.col("doc_id").alias("d2"))
+    within = (
+        g1.join(g2, "rep_id")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            F.col("d1").alias("doc_id_1"),
+            F.col("d2").alias("doc_id_2"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 CC_MAX_ITERS = 20

@@ -211,3 +211,25 @@ def test_editdistance_finds_typo_storm(spark, monkeypatch):
         for r in neardup.dedup_text_editdistance(spark, "x").collect()
     }
     assert pairs == {(0, 1)}
+
+
+def test_minhash_witness_matches_exact_pairs(spark, monkeypatch):
+    """The driver-visible LSH witness must return exactly the true
+    Jaccard>=0.7 pair set: the near pair, all within-group exact-copy
+    pairs (expanded past the representative collapse), nothing for the
+    shingle-less short doc, and no low-similarity pairs."""
+    from minefields_kafka_streams_deduplication_spark.functions import neardup
+
+    near1 = "the quick brown fox jumps over the lazy dog again and again today"
+    near2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    copy = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = docs_df(
+        spark,
+        [near1, near2, copy, copy, copy, "unrelated totally different words", "hi there"],
+    )
+    monkeypatch.setattr(neardup, "load_table", lambda s, d, n: df)
+    out = neardup.neardup_minhash_verified(spark, "ignored").collect()
+    pairs = {(r.doc_id_1, r.doc_id_2): r.jaccard for r in out}
+    assert set(pairs) == {(0, 1), (2, 3), (2, 4), (3, 4)}
+    assert pairs[(2, 3)] == pairs[(2, 4)] == pairs[(3, 4)] == 1.0
+    assert pairs[(0, 1)] >= 0.7
