@@ -18,3 +18,11 @@ from .kafka import (  # noqa: F401
     serialize_event_payload,
 )
 from . import sinks  # noqa: F401  (registers sink_parquet_roundtrip)
+from . import state_store  # noqa: F401  (registers interactive-query lookups)
+from .state_store import (  # noqa: F401
+    materialize_keyed_store,
+    store_get,
+    store_range,
+    store_all,
+    store_approx_count,
+)

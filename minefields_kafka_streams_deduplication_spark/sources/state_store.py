@@ -1,0 +1,210 @@
+"""Interactive Queries analog — serve point reads from materialized state.
+
+[R o.a.k.streams.KafkaStreams#store(StoreQueryParameters),
+ o.a.k.streams.state.ReadOnlyKeyValueStore#get/range/all/
+ approximateNumEntries, o.a.k.streams.state.ReadOnlyWindowStore#fetch]
+(reconstructed public API surface — SURVEY.md §0/§2; the reference
+checkout is empty, so coordinates are the public Kafka Streams ones.)
+
+A Kafka Streams app serves reads straight from its RocksDB state
+stores. The Spark-native analog: materialize the KTable
+(latest-per-key) ONCE as a hash-bucketed parquet layout
+(``bucket=pmod(xxhash64(key), N)`` partition directories — the exact
+layout the upsert sink already maintains incrementally, sinks.py), then
+serve the four ReadOnlyKeyValueStore verbs:
+
+- ``store_get(keys)``     — compute each key's bucket, hand the reader
+  ONLY those bucket directories (partition pruning by construction: a
+  get touches 1/N of the state regardless of total size) and push the
+  key equality into the parquet row-group scan.
+- ``store_range(lo, hi)`` — hash buckets carry no key order (same
+  trade-off RocksDB makes between point-lookup layout and range-scan
+  layout), so a range fans out to all buckets with the BETWEEN
+  predicate pushed to the scan; row-group min/max stats prune inside
+  files because each bucket is written sorted by key.
+- ``store_all()``         — full scan of the state table.
+- ``store_approx_count()``— footer-metadata row counts only (sum of
+  parquet row-group counts, no data scan) — the analog of RocksDB's
+  ``estimate-num-keys``; exact for parquet, O(#files) metadata reads.
+
+100 TB story: state size scales with key cardinality; bucket count N
+scales with it (sinks.py sizing note), keeping a get's read
+amplification at 1/N of directories and one row-group seek within.
+The materialize step is a single latest-per-key shuffle — the same
+fold the upsert sink runs incrementally; a live deployment would point
+these verbs at the sink's continuously-maintained state_dir instead.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from .sinks import UPSERT_BUCKETS, _latest_per_key
+
+STORE_COLS = ["user_id", "event_id", "ts", "event_type", "value"]
+
+
+def materialize_keyed_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the events KTable (latest row per user_id) as the
+    bucketed layout interactive queries serve from; idempotent per
+    fixture (fingerprint-keyed dir, same scheme as the upsert sink).
+
+    Buckets are written SORTED BY KEY within files so parquet row-group
+    min/max statistics prune inside a bucket too — get() then reads one
+    directory and typically one row group.
+    """
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(
+        tempfile.gettempdir(), f"iq_store_{key}_{st.st_mtime_ns}_{st.st_size}"
+    )
+    done = os.path.join(root, "_STORE_READY")
+    if os.path.exists(done):
+        return root
+    for old in glob.glob(os.path.join(tempfile.gettempdir(), f"iq_store_{key}_*")):
+        shutil.rmtree(old, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(*STORE_COLS)
+    state = _latest_per_key(ev).withColumn(
+        "bucket", F.pmod(F.xxhash64("user_id"), F.lit(UPSERT_BUCKETS))
+    )
+    (
+        state.repartition("bucket")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(root)
+    )
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return root
+
+
+def buckets_of(spark: SparkSession, keys: Sequence[int]) -> dict[int, int]:
+    """key -> bucket via the SAME Spark expression the writer used.
+
+    One tiny driver-side job over len(keys) literal rows — never the
+    state table. Duplicating xxhash64 in Python would silently fork the
+    hash; asking Spark keeps writer and reader pinned to one function.
+    """
+    rows = (
+        spark.createDataFrame([(int(k),) for k in keys], "user_id LONG")
+        .coalesce(1)
+        .select(
+            "user_id",
+            F.pmod(F.xxhash64("user_id"), F.lit(UPSERT_BUCKETS)).alias("bucket"),
+        )
+        .collect()
+    )
+    return {r.user_id: r.bucket for r in rows}
+
+
+def store_get(
+    spark: SparkSession, store_dir: str, keys: int | Sequence[int]
+) -> DataFrame:
+    """ReadOnlyKeyValueStore#get: latest row for each requested key,
+    reading ONLY the bucket directories those keys hash to."""
+    key_list = [keys] if isinstance(keys, int) else list(keys)
+    buckets = sorted(set(buckets_of(spark, key_list).values()))
+    dirs = [
+        p
+        for b in buckets
+        if os.path.exists(p := os.path.join(store_dir, f"bucket={b}"))
+    ]
+    if not dirs:
+        return spark.createDataFrame(
+            [], "user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+        )
+    return (
+        spark.read.parquet(*dirs)
+        .where(F.col("user_id").isin([int(k) for k in key_list]))
+        .select(*STORE_COLS)
+    )
+
+
+def store_range(spark: SparkSession, store_dir: str, lo: int, hi: int) -> DataFrame:
+    """ReadOnlyKeyValueStore#range: hash layout ⇒ all buckets, predicate
+    pushed to the scan; sorted-within-bucket files give row-group
+    pruning."""
+    return (
+        spark.read.parquet(store_dir)
+        .where(F.col("user_id").between(int(lo), int(hi)))
+        .select(*STORE_COLS)
+    )
+
+
+def store_all(spark: SparkSession, store_dir: str) -> DataFrame:
+    """ReadOnlyKeyValueStore#all: full state scan."""
+    return spark.read.parquet(store_dir).select(*STORE_COLS)
+
+
+def store_approx_count(store_dir: str) -> int:
+    """ReadOnlyKeyValueStore#approximateNumEntries: parquet footer
+    metadata only — no Spark job, no data pages; O(#files) driver-side
+    footer reads, which is what RocksDB's estimate-num-keys costs too."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for path in glob.glob(os.path.join(store_dir, "bucket=*", "*.parquet")):
+        total += pq.ParquetFile(path).metadata.num_rows
+    return total
+
+
+# Keys chosen to exist at every fixture SF (user_id is dense from 0;
+# sf0.001 has users 0..14 — TESTDATA.md).
+LOOKUP_KEYS = [0, 1, 2, 3, 5, 8, 11, 13]
+
+
+@query(
+    "store_point_lookup",
+    oracle="""
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE user_id IN (0, 1, 2, 3, 5, 8, 11, 13)
+) t
+WHERE rn = 1
+""",
+)
+def store_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interactive query: serve 8 point lookups from the materialized
+    bucketed KTable. The oracle recomputes latest-per-key from raw
+    events for the same keys, so the driver row proves the materialize +
+    bucket-route + pruned-read path end to end. The pruning itself
+    (only the looked-up keys' bucket directories are opened) is pinned
+    by tests/test_plans.py via DataFrame.inputFiles()."""
+    store = materialize_keyed_store(spark, sf_dir)
+    return store_get(spark, store, LOOKUP_KEYS)
+
+
+@query(
+    "store_range_scan",
+    oracle="""
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE user_id BETWEEN 3 AND 11
+) t
+WHERE rn = 1
+""",
+)
+def store_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interactive query: ReadOnlyKeyValueStore#range over the
+    materialized KTable (keys 3..11 exist at every SF)."""
+    store = materialize_keyed_store(spark, sf_dir)
+    return store_range(spark, store, 3, 11)

@@ -1,0 +1,209 @@
+"""Wall-clock punctuator (SURVEY.md §2 gap #2) — processing-time-driven
+emission, the twin of the event-time family in windows_stream.py.
+
+[R o.a.k.streams.processor.ProcessorContext#schedule(interval,
+ PunctuationType.WALL_CLOCK_TIME, punctuator)] (reconstructed public
+API surface — SURVEY.md §0; the reference checkout is empty).
+
+Kafka Streams offers two punctuation clocks: STREAM_TIME (event-time,
+advanced by records — our watermark-driven window emitters) and
+WALL_CLOCK_TIME (host clock, fires regardless of traffic). Structured
+Streaming's native analogs, both used here:
+
+1. The **trigger** IS a topology-wide wall-clock punctuation:
+   ``trigger(processingTime="Xs")`` runs a micro-batch every X seconds
+   of host time whether or not data arrived.
+2. Per-key scheduled callbacks map to
+   ``GroupStateTimeout.ProcessingTimeTimeout``: a key arms a host-clock
+   timer; when it expires the state function is invoked for that key
+   with NO input rows and ``state.hasTimedOut`` set — exactly a
+   punctuator callback with access to the key's state.
+
+The operator here is the canonical wall-clock-punctuator use case:
+accumulate per-key counts silently and FLUSH each key's snapshot only
+when its host-clock timer fires (emit-on-punctuate, nothing emitted on
+data). Spark's processing-time timeout is "interval after the key's
+last update" (timers reset on activity) rather than a fixed metronome —
+the practical difference from KS, documented and pinned by test: every
+emitted snapshot proves ``emit_wall - last_update_wall >= interval``.
+
+Scale: one shuffle on the grouping key; state is (count, two clocks)
+per live key; timed-out keys are deleted, so state size tracks ACTIVE
+keys, not history. The snapshot stream is tiny (one row per key per
+punctuation) — the classic periodic-flush topology.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+import uuid
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..catalog import load_table
+from ..registry import query
+
+# Host-clock punctuation interval. Small so the driver/bench run
+# converges in seconds; a deployment would schedule minutes.
+PUNCTUATE_INTERVAL_MS = 700
+
+PUNCT_STATE_SCHEMA = "n LONG, first_wall_us LONG, last_wall_us LONG"
+PUNCT_OUTPUT_SCHEMA = (
+    "event_type STRING, n LONG, last_update_wall_us LONG, emit_wall_us LONG"
+)
+_SENTINEL = "__punct_sentinel__"
+
+
+def _punctuate_fn(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Count rows per key; emit ONLY when the wall-clock timer fires.
+
+    On timeout the key's snapshot is flushed and the state deleted —
+    if the key stays active it re-registers and a later punctuation
+    flushes the next delta, so ``sum(n)`` over all snapshots equals the
+    total rows seen for the key regardless of how punctuations
+    interleave with data (the invariant the oracle checks).
+    """
+    now_us = int(time.time() * 1_000_000)
+    if state.hasTimedOut:
+        n, _first, last = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [[key[0], n, last, now_us]],
+            columns=["event_type", "n", "last_update_wall_us", "emit_wall_us"],
+        )
+        return
+    add = sum(len(pdf) for pdf in pdfs)
+    if state.exists:
+        n, first, _last = state.get
+        state.update((n + add, first, now_us))
+    else:
+        state.update((add, now_us, now_us))
+    # Re-arm on every update: Spark clears a key's timer each time its
+    # function runs, so this is "punctuate INTERVAL after last activity".
+    state.setTimeoutDuration(PUNCTUATE_INTERVAL_MS)
+    return
+
+
+def punctuated_counts_stream(events_stream: DataFrame) -> DataFrame:
+    """events stream -> wall-clock-punctuated per-type count snapshots."""
+    return events_stream.groupBy("event_type").applyInPandasWithState(
+        _punctuate_fn,
+        outputStructType=PUNCT_OUTPUT_SCHEMA,
+        stateStructType=PUNCT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def run_punctuated(
+    spark: SparkSession,
+    stage_dir: str,
+    schema: str,
+    expected_total: int,
+    timeout_s: float = 120.0,
+) -> DataFrame:
+    """Drive the punctuated topology until every accumulated row has
+    been flushed by a host-clock punctuation, then stop.
+
+    A ``processingTime`` trigger keeps micro-batches firing on the host
+    clock; because the stateful operator holds processing-time timers,
+    Spark schedules batches even with no new input, so pending timers
+    drain without traffic. Belt-and-braces for an idle scheduler: if
+    the flushed total stalls, drop a sentinel row into the source
+    directory to force a batch (filtered back out below) — the harness
+    then converges on any scheduler behavior.
+    """
+    name = f"punct_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        stage_dir
+    )
+    snapshots = punctuated_counts_stream(stream)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            snapshots.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        flushed = lambda: (
+            spark.table(name)
+            .where(F.col("event_type") != _SENTINEL)
+            .agg(F.coalesce(F.sum("n"), F.lit(0)))
+            .first()[0]
+        )
+        deadline = time.time() + timeout_s
+        stalled_since = time.time()
+        last = -1
+        while flushed() < expected_total:
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"punctuator flushed {flushed()}/{expected_total} rows"
+                )
+            cur = flushed()
+            if cur != last:
+                last, stalled_since = cur, time.time()
+            elif time.time() - stalled_since > 5.0:
+                # Scheduler idle with timers pending: force a batch.
+                spark.createDataFrame(
+                    [(_SENTINEL,)], schema
+                ).coalesce(1).write.mode("append").parquet(stage_dir)
+                stalled_since = time.time()
+            time.sleep(0.15)
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+    return spark.table(name).where(F.col("event_type") != _SENTINEL)
+
+
+@query(
+    "punctuate_wall_clock_counts",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def punctuate_wall_clock_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wall-clock punctuator, driver-verified end to end: every event
+    row is absorbed into per-type state and emitted by some host-clock
+    punctuation; summing the flushed snapshots must reproduce the batch
+    group-count EXACTLY (a lost timer, double flush, or dropped state
+    row breaks the hash). The harness only terminates once the flushed
+    total equals the input count, so the oracle row certifies the
+    punctuation loop actually drained — not a vacuous pass."""
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    total = ev.count()
+    stage = tempfile.mkdtemp(prefix="punct_stage_")
+    try:
+        # Several files + maxFilesPerTrigger=1 => punctuations interleave
+        # with multiple data batches, exercising re-registration.
+        ev.repartition(3).write.mode("overwrite").parquet(stage)
+        snaps = run_punctuated(spark, stage, "event_type STRING", total)
+        out = (
+            snaps.groupBy("event_type")
+            .agg(F.sum("n").cast("long").alias("n_events"))
+            .orderBy("event_type")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.createDataFrame(rows, "event_type STRING, n_events LONG")

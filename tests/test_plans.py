@@ -197,3 +197,28 @@ def test_editdistance_join_condition_has_no_levenshtein(spark, sf_dir):
             raise AssertionError(f"levenshtein pushed into join condition: {line}")
     # the barrier itself must still be in force somewhere in the plan
     assert "levenshtein" in plan
+
+
+def test_interactive_get_reads_only_looked_up_buckets(spark, sf_dir):
+    """Interactive-query pin [R KafkaStreams#store]: a point get must
+    open ONLY the bucket directories its keys hash to — the partition
+    pruning that keeps a lookup at 1/N of the state regardless of
+    state size. inputFiles() is the physical file set the scan reads."""
+    from minefields_kafka_streams_deduplication_spark.sources import (
+        materialize_keyed_store,
+        store_get,
+    )
+    from minefields_kafka_streams_deduplication_spark.sources.state_store import (
+        buckets_of,
+    )
+
+    store = materialize_keyed_store(spark, sf_dir)
+    expected = {buckets_of(spark, [7])[7]}
+    df = store_get(spark, store, 7)
+    touched = {
+        f.split("/bucket=")[1].split("/")[0] for f in df.inputFiles()
+    }
+    assert touched == {str(b) for b in expected}, touched
+    # and the key equality reaches the parquet scan
+    a = audit_plan(df)
+    assert any("user_id" in f for f in a.pushed_filters), a.raw[:1500]

@@ -264,3 +264,35 @@ def test_upsert_merge_is_replay_idempotent(spark, tmp_path):
     merge_batch_into_state(spark, state, b2)
     merge_batch_into_state(spark, state, b2)  # replay of batch 2
     assert read_state() == {1: (12, 9.0), 2: (11, 2.0)}
+
+
+def test_interactive_store_verbs_agree(spark, sf_dir):
+    """get/range/all/approximateNumEntries must agree with each other
+    and with the batch latest-per-key the store materializes
+    [R ReadOnlyKeyValueStore]."""
+    import minefields_kafka_streams_deduplication_spark as engine
+    from minefields_kafka_streams_deduplication_spark.sources import (
+        materialize_keyed_store,
+        store_all,
+        store_approx_count,
+        store_get,
+        store_range,
+    )
+
+    store = materialize_keyed_store(spark, sf_dir)
+    truth = {
+        r.user_id: r.event_id
+        for r in engine.get_queries()["latest_by_key"](spark, sf_dir).collect()
+    }
+    # all() is exactly the KTable; footer count matches (exact for parquet)
+    all_rows = {r.user_id: r.event_id for r in store_all(spark, store).collect()}
+    assert all_rows == truth
+    assert store_approx_count(store) == len(truth)
+    # point get returns the single latest row per requested key
+    got = store_get(spark, store, [0, 7]).collect()
+    assert {r.user_id: r.event_id for r in got} == {0: truth[0], 7: truth[7]}
+    # range is the key-interval slice of all()
+    rng = {r.user_id for r in store_range(spark, store, 2, 5).collect()}
+    assert rng == {u for u in truth if 2 <= u <= 5}
+    # a key that doesn't exist returns empty, not an error
+    assert store_get(spark, store, 10**12).count() == 0

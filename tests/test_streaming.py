@@ -478,3 +478,31 @@ def test_stream_zscore_multichunk_arrow_batches(spark, sf_dir):
                 want[r.event_id] = (math.floor(z * 10000 + 0.5) / 10000, n)
         state[r.user_id] = welford_step(n, mean, m2, r.value)
     assert got == want
+
+
+def test_wall_clock_punctuator_semantics(spark, tmp_path):
+    """[R ProcessorContext#schedule WALL_CLOCK_TIME]: snapshots flush on
+    the HOST clock, not on data — every emitted snapshot must show at
+    least the punctuation interval between the key's last update and
+    its emission, and nothing may be lost or double-counted: per-key
+    snapshot sums equal per-key input counts exactly."""
+    from minefields_kafka_streams_deduplication_spark.streaming.punctuate import (
+        PUNCTUATE_INTERVAL_MS,
+        run_punctuated,
+    )
+
+    stage = str(tmp_path / "stage")
+    data = [("a",)] * 7 + [("b",)] * 3
+    spark.createDataFrame(data, "event_type STRING").repartition(2).write.parquet(
+        stage
+    )
+    snaps = run_punctuated(spark, stage, "event_type STRING", len(data)).collect()
+    by_key: dict = {}
+    for r in snaps:
+        by_key[r.event_type] = by_key.get(r.event_type, 0) + r.n
+        held_us = r.emit_wall_us - r.last_update_wall_us
+        assert held_us >= PUNCTUATE_INTERVAL_MS * 1000, (
+            f"snapshot for {r.event_type} flushed {held_us}us after last "
+            f"update — before the wall-clock timer could have fired"
+        )
+    assert by_key == {"a": 7, "b": 3}
