@@ -51,6 +51,22 @@ from ..registry import query
 from .sinks import UPSERT_BUCKETS, _latest_per_key
 
 STORE_COLS = ["user_id", "event_id", "ts", "event_type", "value"]
+STORE_SCHEMA = (
+    "user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+)
+
+
+def _empty_store(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], STORE_SCHEMA)
+
+
+def _read_state(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Scan the whole store; an empty store (no bucket directories —
+    e.g. every key tombstoned, or nothing ingested yet) is a valid
+    state and reads as zero rows, not an AnalysisException."""
+    if not glob.glob(os.path.join(store_dir, "bucket=*")):
+        return _empty_store(spark)
+    return spark.read.parquet(store_dir).select(*STORE_COLS)
 
 
 def materialize_keyed_store(spark: SparkSession, sf_dir: str) -> str:
@@ -74,7 +90,18 @@ def materialize_keyed_store(spark: SparkSession, sf_dir: str) -> str:
     for old in glob.glob(os.path.join(tempfile.gettempdir(), f"iq_store_{key}_*")):
         shutil.rmtree(old, ignore_errors=True)
     ev = load_table(spark, sf_dir, "events").select(*STORE_COLS)
-    state = _latest_per_key(ev).withColumn(
+    build_keyed_store(ev, root)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return root
+
+
+def build_keyed_store(df: DataFrame, root: str) -> str:
+    """Write any (user_id, event_id, ts, event_type, value) DataFrame
+    as the bucketed latest-per-key store layout. Deployment/test entry
+    point — `materialize_keyed_store` wraps it for the fixture; the
+    hypothesis property test drives it with arbitrary event sets."""
+    state = _latest_per_key(df.select(*STORE_COLS)).withColumn(
         "bucket", F.pmod(F.xxhash64("user_id"), F.lit(UPSERT_BUCKETS))
     )
     (
@@ -84,8 +111,6 @@ def materialize_keyed_store(spark: SparkSession, sf_dir: str) -> str:
         .partitionBy("bucket")
         .parquet(root)
     )
-    with open(done, "w") as fh:
-        fh.write("ok")
     return root
 
 
@@ -121,9 +146,7 @@ def store_get(
         if os.path.exists(p := os.path.join(store_dir, f"bucket={b}"))
     ]
     if not dirs:
-        return spark.createDataFrame(
-            [], "user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
-        )
+        return _empty_store(spark)
     return (
         spark.read.parquet(*dirs)
         .where(F.col("user_id").isin([int(k) for k in key_list]))
@@ -135,16 +158,14 @@ def store_range(spark: SparkSession, store_dir: str, lo: int, hi: int) -> DataFr
     """ReadOnlyKeyValueStore#range: hash layout ⇒ all buckets, predicate
     pushed to the scan; sorted-within-bucket files give row-group
     pruning."""
-    return (
-        spark.read.parquet(store_dir)
-        .where(F.col("user_id").between(int(lo), int(hi)))
-        .select(*STORE_COLS)
+    return _read_state(spark, store_dir).where(
+        F.col("user_id").between(int(lo), int(hi))
     )
 
 
 def store_all(spark: SparkSession, store_dir: str) -> DataFrame:
     """ReadOnlyKeyValueStore#all: full state scan."""
-    return spark.read.parquet(store_dir).select(*STORE_COLS)
+    return _read_state(spark, store_dir)
 
 
 def store_approx_count(store_dir: str) -> int:
@@ -187,6 +208,85 @@ def store_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     by tests/test_plans.py via DataFrame.inputFiles()."""
     store = materialize_keyed_store(spark, sf_dir)
     return store_get(spark, store, LOOKUP_KEYS)
+
+
+def materialize_window_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the hourly tumbling per-user count windows as a
+    bucketed layout — the WindowStore a windowed aggregation keeps
+    [R o.a.k.streams.state.ReadOnlyWindowStore]. Same bucket scheme as
+    the KV store; files sorted by (user_id, window_start) so a fetch's
+    time slice prunes row groups inside the key's bucket."""
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(
+        tempfile.gettempdir(), f"iq_wstore_{key}_{st.st_mtime_ns}_{st.st_size}"
+    )
+    done = os.path.join(root, "_STORE_READY")
+    if os.path.exists(done):
+        return root
+    for old in glob.glob(os.path.join(tempfile.gettempdir(), f"iq_wstore_{key}_*")):
+        shutil.rmtree(old, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    wins = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .withColumn("bucket", F.pmod(F.xxhash64("user_id"), F.lit(UPSERT_BUCKETS)))
+    )
+    (
+        wins.repartition("bucket")
+        .sortWithinPartitions("user_id", "window_start")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(root)
+    )
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return root
+
+
+def window_store_fetch(
+    spark: SparkSession, wstore_dir: str, key: int, time_from: str, time_to: str
+) -> DataFrame:
+    """ReadOnlyWindowStore#fetch(key, timeFrom, timeTo): the key's
+    windowed aggregates within [time_from, time_to) — reads only the
+    key's bucket directory; the time slice rides the parquet row-group
+    stats because files are sorted by (key, window_start)."""
+    b = buckets_of(spark, [key])[key]
+    path = os.path.join(wstore_dir, f"bucket={b}")
+    return (
+        spark.read.parquet(path)
+        .where(
+            (F.col("user_id") == int(key))
+            & (F.col("window_start") >= F.lit(time_from).cast("timestamp"))
+            & (F.col("window_start") < F.lit(time_to).cast("timestamp"))
+        )
+        .select("user_id", "window_start", "n_events")
+    )
+
+
+@query(
+    "store_window_fetch",
+    oracle="""
+SELECT user_id, date_trunc('hour', ts) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+WHERE user_id = 7
+  AND date_trunc('hour', ts) >= TIMESTAMP '2024-01-05 00:00:00'
+  AND date_trunc('hour', ts) <  TIMESTAMP '2024-01-12 00:00:00'
+GROUP BY 1, 2
+ORDER BY 2
+""",
+)
+def store_window_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interactive query over WINDOWED state: fetch(key=7, one week of
+    hourly windows) from the materialized window store. The oracle
+    recomputes the same hourly counts from raw events, so the driver
+    row proves materialize + bucket-route + time-slice end to end."""
+    store = materialize_window_store(spark, sf_dir)
+    return window_store_fetch(
+        spark, store, 7, "2024-01-05 00:00:00", "2024-01-12 00:00:00"
+    )
 
 
 @query(

@@ -380,3 +380,52 @@ def test_tombstone_table_matches_reference(spark, rows):
         u: (eid, ty) for u, (_, eid, ty) in winners.items() if ty != "error"
     }
     assert got == want
+
+
+store_events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 50),   # minutes offset (duplicate ts across rows likely)
+        st.integers(0, 6),    # user_id (small domain → multi-version keys)
+        st.sampled_from([1.0, 2.0]),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=store_events_strategy)
+def test_interactive_store_matches_latest_per_key_model(spark, rows, tmp_path_factory):
+    """[R ReadOnlyKeyValueStore] get/range/all against a reference
+    model: for ANY event set, every verb must serve exactly the
+    latest-(ts, event_id) row per key. Covers ts ties (event_id
+    tiebreak), absent keys, and empty stores."""
+    from minefields_kafka_streams_deduplication_spark.sources.state_store import (
+        build_keyed_store,
+        store_all,
+        store_get,
+        store_range,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (u, i, t0 + dt.timedelta(minutes=m), "view", v)
+        for i, (m, u, v) in enumerate(rows)
+    ]
+    schema = "user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    model: dict = {}
+    for u, i, ts, _t, v in data:
+        cur = model.get(u)
+        if cur is None or (ts, i) > (cur[0], cur[1]):
+            model[u] = (ts, i, v)
+    root = str(tmp_path_factory.mktemp("iq_prop"))
+    build_keyed_store(spark.createDataFrame(data, schema), root)
+    got_all = {r.user_id: (r.ts, r.event_id, r.value)
+               for r in store_all(spark, root).collect()}
+    assert got_all == model
+    probe = list(model) + [99]  # 99 never generated: absent-key probe
+    got = {r.user_id: (r.ts, r.event_id, r.value)
+           for r in store_get(spark, root, probe).collect()}
+    assert got == model
+    got_rng = {r.user_id for r in store_range(spark, root, 2, 4).collect()}
+    assert got_rng == {u for u in model if 2 <= u <= 4}
