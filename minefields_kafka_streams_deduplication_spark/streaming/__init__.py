@@ -7,5 +7,6 @@
 from . import anomaly_stream  # noqa: F401
 from . import dedup_stream  # noqa: F401
 from . import observe  # noqa: F401
+from . import neardup_stream  # noqa: F401
 from . import punctuate  # noqa: F401
 from . import windows_stream  # noqa: F401

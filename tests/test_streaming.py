@@ -506,3 +506,21 @@ def test_wall_clock_punctuator_semantics(spark, tmp_path):
             f"update — before the wall-clock timer could have fired"
         )
     assert by_key == {"a": 7, "b": 3}
+
+
+def test_stream_neardup_matches_batch_star_reference(spark, sf_dir):
+    """Streaming LSH near-dup (first-arrival bucket anchors) must drop
+    exactly the docs the batch star-policy reference drops when the
+    stream replays in doc_id order — in-stream state over multiple
+    micro-batches changes nothing about the outcome."""
+    import minefields_kafka_streams_deduplication_spark as engine
+    from minefields_kafka_streams_deduplication_spark.streaming.neardup_stream import (
+        batch_star_reference,
+        dedup_stream_neardup,
+    )
+
+    got = {r.doc_id for r in dedup_stream_neardup(spark, sf_dir).collect()}
+    docs = engine.load_table(spark, sf_dir, "documents")
+    want = {r.doc_id for r in batch_star_reference(docs).collect()}
+    assert got == want
+    assert len(got) < docs.count()  # the fixture has near-dups to drop
