@@ -751,3 +751,80 @@ def diagnose_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("user_id"))
         .limit(SKEW_TOP_KEYS)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source curation report (the domain-slice triage view).
+# ---------------------------------------------------------------------------
+
+SHORT_DOC_TOKENS = 20  # under this, a doc is "short" for curation triage
+
+
+@query(
+    "source_quality_report",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT source,
+         lower(trim(text)) AS norm_text,
+         n_chars,
+         len(string_split(lower(text), ' ')) AS n_tokens
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT norm_text) AS BIGINT) AS n_distinct_texts,
+       round((count(*) - count(DISTINCT norm_text))
+             / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(sum(n_tokens) / CAST(count(*) AS DOUBLE), 6) AS mean_tokens,
+       round(sum(CASE WHEN n_tokens < {SHORT_DOC_TOKENS} THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS short_doc_rate
+FROM per_doc
+GROUP BY source
+ORDER BY source
+""",
+)
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain) curation triage: volume, exact-dup rate,
+    token mass, mean length, short-doc rate. The slice a pipeline
+    operator reads before deciding to keep, down-sample, or drop a
+    source — domain-level curation is standard practice for web-scale
+    training corpora, and per-SOURCE dup rate is the classic signal of
+    a crawler trap or mirror.
+
+    100 TB shape: one hash aggregate keyed by source (map-side
+    combined; source cardinality is tiny next to docs). distinct-text
+    counting rides the same shuffle via count(DISTINCT) over the
+    normalized-text hash. All outputs are integers or exact-int
+    quotients (the corpus_vocab_stats determinism argument).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.lower(F.trim("text")).alias("norm_text"),
+        "n_chars",
+        F.size(F.split(F.lower("text"), " ")).alias("n_tokens"),
+    )
+    n = F.count(F.lit(1))
+    nd = F.countDistinct("norm_text")
+    return (
+        docs.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            nd.alias("n_distinct_texts"),
+            F.round((n - nd) / n.cast("double"), 6).alias("dup_rate"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("n_tokens") / n.cast("double"), 6
+            ).alias("mean_tokens"),
+            F.round(
+                F.sum(
+                    F.when(F.col("n_tokens") < SHORT_DOC_TOKENS, 1).otherwise(0)
+                )
+                / n.cast("double"),
+                6,
+            ).alias("short_doc_rate"),
+        )
+        .orderBy("source")
+    )

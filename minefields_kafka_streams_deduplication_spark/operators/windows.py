@@ -112,7 +112,14 @@ GROUP BY user_id, session_id
 def window_session_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 (batch oracle form): classic sessionization — LAG gap flag +
     running sum as session id. [R SessionWindows.ofInactivityGap...]"""
-    ev = load_table(spark, sf_dir, "events")
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+def sessionize(ev: DataFrame) -> DataFrame:
+    """Classic LAG sessionization of (user_id, event_id, ts, value):
+    gap flag + running sum as session id, aggregated to one row per
+    session. Shared by the W3 oracle form and the session-store
+    interactive fetch (sources/state_store.py)."""
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(order))
     new_session = F.when(

@@ -308,3 +308,91 @@ def store_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized KTable (keys 3..11 exist at every SF)."""
     store = materialize_keyed_store(spark, sf_dir)
     return store_range(spark, store, 3, 11)
+
+
+def materialize_session_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize per-user session windows (30-min inactivity gap,
+    operators/windows.sessionize) as a bucketed layout — the
+    SessionStore a session-windowed aggregation keeps
+    [R o.a.k.streams.state.ReadOnlySessionStore]. Completes the KS
+    store triad (KeyValueStore / WindowStore / SessionStore) on the
+    same bucket scheme."""
+    from ..operators.windows import sessionize
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(
+        tempfile.gettempdir(), f"iq_sstore_{key}_{st.st_mtime_ns}_{st.st_size}"
+    )
+    done = os.path.join(root, "_STORE_READY")
+    if os.path.exists(done):
+        return root
+    for old in glob.glob(os.path.join(tempfile.gettempdir(), f"iq_sstore_{key}_*")):
+        shutil.rmtree(old, ignore_errors=True)
+    sessions = sessionize(load_table(spark, sf_dir, "events")).withColumn(
+        "bucket", F.pmod(F.xxhash64("user_id"), F.lit(UPSERT_BUCKETS))
+    )
+    (
+        sessions.repartition("bucket")
+        .sortWithinPartitions("user_id", "session_start")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(root)
+    )
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return root
+
+
+def session_store_fetch(spark: SparkSession, sstore_dir: str, key: int) -> DataFrame:
+    """ReadOnlySessionStore#fetch(key): every session for the key,
+    from only the key's bucket directory."""
+    b = buckets_of(spark, [key])[key]
+    path = os.path.join(sstore_dir, f"bucket={b}")
+    return (
+        spark.read.parquet(path)
+        .where(F.col("user_id") == int(key))
+        .select(
+            "user_id", "session_id", "n_events",
+            "session_start", "session_end", "total_value",
+        )
+    )
+
+
+@query(
+    "store_session_fetch",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WHERE user_id = 7
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY session_id
+""",
+)
+def store_session_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interactive query over SESSION state: fetch(key=7) from the
+    materialized session store. The oracle re-runs LAG sessionization
+    on raw events for the key (sessionization over one user is
+    arrival-set-local, so per-key recompute equals the global run's
+    slice), proving materialize + bucket-route end to end."""
+    store = materialize_session_store(spark, sf_dir)
+    return session_store_fetch(spark, store, 7)
