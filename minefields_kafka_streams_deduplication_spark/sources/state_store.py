@@ -396,3 +396,70 @@ def store_session_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice), proving materialize + bucket-route end to end."""
     store = materialize_session_store(spark, sf_dir)
     return session_store_fetch(spark, store, 7)
+
+
+# ---------------------------------------------------------------------------
+# Generic store wrapper — the KafkaStreams#store(...) return value.
+# ---------------------------------------------------------------------------
+
+
+def write_bucketed_state(df: DataFrame, root: str, key_col: str) -> str:
+    """Write an already-compacted table (one row per key, any schema)
+    as the bucketed store layout keyed on ``key_col`` (long keys)."""
+    state = df.withColumn(
+        "bucket", F.pmod(F.xxhash64(key_col), F.lit(UPSERT_BUCKETS))
+    )
+    (
+        state.repartition("bucket")
+        .sortWithinPartitions(key_col)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(root)
+    )
+    return root
+
+
+class ReadOnlyKeyValueStore:
+    """[R o.a.k.streams.state.ReadOnlyKeyValueStore] over a bucketed
+    parquet state layout with an arbitrary long key column — what
+    ``KTable.materialize()`` (topology.py) hands back, mirroring
+    ``KafkaStreams#store(StoreQueryParameters)``. The module-level verbs
+    above are the events-fixture specialization of the same layout."""
+
+    def __init__(self, spark: SparkSession, root: str, key_col: str) -> None:
+        self.spark = spark
+        self.root = root
+        self.key_col = key_col
+        self._cols: list[str] | None = None
+
+    def _read(self, paths: list[str] | None = None) -> DataFrame:
+        dirs = paths if paths is not None else glob.glob(
+            os.path.join(self.root, "bucket=*")
+        )
+        if not dirs:
+            raise LookupError(f"empty store at {self.root}")
+        df = self.spark.read.parquet(*dirs)
+        return df.drop("bucket") if "bucket" in df.columns else df
+
+    def get(self, key: int):
+        """Point lookup → Row or None; opens only the key's bucket."""
+        b = buckets_of(self.spark, [key])[key]
+        path = os.path.join(self.root, f"bucket={b}")
+        if not os.path.exists(path):
+            return None
+        rows = (
+            self._read([path])
+            .where(F.col(self.key_col) == int(key))
+            .limit(1)
+            .collect()
+        )
+        return rows[0] if rows else None
+
+    def range(self, lo: int, hi: int) -> DataFrame:
+        return self._read().where(F.col(self.key_col).between(int(lo), int(hi)))
+
+    def all(self) -> DataFrame:
+        return self._read()
+
+    def approximate_num_entries(self) -> int:
+        return store_approx_count(self.root)

@@ -272,3 +272,21 @@ class KTable:
 
     def to_df(self) -> DataFrame:
         return self.df
+
+
+# Facade half of Interactive Queries [R KafkaStreams#store]: materialize
+# any KTable as the bucketed serving layout and hand back the read-only
+# store object. (KTable is compacted by construction — to_table /
+# builder.table produce one row per key — so the writer needs no fold.)
+def _ktable_materialize(self, root: str | None = None) -> object:
+    from .sources.state_store import ReadOnlyKeyValueStore, write_bucketed_state
+
+    import tempfile as _tf
+
+    key = self.key if isinstance(self.key, str) else self.key[0]
+    root = root or _tf.mkdtemp(prefix="ktable_store_")
+    write_bucketed_state(self.df, root, key)
+    return ReadOnlyKeyValueStore(self.df.sparkSession, root, key)
+
+
+KTable.materialize = _ktable_materialize

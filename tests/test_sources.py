@@ -296,3 +296,23 @@ def test_interactive_store_verbs_agree(spark, sf_dir):
     assert rng == {u for u in truth if 2 <= u <= 5}
     # a key that doesn't exist returns empty, not an error
     assert store_get(spark, store, 10**12).count() == 0
+
+
+def test_ktable_materialize_serves_point_reads(spark, sf_dir):
+    """Facade Interactive Queries [R KafkaStreams#store]: a KTable
+    materialized through the DSL serves get/range/all consistent with
+    the table it was built from."""
+    import minefields_kafka_streams_deduplication_spark as engine
+    from minefields_kafka_streams_deduplication_spark.topology import StreamsBuilder
+
+    b = StreamsBuilder(spark, sf_dir)
+    kt = b.stream("events").select_key("user_id").to_table()
+    store = kt.materialize()
+    truth = {r.user_id: r.event_id for r in kt.to_df().collect()}
+    assert store.approximate_num_entries() == len(truth)
+    some_key = min(truth)
+    row = store.get(some_key)
+    assert row is not None and row.event_id == truth[some_key]
+    assert store.get(10**12) is None
+    got = {r.user_id for r in store.range(0, 5).collect()}
+    assert got == {u for u in truth if 0 <= u <= 5}
