@@ -233,3 +233,54 @@ def test_minhash_witness_matches_exact_pairs(spark, monkeypatch):
     assert set(pairs) == {(0, 1), (2, 3), (2, 4), (3, 4)}
     assert pairs[(2, 3)] == pairs[(2, 4)] == pairs[(3, 4)] == 1.0
     assert pairs[(0, 1)] >= 0.7
+
+
+def test_neardup_incremental_matches_reference_model(spark):
+    """Incremental near-dup vs a python reference model on a crafted
+    corpus covering: cross-side exact copy (dropped), cross-side
+    near-dup above/below threshold, shingle-less short doc (kept),
+    within-incoming duplicate (kept — only history is probed)."""
+    from minefields_kafka_streams_deduplication_spark.functions.neardup import (
+        MINHASH_VERIFY_THRESHOLD,
+        neardup_incremental_df,
+    )
+
+    texts = {
+        0: "a b c d e f",            # history
+        1: "x y z w q r s t",        # history
+        2: "m n o p q r s t u v",    # history
+        3: "a b c d e f",            # exact copy of 0 -> drop
+        4: "a b c d e f g",          # near-dup of 0 (J=4/5) -> drop
+        5: "a b c q e f",            # far from 0 -> keep
+        6: "p q",                    # <3 tokens, no shingles -> keep
+        7: "x y z w q r s t",        # exact copy of 1 -> drop
+        8: "hello world unique doc", # novel -> keep
+        9: "hello world unique doc", # copy of 8 (INCOMING) -> keep
+    }
+    cut = 3
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    def jac(x, y):
+        u = sh(x) | sh(y)
+        return len(sh(x) & sh(y)) / len(u) if u else 0.0
+
+    expect = {
+        d
+        for d in texts
+        if d >= cut
+        and not any(
+            jac(texts[d], texts[h]) >= MINHASH_VERIFY_THRESHOLD
+            for h in texts
+            if h < cut
+        )
+    }
+    assert expect == {5, 6, 8, 9}  # the model itself behaves as designed
+    docs = spark.createDataFrame(
+        [(d, t, "en", "src") for d, t in texts.items()],
+        "doc_id LONG, text STRING, lang STRING, source STRING",
+    )
+    got = {r.doc_id for r in neardup_incremental_df(docs, cut).collect()}
+    assert got == expect
