@@ -765,15 +765,15 @@ SHORT_DOC_TOKENS = 20  # under this, a doc is "short" for curation triage
     oracle=f"""
 WITH per_doc AS (
   SELECT source,
-         lower(trim(text)) AS norm_text,
+         md5(lower(trim(text))) AS norm_hash,
          n_chars,
          len(string_split(lower(text), ' ')) AS n_tokens
   FROM documents
 )
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(count(DISTINCT norm_text) AS BIGINT) AS n_distinct_texts,
-       round((count(*) - count(DISTINCT norm_text))
+       CAST(count(DISTINCT norm_hash) AS BIGINT) AS n_distinct_texts,
+       round((count(*) - count(DISTINCT norm_hash))
              / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
@@ -799,14 +799,19 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized-text hash. All outputs are integers or exact-int
     quotients (the corpus_vocab_stats determinism argument).
     """
+    # Distinct-text counting rides an md5 of the normalized text, not
+    # the text itself: the distinct shuffle then carries 32-byte digests
+    # instead of document bodies (measured 6.4s -> 2.6s at 10x; at
+    # 100 TB the difference is shuffling hashes vs shuffling the corpus).
+    # Both engines compute the same md5, so the oracle mirrors exactly.
     docs = load_table(spark, sf_dir, "documents").select(
         "source",
-        F.lower(F.trim("text")).alias("norm_text"),
+        F.md5(F.lower(F.trim("text"))).alias("norm_hash"),
         "n_chars",
         F.size(F.split(F.lower("text"), " ")).alias("n_tokens"),
     )
     n = F.count(F.lit(1))
-    nd = F.countDistinct("norm_text")
+    nd = F.countDistinct("norm_hash")
     return (
         docs.groupBy("source")
         .agg(

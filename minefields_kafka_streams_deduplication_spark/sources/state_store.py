@@ -121,9 +121,16 @@ def buckets_of(spark: SparkSession, keys: Sequence[int]) -> dict[int, int]:
     state table. Duplicating xxhash64 in Python would silently fork the
     hash; asking Spark keeps writer and reader pinned to one function.
     """
+    # Pure-JVM literal plan (range + explode(array(lit...))) — a
+    # createDataFrame from a Python list would scan a Python RDD, and
+    # that single task pays a pyspark-worker spawn (~4 s measured on
+    # this box); this form stays in codegen and returns in ~0.1 s.
+    keys_col = F.explode(
+        F.array(*[F.lit(int(k)).cast("long") for k in keys])
+    ).alias("user_id")
     rows = (
-        spark.createDataFrame([(int(k),) for k in keys], "user_id LONG")
-        .coalesce(1)
+        spark.range(1)
+        .select(keys_col)
         .select(
             "user_id",
             F.pmod(F.xxhash64("user_id"), F.lit(UPSERT_BUCKETS)).alias("bucket"),
