@@ -312,3 +312,45 @@ def sink_upsert_keyed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(state_dir, "bucket=*")).select(
         "user_id", "event_id", "ts", "event_type", "value"
     )
+
+
+def compact_state_dir(
+    spark: SparkSession, state_dir: str, max_files_per_bucket: int = 1
+) -> list[int]:
+    """Out-of-band compaction of the bucketed state table — the
+    RocksDB-compaction / Kafka-log-compaction analog for the upsert
+    sink's layout. Every micro-batch merge rewrites its touched buckets
+    as fresh files; a long-running stream therefore accretes small
+    files per bucket (one rewrite's worth is fine, thousands are a
+    file-listing and open-cost problem at scale). Compaction rewrites
+    ONLY the buckets whose file count exceeds ``max_files_per_bucket``,
+    in one distributed job with dynamic partition overwrite — untouched
+    buckets are never read or rewritten, same partial-rewrite contract
+    as the merge itself. Returns the compacted bucket ids.
+
+    `localCheckpoint` materializes the rows BEFORE the write because the
+    rewrite replaces the very files it reads (the merge's self-overwrite
+    hazard, same fix)."""
+    import glob as _glob
+
+    need = []
+    for bdir in _glob.glob(os.path.join(state_dir, "bucket=*")):
+        n_files = len(_glob.glob(os.path.join(bdir, "*.parquet")))
+        if n_files > max_files_per_bucket:
+            need.append(int(bdir.rsplit("bucket=", 1)[1]))
+    if not need:
+        return []
+    paths = [os.path.join(state_dir, f"bucket={b}") for b in sorted(need)]
+    rows = (
+        spark.read.parquet(*paths)
+        .withColumn("bucket", F.pmod(F.xxhash64("user_id"), F.lit(UPSERT_BUCKETS)))
+        .repartition("bucket")
+        .localCheckpoint(eager=True)
+    )
+    (
+        rows.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(state_dir)
+    )
+    return sorted(need)

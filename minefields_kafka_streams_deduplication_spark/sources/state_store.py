@@ -146,6 +146,8 @@ def store_get(
     """ReadOnlyKeyValueStore#get: latest row for each requested key,
     reading ONLY the bucket directories those keys hash to."""
     key_list = [keys] if isinstance(keys, int) else list(keys)
+    if not key_list:
+        return _empty_store(spark)
     buckets = sorted(set(buckets_of(spark, key_list).values()))
     dirs = [
         p

@@ -222,3 +222,28 @@ def test_interactive_get_reads_only_looked_up_buckets(spark, sf_dir):
     # and the key equality reaches the parquet scan
     a = audit_plan(df)
     assert any("user_id" in f for f in a.pushed_filters), a.raw[:1500]
+
+
+def test_window_and_session_fetch_read_one_bucket(spark, sf_dir):
+    """The windowed and session store fetches serve from a single
+    bucket directory too — the triad shares the pruning story."""
+    from minefields_kafka_streams_deduplication_spark.sources.state_store import (
+        buckets_of,
+        materialize_session_store,
+        materialize_window_store,
+        session_store_fetch,
+        window_store_fetch,
+    )
+
+    b7 = str(buckets_of(spark, [7])[7])
+    w = window_store_fetch(
+        spark,
+        materialize_window_store(spark, sf_dir),
+        7,
+        "2024-01-05 00:00:00",
+        "2024-01-12 00:00:00",
+    )
+    s = session_store_fetch(spark, materialize_session_store(spark, sf_dir), 7)
+    for df in (w, s):
+        touched = {f.split("/bucket=")[1].split("/")[0] for f in df.inputFiles()}
+        assert touched == {b7}, touched

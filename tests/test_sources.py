@@ -316,3 +316,57 @@ def test_ktable_materialize_serves_point_reads(spark, sf_dir):
     assert store.get(10**12) is None
     got = {r.user_id for r in store.range(0, 5).collect()}
     assert got == {u for u in truth if 0 <= u <= 5}
+
+
+def test_compact_state_dir_preserves_content_and_reduces_files(spark, tmp_path):
+    """Compaction must rewrite only multi-file buckets, reduce them to
+    one file's worth, and change NOTHING about the table's content —
+    including buckets it never touched."""
+    import datetime as dt
+    import glob
+
+    from minefields_kafka_streams_deduplication_spark.sources.sinks import (
+        compact_state_dir,
+        merge_batch_into_state,
+    )
+
+    state = str(tmp_path / "state")
+    t = lambda d: dt.datetime(2024, 1, d)
+    schema = "user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    b = spark.createDataFrame(
+        [(u, 100 + u, t(1), "view", 1.0) for u in range(8)], schema
+    )
+    merge_batch_into_state(spark, state, b)
+    # Fragment the layout the way a deployment does: an append-mode
+    # backfill drops additional files into existing bucket directories.
+    from pyspark.sql import functions as F
+    from minefields_kafka_streams_deduplication_spark.sources.sinks import (
+        UPSERT_BUCKETS,
+    )
+
+    extra = spark.createDataFrame(
+        [(100 + u, 900 + u, t(2), "view", 2.0) for u in range(16)], schema
+    ).withColumn("bucket", F.pmod(F.xxhash64("user_id"), F.lit(UPSERT_BUCKETS)))
+    extra.write.mode("append").partitionBy("bucket").parquet(state)
+
+    from collections import Counter
+
+    def snapshot():
+        return Counter(
+            (r.user_id, r.event_id, r.value)
+            for r in spark.read.parquet(f"{state}/bucket=*").collect()
+        )
+
+    def files_per_bucket():
+        return {
+            d: len(glob.glob(f"{d}/*.parquet"))
+            for d in glob.glob(f"{state}/bucket=*")
+        }
+
+    before = snapshot()
+    assert any(n > 1 for n in files_per_bucket().values())  # fragmentation real
+    compacted = compact_state_dir(spark, state)
+    assert compacted  # something was compacted
+    assert snapshot() == before  # content bit-identical
+    assert all(n == 1 for n in files_per_bucket().values())
+    assert compact_state_dir(spark, state) == []  # idempotent: nothing left
