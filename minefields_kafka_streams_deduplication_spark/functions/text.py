@@ -714,3 +714,65 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum("term"), 4).cast("double").alias("entropy_bits"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair statistics (tokenizer-training signal).
+# ---------------------------------------------------------------------------
+
+BPE_PAIR_TOPK = 50
+
+
+@query(
+    "bpe_pair_stats",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, greatest(len(tokens), 1)),
+                               i -> tokens[i] || ' ' || tokens[i+1])) AS pair
+  FROM toks
+  WHERE len(tokens) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {BPE_PAIR_TOPK}
+""",
+)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-token-pair frequencies — the statistic a BPE/
+    WordPiece trainer computes every merge round (most frequent pair →
+    next merge rule). Deterministic tie-break: (count DESC, pair ASC).
+
+    Plan shape: tokens materialized as a real column BEFORE the pair
+    lambda (interpreted-HOF lesson, SCALING.md), pairs built in-place
+    with codegen slice+zip — NO self-join, NO per-doc window, NO
+    interpreted lambda; one
+    explode, one map-side-combined count, TakeOrderedAndProject for the
+    top-K. At tokenizer-training scale this is the textbook
+    word-count-shaped job: linear scan, pair-vocabulary-bounded state.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower("text"), " ").alias("tokens")).where(
+        F.size("tokens") >= 2
+    )
+    # Pairs via slice+arrays_zip, NOT a transform() lambda: slice/zip/
+    # concat_ws are all codegen'd while higher-order lambdas are
+    # interpreted per element — measured 22.4s vs 6.4s at 100x (500K
+    # docs, 27M pairs) for the identical output.
+    n = F.size("tokens")
+    zipped = F.arrays_zip(
+        F.slice("tokens", 1, n - 1),
+        F.expr("slice(tokens, 2, size(tokens) - 1)"),
+    )
+    return (
+        toks.select(F.explode(zipped).alias("p"))
+        .select(F.concat_ws(" ", F.col("p.0"), F.col("p.1")).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(BPE_PAIR_TOPK)
+    )
