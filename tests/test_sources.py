@@ -370,3 +370,39 @@ def test_compact_state_dir_preserves_content_and_reduces_files(spark, tmp_path):
     assert snapshot() == before  # content bit-identical
     assert all(n == 1 for n in files_per_bucket().values())
     assert compact_state_dir(spark, state) == []  # idempotent: nothing left
+
+
+def test_store_verbs_serve_the_upsert_sinks_live_state(spark, tmp_path):
+    """Integration of sink and Interactive Queries: the ReadOnly store
+    wrapper pointed at the upsert sink's incrementally-maintained
+    state_dir serves correct point reads — the deployment story the
+    docstrings promise (no re-materialization)."""
+    import datetime as dt
+
+    from minefields_kafka_streams_deduplication_spark.sources.sinks import (
+        merge_batch_into_state,
+    )
+    from minefields_kafka_streams_deduplication_spark.sources.state_store import (
+        ReadOnlyKeyValueStore,
+    )
+
+    state = str(tmp_path / "state")
+    t = lambda d: dt.datetime(2024, 1, d)
+    schema = "user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    merge_batch_into_state(
+        spark,
+        state,
+        spark.createDataFrame(
+            [(1, 10, t(1), "view", 1.0), (2, 11, t(1), "view", 2.0)], schema
+        ),
+    )
+    merge_batch_into_state(
+        spark,
+        state,
+        spark.createDataFrame([(1, 12, t(2), "purchase", 9.0)], schema),
+    )
+    store = ReadOnlyKeyValueStore(spark, state, "user_id")
+    assert store.get(1).event_id == 12  # upserted by the second batch
+    assert store.get(2).event_id == 11  # untouched by the second batch
+    assert store.get(777) is None
+    assert store.approximate_num_entries() == 2
