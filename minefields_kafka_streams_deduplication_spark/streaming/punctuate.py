@@ -63,10 +63,10 @@ PUNCT_OUTPUT_SCHEMA = (
 _SENTINEL = "__punct_sentinel__"
 
 
-def _punctuate_fn(
-    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Count rows per key; emit ONLY when the wall-clock timer fires.
+def make_punctuate_fn(interval_ms: int = PUNCTUATE_INTERVAL_MS):
+    """Build the per-key state function for a given punctuation
+    interval. Counts rows per key; emits ONLY when the wall-clock timer
+    fires.
 
     On timeout the key's snapshot is flushed and the state deleted —
     if the key stays active it re-registers and a later punctuation
@@ -74,31 +74,42 @@ def _punctuate_fn(
     total rows seen for the key regardless of how punctuations
     interleave with data (the invariant the oracle checks).
     """
-    now_us = int(time.time() * 1_000_000)
-    if state.hasTimedOut:
-        n, _first, last = state.get
-        state.remove()
-        yield pd.DataFrame(
-            [[key[0], n, last, now_us]],
-            columns=["event_type", "n", "last_update_wall_us", "emit_wall_us"],
-        )
+
+    def _punctuate_fn(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        now_us = int(time.time() * 1_000_000)
+        if state.hasTimedOut:
+            n, _first, last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [[key[0], n, last, now_us]],
+                columns=["event_type", "n", "last_update_wall_us", "emit_wall_us"],
+            )
+            return
+        add = sum(len(pdf) for pdf in pdfs)
+        if state.exists:
+            n, first, _last = state.get
+            state.update((n + add, first, now_us))
+        else:
+            state.update((add, now_us, now_us))
+        # Re-arm on every update: Spark clears a key's timer each time
+        # its function runs, so this is "punctuate INTERVAL after last
+        # activity". The armed timestamp is absolute and checkpointed
+        # with the state, so a pending punctuation survives restart
+        # (pinned by tests/test_streaming.py's restart test).
+        state.setTimeoutDuration(interval_ms)
         return
-    add = sum(len(pdf) for pdf in pdfs)
-    if state.exists:
-        n, first, _last = state.get
-        state.update((n + add, first, now_us))
-    else:
-        state.update((add, now_us, now_us))
-    # Re-arm on every update: Spark clears a key's timer each time its
-    # function runs, so this is "punctuate INTERVAL after last activity".
-    state.setTimeoutDuration(PUNCTUATE_INTERVAL_MS)
-    return
+
+    return _punctuate_fn
 
 
-def punctuated_counts_stream(events_stream: DataFrame) -> DataFrame:
+def punctuated_counts_stream(
+    events_stream: DataFrame, interval_ms: int = PUNCTUATE_INTERVAL_MS
+) -> DataFrame:
     """events stream -> wall-clock-punctuated per-type count snapshots."""
     return events_stream.groupBy("event_type").applyInPandasWithState(
-        _punctuate_fn,
+        make_punctuate_fn(interval_ms),
         outputStructType=PUNCT_OUTPUT_SCHEMA,
         stateStructType=PUNCT_STATE_SCHEMA,
         outputMode="append",

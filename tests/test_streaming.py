@@ -524,3 +524,90 @@ def test_stream_neardup_matches_batch_star_reference(spark, sf_dir):
     want = {r.doc_id for r in batch_star_reference(docs).collect()}
     assert got == want
     assert len(got) < docs.count()  # the fixture has near-dups to drop
+
+
+def test_punctuator_state_and_timer_survive_restart(spark, tmp_path):
+    """A pending punctuation is durable: counts accumulated before a
+    stop AND the armed host-clock timer live in the checkpointed state,
+    so a restarted query flushes them without replaying the input."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from minefields_kafka_streams_deduplication_spark.streaming.punctuate import (
+        punctuated_counts_stream,
+    )
+
+    stage = str(tmp_path / "stage")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "event_type STRING"
+    interval_ms = 3000
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    def start(qname):
+        # Parquet sink, NOT memory: the memory sink refuses checkpoint
+        # recovery ("does not support recovering"), and recovery is the
+        # point of this test.
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        return (
+            punctuated_counts_stream(stream, interval_ms)
+            .writeStream.format("parquet")
+            .queryName(qname)
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+
+    def emitted():
+        import glob as _glob
+
+        if not _glob.glob(f"{out}/*.parquet"):
+            return {}
+        rows = (
+            spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(F.sum("n").alias("s"))
+            .collect()
+        )
+        return {r.event_type: r.s for r in rows}
+
+    def wait_rows_processed(q, want, deadline_s=30):
+        # processAllAvailable() can block forever here: pending
+        # processing-time timers keep the scheduler running batches, so
+        # "all available" never settles. Poll committed progress instead.
+        t0 = _time.time()
+        seen = 0
+        while seen < want:
+            assert _time.time() - t0 < deadline_s, f"only {seen}/{want} rows"
+            seen = sum(int(p["numInputRows"]) for p in q.recentProgress)
+            _time.sleep(0.2)
+
+    write_batch([("a",)] * 5, "f1")
+    q1 = start("punct_restart_1")
+    wait_rows_processed(q1, 5)
+    q1.stop()
+    q1.awaitTermination()
+    # 'a' is accumulated but NOT yet flushed (interval >> q1 lifetime)
+    assert emitted() == {}
+
+    _time.sleep(interval_ms / 1000 + 0.5)  # the armed timer expires offline
+    write_batch([("b",)] * 3, "f2")
+    q2 = start("punct_restart_2")
+    try:
+        deadline = _time.time() + 60
+        while emitted() != {"a": 5, "b": 3}:
+            assert _time.time() < deadline, f"totals stuck at {emitted()}"
+            _time.sleep(0.2)
+    finally:
+        q2.stop()
+        q2.awaitTermination()
