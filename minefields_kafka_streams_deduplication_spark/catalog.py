@@ -15,6 +15,8 @@ for batch; `streaming.read_events_stream` is the streaming analog.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -136,3 +138,39 @@ def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
     """Register every table as a temp view (SQL entry point, SURVEY §3.3)."""
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t + suffix)
+
+
+def fingerprint_dir(prefix: str, src_file: str, suffix: str = "") -> tuple[str, bool]:
+    """Fixture-fingerprinted staging directory under /tmp, shared by
+    every materialized-state / staged-replay site (stores, upsert sink,
+    ordered document staging): the path is keyed on the source file's
+    identity (path + mtime + size), so a regenerated fixture gets a
+    fresh dir and stale siblings of the same prefix+fixture are swept.
+    Returns ``(root, is_ready)`` — ready means a previous build
+    completed (``mark_ready``); bounded /tmp usage of one live dir per
+    (prefix, fixture).
+    """
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    st = os.stat(src_file)
+    key = os.path.dirname(src_file).strip("/").replace("/", "_")
+    root = os.path.join(
+        _tempfile.gettempdir(),
+        f"{prefix}_{key}_{st.st_mtime_ns}_{st.st_size}{suffix}",
+    )
+    if os.path.exists(os.path.join(root, "_READY")):
+        return root, True
+    for old in _glob.glob(
+        os.path.join(_tempfile.gettempdir(), f"{prefix}_{key}_*")
+    ):
+        if old != root:
+            _shutil.rmtree(old, ignore_errors=True)
+    return root, False
+
+
+def mark_ready(root: str) -> None:
+    """Stamp a fingerprint_dir as completely built."""
+    with open(os.path.join(root, "_READY"), "w") as fh:
+        fh.write("ok")

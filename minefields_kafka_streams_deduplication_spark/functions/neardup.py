@@ -233,6 +233,52 @@ def _banded_sigs(hashed: DataFrame, n_bands: int, rows_per_band: int) -> DataFra
     return hashed.mapInPandas(partition_band_sigs, "doc_id LONG, band INT, bhash LONG")
 
 
+def exact_jaccard_for_pairs(
+    docs: DataFrame, pairs: DataFrame, c1: str = "doc_id_1", c2: str = "doc_id_2"
+) -> DataFrame:
+    """THE shared verify stage of every near-dup pipeline (batch LSH,
+    oracle witness, incremental ingest, streaming anchors): annotate
+    candidate ``pairs`` (columns ``c1``, ``c2`` holding doc ids) with
+    their exact shingle-set ``jaccard``. Shingles are recomputed for
+    the candidate doc set ONLY (semi-join pruned), never the corpus;
+    pairs whose docs share no shingle get jaccard 0.0. One
+    implementation so a change to the shingle grammar or the Jaccard
+    arithmetic cannot silently fork the pipelines (review r4)."""
+    ids = (
+        pairs.select(F.col(c1).alias("doc_id"))
+        .union(pairs.select(F.col(c2).alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingles(docs.join(ids, "doc_id", "left_semi"))
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("__n"))
+    a = sh.select(F.col("doc_id").alias(c1), "shingle")
+    b = sh.select(F.col("doc_id").alias(c2), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .join(pairs.hint("broadcast"), [c1, c2], "left_semi")
+        .groupBy(c1, c2)
+        .agg(F.count("*").alias("__n_common"))
+    )
+    jac = F.col("__n_common").cast("double") / (
+        F.col("__n1") + F.col("__n2") - F.col("__n_common")
+    )
+    return (
+        pairs.join(inter, [c1, c2], "left")
+        .join(
+            counts.select(F.col("doc_id").alias(c1), F.col("__n").alias("__n1")),
+            c1,
+            "left",
+        )
+        .join(
+            counts.select(F.col("doc_id").alias(c2), F.col("__n").alias("__n2")),
+            c2,
+            "left",
+        )
+        .withColumn("jaccard", F.coalesce(jac, F.lit(0.0)))
+        .drop("__n_common", "__n1", "__n2")
+    )
+
+
 @query("dedup_text_minhash")  # rows-only: xxhash64 values are engine-specific
 def dedup_text_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup dedup: MINHASH_PERMS minhashes per doc
@@ -278,30 +324,8 @@ def dedup_text_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()
     )
-    # Verify with true Jaccard — distinct shingles recomputed for the
-    # (tiny) candidate doc set only; the full-corpus distinct shuffle
-    # never happens.
-    cand_docs = (
-        cand.select(F.col("doc_id_1").alias("doc_id"))
-        .union(cand.select(F.col("doc_id_2").alias("doc_id")))
-        .distinct()
-    )
-    csh = _shingles(docs.join(cand_docs, "doc_id", "left_semi"))
-    counts = csh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = csh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
-    b = csh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
-        .groupBy("doc_id_1", "doc_id_2")
-        .agg(F.count("*").alias("n_common"))
-    )
-    jac = F.col("n_common").cast("double") / (F.col("n1") + F.col("n2") - F.col("n_common"))
-    verified = (
-        cand.join(inter, ["doc_id_1", "doc_id_2"])
-        .join(counts.select(F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1")), "doc_id_1")
-        .join(counts.select(F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2")), "doc_id_2")
-        .filter(jac >= MINHASH_VERIFY_THRESHOLD)
+    verified = exact_jaccard_for_pairs(docs, cand).filter(
+        F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD
     )
     dupes = verified.select(F.col("doc_id_2").alias("doc_id")).distinct()
     return docs.select("doc_id", "lang", "source").join(dupes, "doc_id", "left_anti")
@@ -378,33 +402,11 @@ def neardup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
 
-    # Exact verify: distinct shingles recomputed for candidate reps only.
-    cand_reps = (
-        cand.select(F.col("rep_1").alias("doc_id"))
-        .union(cand.select(F.col("rep_2").alias("doc_id")))
-        .distinct()
-    )
-    sh = _shingles(reps.join(cand_reps, "doc_id", "left_semi"))
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("rep_1"), "shingle")
-    b = sh.select(F.col("doc_id").alias("rep_2"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("rep_1") < F.col("rep_2"))
-        .groupBy("rep_1", "rep_2")
-        .agg(F.count("*").alias("n_common"))
-    )
-    c1 = counts.select(F.col("doc_id").alias("rep_1"), F.col("n").alias("n1"))
-    c2 = counts.select(F.col("doc_id").alias("rep_2"), F.col("n").alias("n2"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("n1") + F.col("n2") - F.col("n_common")
-    )
+    # Exact verify: the shared pair verifier, over candidate reps only.
     rep_pairs = (
-        cand.join(inter, ["rep_1", "rep_2"])
-        .join(c1, "rep_1")
-        .join(c2, "rep_2")
-        .filter(jac >= MINHASH_VERIFY_THRESHOLD)
-        .select("rep_1", "rep_2", F.round(jac, 4).alias("jaccard"))
+        exact_jaccard_for_pairs(reps, cand, "rep_1", "rep_2")
+        .filter(F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD)
+        .select("rep_1", "rep_2", F.round("jaccard", 4).alias("jaccard"))
     )
 
     # Expand cross-group pairs: every (member of rep_1) × (member of rep_2).
@@ -950,35 +952,9 @@ def neardup_incremental_df(docs: DataFrame, cut: int) -> DataFrame:
         .distinct()
         .cache()
     )
-    cand_docs = (
-        cand.select(F.col("inc_rep").alias("doc_id"))
-        .union(cand.select(F.col("hist_rep").alias("doc_id")))
-        .distinct()
-    )
-    sh = _shingles(docs.join(cand_docs, "doc_id", "left_semi"))
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("hist_rep"), "shingle")
-    b = sh.select(F.col("doc_id").alias("inc_rep"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .join(cand.hint("broadcast"), ["inc_rep", "hist_rep"], "left_semi")
-        .groupBy("inc_rep", "hist_rep")
-        .agg(F.count("*").alias("n_common"))
-    )
-    jac = F.col("n_common").cast("double") / (
-        F.col("n_h") + F.col("n_i") - F.col("n_common")
-    )
     dropped_reps = (
-        cand.join(inter, ["inc_rep", "hist_rep"])
-        .join(
-            counts.select(F.col("doc_id").alias("hist_rep"), F.col("n").alias("n_h")),
-            "hist_rep",
-        )
-        .join(
-            counts.select(F.col("doc_id").alias("inc_rep"), F.col("n").alias("n_i")),
-            "inc_rep",
-        )
-        .filter(jac >= MINHASH_VERIFY_THRESHOLD)
+        exact_jaccard_for_pairs(docs, cand, "inc_rep", "hist_rep")
+        .filter(F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD)
         .select(F.col("inc_rep").alias("rep_id"))
         .distinct()
     )

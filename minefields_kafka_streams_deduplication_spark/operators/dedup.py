@@ -281,7 +281,7 @@ def choose_dedup_strategy(n_history_keys: int) -> str:
 
 
 def bloom_prefilter_partitioned(
-    history_keys: DataFrame, batch: DataFrame, cols: list[str], id_col: str
+    history_keys: DataFrame, batch: DataFrame, cols: list[str], id_col: str | None = None
 ) -> DataFrame:
     """``bloom_prefilter`` for histories past the literal ceiling: the
     bitmap NEVER reaches the driver. Same hashes, same m sizing, same
@@ -309,8 +309,18 @@ def bloom_prefilter_partitioned(
         .groupBy(F.floor(F.col("p") / 32768).cast("int").alias("bucket"))
         .agg(F.expr("bitmap_construct_agg(cast(p % 32768 as int))").alias("bm"))
     )
-    probes = batch.select(F.col(id_col), F.explode(pos_arr).alias("p")).select(
-        id_col,
+    # Probe PER PHYSICAL ROW, never per caller-supplied id: grouping the
+    # AND of probe bits by a non-unique (or NULL) id pools different
+    # rows' probes — a genuine Bloom FALSE NEGATIVE for the seen row,
+    # and NULL ids vanish through the equi-join entirely (review r4).
+    # monotonically_increasing_id is only stable if both the probe
+    # branch and the join-back read the SAME materialized rows, hence
+    # the localCheckpoint pin.
+    pinned = batch.withColumn(
+        "__bloom_row", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
+    probes = pinned.select(F.col("__bloom_row"), F.explode(pos_arr).alias("p")).select(
+        "__bloom_row",
         F.floor(F.col("p") / 32768).cast("int").alias("bucket"),
         F.pmod(F.col("p"), F.lit(32768)).cast("int").alias("off"),
     )
@@ -329,10 +339,10 @@ def bloom_prefilter_partitioned(
     hit = (F.col("bm").isNotNull() & (byte.bitwiseAND(mask) != 0)).cast("int")
     per_row = (
         probes.join(bitmap, "bucket", "left")
-        .groupBy(id_col)
+        .groupBy("__bloom_row")
         .agg((F.min(hit) == 1).alias("maybe_seen"))
     )
-    return batch.join(per_row, id_col, "inner")
+    return pinned.join(per_row, "__bloom_row", "inner").drop("__bloom_row")
 
 
 @query(

@@ -269,20 +269,14 @@ def sink_upsert_keyed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints of the same fixture are swept — bounded /tmp usage of
     one state copy per live fixture.
     """
-    import glob
     import shutil
 
+    from ..catalog import fingerprint_dir
     from ..streaming.source import read_events_stream, stream_partitions
 
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    key = sf_dir.strip("/").replace("/", "_")
-    out_root = os.path.join(
-        tempfile.gettempdir(), f"sink_upsert_{key}_{st.st_mtime_ns}_{st.st_size}"
+    out_root, _ready = fingerprint_dir(
+        "sink_upsert", os.path.join(sf_dir, "events.parquet")
     )
-    for old in glob.glob(os.path.join(tempfile.gettempdir(), f"sink_upsert_{key}_*")):
-        if old != out_root:
-            shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(out_root, ignore_errors=True)  # fresh fold this run
     state_dir = os.path.join(out_root, "state")
     checkpoint = os.path.join(out_root, "checkpoint")

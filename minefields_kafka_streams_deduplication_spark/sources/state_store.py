@@ -46,7 +46,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import fingerprint_dir, load_table, mark_ready
 from ..registry import query
 from .sinks import UPSERT_BUCKETS, _latest_per_key
 
@@ -78,21 +78,12 @@ def materialize_keyed_store(spark: SparkSession, sf_dir: str) -> str:
     min/max statistics prune inside a bucket too — get() then reads one
     directory and typically one row group.
     """
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    key = sf_dir.strip("/").replace("/", "_")
-    root = os.path.join(
-        tempfile.gettempdir(), f"iq_store_{key}_{st.st_mtime_ns}_{st.st_size}"
-    )
-    done = os.path.join(root, "_STORE_READY")
-    if os.path.exists(done):
+    root, ready = fingerprint_dir("iq_store", os.path.join(sf_dir, "events.parquet"))
+    if ready:
         return root
-    for old in glob.glob(os.path.join(tempfile.gettempdir(), f"iq_store_{key}_*")):
-        shutil.rmtree(old, ignore_errors=True)
     ev = load_table(spark, sf_dir, "events").select(*STORE_COLS)
     build_keyed_store(ev, root)
-    with open(done, "w") as fh:
-        fh.write("ok")
+    mark_ready(root)
     return root
 
 
@@ -225,17 +216,9 @@ def materialize_window_store(spark: SparkSession, sf_dir: str) -> str:
     [R o.a.k.streams.state.ReadOnlyWindowStore]. Same bucket scheme as
     the KV store; files sorted by (user_id, window_start) so a fetch's
     time slice prunes row groups inside the key's bucket."""
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    key = sf_dir.strip("/").replace("/", "_")
-    root = os.path.join(
-        tempfile.gettempdir(), f"iq_wstore_{key}_{st.st_mtime_ns}_{st.st_size}"
-    )
-    done = os.path.join(root, "_STORE_READY")
-    if os.path.exists(done):
+    root, ready = fingerprint_dir("iq_wstore", os.path.join(sf_dir, "events.parquet"))
+    if ready:
         return root
-    for old in glob.glob(os.path.join(tempfile.gettempdir(), f"iq_wstore_{key}_*")):
-        shutil.rmtree(old, ignore_errors=True)
     ev = load_table(spark, sf_dir, "events")
     wins = (
         ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("window_start"))
@@ -249,8 +232,7 @@ def materialize_window_store(spark: SparkSession, sf_dir: str) -> str:
         .partitionBy("bucket")
         .parquet(root)
     )
-    with open(done, "w") as fh:
-        fh.write("ok")
+    mark_ready(root)
     return root
 
 
@@ -263,6 +245,12 @@ def window_store_fetch(
     stats because files are sorted by (key, window_start)."""
     b = buckets_of(spark, [key])[key]
     path = os.path.join(wstore_dir, f"bucket={b}")
+    if not os.path.exists(path):
+        # Absent bucket == no rows for any key hashing there: fetch of
+        # an unknown key returns empty, like every other store verb.
+        return spark.createDataFrame(
+            [], "user_id LONG, window_start TIMESTAMP, n_events LONG"
+        )
     return (
         spark.read.parquet(path)
         .where(
@@ -328,17 +316,9 @@ def materialize_session_store(spark: SparkSession, sf_dir: str) -> str:
     same bucket scheme."""
     from ..operators.windows import sessionize
 
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    key = sf_dir.strip("/").replace("/", "_")
-    root = os.path.join(
-        tempfile.gettempdir(), f"iq_sstore_{key}_{st.st_mtime_ns}_{st.st_size}"
-    )
-    done = os.path.join(root, "_STORE_READY")
-    if os.path.exists(done):
+    root, ready = fingerprint_dir("iq_sstore", os.path.join(sf_dir, "events.parquet"))
+    if ready:
         return root
-    for old in glob.glob(os.path.join(tempfile.gettempdir(), f"iq_sstore_{key}_*")):
-        shutil.rmtree(old, ignore_errors=True)
     sessions = sessionize(load_table(spark, sf_dir, "events")).withColumn(
         "bucket", F.pmod(F.xxhash64("user_id"), F.lit(UPSERT_BUCKETS))
     )
@@ -349,8 +329,7 @@ def materialize_session_store(spark: SparkSession, sf_dir: str) -> str:
         .partitionBy("bucket")
         .parquet(root)
     )
-    with open(done, "w") as fh:
-        fh.write("ok")
+    mark_ready(root)
     return root
 
 
@@ -359,6 +338,12 @@ def session_store_fetch(spark: SparkSession, sstore_dir: str, key: int) -> DataF
     from only the key's bucket directory."""
     b = buckets_of(spark, [key])[key]
     path = os.path.join(sstore_dir, f"bucket={b}")
+    if not os.path.exists(path):
+        return spark.createDataFrame(
+            [],
+            "user_id LONG, session_id BIGINT, n_events LONG, "
+            "session_start TIMESTAMP, session_end TIMESTAMP, total_value DOUBLE",
+        )
     return (
         spark.read.parquet(path)
         .where(F.col("user_id") == int(key))

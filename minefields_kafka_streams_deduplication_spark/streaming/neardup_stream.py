@@ -55,13 +55,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..catalog import load_table
+from ..catalog import fingerprint_dir, load_table, mark_ready
 from ..functions.neardup import (
     MINHASH_BANDS,
     MINHASH_PERMS,
     MINHASH_VERIFY_THRESHOLD,
     _banded_sigs,
     _shingles,
+    exact_jaccard_for_pairs,
 )
 from ..registry import query
 from .source import run_to_memory
@@ -116,35 +117,8 @@ def verify_candidates(docs: DataFrame, cand: DataFrame) -> DataFrame:
         F.least("doc_id", "anchor").alias("doc_id_1"),
         F.greatest("doc_id", "anchor").alias("doc_id_2"),
     ).distinct()
-    cand_docs = (
-        pairs.select(F.col("doc_id_1").alias("doc_id"))
-        .union(pairs.select(F.col("doc_id_2").alias("doc_id")))
-        .distinct()
-    )
-    csh = _shingles(docs.join(cand_docs, "doc_id", "left_semi"))
-    counts = csh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = csh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
-    b = csh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
-        .groupBy("doc_id_1", "doc_id_2")
-        .agg(F.count("*").alias("n_common"))
-    )
-    jac = F.col("n_common").cast("double") / (
-        F.col("n1") + F.col("n2") - F.col("n_common")
-    )
-    verified = (
-        pairs.join(inter, ["doc_id_1", "doc_id_2"])
-        .join(
-            counts.select(F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1")),
-            "doc_id_1",
-        )
-        .join(
-            counts.select(F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2")),
-            "doc_id_2",
-        )
-        .filter(jac >= MINHASH_VERIFY_THRESHOLD)
+    verified = exact_jaccard_for_pairs(docs, pairs).filter(
+        F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD
     )
     # Keep-first-arrival: the pair's anchor survives, the later doc
     # drops. cand holds (doc, anchor) with doc = the later arrival.
@@ -168,14 +142,12 @@ def stage_documents_ordered(
     maxFilesPerTrigger=1 replays the corpus as an ordered stream —
     arrival order IS doc_id order, which makes keep-first-arrival
     reproducible (and equal to keep-min-doc_id)."""
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = sf_dir.strip("/").replace("/", "_")
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"docs_ordered_{key}_{st.st_mtime_ns}_{st.st_size}_{n_splits}",
+    stage, ready = fingerprint_dir(
+        "docs_ordered",
+        os.path.join(sf_dir, "documents.parquet"),
+        suffix=f"_{n_splits}",
     )
-    if os.path.exists(os.path.join(stage, "_STAGED")):
+    if ready:
         return stage
     shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage, exist_ok=True)
@@ -196,8 +168,7 @@ def stage_documents_ordered(
         shutil.rmtree(tmp_out, ignore_errors=True)
         mtime = time.time() + i  # strictly increasing → source order
         os.utime(dest, (mtime, mtime))
-    with open(os.path.join(stage, "_STAGED"), "w") as fh:
-        fh.write("ok")
+    mark_ready(stage)
     return stage
 
 

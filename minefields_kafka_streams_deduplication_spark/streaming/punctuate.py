@@ -123,6 +123,7 @@ def run_punctuated(
     schema: str,
     expected_total: int,
     timeout_s: float = 120.0,
+    interval_ms: int = PUNCTUATE_INTERVAL_MS,
 ) -> DataFrame:
     """Drive the punctuated topology until every accumulated row has
     been flushed by a host-clock punctuation, then stop.
@@ -140,9 +141,10 @@ def run_punctuated(
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
         stage_dir
     )
-    snapshots = punctuated_counts_stream(stream)
+    snapshots = punctuated_counts_stream(stream, interval_ms)
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    q = None
     try:
         q = (
             snapshots.writeStream.format("memory")
@@ -152,21 +154,23 @@ def run_punctuated(
             .trigger(processingTime="300 milliseconds")
             .start()
         )
-        flushed = lambda: (
-            spark.table(name)
-            .where(F.col("event_type") != _SENTINEL)
-            .agg(F.coalesce(F.sum("n"), F.lit(0)))
-            .first()[0]
-        )
+
+        def flushed() -> int:
+            return (
+                spark.table(name)
+                .where(F.col("event_type") != _SENTINEL)
+                .agg(F.coalesce(F.sum("n"), F.lit(0)))
+                .first()[0]
+            )
+
         deadline = time.time() + timeout_s
         stalled_since = time.time()
         last = -1
-        while flushed() < expected_total:
+        while (cur := flushed()) < expected_total:
             if time.time() > deadline:
                 raise TimeoutError(
-                    f"punctuator flushed {flushed()}/{expected_total} rows"
+                    f"punctuator flushed {cur}/{expected_total} rows"
                 )
-            cur = flushed()
             if cur != last:
                 last, stalled_since = cur, time.time()
             elif time.time() - stalled_since > 5.0:
@@ -176,9 +180,13 @@ def run_punctuated(
                 ).coalesce(1).write.mode("append").parquet(stage_dir)
                 stalled_since = time.time()
             time.sleep(0.15)
-        q.stop()
-        q.awaitTermination()
     finally:
+        # Stop on EVERY exit path: an abandoned query would keep
+        # triggering against a checkpoint we are about to delete
+        # (review r4), leaking scheduler threads for the session.
+        if q is not None:
+            q.stop()
+            q.awaitTermination()
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(checkpoint, ignore_errors=True)
     return spark.table(name).where(F.col("event_type") != _SENTINEL)

@@ -23,6 +23,8 @@ wrapped plan's (see SCALING.md), which is the point of a facade.
 
 from __future__ import annotations
 
+import tempfile
+
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -273,20 +275,20 @@ class KTable:
     def to_df(self) -> DataFrame:
         return self.df
 
+    def materialize(self, root: str | None = None) -> "object":
+        """Interactive Queries facade half [R KafkaStreams#store]:
+        write this KTable as the bucketed serving layout and return the
+        ReadOnlyKeyValueStore over it. KTable is compacted by
+        construction (to_table / builder.table emit one row per key),
+        so the writer needs no fold. With no ``root`` a fresh temp dir
+        is used each call and is the CALLER's to remove — pass a stable
+        root (as the upsert sink does) for a managed location."""
+        from .sources.state_store import (
+            ReadOnlyKeyValueStore,
+            write_bucketed_state,
+        )
 
-# Facade half of Interactive Queries [R KafkaStreams#store]: materialize
-# any KTable as the bucketed serving layout and hand back the read-only
-# store object. (KTable is compacted by construction — to_table /
-# builder.table produce one row per key — so the writer needs no fold.)
-def _ktable_materialize(self, root: str | None = None) -> object:
-    from .sources.state_store import ReadOnlyKeyValueStore, write_bucketed_state
+        root = root or tempfile.mkdtemp(prefix="ktable_store_")
+        write_bucketed_state(self.df, root, self.key)
+        return ReadOnlyKeyValueStore(self.df.sparkSession, root, self.key)
 
-    import tempfile as _tf
-
-    key = self.key if isinstance(self.key, str) else self.key[0]
-    root = root or _tf.mkdtemp(prefix="ktable_store_")
-    write_bucketed_state(self.df, root, key)
-    return ReadOnlyKeyValueStore(self.df.sparkSession, root, key)
-
-
-KTable.materialize = _ktable_materialize

@@ -270,3 +270,27 @@ def test_bloom_partitioned_matches_literal(spark):
     assert part_verdicts == lit_verdicts
     # the seen half must all flag True (no false negatives)
     assert all(part_verdicts[i] for i in range(250))
+
+
+def test_bloom_partitioned_safe_for_duplicate_and_null_ids(spark):
+    """Review-r4 regression: verdicts are per physical row, so
+    duplicate id values must not pool probes (Bloom false negative) and
+    NULL-id rows must not vanish."""
+    from pyspark.sql import functions as F
+
+    from minefields_kafka_streams_deduplication_spark.operators.dedup import (
+        bloom_prefilter_partitioned,
+    )
+
+    hist = spark.createDataFrame([("seen",)], "k STRING")
+    # Two rows share row_id 1 (one seen, one unseen); one row has NULL id.
+    probe = spark.createDataFrame(
+        [(1, "seen"), (1, "unseen-xyz"), (None, "seen")],
+        "row_id INT, k STRING",
+    )
+    out = bloom_prefilter_partitioned(hist, probe, ["k"], "row_id").collect()
+    assert len(out) == 3  # every input row survives, NULL id included
+    verdicts = {(r.row_id, r.k): r.maybe_seen for r in out}
+    assert verdicts[(1, "seen")] is True  # no false negative
+    assert verdicts[(None, "seen")] is True
+    assert verdicts[(1, "unseen-xyz")] is False  # (no collision at this size)

@@ -406,3 +406,21 @@ def test_store_verbs_serve_the_upsert_sinks_live_state(spark, tmp_path):
     assert store.get(2).event_id == 11  # untouched by the second batch
     assert store.get(777) is None
     assert store.approximate_num_entries() == 2
+
+
+def test_window_and_session_fetch_absent_bucket_is_empty(spark, sf_dir, tmp_path):
+    """Fetching a key whose bucket directory was never written returns
+    an empty result, not an AnalysisException (review r4)."""
+    from minefields_kafka_streams_deduplication_spark.sources.state_store import (
+        session_store_fetch,
+        window_store_fetch,
+    )
+
+    empty_store = str(tmp_path / "nothing")
+    assert (
+        window_store_fetch(
+            spark, empty_store, 7, "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+        ).count()
+        == 0
+    )
+    assert session_store_fetch(spark, empty_store, 7).count() == 0

@@ -487,7 +487,6 @@ def test_wall_clock_punctuator_semantics(spark, tmp_path):
     its emission, and nothing may be lost or double-counted: per-key
     snapshot sums equal per-key input counts exactly."""
     from minefields_kafka_streams_deduplication_spark.streaming.punctuate import (
-        PUNCTUATE_INTERVAL_MS,
         run_punctuated,
     )
 
@@ -496,14 +495,23 @@ def test_wall_clock_punctuator_semantics(spark, tmp_path):
     spark.createDataFrame(data, "event_type STRING").repartition(2).write.parquet(
         stage
     )
-    snaps = run_punctuated(spark, stage, "event_type STRING", len(data)).collect()
+    interval_ms = 3000
+    snaps = run_punctuated(
+        spark, stage, "event_type STRING", len(data), interval_ms=interval_ms
+    ).collect()
     by_key: dict = {}
     for r in snaps:
         by_key[r.event_type] = by_key.get(r.event_type, 0) + r.n
         held_us = r.emit_wall_us - r.last_update_wall_us
-        assert held_us >= PUNCTUATE_INTERVAL_MS * 1000, (
+        # The timer arms at the BATCH's timestamp, while
+        # last_update_wall_us is the python state fn's own clock, which
+        # lags the batch timestamp by scheduling + worker-spawn delay.
+        # A generous slack (half the interval) keeps the assertion
+        # meaningful — an emit-on-data bug would show held_us ~ 0 —
+        # without being flaky on a loaded box (review r4).
+        assert held_us >= interval_ms * 1000 // 2, (
             f"snapshot for {r.event_type} flushed {held_us}us after last "
-            f"update — before the wall-clock timer could have fired"
+            f"update — before the wall-clock timer could plausibly fire"
         )
     assert by_key == {"a": 7, "b": 3}
 
