@@ -833,3 +833,63 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Contiguous global ids without a single-partition sort.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "assign_contiguous_ids",
+    oracle="""
+SELECT CAST(row_number() OVER (ORDER BY lang, doc_id) - 1 AS BIGINT) AS new_id,
+       doc_id, lang
+FROM documents
+""",
+)
+def assign_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign dense ids 0..n-1 in (lang, doc_id) order — the standard
+    "stable contiguous row ids for a training shard" need — WITHOUT the
+    naive `row_number() OVER (ORDER BY ...)` plan, whose empty
+    PARTITION BY collapses the whole table into ONE partition (the
+    classic driver-sized bottleneck at 100 TB).
+
+    Two-phase: range-repartition on the order key (so partition p holds
+    a contiguous key range), count rows per partition, prefix-sum those
+    few counts driver-side, then `row_number()` WITHIN each partition
+    (parallel, partition-local sort) plus the broadcast offset. The
+    output is independent of the sampled range boundaries because ids
+    depend only on the global order. The plan-shape test pins the
+    absence of a SinglePartition exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    n_part = spark.sparkContext.defaultParallelism
+    # Pin the range layout once: the count pass and the assign pass must
+    # see the SAME partition ids, and repartitionByRange samples its
+    # boundaries — two independent jobs could split differently.
+    # (This op is inherently two-pass; the checkpoint is the textbook
+    # cache-or-write materialization between them.)
+    ranged = (
+        docs.repartitionByRange(n_part, "lang", "doc_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["__pid"]: r["n"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_col = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("__pid"),
+    )
+    w = Window.partitionBy("__pid").orderBy("lang", "doc_id")
+    return ranged.select(
+        (F.row_number().over(w) - 1 + off_col).cast("long").alias("new_id"),
+        "doc_id",
+        "lang",
+    )

@@ -247,3 +247,12 @@ def test_window_and_session_fetch_read_one_bucket(spark, sf_dir):
     for df in (w, s):
         touched = {f.split("/bucket=")[1].split("/")[0] for f in df.inputFiles()}
         assert touched == {b7}, touched
+
+
+def test_contiguous_ids_have_no_single_partition_exchange(spark, sf_dir):
+    """assign_contiguous_ids must never plan the naive global
+    row_number (Exchange SinglePartition) — the point of the two-phase
+    form is that the sort stays partition-local."""
+    df = engine.get_queries()["assign_contiguous_ids"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan[:2000]

@@ -619,3 +619,33 @@ def test_punctuator_state_and_timer_survive_restart(spark, tmp_path):
     finally:
         q2.stop()
         q2.awaitTermination()
+
+
+def test_watermark_dedup_runs_on_rocksdb_state_backend(spark, sf_dir):
+    """The 100 TB state backend actually works here: the watermark
+    dedup stream runs with RocksDBStateStoreProvider (the provider a
+    large deployment uses for state bigger than executor heap) and
+    produces the same keyed output as the default HDFS-backed provider."""
+    import minefields_kafka_streams_deduplication_spark as engine
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default_rows = {
+        r.event_id
+        for r in engine.get_queries()["dedup_stream_watermark"](spark, sf_dir).collect()
+    }
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks_rows = {
+            r.event_id
+            for r in engine.get_queries()["dedup_stream_watermark"](spark, sf_dir).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert rocks_rows == default_rows and len(rocks_rows) > 0
