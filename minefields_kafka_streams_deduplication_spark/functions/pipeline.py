@@ -893,3 +893,68 @@ def assign_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-balanced output sharding.
+# ---------------------------------------------------------------------------
+
+N_OUTPUT_SHARDS = 8
+
+
+@query(
+    "shard_balanced_tokens",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id,
+         len(string_split(lower(text), ' ')) AS n_tokens,
+         row_number() OVER (ORDER BY len(string_split(lower(text), ' ')) DESC,
+                            doc_id) AS rn
+  FROM documents
+)
+SELECT CAST((rn - 1) % {N_OUTPUT_SHARDS} AS BIGINT) AS shard_id,
+       doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM sized
+""",
+)
+def shard_balanced_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign docs to N output shards with near-equal TOKEN mass (not
+    row counts) — the write layout a training pipeline wants so every
+    data-loader worker streams the same work. Deterministic greedy:
+    docs ranked by size descending, dealt round-robin — within
+    max(n_tokens) of perfectly balanced, no bin-packing solver.
+
+    The global rank uses the engine's two-phase form (K1): partial
+    TakeOrdered is wrong here (every row needs a rank), so it is
+    range-repartition + partition-local rank + offsets — the same
+    no-SinglePartition shape as assign_contiguous_ids, reusing
+    _two_phase_rank semantics via range partitioning on the sort key.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.lower("text"), " ")).alias("n_tokens")
+    )
+    n_part = spark.sparkContext.defaultParallelism
+    ranged = (
+        docs.repartitionByRange(n_part, F.desc("n_tokens"), F.asc("doc_id"))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["__pid"]: r["n"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_col = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("__pid"),
+    )
+    w = Window.partitionBy("__pid").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    rn = F.row_number().over(w) - 1 + off_col
+    return ranged.select(
+        F.pmod(rn, F.lit(N_OUTPUT_SHARDS)).cast("long").alias("shard_id"),
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )

@@ -295,3 +295,20 @@ def test_key_skew_diagnostic_invariants(spark, sf_dir):
     assert all(0 < r.share <= 1 for r in rows)
     # the heaviest key is at least as skewed as average by definition
     assert rows[0].skew_ratio >= 1.0
+
+
+def test_shard_balance_within_one_max_doc(spark, sf_dir):
+    """Round-robin-by-descending-size guarantees every shard's token
+    mass is within max(n_tokens) of every other — the balance property
+    the data-loader story depends on."""
+    import minefields_kafka_streams_deduplication_spark as engine
+    from pyspark.sql import functions as F
+
+    df = engine.get_queries()["shard_balanced_tokens"](spark, sf_dir)
+    sums = {
+        r.shard_id: r.s
+        for r in df.groupBy("shard_id").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    max_doc = df.agg(F.max("n_tokens")).first()[0]
+    assert len(sums) == 8
+    assert max(sums.values()) - min(sums.values()) <= max_doc
