@@ -429,3 +429,50 @@ def test_interactive_store_matches_latest_per_key_model(spark, rows, tmp_path_fa
     assert got == model
     got_rng = {r.user_id for r in store_range(spark, root, 2, 4).collect()}
     assert got_rng == {u for u in model if 2 <= u <= 4}
+
+
+docs_tokens_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(token_lists=docs_tokens_strategy)
+def test_bpe_pair_counts_match_counter_model(spark, token_lists):
+    """Adjacent-pair counting against a collections.Counter model on
+    arbitrary token lists (including empty and 1-token docs, which
+    contribute no pairs)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    model = Counter(
+        f"{toks[i]} {toks[i+1]}"
+        for toks in token_lists
+        for i in range(len(toks) - 1)
+    )
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        "doc_id LONG, text STRING",
+    )
+    toks = docs.select(F.split(F.lower("text"), " ").alias("tokens")).where(
+        F.size("tokens") >= 2
+    )
+    n = F.size("tokens")
+    zipped = F.arrays_zip(
+        F.slice("tokens", 1, n - 1), F.expr("slice(tokens, 2, size(tokens) - 1)")
+    )
+    got = Counter(
+        {
+            r.pair: r.n
+            for r in toks.select(F.explode(zipped).alias("p"))
+            .select(F.concat_ws(" ", F.col("p.0"), F.col("p.1")).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    )
+    # A doc of "" splits to [''] (size 1) -> filtered; single tokens too.
+    assert got == Counter({k: v for k, v in model.items() if v}), (got, model)
