@@ -174,13 +174,21 @@ UPSERT_BUCKETS = 16
 
 
 def _latest_per_key(df: DataFrame) -> DataFrame:
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        df.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    """Latest row per user_id with the (ts, event_id) tiebreak — as a
+    ``max_by`` HASH AGGREGATE, not a row_number window: the window form
+    sorts every key's rows inside each partition, while max_by folds
+    with partial (map-side) aggregation and no sort — the shape that
+    matters when the events table is the 100 TB side. Identical winner:
+    struct ordering on (ts, event_id) is lexicographic, the same order
+    the window's ORDER BY ts DESC, event_id DESC picked."""
+    others = [c for c in df.columns if c != "user_id"]
+    winner = F.max_by(F.struct(*others), F.struct("ts", "event_id")).alias("__w")
+    picked = df.groupBy("user_id").agg(winner)
+    return picked.select(
+        *[
+            F.col(c) if c == "user_id" else F.col(f"__w.{c}").alias(c)
+            for c in df.columns
+        ]
     )
 
 
