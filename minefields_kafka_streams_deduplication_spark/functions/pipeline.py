@@ -855,43 +855,20 @@ def assign_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     PARTITION BY collapses the whole table into ONE partition (the
     classic driver-sized bottleneck at 100 TB).
 
-    Two-phase: range-repartition on the order key (so partition p holds
-    a contiguous key range), count rows per partition, prefix-sum those
-    few counts driver-side, then `row_number()` WITHIN each partition
-    (parallel, partition-local sort) plus the broadcast offset. The
-    output is independent of the sampled range boundaries because ids
-    depend only on the global order. The plan-shape test pins the
-    absence of a SinglePartition exchange.
+    Delegates to the engine's shared two-phase rank
+    (`analytic._global_row_number`: range-repartition, partition-local
+    row_number, offsets via a tiny broadcast self-join — fully
+    distributed, no driver collect). Output is independent of the
+    sampled range boundaries because ids depend only on the global
+    order. The plan-shape test pins the absence of a SinglePartition
+    exchange.
     """
+    from ..operators.analytic import _global_row_number
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    n_part = spark.sparkContext.defaultParallelism
-    # Pin the range layout once: the count pass and the assign pass must
-    # see the SAME partition ids, and repartitionByRange samples its
-    # boundaries — two independent jobs could split differently.
-    # (This op is inherently two-pass; the checkpoint is the textbook
-    # cache-or-write materialization between them.)
-    ranged = (
-        docs.repartitionByRange(n_part, "lang", "doc_id")
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    counts = {
-        r["__pid"]: r["n"]
-        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_col = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        F.col("__pid"),
-    )
-    w = Window.partitionBy("__pid").orderBy("lang", "doc_id")
-    return ranged.select(
-        (F.row_number().over(w) - 1 + off_col).cast("long").alias("new_id"),
-        "doc_id",
-        "lang",
+    ranked = _global_row_number(docs, [F.asc("lang"), F.asc("doc_id")], with_total=False)
+    return ranked.select(
+        (F.col("_rn") - 1).cast("long").alias("new_id"), "doc_id", "lang"
     )
 
 
@@ -924,37 +901,18 @@ def shard_balanced_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs ranked by size descending, dealt round-robin — within
     max(n_tokens) of perfectly balanced, no bin-packing solver.
 
-    The global rank uses the engine's two-phase form (K1): partial
-    TakeOrdered is wrong here (every row needs a rank), so it is
-    range-repartition + partition-local rank + offsets — the same
-    no-SinglePartition shape as assign_contiguous_ids, reusing
-    _two_phase_rank semantics via range partitioning on the sort key.
+    The global rank is the engine's shared two-phase form
+    (`analytic._global_row_number`) — partial TakeOrdered is wrong here
+    because every row needs a rank.
     """
+    from ..operators.analytic import _global_row_number
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split(F.lower("text"), " ")).alias("n_tokens")
     )
-    n_part = spark.sparkContext.defaultParallelism
-    ranged = (
-        docs.repartitionByRange(n_part, F.desc("n_tokens"), F.asc("doc_id"))
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    counts = {
-        r["__pid"]: r["n"]
-        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_col = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        F.col("__pid"),
-    )
-    w = Window.partitionBy("__pid").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
-    rn = F.row_number().over(w) - 1 + off_col
-    return ranged.select(
-        F.pmod(rn, F.lit(N_OUTPUT_SHARDS)).cast("long").alias("shard_id"),
+    ranked = _global_row_number(docs, [F.desc("n_tokens"), F.asc("doc_id")], with_total=False)
+    return ranked.select(
+        F.pmod(F.col("_rn") - 1, F.lit(N_OUTPUT_SHARDS)).cast("long").alias("shard_id"),
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
     )

@@ -14,7 +14,9 @@ from ..catalog import dec6, load_table, round4f
 from ..registry import query
 
 
-def _global_row_number(df: DataFrame, order_cols: list) -> DataFrame:
+def _global_row_number(
+    df: DataFrame, order_cols: list, with_total: bool = True
+) -> DataFrame:
     """Two-phase global row_number — the scale-safe replacement for an
     unpartitioned ``Window.orderBy`` (which moves ALL rows to one
     partition; VERDICT r1 flagged it).
@@ -41,12 +43,16 @@ def _global_row_number(df: DataFrame, order_cols: list) -> DataFrame:
         .groupBy("_pid")
         .agg(F.coalesce(F.sum("_cnt2"), F.lit(0)).alias("_offset"))
     )
-    total = counts.agg(F.sum("_cnt").alias("_n"))
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .crossJoin(F.broadcast(total))
-        .withColumn("_rn", (F.col("_lrn") + F.col("_offset")).cast("long"))
+    ranked = local.join(F.broadcast(offsets), "_pid").withColumn(
+        "_rn", (F.col("_lrn") + F.col("_offset")).cast("long")
     )
+    if not with_total:
+        # Callers that only need _rn (contiguous ids, sharding) skip the
+        # scalar total — its reduction is the one SinglePartition
+        # exchange in this plan, and their plan tests pin its absence.
+        return ranked
+    total = counts.agg(F.sum("_cnt").alias("_n"))
+    return ranked.crossJoin(F.broadcast(total))
 
 
 @query(
