@@ -46,15 +46,23 @@ WHERE rn = 1
 def latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: KTable semantics — latest record per key (changelog compaction).
 
-    Deterministic tiebreak on event_id. At 100 TB this is a single
-    shuffle on the key; with date-partitioned input you'd pre-filter to
-    the latest partition range first.
+    Deterministic tiebreak on event_id, folded with a max_by(struct)
+    HASH aggregate rather than a row_number window: same winner (struct
+    ordering is lexicographic on (ts, event_id)), but the aggregate
+    partial-combines map-side and never sorts a key's rows — at 100 TB
+    this is one shuffle of one row per key per map task, not a per-key
+    sort. With date-partitioned input you'd pre-filter to the latest
+    partition range first. (Same swap as sinks._latest_per_key; the
+    oracle keeps the window formulation, which is the equivalence
+    check.)
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    payload = ["event_id", "ts", "event_type", "value"]
+    winner = F.max_by(F.struct(*payload), F.struct("ts", "event_id")).alias("__w")
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        ev.groupBy("user_id")
+        .agg(winner)
+        .select("user_id", *[F.col(f"__w.{c}").alias(c) for c in payload])
         .select("user_id", "event_id", "ts", "event_type", "value")
     )
 
