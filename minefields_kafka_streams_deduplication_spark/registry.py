@@ -126,18 +126,48 @@ _R3_DRIVER_VERIFIED = frozenset(
     }
 )
 
-# Tier 1: failed-or-hardened this round — re-verify ahead of rotation.
-_R4_REVERIFY = (
-    "train_val_split",  # r03 red: oracle sum(n_chars) was DuckDB HUGEINT;
-                        # now CAST AS BIGINT (pipeline.py) — values equal.
+# Oracle queries that landed a green row in CORRECTNESS_r04.json (50/50
+# green — the round-4 window covered every never-checked oracle, the
+# train_val_split re-verify, and the stalest r1-era rows).
+_R4_DRIVER_VERIFIED = frozenset(
+    {
+        "bpe_pair_stats", "neardup_minhash_verified", "neardup_incremental",
+        "source_quality_report", "assign_contiguous_ids",
+        "shard_balanced_tokens", "punctuate_wall_clock_counts",
+        "store_point_lookup", "store_window_fetch", "store_range_scan",
+        "store_session_fetch", "train_val_split", "join_left_customer_orders",
+        "join_semi_customers_with_orders", "join_anti_customers_no_orders",
+        "join_interval_view_purchase", "join_broadcast_nation",
+        "join_fk_orders_nation", "join_salted_orders_customer",
+        "join_asof_latest_order_before_event", "histogram_event_values",
+        "agg_count_by_type", "q1_pricing_summary",
+        "agg_distinct_users_by_type", "agg_rollup_nation_region",
+        "q9_product_profit", "q12_late_shipment_buckets", "q15_top_supplier",
+        "q2_min_price_supplier", "window_daily_distinct_users",
+        "q7_nation_trade_volume", "q19_disjunctive_predicates",
+        "agg_grouping_sets", "q10_returned_item_customers",
+        "q18_large_volume_orders", "q4_late_shipment_priority",
+        "q14_promo_effect", "q6_forecast_revenue", "q3_shipping_priority",
+        "q5_local_supplier_volume", "agg_cube_status_priority",
+        "pivot_user_event_matrix", "agg_value_distribution",
+        "agg_collect_event_types", "peek_event_counts",
+        "explode_tokens_with_position", "q8_market_share",
+        "q11_important_stock", "q13_customer_distribution",
+        "q16_supplier_part_cnt",
+    }
 )
+
+# Tier 1: failed-or-hardened this round — re-verify ahead of rotation.
+# Empty after round 4: no red rows and no hash-affecting hardening.
+_R5_REVERIFY: tuple[str, ...] = ()
 
 
 def _driver_order(names: list[str]) -> list[str]:
     driver_seen = (
         _R1_DRIVER_VERIFIED | _R2_DRIVER_VERIFIED | _R3_DRIVER_VERIFIED
+        | _R4_DRIVER_VERIFIED
     )
-    reverify = {n: i for i, n in enumerate(_R4_REVERIFY)}
+    reverify = {n: i for i, n in enumerate(_R5_REVERIFY)}
     never_checked = [
         n for n in names if n in ORACLES and n not in driver_seen and n not in reverify
     ]
@@ -151,6 +181,8 @@ def _driver_order(names: list[str]) -> list[str]:
     # Oldest driver rows re-verify first: sort by the LATEST round in which
     # the driver checked the query (r1-only rows are the stalest).
     def last_verified(n: str) -> int:
+        if n in _R4_DRIVER_VERIFIED:
+            return 4
         if n in _R3_DRIVER_VERIFIED:
             return 3
         if n in _R2_DRIVER_VERIFIED:
