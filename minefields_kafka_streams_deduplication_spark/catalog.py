@@ -148,7 +148,13 @@ def fingerprint_dir(prefix: str, src_file: str, suffix: str = "") -> tuple[str, 
     fresh dir and stale siblings of the same prefix+fixture are swept.
     Returns ``(root, is_ready)`` — ready means a previous build
     completed (``mark_ready``); bounded /tmp usage of one live dir per
-    (prefix, fixture).
+    (prefix, fixture, suffix). The sweep matches the suffix too, so two
+    call sites sharing a prefix but parameterized differently (e.g.
+    ``stage_documents_ordered`` with different ``n_splits`` suffixes)
+    never delete each other's ready dirs. Single-process assumption:
+    the sweep is not locked against a concurrent builder of the SAME
+    (prefix, fixture, suffix) — the driver/test harness runs one
+    process per staging root at a time.
     """
     import glob as _glob
     import shutil as _shutil
@@ -162,10 +168,18 @@ def fingerprint_dir(prefix: str, src_file: str, suffix: str = "") -> tuple[str, 
     )
     if os.path.exists(os.path.join(root, "_READY")):
         return root, True
+    import re as _re
+
+    # Only sweep EXACT siblings: same prefix+fixture+suffix, different
+    # mtime/size. A bare glob star would let the empty suffix match (and
+    # delete) every suffixed variant's ready dir.
+    sib = _re.compile(
+        _re.escape(f"{prefix}_{key}_") + r"\d+_\d+" + _re.escape(suffix)
+    )
     for old in _glob.glob(
-        os.path.join(_tempfile.gettempdir(), f"{prefix}_{key}_*")
+        os.path.join(_tempfile.gettempdir(), f"{prefix}_{key}_*{suffix}")
     ):
-        if old != root:
+        if old != root and sib.fullmatch(os.path.basename(old)):
             _shutil.rmtree(old, ignore_errors=True)
     return root, False
 

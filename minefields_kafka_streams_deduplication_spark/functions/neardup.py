@@ -266,9 +266,15 @@ def exact_jaccard_for_pairs(
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("__n"))
     a = sh.select(F.col("doc_id").alias(c1), "shingle")
     b = sh.select(F.col("doc_id").alias(c2), "shingle")
+    # No explicit broadcast hint on the pair set: a hint overrides
+    # autoBroadcastJoinThreshold unconditionally, and a pathological LSH
+    # flood (hot boilerplate bucket) could force-broadcast an unbounded
+    # pair list. AQE still converts to broadcast at runtime whenever the
+    # measured size is under threshold — same plan in the common case,
+    # shuffle-join fallback in the flood case.
     inter = (
         a.join(b, "shingle")
-        .join(pairs.hint("broadcast"), [c1, c2], "left_semi")
+        .join(pairs, [c1, c2], "left_semi")
         .groupBy(c1, c2)
         .agg(F.count("*").alias("__n_common"))
     )

@@ -281,7 +281,7 @@ def choose_dedup_strategy(n_history_keys: int) -> str:
 
 
 def bloom_prefilter_partitioned(
-    history_keys: DataFrame, batch: DataFrame, cols: list[str], id_col: str | None = None
+    history_keys: DataFrame, batch: DataFrame, cols: list[str]
 ) -> DataFrame:
     """``bloom_prefilter`` for histories past the literal ceiling: the
     bitmap NEVER reaches the driver. Same hashes, same m sizing, same
@@ -291,7 +291,7 @@ def bloom_prefilter_partitioned(
     Shape: history positions aggregate into (bucket, 4 KiB bitmap) rows
     that stay distributed (bitmap_construct_agg partial-merges
     map-side); the batch explodes to k=5 position rows (~40 bytes each)
-    that shuffle-join on bucket, then regroup on ``id_col`` to AND the
+    that shuffle-join on bucket, then regroup per physical row to AND the
     probes. Cost is two skinny shuffles of k x |batch| position rows —
     at 1e10 history keys that is still orders of magnitude less traffic
     than anti-joining the batch against the key table, and no single

@@ -135,7 +135,22 @@ def run_punctuated(
     the flushed total stalls, drop a sentinel row into the source
     directory to force a batch (filtered back out below) — the harness
     then converges on any scheduler behavior.
+
+    ``stage_dir`` is CONSUMED by the harness: sentinel rows may be
+    appended to it permanently, so callers must stage into a scratch
+    dir they own and delete afterwards (both registered call sites do).
+    The sentinel row is built generically from ``schema`` — every
+    string field carries the sentinel marker, every other field NULL —
+    so multi-column stages work and downstream filters on any string
+    key column drop it.
     """
+    from pyspark.sql.types import StringType, StructType
+
+    st = StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    sentinel_row = tuple(
+        _SENTINEL if isinstance(f.dataType, StringType) else None
+        for f in st.fields
+    )
     name = f"punct_{uuid.uuid4().hex[:8]}"
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
@@ -176,7 +191,7 @@ def run_punctuated(
             elif time.time() - stalled_since > 5.0:
                 # Scheduler idle with timers pending: force a batch.
                 spark.createDataFrame(
-                    [(_SENTINEL,)], schema
+                    [sentinel_row], st
                 ).coalesce(1).write.mode("append").parquet(stage_dir)
                 stalled_since = time.time()
             time.sleep(0.15)

@@ -265,7 +265,7 @@ def test_bloom_partitioned_matches_literal(spark):
     }
     part_verdicts = {
         r.row_id: r.maybe_seen
-        for r in bloom_prefilter_partitioned(hist, probe, cols, "row_id").collect()
+        for r in bloom_prefilter_partitioned(hist, probe, cols).collect()
     }
     assert part_verdicts == lit_verdicts
     # the seen half must all flag True (no false negatives)
@@ -288,7 +288,7 @@ def test_bloom_partitioned_safe_for_duplicate_and_null_ids(spark):
         [(1, "seen"), (1, "unseen-xyz"), (None, "seen")],
         "row_id INT, k STRING",
     )
-    out = bloom_prefilter_partitioned(hist, probe, ["k"], "row_id").collect()
+    out = bloom_prefilter_partitioned(hist, probe, ["k"]).collect()
     assert len(out) == 3  # every input row survives, NULL id included
     verdicts = {(r.row_id, r.k): r.maybe_seen for r in out}
     assert verdicts[(1, "seen")] is True  # no false negative
