@@ -21,8 +21,10 @@ from . import sinks  # noqa: F401  (registers sink_parquet_roundtrip)
 from . import state_store  # noqa: F401  (registers interactive-query lookups)
 from .state_store import (  # noqa: F401
     materialize_keyed_store,
+    materialize_versioned_store,
     store_get,
     store_range,
     store_all,
     store_approx_count,
+    versioned_store_get,
 )

@@ -393,6 +393,129 @@ def store_session_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Versioned key-value store — the fourth KS store type.
+# ---------------------------------------------------------------------------
+
+
+def materialize_versioned_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the events stream as a VERSIONED key-value store —
+    every (ts, row) version retained per key, not just the latest
+    [R o.a.k.streams.state.VersionedKeyValueStore /
+     o.a.k.streams.state.ReadOnlyVersionedKeyValueStore] — completing
+    the KS store quartet (KV / window / session / versioned) on the
+    shared bucket scheme.
+
+    Layout: bucket=pmod(xxhash64(key), N) directories, files sorted by
+    (user_id, ts) so an as-of read's ``ts <= asOf`` slice prunes row
+    groups inside the key's bucket. Retention: KS bounds history by
+    ``historyRetention``; here retention is infinite (a valid KS
+    config) — a bounded deployment would add ``WHERE ts >= now -
+    retention`` at materialize time, which in this layout is a plain
+    scan predicate riding the same sorted row-group stats."""
+    root, ready = fingerprint_dir("iq_vstore", os.path.join(sf_dir, "events.parquet"))
+    if ready:
+        return root
+    build_versioned_store(load_table(spark, sf_dir, "events"), root)
+    mark_ready(root)
+    return root
+
+
+def build_versioned_store(df: DataFrame, root: str) -> str:
+    """Write any (user_id, event_id, ts, event_type, value) DataFrame as
+    the version-retaining bucketed layout (ALL rows kept, sorted by
+    (key, ts) within files). Deployment/test entry point —
+    `materialize_versioned_store` wraps it for the fixture."""
+    ev = df.select(*STORE_COLS).withColumn(
+        "bucket", F.pmod(F.xxhash64("user_id"), F.lit(UPSERT_BUCKETS))
+    )
+    (
+        ev.repartition("bucket")
+        .sortWithinPartitions("user_id", "ts")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(root)
+    )
+    return root
+
+
+def versioned_store_get(
+    spark: SparkSession,
+    vstore_dir: str,
+    keys: int | Sequence[int],
+    as_of_ts: str,
+) -> DataFrame:
+    """ReadOnlyVersionedKeyValueStore#get(key, asOfTimestamp): for each
+    requested key, the version that was current AT ``as_of_ts`` — the
+    latest retained row with ``ts <= as_of`` ((ts, event_id) tiebreak,
+    same ordering every latest-per-key fold in the repo uses). A key
+    with no version at or before ``as_of`` yields no row (KS returns
+    null there).
+
+    Read path mirrors ``store_get``: only the keys' bucket directories
+    are opened; the key equality AND the as-of upper bound are scan
+    predicates (files sorted by (key, ts) ⇒ row-group pruning on both);
+    the winner is a ``max_by`` hash aggregate over the surviving slice
+    — no per-key sort, partial-aggregated map-side, so the verb stays
+    O(slice) however deep the version history grows."""
+    key_list = [keys] if isinstance(keys, int) else list(keys)
+    if not key_list:
+        return _empty_store(spark)
+    buckets = sorted(set(buckets_of(spark, key_list).values()))
+    dirs = [
+        p
+        for b in buckets
+        if os.path.exists(p := os.path.join(vstore_dir, f"bucket={b}"))
+    ]
+    if not dirs:
+        return _empty_store(spark)
+    slice_df = (
+        spark.read.parquet(*dirs)
+        .where(F.col("user_id").isin([int(k) for k in key_list]))
+        .where(F.col("ts") <= F.lit(as_of_ts).cast("timestamp"))
+        .select(*STORE_COLS)
+    )
+    others = [c for c in STORE_COLS if c != "user_id"]
+    winner = F.max_by(F.struct(*others), F.struct("ts", "event_id")).alias("__w")
+    return (
+        slice_df.groupBy("user_id")
+        .agg(winner)
+        .select(
+            "user_id", *[F.col(f"__w.{c}").alias(c) for c in others]
+        )
+    )
+
+
+AS_OF_TS = "2024-01-08 12:00:00"  # mid-fixture: every LOOKUP_KEY has
+                                  # history before AND after it at all SFs
+
+
+@query(
+    "store_versioned_get",
+    oracle=f"""
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE user_id IN (0, 1, 2, 3, 5, 8, 11, 13)
+    AND ts <= TIMESTAMP '{AS_OF_TS}'
+) t
+WHERE rn = 1
+""",
+)
+def store_versioned_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interactive query over VERSIONED state: get(key, asOf) for the 8
+    lookup keys at a mid-fixture timestamp. The oracle recomputes
+    latest-at-or-before-asOf from raw events, so the driver row proves
+    the version-retaining materialize + bucket-route + as-of fold end
+    to end — and because every key also has LATER versions, a store
+    that served the latest row instead of the as-of row hashes red."""
+    store = materialize_versioned_store(spark, sf_dir)
+    return versioned_store_get(spark, store, LOOKUP_KEYS, AS_OF_TS)
+
+
+# ---------------------------------------------------------------------------
 # Generic store wrapper — the KafkaStreams#store(...) return value.
 # ---------------------------------------------------------------------------
 

@@ -249,6 +249,29 @@ def test_window_and_session_fetch_read_one_bucket(spark, sf_dir):
         assert touched == {b7}, touched
 
 
+def test_versioned_get_reads_only_looked_up_buckets(spark, sf_dir):
+    """The versioned as-of read shares the quartet's pruning story:
+    only the requested keys' bucket directories open, and BOTH the key
+    equality and the as-of upper bound reach the parquet scan (files
+    sorted by (key, ts) ⇒ row-group pruning on each)."""
+    from minefields_kafka_streams_deduplication_spark.sources.state_store import (
+        LOOKUP_KEYS,
+        AS_OF_TS,
+        buckets_of,
+        materialize_versioned_store,
+        versioned_store_get,
+    )
+
+    store = materialize_versioned_store(spark, sf_dir)
+    expected = {str(b) for b in buckets_of(spark, LOOKUP_KEYS).values()}
+    df = versioned_store_get(spark, store, LOOKUP_KEYS, AS_OF_TS)
+    touched = {f.split("/bucket=")[1].split("/")[0] for f in df.inputFiles()}
+    assert touched == expected, touched
+    a = audit_plan(df)
+    assert any("user_id" in f for f in a.pushed_filters), a.raw[:1500]
+    assert any("ts" in f for f in a.pushed_filters), a.raw[:1500]
+
+
 def test_contiguous_ids_have_no_single_partition_exchange(spark, sf_dir):
     """assign_contiguous_ids must never plan the naive global
     row_number (Exchange SinglePartition) — the point of the two-phase

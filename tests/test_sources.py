@@ -424,3 +424,54 @@ def test_window_and_session_fetch_absent_bucket_is_empty(spark, sf_dir, tmp_path
         == 0
     )
     assert session_store_fetch(spark, empty_store, 7).count() == 0
+
+
+def test_versioned_store_as_of_semantics(spark, tmp_path):
+    """[R ReadOnlyVersionedKeyValueStore#get(key, asOfTimestamp)]: the
+    as-of read returns the version CURRENT at the timestamp — not the
+    latest version, and nothing for a key whose first version is after
+    the timestamp. Ties on ts break by event_id, the repo-wide
+    latest-per-key ordering."""
+    import datetime as dt
+
+    from minefields_kafka_streams_deduplication_spark.sources.state_store import (
+        build_versioned_store,
+        versioned_store_get,
+    )
+
+    t = lambda d: dt.datetime(2024, 1, d)
+    schema = (
+        "user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    )
+    rows = [
+        (1, 10, t(1), "view", 1.0),      # u1 v1
+        (1, 11, t(5), "view", 2.0),      # u1 v2 (current at Jan 6)
+        (1, 12, t(9), "purchase", 3.0),  # u1 v3 (later than as-of)
+        (2, 20, t(8), "view", 4.0),      # u2 first version AFTER as-of
+        (3, 30, t(6), "view", 5.0),      # u3 tie on ts:
+        (3, 31, t(6), "view", 6.0),      #   higher event_id wins
+    ]
+    root = str(tmp_path / "vstore")
+    build_versioned_store(spark.createDataFrame(rows, schema), root)
+
+    got = {
+        r.user_id: r.event_id
+        for r in versioned_store_get(
+            spark, root, [1, 2, 3, 999], "2024-01-06 00:00:00"
+        ).collect()
+    }
+    assert got == {1: 11, 3: 31}, got
+    # at a later as-of the newer version becomes current
+    got2 = {
+        r.user_id: r.event_id
+        for r in versioned_store_get(spark, root, [1, 2], "2024-01-10 00:00:00").collect()
+    }
+    assert got2 == {1: 12, 2: 20}, got2
+    # empty key list and absent store dir are empty, not errors
+    assert versioned_store_get(spark, root, [], "2024-01-10 00:00:00").count() == 0
+    assert (
+        versioned_store_get(
+            spark, str(tmp_path / "nothing"), [1], "2024-01-10 00:00:00"
+        ).count()
+        == 0
+    )
