@@ -241,3 +241,242 @@ def punctuate_wall_clock_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     return spark.createDataFrame(rows, "event_type STRING, n_events LONG")
+
+
+# ---------------------------------------------------------------------------
+# Stream-time punctuator — the event-time sibling.
+# ---------------------------------------------------------------------------
+
+# Event-time punctuation interval. The fixture spans 30 days, so a 1-day
+# interval yields multiple genuine stream-time punctuations per key.
+STREAM_PUNCT_INTERVAL_MS = 24 * 3600 * 1000
+
+PUNCT_ET_STATE_SCHEMA = "n LONG, max_ts_us LONG"
+PUNCT_ET_OUTPUT_SCHEMA = (
+    "event_type STRING, n LONG, max_event_ts_us LONG, emit_stream_time_ms LONG"
+)
+
+
+def make_stream_time_punctuate_fn(interval_ms: int = STREAM_PUNCT_INTERVAL_MS):
+    """Per-key state fn for STREAM_TIME punctuation
+    [R ProcessorContext#schedule(interval, PunctuationType.STREAM_TIME,
+    punctuator)]: counts accumulate silently; each update arms an
+    EVENT-TIME timer at the next interval boundary after the key's
+    observed stream time, and the snapshot flushes only when the
+    WATERMARK (Spark's stream-time clock) crosses that boundary. KS
+    semantics precisely: punctuation advances with event time carried
+    by records, never with the host clock — an idle stream punctuates
+    nothing however long the wall clock runs.
+
+    Same conservation invariant as the wall-clock twin: flush deletes
+    the state, an active key re-registers, so sum(n) over snapshots
+    equals rows seen per key."""
+
+    def _fn(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        wm_ms = state.getCurrentWatermarkMs()
+        if state.hasTimedOut:
+            n, max_ts_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [[key[0], n, max_ts_us, wm_ms]],
+                columns=[
+                    "event_type", "n", "max_event_ts_us", "emit_stream_time_ms",
+                ],
+            )
+            return
+        add, mx_us = 0, 0
+        for pdf in pdfs:
+            add += len(pdf)
+            if len(pdf):
+                mx_us = max(mx_us, int(pdf["ts"].max().value) // 1000)
+        if state.exists:
+            n, prev_mx = state.get
+            n, mx_us = n + add, max(prev_mx, mx_us)
+        else:
+            n = add
+        state.update((n, mx_us))
+        # Next interval boundary strictly after the key's stream time
+        # (and after the current watermark — Spark rejects a timeout the
+        # watermark has already passed).
+        seen_ms = max(mx_us // 1000, wm_ms)
+        state.setTimeoutTimestamp((seen_ms // interval_ms + 1) * interval_ms)
+        return
+
+    return _fn
+
+
+def punctuated_counts_stream_time(
+    events_stream: DataFrame,
+    interval_ms: int = STREAM_PUNCT_INTERVAL_MS,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """events stream -> stream-time-punctuated per-type count snapshots.
+    EventTimeTimeout requires a watermark on the event-time column; the
+    delay is the usual lateness bound and also the lag between a
+    boundary-crossing record and the punctuation actually firing."""
+    return (
+        events_stream.withWatermark("ts", watermark_delay)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            make_stream_time_punctuate_fn(interval_ms),
+            outputStructType=PUNCT_ET_OUTPUT_SCHEMA,
+            stateStructType=PUNCT_ET_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_punctuated_stream_time(
+    spark: SparkSession,
+    stage_dir: str,
+    expected_total: int,
+    timeout_s: float = 180.0,
+    interval_ms: int = STREAM_PUNCT_INTERVAL_MS,
+    watermark_delay_ms: int = 60_000,
+) -> DataFrame:
+    """Drive the stream-time topology until every row has flushed.
+
+    The stage must be a TIME-ORDERED replay (``stage_events_ordered``):
+    files are picked up oldest-first, so the watermark — Spark's
+    stream-time clock — advances monotonically batch over batch exactly
+    like Kafka Streams' stream time does over an in-order topic, and no
+    row is late-dropped. (KS stream time is max observed ts with NO
+    late-dropping; Structured Streaming's watermark both drives timers
+    AND drops late rows, so an out-of-order replay would silently lose
+    counts — the ordering is what keeps the two models equivalent.)
+
+    Event-time timers fire only when the watermark advances, and the
+    watermark advances only on data — so draining a bounded stage needs
+    stream time pushed past the last armed boundary. On stall the
+    harness appends a sentinel row whose ``ts`` leaps one
+    interval+delay further each time (monotone, so the watermark always
+    moves); the sentinel key's own snapshots are filtered back out.
+    ``stage_dir`` is consumed: sentinel rows accumulate in it (same
+    contract as ``run_punctuated``)."""
+    schema = "event_type STRING, ts TIMESTAMP"
+    name = f"punct_et_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        stage_dir
+    )
+    snapshots = punctuated_counts_stream_time(
+        stream, interval_ms, f"{watermark_delay_ms} milliseconds"
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    max_ts_us = (
+        spark.read.schema(schema).parquet(stage_dir).agg(F.max("ts")).first()[0]
+    )
+    sentinel_base_us = int(max_ts_us.timestamp() * 1_000_000)
+    n_sentinels = 0
+    q = None
+    try:
+        q = (
+            snapshots.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+
+        def flushed() -> int:
+            return (
+                spark.table(name)
+                .where(F.col("event_type") != _SENTINEL)
+                .agg(F.coalesce(F.sum("n"), F.lit(0)))
+                .first()[0]
+            )
+
+        deadline = time.time() + timeout_s
+        stalled_since = time.time()
+        last = -1
+        while (cur := flushed()) < expected_total:
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"stream-time punctuator flushed {cur}/{expected_total} rows"
+                )
+            if cur != last:
+                last, stalled_since = cur, time.time()
+            elif time.time() - stalled_since > 3.0:
+                # Watermark stalled with timers pending: push stream
+                # time one interval (plus the delay) further.
+                n_sentinels += 1
+                push_us = sentinel_base_us + n_sentinels * (
+                    interval_ms + watermark_delay_ms
+                ) * 1000
+                spark.createDataFrame(
+                    [(_SENTINEL, push_us)], "event_type STRING, us LONG"
+                ).select(
+                    "event_type", F.timestamp_micros(F.col("us")).alias("ts")
+                ).coalesce(1).write.mode("append").parquet(stage_dir)
+                stalled_since = time.time()
+            time.sleep(0.15)
+    finally:
+        if q is not None:
+            q.stop()
+            q.awaitTermination()
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+    return spark.table(name).where(F.col("event_type") != _SENTINEL)
+
+
+def stage_events_ordered(df: DataFrame, stage: str, n_slices: int = 3) -> None:
+    """Write ``df`` (event_type, ts) as ``n_slices`` sequential
+    time-range files — an in-order topic replay. The file source picks
+    new files oldest-mtime-first, so writing the slices one at a time
+    (mode=append) replays them in event-time order."""
+    import datetime as _dt
+
+    lo, hi = df.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo).total_seconds() or 1.0
+    cuts = [lo + _dt.timedelta(seconds=span * i / n_slices) for i in range(1, n_slices)]
+    bounds = [None, *cuts, None]
+    for i in range(n_slices):
+        part = df
+        if bounds[i] is not None:
+            part = part.where(F.col("ts") >= F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            part = part.where(F.col("ts") < F.lit(bounds[i + 1]))
+        part.coalesce(1).write.mode("append").parquet(stage)
+        time.sleep(0.05)  # distinct mtimes => deterministic pickup order
+
+
+@query(
+    "punctuate_stream_time_counts",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def punctuate_stream_time_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-time punctuator, driver-verified end to end: every event
+    row is absorbed into per-type state and flushed by some EVENT-TIME
+    punctuation (watermark crossing an armed interval boundary); the
+    snapshot sums must reproduce the batch group-count exactly. The
+    harness terminates only once the flushed total equals the input
+    count, so the oracle row certifies the event-time timer loop
+    drained — the STREAM_TIME sibling of punctuate_wall_clock_counts."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    total = ev.count()
+    stage = tempfile.mkdtemp(prefix="punct_et_stage_")
+    try:
+        # Time-ordered slices + maxFilesPerTrigger=1 => the watermark
+        # advances across batches, so mid-stream punctuations fire
+        # before the drain phase, exercising re-registration.
+        stage_events_ordered(ev, stage)
+        snaps = run_punctuated_stream_time(spark, stage, total)
+        out = (
+            snaps.groupBy("event_type")
+            .agg(F.sum("n").cast("long").alias("n_events"))
+            .orderBy("event_type")
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.createDataFrame(rows, "event_type STRING, n_events LONG")

@@ -649,3 +649,55 @@ def test_watermark_dedup_runs_on_rocksdb_state_backend(spark, sf_dir):
         else:
             spark.conf.set(key, old)
     assert rocks_rows == default_rows and len(rocks_rows) > 0
+
+
+def test_stream_time_punctuator_semantics(spark, tmp_path):
+    """[R ProcessorContext#schedule STREAM_TIME]: snapshots flush when
+    STREAM TIME (the watermark) crosses the armed interval boundary —
+    driven by event time carried in records, never the host clock.
+    Pins: (1) per-key conservation; (2) every snapshot emits at a
+    stream time at or past the first interval boundary after the key's
+    observed events; (3) a key whose boundary is crossed by LATER DATA
+    (not the drain sentinel) emits mid-stream — stream time advanced by
+    records fires the punctuator exactly as in KS."""
+    import datetime as dt
+
+    from minefields_kafka_streams_deduplication_spark.streaming.punctuate import (
+        run_punctuated_stream_time,
+        stage_events_ordered,
+    )
+
+    day_ms = 24 * 3600 * 1000
+    t = lambda d, h=0: dt.datetime(2024, 1, d, h)
+    rows = [
+        ("a", t(1)), ("a", t(2, 6)), ("a", t(15)),  # active across slices
+        ("b", t(1)),                                # boundary Jan 2 —
+    ]                                               # crossed by slice-2 data
+    stage = str(tmp_path / "stage")
+    stage_events_ordered(
+        spark.createDataFrame(rows, "event_type STRING, ts TIMESTAMP"),
+        stage,
+        n_slices=2,  # cut at the span midpoint: {Jan1..2} then {Jan15}
+    )
+    snaps = run_punctuated_stream_time(
+        spark, stage, len(rows), interval_ms=day_ms
+    ).collect()
+
+    by_key: dict = {}
+    for r in snaps:
+        by_key[r.event_type] = by_key.get(r.event_type, 0) + r.n
+        # armed at the first boundary strictly after the events seen
+        boundary = (r.max_event_ts_us // 1000 // day_ms + 1) * day_ms
+        assert r.emit_stream_time_ms >= boundary, (
+            f"{r.event_type} flushed at stream time {r.emit_stream_time_ms}"
+            f" before its boundary {boundary}"
+        )
+    assert by_key == {"a": 3, "b": 1}, by_key
+    # b's Jan-2 boundary is crossed by slice 2's Jan-15 record — it must
+    # have flushed BEFORE the drain sentinels (which sit past Jan 16).
+    b_emits = [r.emit_stream_time_ms for r in snaps if r.event_type == "b"]
+    jan16_ms = int(dt.datetime(2024, 1, 16).timestamp() * 1000)
+    assert min(b_emits) < jan16_ms, (
+        "b only flushed during the drain phase — stream-time advance by "
+        "records did not fire the punctuator"
+    )
