@@ -9,4 +9,5 @@ from . import dedup_stream  # noqa: F401
 from . import observe  # noqa: F401
 from . import neardup_stream  # noqa: F401
 from . import punctuate  # noqa: F401
+from . import suppress  # noqa: F401
 from . import windows_stream  # noqa: F401

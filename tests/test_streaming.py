@@ -701,3 +701,56 @@ def test_stream_time_punctuator_semantics(spark, tmp_path):
         "b only flushed during the drain phase — stream-time advance by "
         "records did not fire the punctuator"
     )
+
+
+def test_suppress_until_time_limit_semantics(spark, tmp_path):
+    """[R Suppressed#untilTimeLimit]: a key's updates coalesce for at
+    most the time limit of STREAM time, then exactly one debounced
+    update emits. Pins: (1) coalescing — an update superseded within
+    the limit is never emitted; (2) the busy-key inline flush emits
+    mid-stream, before the drain; (3) the idle-key timer path emits on
+    watermark advance; (4) consecutive emissions per key are >= the
+    limit apart in stream time; (5) final values match latest-per-key."""
+    import datetime as dt
+
+    from minefields_kafka_streams_deduplication_spark.streaming.punctuate import (
+        stage_events_ordered,
+    )
+    from minefields_kafka_streams_deduplication_spark.streaming.suppress import (
+        run_suppressed,
+    )
+
+    day_ms = 24 * 3600 * 1000
+    t = lambda d, h=0: dt.datetime(2024, 1, d, h)
+    us = lambda d, h=0: int(t(d, h).timestamp() * 1_000_000)
+    rows = [
+        (1, 1, t(1), 1.0, "view"),       # a cycle 1 opens (deadline Jan 2)
+        (1, 2, t(3), 2.0, "view"),       # coalesces over v1 (wm still < Jan 2)
+        (1, 3, t(6), 3.0, "purchase"),   # arrives past deadline -> inline
+                                         # flush of v2, cycle 2 opens
+        (2, 10, t(1, 3), 9.0, "click"),  # idle key: timer path
+    ]
+    stage = str(tmp_path / "stage")
+    stage_events_ordered(
+        spark.createDataFrame(
+            rows, "user_id LONG, event_id LONG, ts TIMESTAMP, value DOUBLE, event_type STRING"
+        ),
+        stage,
+        n_slices=3,  # span cuts: {Jan1 rows} {Jan3} {Jan6}
+    )
+    hist = run_suppressed(
+        spark, stage, {1: us(6), 2: us(1, 3)}, limit_ms=day_ms
+    ).collect()
+
+    a = sorted((r for r in hist if r.user_id == 1), key=lambda r: r.emit_stream_time_ms)
+    b = [r for r in hist if r.user_id == 2]
+    # coalescing: v1 was superseded inside the limit and never emitted
+    assert [r.last_value for r in a] == [2.0, 3.0], a
+    # the first emission happened mid-stream (stream time < Jan 6 — the
+    # drain sentinels all sit past the staged max ts)
+    jan6_ms = us(6) // 1000
+    assert a[0].emit_stream_time_ms < jan6_ms, a[0]
+    # idle key emitted exactly once, by the event-time timer
+    assert [r.last_value for r in b] == [9.0], b
+    # debounce pacing: at most one emission per key per limit interval
+    assert a[1].emit_stream_time_ms - a[0].emit_stream_time_ms >= day_ms, a
