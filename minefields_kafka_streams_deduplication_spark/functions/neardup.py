@@ -735,14 +735,39 @@ def scrub_repeated_spans_df(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.collect_set("pos").alias("marks"))
     )
+    # Fold the marked window positions into MAXIMAL covered runs before
+    # reconstruction: overlapping/adjacent n-token windows merge into
+    # one [s, e) interval (sorted input ⇒ a single left fold; equal
+    # window widths ⇒ the fold's end is simply p + n). Two wins:
+    #   1. reconstruction drops from O(tokens × marked windows) to
+    #      O(tokens × runs) — a doc whose text is one long cross-doc
+    #      repeat has ~|tokens| marks but ONE run;
+    #   2. the runs ARE the maximal repeated regions at window
+    #      granularity: any cross-doc repeat of length L >= n has all
+    #      L - n + 1 of its pure sub-windows marked, so its positions
+    #      merge into one run covering the full repeat — a 15-token
+    #      repeat scrubs completely, not in 8-token bites (pinned by
+    #      tests/test_dedup.py::test_scrub_runs_cover_long_repeats).
+    # Known limitation vs Lee et al.'s suffix arrays (unchanged): when
+    # DIFFERENT sub-windows of one repeat have different keep_docs (a
+    # shorter third-party occurrence), the canonical copy can lose the
+    # contested slice — maximal-repeat attribution needs global order.
+    runs = (
+        f"aggregate(array_sort(marks), cast(array() as array<struct<s:int,e:int>>),"
+        f" (acc, p) -> IF(size(acc) > 0 AND p <= element_at(acc, -1).e,"
+        f"  concat(slice(acc, 1, size(acc) - 1),"
+        f"         array(named_struct('s', element_at(acc, -1).s, 'e', p + {n}))),"
+        f"  concat(acc, array(named_struct('s', p, 'e', p + {n})))))"
+    )
     out = (
         toks.join(marks, "doc_id", "left")
+        .withColumn("runs", F.expr(f"IF(marks IS NULL, array(), {runs})"))
         .select(
             "doc_id",
             F.expr(
-                f"filter(transform(t, (tok, i) -> "
-                f"IF(marks IS NULL OR NOT exists(marks, p -> i >= p AND i < p + {n}),"
-                f" tok, cast(null as string))), x -> x IS NOT NULL)"
+                "filter(transform(t, (tok, i) -> "
+                "IF(NOT exists(runs, r -> i >= r.s AND i < r.e),"
+                " tok, cast(null as string))), x -> x IS NOT NULL)"
             ).alias("kept"),
             F.size("t").alias("n_tokens"),
         )

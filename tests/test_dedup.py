@@ -294,3 +294,35 @@ def test_bloom_partitioned_safe_for_duplicate_and_null_ids(spark):
     assert verdicts[(1, "seen")] is True  # no false negative
     assert verdicts[(None, "seen")] is True
     assert verdicts[(1, "unseen-xyz")] is False  # (no collision at this size)
+
+
+def test_scrub_runs_cover_long_repeats(spark, monkeypatch):
+    """Run-merged reconstruction: a cross-doc repeat LONGER than the
+    window width (15 tokens vs n=8) has all its pure sub-windows
+    marked, which must merge into ONE maximal run covering the entire
+    repeat — fully scrubbed from the non-canonical doc, canonical copy
+    untouched, and the two flanking contexts (unique per doc) intact."""
+    from minefields_kafka_streams_deduplication_spark.functions import neardup
+
+    rep = " ".join(f"r{i}" for i in range(1, 16))  # 15-token repeat
+    rows = [
+        (1, f"a1 a2 a3 {rep} b1 b2 b3", "en", "s", 1),
+        (2, f"c1 c2 c3 {rep} d1 d2 d3", "en", "s", 1),
+        # two separate 8-token repeats in one doc: two DISJOINT runs
+        (3, "a b c d e f g h uniq p q r s t u v w", "en", "s", 1),
+        (4, "a b c d e f g h xx p q r s t u v w", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    monkeypatch.setattr(neardup, "load_table", lambda s, d, n: df)
+    out = {r.doc_id: r for r in neardup.scrub_repeated_spans(spark, "x").collect()}
+    assert out[1].scrubbed_text == rows[0][1] and out[1].n_removed_tokens == 0
+    # the WHOLE 15-token repeat goes in one merged run — not 8-token bites
+    assert out[2].scrubbed_text == "c1 c2 c3 d1 d2 d3"
+    assert out[2].n_removed_tokens == 15
+    # doc 4: both flanking 8-token repeats scrubbed as two disjoint
+    # runs; the unmatched middle token survives between them
+    assert out[4].scrubbed_text == "xx"
+    assert out[4].n_removed_tokens == 16
+    assert out[3].scrubbed_text == rows[2][1]  # canonical for both spans
