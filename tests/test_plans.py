@@ -279,3 +279,50 @@ def test_contiguous_ids_have_no_single_partition_exchange(spark, sf_dir):
     df = engine.get_queries()["assign_contiguous_ids"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan[:2000]
+
+
+# Queries whose registered callable RETURNS a driver-local table (the
+# real topology runs inside a streaming harness and is audited by its
+# own tests) — a LocalTableScan plan carries nothing to sweep.
+_SWEEP_LOCAL_RESULT = {
+    "punctuate_wall_clock_counts",
+    "punctuate_stream_time_counts",
+}
+
+
+def test_plan_sweep_no_scale_antipatterns(spark, sf_dir):
+    """Repo-wide plan gate (VERDICT r4 #7): EVERY oracle query's
+    physical plan must be free of the three first-plan-that-worked
+    anti-patterns the per-query pins catch individually —
+      1. CartesianProduct (unbounded pair blowup),
+      2. BatchEvalPython (row-at-a-time Python UDF in the hot path),
+      3. a Window directly over an Exchange SinglePartition (global
+         sort-everything window; the two-phase rank exists so data-
+         sized ranks never plan this).
+    One parametrized sweep so a future operator can't ship a plan the
+    pins don't cover."""
+    import re
+
+    failures = []
+    for name, fn in engine.get_queries().items():
+        if name not in engine.get_oracles() or name in _SWEEP_LOCAL_RESULT:
+            continue
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # build error is its own failure
+            failures.append(f"{name}: plan build failed: {str(e)[:200]}")
+            continue
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: BatchEvalPython (row-at-a-time UDF)")
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            above = " ".join(lines[max(0, i - 3): i])
+            if re.search(r"\bWindow\b", above):
+                failures.append(f"{name}: Window over Exchange SinglePartition")
+                break
+        spark.catalog.clearCache()
+    assert not failures, failures
