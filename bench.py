@@ -55,6 +55,27 @@ HEADLINE = [
 ]
 
 
+def make_sentinel(spark):
+    """Fixed trivial load probe: one JVM-only scan+agg of lineitem,
+    noop-sunk. Its wall time tracks the box's background load (this
+    machine swings 1.4-2.5x on invisible load — VERDICT r4), so timing
+    it before every headline query gives each measurement a
+    contemporaneous load reference: ratios of query/sentinel stay flat
+    when a swing is environmental and move only on real regressions."""
+    df = (
+        engine.load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .count()
+    )
+
+    def probe() -> float:
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    return probe
+
+
 def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
     spark = engine.get_spark("bench")
@@ -80,8 +101,13 @@ def main() -> None:
             pass  # warm-up must never sink the bench; timed run will surface it
         spark.catalog.clearCache()
 
+    sentinel = make_sentinel(spark)
+    sentinel()  # warm the sentinel's own plan/codegen
+
     timings: dict[str, float] = {}
+    sentinels: dict[str, float] = {}
     for name in HEADLINE:
+        sentinels[name] = round(sentinel(), 3)
         best = float("inf")
         for _ in range(2):  # min-of-2: damp GC/compilation jitter
             t0 = time.time()
@@ -94,6 +120,8 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    s_sorted = sorted(sentinels.values())
+    sentinel_median = round(s_sorted[len(s_sorted) // 2], 3)
     print(
         json.dumps(
             {
@@ -102,6 +130,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Load-normalization channel (VERDICT r4 #1): per-query
+                # contemporaneous sentinel times + run median. Compare
+                # rounds via (query / run sentinel_median) ratios before
+                # reading any total as a regression.
+                "sentinels": sentinels,
+                "sentinel_median": sentinel_median,
             }
         )
     )

@@ -735,46 +735,57 @@ def scrub_repeated_spans_df(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.collect_set("pos").alias("marks"))
     )
-    # Fold the marked window positions into MAXIMAL covered runs before
-    # reconstruction: overlapping/adjacent n-token windows merge into
-    # one [s, e) interval (sorted input ⇒ a single left fold; equal
-    # window widths ⇒ the fold's end is simply p + n). Two wins:
-    #   1. reconstruction drops from O(tokens × marked windows) to
-    #      O(tokens × runs) — a doc whose text is one long cross-doc
-    #      repeat has ~|tokens| marks but ONE run;
-    #   2. the runs ARE the maximal repeated regions at window
-    #      granularity: any cross-doc repeat of length L >= n has all
-    #      L - n + 1 of its pure sub-windows marked, so its positions
-    #      merge into one run covering the full repeat — a 15-token
-    #      repeat scrubs completely, not in 8-token bites (pinned by
-    #      tests/test_dedup.py::test_scrub_runs_cover_long_repeats).
+    # Fold the marked window positions into MAXIMAL covered runs, then
+    # reconstruct by slicing the UNcovered gaps — replacing the r3 form's
+    # per-token `exists(marks, ...)` membership test. Equal window
+    # widths make the merge a consecutive-pair test on the sorted marks
+    # (p starts a run iff p > prev + n; p ends one iff next > p + n), so
+    # every step is LINEAR in |marks| + |runs| + kept tokens, and the
+    # fixed-point cost of one long cross-doc repeat is ONE run, not
+    # |tokens| interval probes per token (the aggregate-fold variant
+    # rebuilt the acc array per mark — measured +0.5 s at sf0.1; this
+    # form A/Bs at parity with r3 while emitting maximal runs).
+    # The runs ARE the maximal repeated regions at window granularity:
+    # a cross-doc repeat of length L >= n has all L - n + 1 pure
+    # sub-windows marked, so it merges into one run covering the whole
+    # repeat — a 15-token repeat scrubs completely, not in 8-token
+    # bites (tests/test_dedup.py::test_scrub_runs_cover_long_repeats).
     # Known limitation vs Lee et al.'s suffix arrays (unchanged): when
     # DIFFERENT sub-windows of one repeat have different keep_docs (a
     # shorter third-party occurrence), the canonical copy can lose the
     # contested slice — maximal-repeat attribution needs global order.
-    runs = (
-        f"aggregate(array_sort(marks), cast(array() as array<struct<s:int,e:int>>),"
-        f" (acc, p) -> IF(size(acc) > 0 AND p <= element_at(acc, -1).e,"
-        f"  concat(slice(acc, 1, size(acc) - 1),"
-        f"         array(named_struct('s', element_at(acc, -1).s, 'e', p + {n}))),"
-        f"  concat(acc, array(named_struct('s', p, 'e', p + {n})))))"
+    run_exprs = {
+        "sm": "array_sort(marks)",
+        # element_at is 1-based: element_at(sm, i) with a 0-based lambda
+        # index i is the PREVIOUS element; i + 2 is the next.
+        "starts": (
+            f"filter(transform(sm, (p, i) -> IF(i = 0 OR p > element_at(sm, i) + {n},"
+            f" p, cast(null as int))), x -> x IS NOT NULL)"
+        ),
+        "ends": (
+            f"filter(transform(sm, (p, i) -> IF(i = size(sm) - 1"
+            f" OR element_at(sm, i + 2) > p + {n}, p + {n},"
+            f" cast(null as int))), x -> x IS NOT NULL)"
+        ),
+        # uncovered gaps: [0, starts[0]), [ends[0], starts[1]), ...,
+        # [ends[-1], size(t)) — kept text is their concatenated slices.
+        "gap_s": "concat(array(0), ends)",
+        "gap_e": "concat(starts, array(size(t)))",
+    }
+    out = toks.join(marks, "doc_id", "left").withColumn(
+        "marks", F.expr("coalesce(marks, array())")
     )
+    for c, e in run_exprs.items():
+        out = out.withColumn(c, F.expr(e))
     out = (
-        toks.join(marks, "doc_id", "left")
-        .withColumn("runs", F.expr(f"IF(marks IS NULL, array(), {runs})"))
-        .select(
-            "doc_id",
-            F.expr(
-                "filter(transform(t, (tok, i) -> "
-                "IF(NOT exists(runs, r -> i >= r.s AND i < r.e),"
-                " tok, cast(null as string))), x -> x IS NOT NULL)"
-            ).alias("kept"),
-            F.size("t").alias("n_tokens"),
+        out.withColumn(
+            "kept",
+            F.expr("flatten(zip_with(gap_s, gap_e, (a, b) -> slice(t, a + 1, greatest(b - a, 0))))"),
         )
         .select(
             "doc_id",
             F.concat_ws(" ", F.col("kept")).alias("scrubbed_text"),
-            (F.col("n_tokens") - F.size("kept")).alias("n_removed_tokens"),
+            (F.size("t") - F.size("kept")).alias("n_removed_tokens"),
         )
     )
     return out.unionByName(copies)
