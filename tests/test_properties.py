@@ -476,3 +476,42 @@ def test_bpe_pair_counts_match_counter_model(spark, token_lists):
     )
     # A doc of "" splits to [''] (size 1) -> filtered; single tokens too.
     assert got == Counter({k: v for k, v in model.items() if v}), (got, model)
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=store_events_strategy, as_of_min=st.integers(-1, 55))
+def test_versioned_store_as_of_matches_model(spark, rows, as_of_min, tmp_path_factory):
+    """[R ReadOnlyVersionedKeyValueStore#get(key, asOf)] against a
+    reference model: for ANY event set and ANY as-of point (before,
+    inside, and after the version history), the as-of read serves
+    exactly the latest-(ts, event_id) version at or before the
+    timestamp — and nothing for keys whose history starts later."""
+    from minefields_kafka_streams_deduplication_spark.sources.state_store import (
+        build_versioned_store,
+        versioned_store_get,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (u, i, t0 + dt.timedelta(minutes=m), "view", v)
+        for i, (m, u, v) in enumerate(rows)
+    ]
+    schema = "user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    as_of = t0 + dt.timedelta(minutes=as_of_min)
+    model: dict = {}
+    for u, i, ts, _t, v in data:
+        if ts > as_of:
+            continue
+        cur = model.get(u)
+        if cur is None or (ts, i) > (cur[0], cur[1]):
+            model[u] = (ts, i, v)
+    root = str(tmp_path_factory.mktemp("iq_vprop"))
+    build_versioned_store(spark.createDataFrame(data, schema), root)
+    probe = list({u for _m, u, _v in rows}) + [99]  # 99: absent-key probe
+    got = {
+        r.user_id: (r.ts, r.event_id, r.value)
+        for r in versioned_store_get(
+            spark, root, probe, as_of.strftime("%Y-%m-%d %H:%M:%S")
+        ).collect()
+    }
+    assert got == model
