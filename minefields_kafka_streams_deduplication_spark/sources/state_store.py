@@ -580,3 +580,71 @@ class ReadOnlyKeyValueStore:
 
     def approximate_num_entries(self) -> int:
         return store_approx_count(self.root)
+
+
+class ReadOnlyVersionedKeyValueStore:
+    """[R o.a.k.streams.state.ReadOnlyVersionedKeyValueStore] over a
+    version-retaining bucketed parquet layout with arbitrary long key /
+    timestamp columns — what ``KStream.materialize_versioned()``
+    (topology.py) hands back. The module-level ``versioned_store_get``
+    is the events-fixture specialization of the same layout.
+
+    ``get(key)`` serves the latest version; ``get(key, as_of)`` the
+    version current at the timestamp (None past it — KS returns null).
+    Both open only the key's bucket directory; the as-of bound rides
+    the (key, ts)-sorted row-group stats."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key_col: str,
+        ts_col: str = "ts",
+        tie_col: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.tie_col = tie_col
+
+    def _slice(self, key: int, as_of_ts: str | None) -> DataFrame | None:
+        b = buckets_of(self.spark, [key])[key]
+        path = os.path.join(self.root, f"bucket={b}")
+        if not os.path.exists(path):
+            return None
+        df = self.spark.read.parquet(path).where(
+            F.col(self.key_col) == int(key)
+        )
+        if as_of_ts is not None:
+            df = df.where(F.col(self.ts_col) <= F.lit(as_of_ts).cast("timestamp"))
+        return df.drop("bucket") if "bucket" in df.columns else df
+
+    def get(self, key: int, as_of_ts: str | None = None):
+        """Point read -> Row or None; the winner is a max_by hash
+        aggregate over the pruned slice (no per-key sort)."""
+        df = self._slice(key, as_of_ts)
+        if df is None:
+            return None
+        order = (
+            F.struct(self.ts_col, self.tie_col)
+            if self.tie_col
+            else F.col(self.ts_col)
+        )
+        others = [c for c in df.columns if c != self.key_col]
+        rows = (
+            df.groupBy(self.key_col)
+            .agg(F.max_by(F.struct(*others), order).alias("__w"))
+            .select(self.key_col, "__w.*")
+            .collect()
+        )
+        return rows[0] if rows else None
+
+    def history(self, key: int) -> DataFrame:
+        """All retained versions for the key, oldest first — the
+        layout's extra verb (KS exposes no history scan; parquet
+        retention makes it free)."""
+        df = self._slice(key, None)
+        if df is None:
+            return _empty_store(self.spark).limit(0)
+        return df.orderBy(self.ts_col)

@@ -168,6 +168,37 @@ class KStream:
 
     # --- sink (SURVEY §2.1 S4) ---
 
+    def materialize_versioned(
+        self, root: str | None = None, ts: str = "ts", tiebreak: str | None = None
+    ) -> "object":
+        """Versioned-store facade [R Stores#persistentVersionedKeyValueStore
+        via Materialized]: write this (un-compacted) stream as the
+        version-retaining bucketed layout — EVERY (key, ts) row kept,
+        files sorted by (key, ts) — and return the
+        ReadOnlyVersionedKeyValueStore serving ``get(key[, asOf])``.
+        Same root contract as ``KTable.materialize``."""
+        from pyspark.sql import functions as F
+
+        from .sources.sinks import UPSERT_BUCKETS
+        from .sources.state_store import ReadOnlyVersionedKeyValueStore
+
+        if self.key is None:
+            raise ValueError("materialize_versioned requires a keyed stream")
+        root = root or tempfile.mkdtemp(prefix="kstream_vstore_")
+        keyed = self.df.withColumn(
+            "bucket", F.pmod(F.xxhash64(self.key), F.lit(UPSERT_BUCKETS))
+        )
+        (
+            keyed.repartition("bucket")
+            .sortWithinPartitions(self.key, ts)
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(root)
+        )
+        return ReadOnlyVersionedKeyValueStore(
+            self.df.sparkSession, root, self.key, ts_col=ts, tie_col=tiebreak
+        )
+
     def to(self, path: str, fmt: str = "parquet") -> None:  # [R KStream#to]
         self.df.write.format(fmt).mode("overwrite").save(path)
 
@@ -266,7 +297,10 @@ class KTable:
         already final, so this is the identity; on the streaming twins
         the same semantics is append output mode + watermark
         (streaming/windows_stream.py docstrings) — suppression is an
-        OUTPUT-MODE property in Spark, not an operator."""
+        OUTPUT-MODE property in Spark, not an operator. The OTHER
+        suppression mode, `Suppressed.untilTimeLimit` (debounced
+        unwindowed updates), is inherently streaming and lives in
+        streaming/suppress.py."""
         return self
 
     def to_stream(self) -> KStream:  # [R KTable#toStream]

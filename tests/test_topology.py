@@ -212,3 +212,41 @@ def test_suppress_is_identity_in_batch_replay(spark, sf_dir):
         .windowed_by("1 day").count()
     )
     assert t.suppress() is t
+
+
+def test_stream_materialize_versioned_serves_as_of_reads(spark, sf_dir, tmp_path):
+    """[R Stores#persistentVersionedKeyValueStore]: the DSL facade
+    writes the keyed event stream as the version-retaining layout and
+    the returned store serves latest and as-of point reads that match
+    a batch recompute over raw events."""
+    b = StreamsBuilder(spark, sf_dir)
+    store = (
+        b.stream("events")
+        .select_key("user_id")
+        .materialize_versioned(str(tmp_path / "vstore"), tiebreak="event_id")
+    )
+
+    ev = engine.load_table(spark, sf_dir, "events")
+    as_of = "2024-01-08 12:00:00"
+    latest = (
+        ev.where(F.col("user_id") == 7)
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .first()
+    )
+    asof_row = (
+        ev.where((F.col("user_id") == 7) & (F.col("ts") <= F.lit(as_of).cast("timestamp")))
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .first()
+    )
+    assert store.get(7).event_id == latest.event_id
+    assert store.get(7, as_of).event_id == asof_row.event_id
+    assert store.get(10**12) is None
+    hist = store.history(7)
+    assert hist.count() == ev.where(F.col("user_id") == 7).count()
+    first_two = [r.event_id for r in hist.limit(2).collect()]
+    want_first_two = [
+        r.event_id
+        for r in ev.where(F.col("user_id") == 7)
+        .orderBy("ts", "event_id").limit(2).collect()
+    ]
+    assert first_two == want_first_two
