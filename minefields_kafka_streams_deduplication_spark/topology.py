@@ -33,6 +33,28 @@ from pyspark.sql import functions as F
 from .catalog import DEFAULT_SF_DIR, load_table
 
 
+class _Describable:
+    """[R Topology#describe / TopologyDescription]: every wrapper
+    carries the chain of DSL verbs that produced it, and ``describe()``
+    renders it KS-style — the introspection surface a KS porter uses to
+    sanity-check a migrated topology. The node list is the DSL-level
+    view; ``to_df().explain()`` remains the physical (Catalyst) view,
+    which is the half KS cannot show."""
+
+    _lineage: tuple[str, ...] = ()
+
+    def describe(self) -> str:
+        lines = ["Topology:"]
+        for i, node in enumerate(self._lineage):
+            lines.append(f"  {i:>3}: {node}")
+        return "\n".join(lines)
+
+
+def _nest(other: "_Describable") -> str:
+    """Render another branch's lineage inline for join/merge nodes."""
+    return "{" + " -> ".join(other._lineage) + "}"
+
+
 class StreamsBuilder:
     """[R StreamsBuilder]: entry point; `stream` / `table` /
     `global_table` mirror the three KS source kinds."""
@@ -45,73 +67,105 @@ class StreamsBuilder:
         """[R StreamsBuilder#stream]: record stream (batch replay here;
         swap load_table for streaming.read_events_stream and every verb
         downstream is unchanged — unified API)."""
-        return KStream(load_table(self.spark, self.sf_dir, name))
+        return KStream(
+            load_table(self.spark, self.sf_dir, name),
+            lineage=(f"Source: {name} (topic: {name})",),
+        )
 
     def table(self, name: str, key: str, ts: str) -> "KTable":
         """[R StreamsBuilder#table]: changelog → latest row per key.
         Delegates to KStream.to_table so the deterministic timestamp
         tiebreak lives in exactly one place."""
-        return KStream(load_table(self.spark, self.sf_dir, name), key).to_table(ts)
+        return KStream(
+            load_table(self.spark, self.sf_dir, name),
+            key,
+            lineage=(f"Source: {name} (topic: {name}, table)",),
+        ).to_table(ts)
 
     def global_table(self, name: str, key: str) -> "KTable":
         """[R StreamsBuilder#globalTable]: replicated dimension —
         broadcast, so joins against it never shuffle the stream side."""
-        return KTable(F.broadcast(load_table(self.spark, self.sf_dir, name)), key)
+        return KTable(
+            F.broadcast(load_table(self.spark, self.sf_dir, name)),
+            key,
+            lineage=(f"Source: {name} (globalTable, broadcast)",),
+        )
 
 
-class KStream:
+class KStream(_Describable):
     """[R KStream]: stateless verbs return KStream; `group_by_key`
     enters the stateful half."""
 
-    def __init__(self, df: DataFrame, key: str | None = None) -> None:
+    def __init__(
+        self,
+        df: DataFrame,
+        key: str | None = None,
+        lineage: tuple[str, ...] = (),
+    ) -> None:
         self.df = df
         self.key = key
+        self._lineage = lineage or ("Source: <dataframe>",)
 
-    def _with(self, df: DataFrame) -> "KStream":
-        return KStream(df, self.key)
+    def _with(self, df: DataFrame, op: str | None = None) -> "KStream":
+        lin = self._lineage + ((f"Processor: {op}",) if op else ())
+        return KStream(df, self.key, lin)
 
     # --- stateless (SURVEY §2.2) ---
 
     def filter(self, pred: Column) -> "KStream":  # [R KStream#filter]
-        return self._with(self.df.filter(pred))
+        return self._with(self.df.filter(pred), "filter")
 
     def filter_not(self, pred: Column) -> "KStream":  # [R KStream#filterNot]
-        return self._with(self.df.filter(~pred))
+        return self._with(self.df.filter(~pred), "filterNot")
 
     def map_values(self, *cols: Column | str) -> "KStream":  # [R KStream#mapValues]
         keep = ([self.key] if self.key else []) + list(cols)
-        return self._with(self.df.select(*keep))
+        return self._with(self.df.select(*keep), "mapValues")
 
     def select_key(self, key: str) -> "KStream":  # [R KStream#selectKey]
-        return KStream(self.df, key)
+        return KStream(
+            self.df, key, self._lineage + (f"Processor: selectKey({key})",)
+        )
 
     def flat_map_values(self, col: Column, alias: str) -> "KStream":
         """[R KStream#flatMapValues]: 1 → 0..n via explode."""
         keep = [c for c in self.df.columns]
-        return self._with(self.df.select(*keep, F.explode(col).alias(alias)))
+        return self._with(
+            self.df.select(*keep, F.explode(col).alias(alias)), "flatMapValues"
+        )
 
     def peek(self, name: str, *metrics: Column) -> tuple["KStream", object]:
         """[R KStream#peek]: execution-time metric tap (P7)."""
         from .operators.stateless import peek as _peek
 
         df, obs = _peek(self.df, name, *metrics)
-        return self._with(df), obs
+        return self._with(df, f"peek({name})"), obs
 
     def merge(self, other: "KStream") -> "KStream":  # [R KStream#merge]
-        return self._with(self.df.unionByName(other.df))
+        return self._with(
+            self.df.unionByName(other.df), f"merge {_nest(other)}"
+        )
 
     def branch(self, **preds: Column) -> dict[str, "KStream"]:  # [R KStream#split]
-        return {name: self._with(self.df.filter(p)) for name, p in preds.items()}
+        return {
+            name: self._with(self.df.filter(p), f"branch[{name}]")
+            for name, p in preds.items()
+        }
 
     def repartition(self, n: int) -> "KStream":  # [R KStream#repartition]
         cols = [self.key] if self.key else []
-        return self._with(self.df.repartition(n, *cols) if cols else self.df.repartition(n))
+        return self._with(
+            self.df.repartition(n, *cols) if cols else self.df.repartition(n),
+            f"repartition({n})",
+        )
 
     # --- joins (SURVEY §2.4) ---
 
     def join_table(self, table: "KTable", on: Column, how: str = "inner") -> "KStream":
         """[R KStream#join(KTable) / #leftJoin(KTable)]."""
-        return self._with(self.df.join(table.df, on, how))
+        return self._with(
+            self.df.join(table.df, on, how), f"join[{how}] {_nest(table)}"
+        )
 
     def join_windowed(
         self, other: "KStream", on: Column, this_ts: str, other_ts: str, within: str,
@@ -123,7 +177,10 @@ class KStream:
             (F.col(other_ts) >= F.col(this_ts) - F.expr(f"INTERVAL {within}"))
             & (F.col(other_ts) <= F.col(this_ts) + F.expr(f"INTERVAL {within}"))
         )
-        return self._with(self.df.join(other.df, on & bound, how))
+        return self._with(
+            self.df.join(other.df, on & bound, how),
+            f"joinWindowed[{how}, within {within}] {_nest(other)}",
+        )
 
     # --- stateful entry (SURVEY §2.5/§2.6) ---
 
@@ -132,7 +189,11 @@ class KStream:
         keys = ([self.key] if self.key else []) + list(extra)
         if not keys:
             raise ValueError("group_by_key needs select_key() or explicit columns")
-        return KGroupedStream(self.df, keys)
+        return KGroupedStream(
+            self.df,
+            keys,
+            lineage=self._lineage + (f"Processor: groupByKey({', '.join(keys)})",),
+        )
 
     def process(self, fn: Callable, schema: str) -> "KStream":
         """[R KStream#process(ProcessorSupplier)]: the imperative escape
@@ -142,7 +203,9 @@ class KStream:
         parallel by partition instead of per-record callbacks. For KEYED
         state use group_by_key() + the engine's applyInPandasWithState
         dedup/windows, which is what a stateful Processor becomes."""
-        return self._with(self.df.mapInPandas(fn, schema))
+        return self._with(
+            self.df.mapInPandas(fn, schema), f"process({fn.__name__})"
+        )
 
     def to_table(self, ts: str = "ts", tiebreak: str | None = None) -> "KTable":
         """[R KStream#toTable]: stream → changelog view (latest per key).
@@ -164,7 +227,9 @@ class KStream:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        return KTable(latest, self.key)
+        return KTable(
+            latest, self.key, self._lineage + ("Processor: toTable (latest per key)",)
+        )
 
     # --- sink (SURVEY §2.1 S4) ---
 
@@ -206,13 +271,20 @@ class KStream:
         return self.df
 
 
-class KGroupedStream:
+class KGroupedStream(_Describable):
     """[R KGroupedStream]: count/reduce/aggregate, optionally windowed."""
 
-    def __init__(self, df: DataFrame, keys: list[str], window: Column | None = None) -> None:
+    def __init__(
+        self,
+        df: DataFrame,
+        keys: list[str],
+        window: Column | None = None,
+        lineage: tuple[str, ...] = (),
+    ) -> None:
         self.df = df
         self.keys = keys
         self.window = window
+        self._lineage = lineage
 
     def windowed_by(
         self, size: str, slide: str | None = None, ts: str = "ts"
@@ -220,24 +292,43 @@ class KGroupedStream:
         """[R KGroupedStream#windowedBy(TimeWindows)]: tumbling (size)
         or hopping (size, slide) windows."""
         w = F.window(ts, size, slide) if slide else F.window(ts, size)
-        return KGroupedStream(self.df, self.keys, w.alias("__w"))
+        kind = f"hopping {size}/{slide}" if slide else f"tumbling {size}"
+        return KGroupedStream(
+            self.df, self.keys, w.alias("__w"),
+            self._lineage + (f"Processor: windowedBy({kind})",),
+        )
 
     def session_windowed_by(self, gap: str, ts: str = "ts") -> "KGroupedStream":
         """[R KGroupedStream#windowedBy(SessionWindows)]."""
-        return KGroupedStream(self.df, self.keys, F.session_window(ts, gap).alias("__w"))
+        return KGroupedStream(
+            self.df, self.keys, F.session_window(ts, gap).alias("__w"),
+            self._lineage + (f"Processor: windowedBy(session gap {gap})",),
+        )
 
     def _group(self):
         cols = list(self.keys) + ([self.window] if self.window is not None else [])
         return self.df.groupBy(*cols)
 
     def count(self) -> "KTable":  # [R KGroupedStream#count]
-        return KTable(self._unwrap(self._group().agg(F.count("*").alias("count"))), self.keys[0])
+        return KTable(
+            self._unwrap(self._group().agg(F.count("*").alias("count"))),
+            self.keys[0],
+            self._lineage + ("Processor: count",),
+        )
 
     def reduce(self, agg: Column) -> "KTable":  # [R KGroupedStream#reduce]
-        return KTable(self._unwrap(self._group().agg(agg)), self.keys[0])
+        return KTable(
+            self._unwrap(self._group().agg(agg)),
+            self.keys[0],
+            self._lineage + ("Processor: reduce",),
+        )
 
     def aggregate(self, *aggs: Column) -> "KTable":  # [R KGroupedStream#aggregate]
-        return KTable(self._unwrap(self._group().agg(*aggs)), self.keys[0])
+        return KTable(
+            self._unwrap(self._group().agg(*aggs)),
+            self.keys[0],
+            self._lineage + ("Processor: aggregate",),
+        )
 
     def _unwrap(self, df: DataFrame) -> DataFrame:
         if self.window is None:
@@ -250,26 +341,42 @@ class KGroupedStream:
         )
 
 
-class KTable:
+class KTable(_Describable):
     """[R KTable]: a keyed changelog view. `to_stream` re-enters the
     stream verbs [R KTable#toStream]."""
 
-    def __init__(self, df: DataFrame, key: str | list[str]) -> None:
+    def __init__(
+        self,
+        df: DataFrame,
+        key: str | list[str],
+        lineage: tuple[str, ...] = (),
+    ) -> None:
         self.df = df
         self.key = key if isinstance(key, str) else key[0]
+        self._lineage = lineage or ("Source: <table>",)
 
     def filter(self, pred: Column) -> "KTable":  # [R KTable#filter]
-        return KTable(self.df.filter(pred), self.key)
+        return KTable(
+            self.df.filter(pred), self.key, self._lineage + ("Processor: filter",)
+        )
 
     def map_values(self, *cols: Column | str) -> "KTable":  # [R KTable#mapValues]
-        return KTable(self.df.select(self.key, *cols), self.key)
+        return KTable(
+            self.df.select(self.key, *cols),
+            self.key,
+            self._lineage + ("Processor: mapValues",),
+        )
 
     def join(self, other: "KTable", on: Column | str, how: str = "inner") -> "KTable":
         """[R KTable#join/#leftJoin/#outerJoin(KTable)]: table-table join —
         in KS both sides are materialized changelogs and the result
         updates on either side; in batch replay that is exactly a join of
         the two latest-per-key views (how='inner'|'left'|'full')."""
-        return KTable(self.df.join(other.df, on, how), self.key)
+        return KTable(
+            self.df.join(other.df, on, how),
+            self.key,
+            self._lineage + (f"Processor: tableJoin[{how}] {_nest(other)}",),
+        )
 
     def fk_join(
         self, other: "KTable", fk: str, how: str = "inner"
@@ -289,7 +396,11 @@ class KTable:
         joined = self.df.join(
             other.df, self.df[fk] == other.df[other.key], how
         ).drop(other.df[other.key])
-        return KTable(joined, self.key)
+        return KTable(
+            joined,
+            self.key,
+            self._lineage + (f"Processor: fkJoin[{how}, fk={fk}] {_nest(other)}",),
+        )
 
     def suppress(self) -> "KTable":
         """[R KTable#suppress(Suppressed.untilWindowCloses)]: emit only
@@ -304,7 +415,9 @@ class KTable:
         return self
 
     def to_stream(self) -> KStream:  # [R KTable#toStream]
-        return KStream(self.df, self.key)
+        return KStream(
+            self.df, self.key, self._lineage + ("Processor: toStream",)
+        )
 
     def to_df(self) -> DataFrame:
         return self.df

@@ -250,3 +250,50 @@ def test_stream_materialize_versioned_serves_as_of_reads(spark, sf_dir, tmp_path
         .orderBy("ts", "event_id").limit(2).collect()
     ]
     assert first_two == want_first_two
+
+
+def test_topology_describe_renders_dsl_lineage(spark, sf_dir):
+    """[R Topology#describe]: every wrapper reports the chain of DSL
+    verbs that produced it, including nested lineage for the other
+    side of joins/merges — the introspection a KS porter uses to
+    sanity-check a migrated topology."""
+    b = StreamsBuilder(spark, sf_dir)
+    nation = b.global_table("nation", "n_nationkey")
+    desc = (
+        b.stream("events")
+        .filter(F.col("event_type") == "purchase")
+        .select_key("user_id")
+        .group_by_key()
+        .windowed_by("1 day")
+        .aggregate(F.sum("value").alias("revenue"))
+        .describe()
+    )
+    for node in (
+        "Source: events (topic: events)",
+        "Processor: filter",
+        "Processor: selectKey(user_id)",
+        "Processor: groupByKey(user_id)",
+        "Processor: windowedBy(tumbling 1 day)",
+        "Processor: aggregate",
+    ):
+        assert node in desc, f"{node!r} missing from:\n{desc}"
+    # order preserved: source first, aggregate last
+    assert desc.index("Source:") < desc.index("selectKey") < desc.index("aggregate")
+
+    # join embeds the other side's lineage
+    joined = (
+        b.stream("events")
+        .select_key("user_id")
+        .to_table()
+        .fk_join(nation, "user_id", how="left")
+    )
+    d2 = joined.describe()
+    assert "fkJoin[left, fk=user_id]" in d2
+    assert "Source: nation (globalTable, broadcast)" in d2
+    # branch: each branch records its own tag
+    branches = b.stream("events").branch(
+        views=F.col("event_type") == "view",
+        rest=F.col("event_type") != "view",
+    )
+    assert "branch[views]" in branches["views"].describe()
+    assert "branch[rest]" in branches["rest"].describe()
