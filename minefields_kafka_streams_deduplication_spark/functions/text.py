@@ -776,3 +776,115 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(BPE_PAIR_TOPK)
     )
+
+
+BPE_TRAIN_MERGES = 8
+
+
+def _apply_bpe_merge(left: str, right: str):
+    """mapInPandas kernel: greedy left-to-right non-overlapping merge of
+    the adjacent pair (left, right) into one token per BPE semantics
+    ('a a a' under merge(a,a) -> 'aa a', not 'a aa'). The Python loop
+    runs over MATCH POSITIONS only (np.flatnonzero finds them
+    vectorized); docs without the pair pass through via a vectorized
+    mask. Sequential dependence is intrinsic to greedy BPE — this is
+    the one place a fold is the algorithm, so it lives in an
+    Arrow-batched kernel, not an interpreted JVM HOF."""
+    import numpy as np
+    import pandas as pd
+
+    merged = f"{left}{right}"
+
+    def fn(batches):
+        for pdf in batches:
+            out_tokens = []
+            for toks in pdf["tokens"]:
+                arr = np.asarray(toks, dtype=object)
+                if len(arr) < 2:
+                    out_tokens.append(toks)
+                    continue
+                hits = np.flatnonzero(
+                    (arr[:-1] == left) & (arr[1:] == right)
+                )
+                if len(hits) == 0:
+                    out_tokens.append(toks)
+                    continue
+                chosen = []
+                last = -2
+                for p in hits:  # loop over matches, not tokens
+                    if p > last + 1:
+                        chosen.append(p)
+                        last = p
+                arr[chosen] = merged
+                out_tokens.append(np.delete(arr, [c + 1 for c in chosen]).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "tokens": out_tokens})
+
+    return fn
+
+
+def bpe_train_merges(
+    docs: DataFrame, n_merges: int = BPE_TRAIN_MERGES
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merge rules over the corpus: each round
+    counts adjacent pairs (the bpe_pair_stats shape: codegen slice+zip,
+    map-side-combined count), takes the single most frequent pair
+    (count DESC, pair ASC tie-break — one TakeOrdered row to the
+    driver, bounded by definition), applies the merge corpus-wide with
+    the greedy kernel, and repeats on the merged tokens.
+
+    Returns [(rank, left, right, count)]. Iterative-algorithm
+    plumbing: the token table is persisted between rounds (each round
+    re-reads the PREVIOUS round's tokens, not the raw corpus re-split
+    n times) and localCheckpoint()ed every round to truncate the plan
+    lineage — without it round k's plan nests k kernels deep.
+
+    100 TB note: production tokenizer training samples the corpus
+    (hundreds of MB of text suffice for a stable vocabulary); the loop
+    here IS that job with the sample as input. Per round: one
+    vocabulary-bounded aggregate + one narrow map — no shuffle of
+    document bodies at any point.
+    """
+    spark = docs.sparkSession
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("tokens")
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        n = F.size("tokens")
+        zipped = F.arrays_zip(
+            F.slice("tokens", 1, n - 1),
+            F.expr("slice(tokens, 2, size(tokens) - 1)"),
+        )
+        top = (
+            toks.where(n >= 2)
+            .select(F.explode(zipped).alias("p"))
+            .select(F.col("p.0").alias("l"), F.col("p.1").alias("r"))
+            .groupBy("l", "r")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].n < 2:
+            break  # no pair worth merging — vocabulary converged
+        left, right, cnt = top[0].l, top[0].r, top[0].n
+        merges.append((rank, left, right, cnt))
+        toks = toks.mapInPandas(
+            _apply_bpe_merge(left, right), "doc_id LONG, tokens ARRAY<STRING>"
+        ).localCheckpoint()
+    return merges
+
+
+@query("bpe_learn_merges")  # rows-only: iterative greedy training is not
+                            # single-statement-SQL-expressible (driver loop)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE training loop over the documents corpus: the first
+    BPE_TRAIN_MERGES learned merge rules with their counts. Semantics
+    pinned against a pure-Python reference trainer (greedy, same
+    tie-break) in tests/test_text.py + a Hypothesis random-corpus
+    property; bpe_pair_stats (oracle-backed) certifies round 1's
+    statistic independently."""
+    merges = bpe_train_merges(load_table(spark, sf_dir, "documents"))
+    return spark.createDataFrame(
+        merges, "merge_rank INT, left STRING, right STRING, n LONG"
+    )

@@ -515,3 +515,30 @@ def test_versioned_store_as_of_matches_model(spark, rows, as_of_min, tmp_path_fa
         ).collect()
     }
     assert got == model
+
+
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=corpus_strategy)
+def test_bpe_train_matches_model_on_random_corpora(spark, texts):
+    """bpe_train_merges against the pure-Python greedy trainer on
+    ARBITRARY small-alphabet corpora — the 3-letter alphabet forces
+    dense pair collisions, overlap chains (aaaa...), ties, and merged
+    tokens that immediately re-pair in later rounds."""
+    from tests.test_text import _ref_bpe_train
+    from minefields_kafka_streams_deduplication_spark.functions.text import (
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    assert bpe_train_merges(docs, n_merges=3) == _ref_bpe_train(texts, 3)

@@ -284,3 +284,63 @@ def test_neardup_incremental_matches_reference_model(spark):
     )
     got = {r.doc_id for r in neardup_incremental_df(docs, cut).collect()}
     assert got == expect
+
+
+def _ref_bpe_train(texts, n_merges):
+    """Pure-Python reference BPE trainer: greedy left-to-right merge,
+    (count DESC, pair ASC) tie-break — the model bpe_train_merges must
+    reproduce exactly."""
+    from collections import Counter
+
+    docs = [t.lower().split(" ") for t in texts]
+    merges = []
+    for rank in range(n_merges):
+        c = Counter()
+        for d in docs:
+            for a, b in zip(d, d[1:]):
+                c[(a, b)] += 1
+        if not c:
+            break
+        (l, r), cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((rank, l, r, cnt))
+        m = l + r
+        nxt = []
+        for d in docs:
+            out, i = [], 0
+            while i < len(d):
+                if i + 1 < len(d) and d[i] == l and d[i + 1] == r:
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(d[i])
+                    i += 1
+            nxt.append(out)
+        docs = nxt
+    return merges
+
+
+def test_bpe_train_matches_reference_model(spark):
+    """bpe_train_merges == the pure-Python greedy trainer on a corpus
+    crafted with the hard cases: overlapping self-pairs ('a a a a'
+    merges greedily to 'aa aa', never 'a aa a'), count ties broken by
+    pair order, and cascading merges (round 2 counts pairs over round
+    1's MERGED tokens, not the original text)."""
+    from minefields_kafka_streams_deduplication_spark.functions.text import bpe_train_merges
+
+    texts = [
+        "a a a a b c",
+        "a a b c d",
+        "b c b c a a",
+        "x y x y x y",
+        "single",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    got = bpe_train_merges(docs, n_merges=5)
+    want = _ref_bpe_train(texts, 5)
+    assert got == want, f"\ngot:  {got}\nwant: {want}"
+    # sanity: the crafted corpus exercised >= 3 genuine merge rounds
+    assert len(want) >= 3
