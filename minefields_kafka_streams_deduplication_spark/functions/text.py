@@ -845,9 +845,17 @@ def bpe_train_merges(
     document bodies at any point.
     """
     spark = docs.sparkSession
-    toks = docs.select(
-        "doc_id", F.split(F.lower("text"), " ").alias("tokens")
-    ).localCheckpoint()
+    # Fan out before the loop: a one-file corpus reads as ONE partition
+    # and the checkpoint pins that width for every round's kernel — the
+    # whole 8-round loop would run on a single core (measured 28.9 s →
+    # 18.8 s at the 10× probe; remaining cost is the per-round fixed
+    # job overhead, amortized at real corpus sizes). Narrow-ish shuffle of (id, tokens) once.
+    n_part = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(n_part, "doc_id")
+        .select("doc_id", F.split(F.lower("text"), " ").alias("tokens"))
+        .localCheckpoint()
+    )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         n = F.size("tokens")
@@ -887,4 +895,79 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe_train_merges(load_table(spark, sf_dir, "documents"))
     return spark.createDataFrame(
         merges, "merge_rank INT, left STRING, right STRING, n LONG"
+    )
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[int, str, str, int]]) -> DataFrame:
+    """Apply a learned merge table to the corpus — the ENCODE half of
+    the tokenizer (train = bpe_train_merges). Merges apply in rank
+    order, each greedy left-to-right, exactly as they were learned;
+    per-doc independence means ALL ranks run in ONE Arrow-batched
+    kernel pass (no per-round jobs at encode time, unlike training
+    where round k's statistic depends on round k-1's corpus).
+
+    Returns (doc_id, tokens, n_tokens). 100 TB: narrow map over the
+    scan — encode is embarrassingly parallel; the merge table (a few
+    thousand rules in practice) ships in the closure like any
+    broadcast dictionary."""
+    import numpy as np
+    import pandas as pd
+
+    rules = [(l, r, f"{l}{r}") for _rank, l, r, _n in merges]
+
+    def fn(batches):
+        for pdf in batches:
+            out_tokens = []
+            for toks in pdf["tokens"]:
+                arr = list(toks)
+                for left, right, merged in rules:
+                    if len(arr) < 2:
+                        break
+                    a = np.asarray(arr, dtype=object)
+                    hits = np.flatnonzero((a[:-1] == left) & (a[1:] == right))
+                    if len(hits) == 0:
+                        continue
+                    chosen, last = [], -2
+                    for p in hits:
+                        if p > last + 1:
+                            chosen.append(p)
+                            last = p
+                    a[chosen] = merged
+                    arr = np.delete(a, [c + 1 for c in chosen]).tolist()
+                out_tokens.append(arr)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "tokens": out_tokens,
+                    "n_tokens": [len(t) for t in out_tokens],
+                }
+            )
+
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(n_part, "doc_id").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("tokens")
+    )
+    return toks.mapInPandas(fn, "doc_id LONG, tokens ARRAY<STRING>, n_tokens INT")
+
+
+@query("bpe_encode_compression")  # rows-only: depends on the learned
+                                  # merge table (iterative training)
+def bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train BPE_TRAIN_MERGES merges, encode the corpus with them, and
+    report the corpus-level compression the vocabulary bought — the
+    metric a tokenizer-training pipeline tracks per merge budget.
+    Deterministic given the corpus (training tie-breaks are total)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train_merges(docs)
+    enc = bpe_encode(docs, merges)
+    before = F.size(F.split(F.lower("text"), " "))
+    orig = docs.select(F.sum(before).alias("tokens_before"))
+    return (
+        enc.agg(F.sum("n_tokens").alias("tokens_after"))
+        .crossJoin(F.broadcast(orig))
+        .select(
+            F.col("tokens_before").cast("long").alias("tokens_before"),
+            F.col("tokens_after").cast("long").alias("tokens_after"),
+            F.lit(len(merges)).cast("int").alias("n_merges"),
+        )
     )

@@ -344,3 +344,42 @@ def test_bpe_train_matches_reference_model(spark):
     assert got == want, f"\ngot:  {got}\nwant: {want}"
     # sanity: the crafted corpus exercised >= 3 genuine merge rounds
     assert len(want) >= 3
+
+
+def test_bpe_encode_matches_reference_apply(spark):
+    """bpe_encode (single-pass kernel applying all ranks) must equal
+    the reference trainer's own per-round corpus rewrite — encoding
+    the TRAINING corpus with the learned table reproduces exactly the
+    token arrays training ended with."""
+    from minefields_kafka_streams_deduplication_spark.functions.text import (
+        bpe_encode,
+        bpe_train_merges,
+    )
+
+    texts = ["a a a a b c", "a a b c d", "b c b c a a", "x y x y x y", "one"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    merges = bpe_train_merges(docs, n_merges=4)
+
+    # reference: replay the merges over the corpus in rank order
+    ref = [t.lower().split(" ") for t in texts]
+    for _rank, l, r, _n in merges:
+        m = l + r
+        nxt = []
+        for d in ref:
+            out, i = [], 0
+            while i < len(d):
+                if i + 1 < len(d) and d[i] == l and d[i + 1] == r:
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(d[i])
+                    i += 1
+            nxt.append(out)
+        ref = nxt
+
+    got = {r.doc_id: list(r.tokens) for r in bpe_encode(docs, merges).collect()}
+    assert got == {i: ref[i] for i in range(len(texts))}
+    # compression is real on this corpus
+    assert sum(len(t) for t in ref) < sum(len(t.split(" ")) for t in texts)
