@@ -916,3 +916,79 @@ def shard_balanced_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+# Temperature exponent for source re-weighting (the mT5/XLM-R value;
+# alpha < 1 upweights low-resource sources relative to natural share).
+MIX_TEMPERATURE_ALPHA = 0.3
+MIX_SAMPLE_BUDGET = 100_000
+
+
+@query(
+    "mix_temperature_weights",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source
+),
+tot AS (
+  SELECT sum(n_tokens) AS total_tokens,
+         sum(pow(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM per_source),
+                 {MIX_TEMPERATURE_ALPHA})) AS z
+  FROM per_source
+)
+SELECT source, n_docs, n_tokens,
+       floor(p * 10000 + 0.5) / 10000 AS natural_share,
+       floor(q * 10000 + 0.5) / 10000 AS mix_weight,
+       CAST(floor(q * {MIX_SAMPLE_BUDGET} + 0.5) AS BIGINT) AS budget_docs
+FROM (
+  SELECT source, n_docs, n_tokens,
+         CAST(n_tokens AS DOUBLE) / total_tokens AS p,
+         pow(CAST(n_tokens AS DOUBLE) / total_tokens, {MIX_TEMPERATURE_ALPHA}) / z AS q
+  FROM per_source, tot
+) t
+ORDER BY source
+""",
+)
+def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source re-weighting for corpus mixing (the
+    mT5/XLM-R scheme, public): each source's natural token share p_s is
+    flattened to q_s ∝ p_s^α (α = 0.3), upweighting low-resource
+    sources; ``budget_docs`` allocates a fixed sampling budget by the
+    flattened weights. The table every multilingual/multi-domain
+    pretraining mix starts from.
+
+    Plan: one map-side-combined per-source aggregate (output bounded by
+    source cardinality), totals via a broadcast one-row frame — the
+    same one-shuffle shape as source_quality_report. Determinism: both
+    engines compute pow/div in IEEE doubles; published values round
+    through the repo's floor(x·1e4+0.5) discipline."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).cast("long").alias("n_tokens"),
+    )
+    p = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    with_p = per_source.crossJoin(F.broadcast(tot)).withColumn(
+        "p", p
+    ).withColumn("pw", F.pow("p", F.lit(MIX_TEMPERATURE_ALPHA)))
+    z = with_p.agg(F.sum("pw").alias("z"))
+    q = F.col("pw") / F.col("z")
+    return (
+        with_p.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            round4f("p").alias("natural_share"),
+            round4f(q).alias("mix_weight"),
+            F.floor(q * MIX_SAMPLE_BUDGET + F.lit(0.5)).cast("long").alias("budget_docs"),
+        )
+        .orderBy("source")
+    )

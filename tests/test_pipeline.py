@@ -312,3 +312,27 @@ def test_shard_balance_within_one_max_doc(spark, sf_dir):
     max_doc = df.agg(F.max("n_tokens")).first()[0]
     assert len(sums) == 8
     assert max(sums.values()) - min(sums.values()) <= max_doc
+
+
+def test_mix_temperature_flattens_shares(spark, sf_dir):
+    """Temperature re-weighting semantics: weights sum to 1, and α<1
+    FLATTENS the distribution — every source below the uniform share
+    gains weight (mix_weight > natural_share) and every source above
+    it loses. The budget allocation follows the flattened weights."""
+    import minefields_kafka_streams_deduplication_spark as engine
+    from minefields_kafka_streams_deduplication_spark.functions.pipeline import (
+        MIX_SAMPLE_BUDGET,
+    )
+
+    rows = engine.get_queries()["mix_temperature_weights"](spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-3
+    uniform = 1.0 / len(rows)
+    for r in rows:
+        if r.natural_share < uniform - 1e-6:
+            assert r.mix_weight > r.natural_share, r
+        elif r.natural_share > uniform + 1e-6:
+            assert r.mix_weight < r.natural_share, r
+        # mix_weight is published at 4 decimals while budget_docs uses
+        # the unrounded weight: bound = 0.5 (floor) + budget * 5e-5
+        assert abs(r.budget_docs - r.mix_weight * MIX_SAMPLE_BUDGET) <= 0.5 + MIX_SAMPLE_BUDGET * 5e-5 + 1
