@@ -316,8 +316,59 @@ def sink_upsert_keyed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_batch_into_versioned_state(
+    spark: SparkSession, state_dir: str, batch_df: DataFrame
+) -> None:
+    """Fold one micro-batch into a VERSION-RETAINING bucketed table —
+    the incremental maintenance verb for the versioned store
+    (state_store.materialize_versioned_store builds the same layout in
+    one shot; this keeps it live under a foreachBatch stream).
+
+    Unlike the latest-per-key upsert, versions APPEND — nothing is
+    overwritten, so the write touches only NEW files in the touched
+    buckets. REPLAY-SAFE BY ANTI-JOIN, not by algebra: append is not
+    idempotent, so the batch is first anti-joined on (user_id,
+    event_id) against the touched buckets' existing version ids — a
+    replayed batch finds all its rows present and appends nothing
+    (pinned by the double-merge test). The anti-join reads only the
+    two id columns of only the touched buckets (column-pruned,
+    bucket-pruned); at-least-once foreachBatch delivery therefore
+    yields exactly-once version history.
+
+    Appended files are not (key, ts)-sorted within the bucket — the
+    as-of read stays CORRECT (max_by needs no order) but loses some
+    row-group pruning until ``compact_state_dir(...,
+    sort_cols=("user_id", "ts"))`` re-sorts the bucket."""
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(UPSERT_BUCKETS)).alias("bucket")
+    rows = batch_df.select(
+        "user_id", "event_id", "ts", "event_type", "value", bucket
+    )
+    touched = [r.bucket for r in rows.select("bucket").distinct().collect()]
+    existing = [
+        p
+        for t in touched
+        if os.path.exists(p := os.path.join(state_dir, f"bucket={t}"))
+    ]
+    if existing:
+        seen = spark.read.parquet(*existing).select("user_id", "event_id")
+        rows = rows.join(seen, ["user_id", "event_id"], "left_anti")
+    fresh = rows.localCheckpoint(eager=True)
+    if fresh.rdd.isEmpty():
+        return
+    (
+        fresh.repartition("bucket")
+        .sortWithinPartitions("user_id", "ts")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(state_dir)
+    )
+
+
 def compact_state_dir(
-    spark: SparkSession, state_dir: str, max_files_per_bucket: int = 1
+    spark: SparkSession,
+    state_dir: str,
+    max_files_per_bucket: int = 1,
+    sort_cols: tuple[str, ...] | None = None,
 ) -> list[int]:
     """Out-of-band compaction of the bucketed state table — the
     RocksDB-compaction / Kafka-log-compaction analog for the upsert
@@ -343,12 +394,14 @@ def compact_state_dir(
     if not need:
         return []
     paths = [os.path.join(state_dir, f"bucket={b}") for b in sorted(need)]
-    rows = (
-        spark.read.parquet(*paths)
-        .withColumn("bucket", F.pmod(F.xxhash64("user_id"), F.lit(UPSERT_BUCKETS)))
-        .repartition("bucket")
-        .localCheckpoint(eager=True)
-    )
+    rows = spark.read.parquet(*paths).withColumn(
+        "bucket", F.pmod(F.xxhash64("user_id"), F.lit(UPSERT_BUCKETS))
+    ).repartition("bucket")
+    if sort_cols:
+        # versioned layouts re-sort on compaction so the as-of read's
+        # row-group pruning comes back after unsorted appends
+        rows = rows.sortWithinPartitions(*sort_cols)
+    rows = rows.localCheckpoint(eager=True)
     (
         rows.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

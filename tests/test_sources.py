@@ -475,3 +475,60 @@ def test_versioned_store_as_of_semantics(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_versioned_merge_is_replay_idempotent_and_appends_versions(spark, tmp_path):
+    """The versioned sink keeps EVERY version exactly once under
+    at-least-once delivery: a replayed batch appends nothing (anti-join
+    on version ids), new batches append their versions, and the as-of
+    read over the live dir matches a batch recompute."""
+    import datetime as dt
+
+    from minefields_kafka_streams_deduplication_spark.sources.sinks import (
+        compact_state_dir,
+        merge_batch_into_versioned_state,
+    )
+    from minefields_kafka_streams_deduplication_spark.sources.state_store import (
+        versioned_store_get,
+    )
+
+    state = str(tmp_path / "vstate")
+    t = lambda d: dt.datetime(2024, 1, d)
+    schema = (
+        "user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    )
+    b1 = spark.createDataFrame(
+        [(1, 10, t(1), "view", 1.0), (2, 20, t(2), "view", 2.0)], schema
+    )
+    merge_batch_into_versioned_state(spark, state, b1)
+    merge_batch_into_versioned_state(spark, state, b1)  # crash-replay
+
+    def versions():
+        return sorted(
+            (r.user_id, r.event_id)
+            for r in spark.read.parquet(f"{state}/bucket=*").collect()
+        )
+
+    assert versions() == [(1, 10), (2, 20)]
+    b2 = spark.createDataFrame(
+        [(1, 11, t(5), "purchase", 9.0), (3, 30, t(5), "view", 3.0)], schema
+    )
+    merge_batch_into_versioned_state(spark, state, b2)
+    merge_batch_into_versioned_state(spark, state, b2)  # replay again
+    assert versions() == [(1, 10), (1, 11), (2, 20), (3, 30)]
+
+    # as-of reads over the LIVE dir: before and after u1's second version
+    got_early = {
+        r.user_id: r.event_id
+        for r in versioned_store_get(spark, state, [1, 2, 3], "2024-01-03 00:00:00").collect()
+    }
+    assert got_early == {1: 10, 2: 20}
+    got_late = {
+        r.user_id: r.event_id
+        for r in versioned_store_get(spark, state, [1, 2, 3], "2024-01-06 00:00:00").collect()
+    }
+    assert got_late == {1: 11, 2: 20, 3: 30}
+
+    # compaction with sort_cols keeps the version multiset intact
+    compact_state_dir(spark, state, max_files_per_bucket=0, sort_cols=("user_id", "ts"))
+    assert versions() == [(1, 10), (1, 11), (2, 20), (3, 30)]
