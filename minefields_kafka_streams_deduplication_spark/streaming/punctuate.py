@@ -63,6 +63,24 @@ PUNCT_OUTPUT_SCHEMA = (
 _SENTINEL = "__punct_sentinel__"
 
 
+def _staged_partitions(spark: SparkSession, stage_dir: str) -> int:
+    """Size-aware state-partition pick for staged-replay harnesses —
+    the stage-dir twin of source.stream_partitions: small stages run
+    fastest on few state stores (fixed per-store commit cost), big
+    ones need the parallelism. Measured on the 10× suppress stage
+    (1M rows, 8.4 MB staged): 66-79 s on 4 partitions → 24-25 s on 32
+    (interleaved A/B, min-of-2 each); fixture stages (<1 MB) measure
+    ~2× FASTER on 4 than 32. The 4 MB cut separates those regimes."""
+    import glob as _glob
+
+    size = sum(
+        os.path.getsize(f) for f in _glob.glob(os.path.join(stage_dir, "*.parquet"))
+    )
+    if size < 4 * 1024 * 1024:
+        return 4
+    return spark.sparkContext.defaultParallelism
+
+
 def make_punctuate_fn(interval_ms: int = PUNCTUATE_INTERVAL_MS):
     """Build the per-key state function for a given punctuation
     interval. Counts rows per key; emits ONLY when the wall-clock timer
@@ -158,7 +176,9 @@ def run_punctuated(
     )
     snapshots = punctuated_counts_stream(stream, interval_ms)
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_staged_partitions(spark, stage_dir))
+    )
     q = None
     try:
         q = (
@@ -366,7 +386,9 @@ def run_punctuated_stream_time(
         stream, interval_ms, f"{watermark_delay_ms} milliseconds"
     )
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_staged_partitions(spark, stage_dir))
+    )
     max_ts_us = (
         spark.read.schema(schema).parquet(stage_dir).agg(F.max("ts")).first()[0]
     )

@@ -46,7 +46,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..catalog import load_table
 from ..registry import query
-from .punctuate import stage_events_ordered
+from .punctuate import _staged_partitions, stage_events_ordered
 
 # Debounce limit in EVENT time. The fixture spans 30 days, so 2 days
 # gives each active key several distinct emission cycles.
@@ -187,7 +187,9 @@ def run_suppressed(
         stream, limit_ms, f"{watermark_delay_ms} milliseconds"
     )
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_staged_partitions(spark, stage_dir))
+    )
     max_ts_us = (
         spark.read.schema(schema).parquet(stage_dir).agg(F.max("ts")).first()[0]
     )
