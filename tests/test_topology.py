@@ -297,3 +297,44 @@ def test_topology_describe_renders_dsl_lineage(spark, sf_dir):
     )
     assert "branch[views]" in branches["views"].describe()
     assert "branch[rest]" in branches["rest"].describe()
+
+
+def test_topology_test_driver_ports_ks_unit_tests(spark):
+    """[R TopologyTestDriver/TestInputTopic/TestOutputTopic]: a KS-style
+    unit test — pipe records into test topics, run the topology, assert
+    final results — ports verbatim against in-memory inputs (no
+    fixture, no broker)."""
+    import datetime as dt
+
+    from minefields_kafka_streams_deduplication_spark.topology import TopologyTestDriver
+
+    t = lambda d: dt.datetime(2024, 1, d)
+    driver = TopologyTestDriver(spark)
+    driver.create_input_topic(
+        "events", "user_id LONG, event_id LONG, ts TIMESTAMP, value DOUBLE"
+    ).pipe_input(
+        (1, 10, t(1), 5.0), (1, 11, t(2), 7.0), (2, 20, t(1), 1.0)
+    )
+    driver.create_input_topic(
+        "users", "user_id LONG, name STRING"
+    ).pipe_input((1, "ada"), (2, "grace"))
+
+    out = driver.run(
+        lambda b: b.stream("events")
+        .filter(F.col("value") > 0)
+        .select_key("user_id")
+        .group_by_key()
+        .aggregate(F.sum("value").alias("total"))
+        .fk_join(b.global_table("users", "user_id"), "user_id")
+    )
+    rows = out.read_rows()
+    assert [(r.user_id, r.total, r.name) for r in rows] == [
+        (1, 12.0, "ada"),
+        (2, 1.0, "grace"),
+    ]
+    assert out.read_key_values("user_id", "total") == {1: 12.0, 2: 1.0}
+    # the KTable source kind folds piped records latest-per-key
+    latest = driver.run(
+        lambda b: b.table("events", "user_id", "ts")
+    ).read_key_values("user_id", "event_id")
+    assert latest == {1: 11, 2: 20}
