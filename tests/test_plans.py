@@ -281,19 +281,34 @@ def test_contiguous_ids_have_no_single_partition_exchange(spark, sf_dir):
     assert "SinglePartition" not in plan, plan[:2000]
 
 
-# Queries whose registered callable RETURNS a driver-local table (the
-# real topology runs inside a streaming harness and is audited by its
-# own tests) — a LocalTableScan plan carries nothing to sweep.
-_SWEEP_LOCAL_RESULT = {
-    "punctuate_wall_clock_counts",
-    "punctuate_stream_time_counts",
-}
+# Queries excluded from the repo-wide plan sweep, each for a stated
+# structural reason (NOT for having a bad plan):
+# - *_stream / punctuate / suppress / sink_exactly_once / kafka_wire:
+#   the registered callable RUNS a streaming/staged harness (their
+#   returned frame is a memory-sink or local table; the real topology
+#   is audited by their own streaming tests);
+# - bpe_learn_merges / bpe_encode_compression: the callable executes
+#   the iterative trainer at build time (driver loop; per-round plans
+#   are the already-swept bpe_pair_stats shape);
+# - store/dedup materializers run a one-off fingerprint-cached build
+#   job at build time but RETURN a lazy serving plan — included.
+_SWEEP_EXCLUDE_SUBSTR = (
+    "_stream",
+    "stream_",
+    "punctuate",
+    "suppress",
+    "sink_exactly_once",
+    "kafka_wire",
+    "bpe_learn",
+    "bpe_encode",
+)
 
 
 def test_plan_sweep_no_scale_antipatterns(spark, sf_dir):
-    """Repo-wide plan gate (VERDICT r4 #7): EVERY oracle query's
-    physical plan must be free of the three first-plan-that-worked
-    anti-patterns the per-query pins catch individually —
+    """Repo-wide plan gate (VERDICT r4 #7, widened in r5 to rows-only
+    batch queries too): EVERY swept query's physical plan must be free
+    of the three first-plan-that-worked anti-patterns the per-query
+    pins catch individually —
       1. CartesianProduct (unbounded pair blowup),
       2. BatchEvalPython (row-at-a-time Python UDF in the hot path),
       3. a Window directly over an Exchange SinglePartition (global
@@ -305,7 +320,7 @@ def test_plan_sweep_no_scale_antipatterns(spark, sf_dir):
 
     failures = []
     for name, fn in engine.get_queries().items():
-        if name not in engine.get_oracles() or name in _SWEEP_LOCAL_RESULT:
+        if any(sub in name for sub in _SWEEP_EXCLUDE_SUBSTR):
             continue
         try:
             plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
