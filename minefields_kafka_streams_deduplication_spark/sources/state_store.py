@@ -262,6 +262,50 @@ def window_store_fetch(
     )
 
 
+def window_store_fetch_all(
+    spark: SparkSession, wstore_dir: str, time_from: str, time_to: str
+) -> DataFrame:
+    """ReadOnlyWindowStore#fetchAll(timeFrom, timeTo): every key's
+    windowed aggregates within [time_from, time_to) — all buckets (a
+    time slice carries no key restriction to prune on), with the time
+    predicate pushed to the scan; files sorted by (key, window_start)
+    still prune row groups whose window range misses the slice."""
+    if not glob.glob(os.path.join(wstore_dir, "bucket=*")):
+        return spark.createDataFrame(
+            [], "user_id LONG, window_start TIMESTAMP, n_events LONG"
+        )
+    return (
+        spark.read.parquet(wstore_dir)
+        .where(
+            (F.col("window_start") >= F.lit(time_from).cast("timestamp"))
+            & (F.col("window_start") < F.lit(time_to).cast("timestamp"))
+        )
+        .select("user_id", "window_start", "n_events")
+    )
+
+
+@query(
+    "store_window_fetch_all",
+    oracle="""
+SELECT user_id, date_trunc('hour', ts) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+WHERE date_trunc('hour', ts) >= TIMESTAMP '2024-01-10 00:00:00'
+  AND date_trunc('hour', ts) <  TIMESTAMP '2024-01-11 00:00:00'
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def store_window_fetch_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interactive query: fetchAll over one day of hourly windows for
+    EVERY key — the key-unrestricted sibling of store_window_fetch,
+    completing the ReadOnlyWindowStore verb set (fetch / fetchAll)."""
+    store = materialize_window_store(spark, sf_dir)
+    return window_store_fetch_all(
+        spark, store, "2024-01-10 00:00:00", "2024-01-11 00:00:00"
+    )
+
+
 @query(
     "store_window_fetch",
     oracle="""
