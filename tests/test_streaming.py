@@ -754,3 +754,47 @@ def test_suppress_until_time_limit_semantics(spark, tmp_path):
     assert [r.last_value for r in b] == [9.0], b
     # debounce pacing: at most one emission per key per limit interval
     assert a[1].emit_stream_time_ms - a[0].emit_stream_time_ms >= day_ms, a
+
+
+def test_event_time_timer_ops_run_on_rocksdb_backend(spark, sf_dir):
+    """The round-5 EventTimeTimeout operators (stream-time punctuator,
+    untilTimeLimit debounce) run unmodified on
+    RocksDBStateStoreProvider with identical results — timers and
+    buffered state live in the provider, so this is the pin that the
+    100 TB backend carries them too."""
+    import minefields_kafka_streams_deduplication_spark as engine
+    from pyspark.sql import functions as F
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+
+    def run_both():
+        punct = {
+            (r.event_type, r.n_events)
+            for r in engine.get_queries()["punctuate_stream_time_counts"](
+                spark, sf_dir
+            ).collect()
+        }
+        sup = engine.get_queries()["table_suppress_time_limit"](spark, sf_dir)
+        final = {
+            r.user_id: r.last_ts_us
+            for r in sup.groupBy("user_id")
+            .agg(F.max("last_ts_us").alias("last_ts_us"))
+            .collect()
+        }
+        return punct, final
+
+    default_out = run_both()
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks_out = run_both()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert rocks_out == default_out
+    assert len(default_out[0]) > 0 and len(default_out[1]) > 0
