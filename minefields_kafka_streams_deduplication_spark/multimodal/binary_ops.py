@@ -690,3 +690,73 @@ def multimodal_phash_dedup_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     payloads = docs.mapInPandas(synthesize_bmp_batches, "doc_id LONG, payload BINARY")
     return phash_pairs(payloads)
+
+
+def phash_keep_first(payloads: DataFrame) -> DataFrame:
+    """Keep-first image dedup — the LINEAR-OUTPUT sibling of
+    ``phash_pairs`` (whose pair list is inherently quadratic in copy
+    count: c copies of one image ARE c·(c-1)/2 pairs). Policy mirrors
+    the text family's star rule: a doc survives iff it is its
+    signature group's min-id representative AND that rep has no
+    verified near-dup rep with a smaller id. Output is one row per
+    surviving doc — bounded by corpus size at any copy multiplicity,
+    which is the form a 100 TB dedup pipeline actually materializes.
+
+    Same candidate machinery as phash_pairs (collapse → banded chunk
+    join → Hamming verify), so the two stay in lockstep; parity with
+    the pair form is pinned in tests/test_multimodal.py (survivors ==
+    docs with no pair to a smaller doc)."""
+    from pyspark.sql import Window
+
+    sigs = payloads.mapInPandas(phash_batches, "doc_id LONG, phash LONG")
+    flagged = sigs.withColumn(
+        "rep_id", F.min("doc_id").over(Window.partitionBy("phash"))
+    )
+    reps = flagged.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id", "phash"
+    )
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("phash"), c * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("cval"),
+            )
+            for c in range(4)
+        ]
+    )
+    chunked = reps.select("doc_id", "phash", F.explode(chunks).alias("cc")).select(
+        "doc_id",
+        "phash",
+        F.col("cc.chunk").alias("chunk"),
+        F.col("cc.cval").alias("cval"),
+    )
+    x = chunked.select(
+        "chunk", "cval", F.col("doc_id").alias("rep_1"), F.col("phash").alias("p1")
+    )
+    y = chunked.select(
+        "chunk", "cval", F.col("doc_id").alias("rep_2"), F.col("phash").alias("p2")
+    )
+    # reps dominated by a verified smaller near-dup rep
+    dominated = (
+        x.join(y, ["chunk", "cval"])
+        .filter(F.col("rep_2") > F.col("rep_1"))
+        .filter(
+            F.bit_count(F.col("p1").bitwiseXOR(F.col("p2"))) <= PHASH_MAX_HAMMING
+        )
+        .select(F.col("rep_2").alias("doc_id"))
+        .distinct()
+    )
+    return reps.join(dominated, "doc_id", "left_anti").select("doc_id", "phash")
+
+
+@query("multimodal_phash_keep_first")  # rows-only: signatures impl-specific
+def multimodal_phash_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first image dedup over the synthesized-BMP corpus: the
+    deduplicated SURVIVOR set (linear output), vs the pair list of
+    multimodal_phash_dedup_bmp (quadratic in copies by definition).
+    The policy-parity pin lives in tests/test_multimodal.py."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = docs.mapInPandas(synthesize_bmp_batches, "doc_id LONG, payload BINARY")
+    return phash_keep_first(payloads)

@@ -313,3 +313,33 @@ def test_phash_perceptual_invariances(spark):
     assert (0, 2) in pairs                    # one-pixel edit within threshold
     assert (0, 3) in pairs and pairs[(0, 3)] == 0  # upscale pairs at 0
     assert not any(4 in p for p in pairs)     # contrast image unrelated
+
+
+def test_phash_keep_first_matches_pair_star_policy(spark, sf_dir):
+    """Policy parity: phash_keep_first's survivors must be exactly the
+    hashed docs that have NO verified pair with a smaller doc in
+    phash_pairs — the same star rule, linear output."""
+    import minefields_kafka_streams_deduplication_spark as engine
+    from minefields_kafka_streams_deduplication_spark.multimodal.binary_ops import (
+        phash_batches,
+        phash_keep_first,
+        phash_pairs,
+        synthesize_bmp_batches,
+    )
+
+    docs = engine.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = docs.mapInPandas(
+        synthesize_bmp_batches, "doc_id LONG, payload BINARY"
+    ).localCheckpoint()
+    hashed = {
+        r.doc_id
+        for r in payloads.mapInPandas(
+            phash_batches, "doc_id LONG, phash LONG"
+        ).collect()
+    }
+    pairs = phash_pairs(payloads).collect()
+    dominated = {r.doc_id_2 for r in pairs}
+    want = hashed - dominated
+    got = {r.doc_id for r in phash_keep_first(payloads).collect()}
+    assert got == want
+    assert 0 < len(got) < len(hashed)  # the fixture has image near-dups
