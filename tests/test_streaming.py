@@ -798,3 +798,95 @@ def test_event_time_timer_ops_run_on_rocksdb_backend(spark, sf_dir):
             spark.conf.set(key, old)
     assert rocks_out == default_out
     assert len(default_out[0]) > 0 and len(default_out[1]) > 0
+
+
+def test_suppress_buffer_and_event_timer_survive_restart(spark, tmp_path):
+    """untilTimeLimit durability: a key's coalesced buffer and its
+    armed EVENT-TIME deadline live in the checkpointed state — after a
+    stop/restart the buffered update flushes (once, with the coalesced
+    value) as soon as new data advances the watermark past the
+    deadline, without replaying the pre-restart input."""
+    import datetime as dt
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from minefields_kafka_streams_deduplication_spark.streaming.suppress import (
+        suppressed_table_stream,
+    )
+
+    stage = str(tmp_path / "stage")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = (
+        "user_id LONG, event_id LONG, ts TIMESTAMP, value DOUBLE, event_type STRING"
+    )
+    day_ms = 24 * 3600 * 1000
+    t = lambda d, h=0: dt.datetime(2024, 1, d, h)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    def start(qname):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        return (
+            suppressed_table_stream(stream, day_ms)
+            .writeStream.format("parquet")
+            .queryName(qname)
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+
+    def emitted():
+        import glob as _glob
+
+        if not _glob.glob(f"{out}/*.parquet"):
+            return {}
+        return {
+            (r.user_id, r.last_value)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    def wait_rows_processed(q, want, deadline_s=40):
+        t0 = _time.time()
+        seen = 0
+        while seen < want:
+            assert _time.time() - t0 < deadline_s, f"only {seen}/{want} rows"
+            seen = sum(int(p["numInputRows"]) for p in q.recentProgress)
+            _time.sleep(0.2)
+
+    # cycle opens and coalesces BEFORE the stop; deadline Jan 2
+    write_batch([(1, 10, t(1), 1.0, "view"), (1, 11, t(1, 6), 2.0, "view")])
+    q1 = start("suppress_restart_1")
+    wait_rows_processed(q1, 2)
+    q1.stop()
+    q1.awaitTermination()
+    assert emitted() == set()  # nothing flushed: wm never crossed Jan 2
+
+    # restart; Jan 5 data advances the RECOVERED watermark past the
+    # RECOVERED deadline -> key 1 flushes its coalesced buffer (v2.0)
+    write_batch([(2, 20, t(5), 9.0, "view")])
+    q2 = start("suppress_restart_2")
+    try:
+        deadline = _time.time() + 60
+        while (1, 2.0) not in emitted():
+            assert _time.time() < deadline, f"stuck at {emitted()}"
+            _time.sleep(0.2)
+        # far-future row drains key 2's cycle too
+        write_batch([(-1, -1, t(10), 0.0, "__drain__")])
+        while (2, 9.0) not in emitted():
+            assert _time.time() < deadline, f"stuck at {emitted()}"
+            _time.sleep(0.2)
+    finally:
+        q2.stop()
+        q2.awaitTermination()
+    got = {kv for kv in emitted() if kv[0] != -1}
+    assert got == {(1, 2.0), (2, 9.0)}  # exactly once each, coalesced
