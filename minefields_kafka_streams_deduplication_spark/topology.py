@@ -414,6 +414,24 @@ class KTable(_Describable):
         streaming/suppress.py."""
         return self
 
+    def group_by(self, *keys: str) -> "KGroupedStream":
+        """[R KTable#groupBy -> KGroupedTable]: re-key the table and
+        re-aggregate. KS needs an adder AND a subtractor here because a
+        changelog UPDATE retracts the old value from the old group
+        before adding to the new one; in batch replay the aggregation
+        runs over the FINAL compacted table, so a plain aggregate is
+        exactly the adder/subtractor fixpoint — the subtractor has
+        nothing left to retract. (The streaming twin of this retraction
+        machinery is table_changelog_stream's update mode.)"""
+        if not keys:
+            raise ValueError("group_by needs at least one key column")
+        return KGroupedStream(
+            self.df,
+            list(keys),
+            lineage=self._lineage
+            + (f"Processor: groupBy({', '.join(keys)}) [KGroupedTable]",),
+        )
+
     def to_stream(self) -> KStream:  # [R KTable#toStream]
         return KStream(
             self.df, self.key, self._lineage + ("Processor: toStream",)

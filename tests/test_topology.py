@@ -338,3 +338,26 @@ def test_topology_test_driver_ports_ks_unit_tests(spark):
         lambda b: b.table("events", "user_id", "ts")
     ).read_key_values("user_id", "event_id")
     assert latest == {1: 11, 2: 20}
+
+
+def test_ktable_group_by_reaggregates_final_table(spark, sf_dir):
+    """[R KTable#groupBy/KGroupedTable]: re-keying the compacted table
+    and re-aggregating equals aggregating the batch latest-per-key view
+    — the adder/subtractor fixpoint without retraction machinery."""
+    b = StreamsBuilder(spark, sf_dir)
+    got = {
+        (r.event_type, r["count"])
+        for r in (
+            b.table("events", "user_id", "ts")
+            .group_by("event_type")
+            .count()
+            .to_df()
+            .collect()
+        )
+    }
+    latest = engine.get_queries()["latest_by_key"](spark, sf_dir)
+    want = {
+        (r.event_type, r.n)
+        for r in latest.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want and len(got) > 0
