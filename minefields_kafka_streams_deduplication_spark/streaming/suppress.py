@@ -259,16 +259,19 @@ def run_suppressed(
     return spark.table(name).where(F.col("user_id") != _SENTINEL_KEY)
 
 
-@query("table_suppress_time_limit")  # rows-only: emission timing is
-                                     # stream-position-dependent
-def table_suppress_time_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Debounced KTable updates over the events fixture: replay the
-    topic in time order, coalesce each user's updates under a 2-day
-    stream-time limit, emit at most one update per user per cycle. The
-    harness runs to the fixpoint where the update stream has delivered
-    every key's final value, so the returned history is complete; the
-    per-key final values equal `latest_by_key` and the once-per-limit
-    pacing is pinned in tests/test_streaming.py."""
+# One harness run serves both registered queries below; memoized per
+# (session, fixture identity) so the driver executing them back-to-back
+# pays the micro-batch machinery once.
+_SUPPRESS_HIST_CACHE: dict = {}
+
+
+def _suppress_history_rows(spark: SparkSession, sf_dir: str) -> list:
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    key = (id(spark), sf_dir, st.st_mtime_ns, st.st_size)
+    if key in _SUPPRESS_HIST_CACHE:
+        return _SUPPRESS_HIST_CACHE[key]
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value", "event_type"
     )
@@ -285,4 +288,59 @@ def table_suppress_time_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = hist.orderBy("user_id", "emit_stream_time_ms").collect()
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+    _SUPPRESS_HIST_CACHE[key] = rows
+    return rows
+
+
+@query("table_suppress_time_limit")  # rows-only: emission timing is
+                                     # stream-position-dependent
+def table_suppress_time_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounced KTable updates over the events fixture: replay the
+    topic in time order, coalesce each user's updates under a 2-day
+    stream-time limit, emit at most one update per user per cycle. The
+    harness runs to the fixpoint where the update stream has delivered
+    every key's final value, so the returned history is complete; the
+    per-key final values equal `latest_by_key` and the once-per-limit
+    pacing is pinned in tests/test_streaming.py."""
+    rows = _suppress_history_rows(spark, sf_dir)
     return spark.createDataFrame(rows, SUPPRESS_OUTPUT_SCHEMA)
+
+
+@query(
+    "table_suppress_final_state",
+    oracle="""
+SELECT user_id,
+       value AS last_value,
+       event_type AS last_type,
+       CAST(epoch_us(ts) AS BIGINT) AS last_ts_us
+FROM (
+  SELECT user_id, value, event_type, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t
+WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def table_suppress_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The debounce's conservation law as a DRIVER-HASH-CHECKED oracle
+    row: after the coalesced update stream drains, the last emission
+    per key must carry exactly the batch latest-per-key value — a lost
+    buffer, a double flush, or a mis-coalesced winner breaks the hash.
+    (The emission TIMING stays rows-only in table_suppress_time_limit;
+    this query projects the timing away so the invariant that IS
+    engine-independent gets the stronger check.)"""
+    rows = _suppress_history_rows(spark, sf_dir)
+    best: dict = {}
+    for r in rows:
+        cur = best.get(r.user_id)
+        if cur is None or r.last_ts_us > cur.last_ts_us:
+            best[r.user_id] = r
+    out = [
+        (u, b.last_value, b.last_type, b.last_ts_us)
+        for u, b in sorted(best.items())
+    ]
+    return spark.createDataFrame(
+        out, "user_id LONG, last_value DOUBLE, last_type STRING, last_ts_us LONG"
+    )
