@@ -586,6 +586,42 @@ def phash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"doc_id": ids, "phash": sigs})
 
 
+def _collapsed_sig_chunks(payloads: DataFrame):
+    """Shared candidate machinery of phash_pairs / phash_keep_first:
+    hash every image, collapse identical signatures to their min-doc
+    representative (the exact-copy-flood rule), and band the DISTINCT
+    signatures into 4×16-bit chunk rows. Returns (members, chunked):
+    members = (doc_id, rep_id) for the expansion joins, chunked =
+    (doc_id, phash, chunk, cval) over representatives only."""
+    from pyspark.sql import Window
+
+    sigs = payloads.mapInPandas(phash_batches, "doc_id LONG, phash LONG")
+    flagged = sigs.withColumn(
+        "rep_id", F.min("doc_id").over(Window.partitionBy("phash"))
+    )
+    reps = flagged.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id", "phash"
+    )
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("phash"), c * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("cval"),
+            )
+            for c in range(4)
+        ]
+    )
+    chunked = reps.select("doc_id", "phash", F.explode(chunks).alias("cc")).select(
+        "doc_id",
+        "phash",
+        F.col("cc.chunk").alias("chunk"),
+        F.col("cc.cval").alias("cval"),
+    )
+    return flagged.select("doc_id", "rep_id"), chunked
+
+
 def phash_pairs(payloads: DataFrame) -> DataFrame:
     """Near-dup image pairs from a (doc_id, payload BINARY) frame:
     aHash signatures, banded into 4x16-bit chunks (pigeonhole: two
@@ -606,32 +642,7 @@ def phash_pairs(payloads: DataFrame) -> DataFrame:
     as Hamming-0 pairs) — output-sized work, which pairs inherently
     are.
     """
-    from pyspark.sql import Window
-
-    sigs = payloads.mapInPandas(phash_batches, "doc_id LONG, phash LONG")
-    flagged = sigs.withColumn(
-        "rep_id", F.min("doc_id").over(Window.partitionBy("phash"))
-    )
-    reps = flagged.filter(F.col("doc_id") == F.col("rep_id")).select(
-        F.col("doc_id"), "phash"
-    )
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("chunk"),
-                F.shiftright(F.col("phash"), c * 16)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("cval"),
-            )
-            for c in range(4)
-        ]
-    )
-    chunked = reps.select("doc_id", "phash", F.explode(chunks).alias("cc")).select(
-        "doc_id",
-        "phash",
-        F.col("cc.chunk").alias("chunk"),
-        F.col("cc.cval").alias("cval"),
-    )
+    members, chunked = _collapsed_sig_chunks(payloads)
     x = chunked.select(
         "chunk", "cval", F.col("doc_id").alias("rep_1"), F.col("phash").alias("p1")
     )
@@ -647,7 +658,6 @@ def phash_pairs(payloads: DataFrame) -> DataFrame:
         .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
         .select("rep_1", "rep_2", "hamming")
     )
-    members = flagged.select("doc_id", "rep_id")
     m1 = members.select(F.col("rep_id").alias("rep_1"), F.col("doc_id").alias("d1"))
     m2 = members.select(F.col("rep_id").alias("rep_2"), F.col("doc_id").alias("d2"))
     cross = (
@@ -706,32 +716,10 @@ def phash_keep_first(payloads: DataFrame) -> DataFrame:
     join → Hamming verify), so the two stay in lockstep; parity with
     the pair form is pinned in tests/test_multimodal.py (survivors ==
     docs with no pair to a smaller doc)."""
-    from pyspark.sql import Window
-
-    sigs = payloads.mapInPandas(phash_batches, "doc_id LONG, phash LONG")
-    flagged = sigs.withColumn(
-        "rep_id", F.min("doc_id").over(Window.partitionBy("phash"))
-    )
-    reps = flagged.filter(F.col("doc_id") == F.col("rep_id")).select(
-        "doc_id", "phash"
-    )
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("chunk"),
-                F.shiftright(F.col("phash"), c * 16)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("cval"),
-            )
-            for c in range(4)
-        ]
-    )
-    chunked = reps.select("doc_id", "phash", F.explode(chunks).alias("cc")).select(
-        "doc_id",
-        "phash",
-        F.col("cc.chunk").alias("chunk"),
-        F.col("cc.cval").alias("cval"),
-    )
+    members, chunked = _collapsed_sig_chunks(payloads)
+    reps = members.filter(F.col("doc_id") == F.col("rep_id")).join(
+        chunked.select("doc_id", "phash").distinct(), "doc_id"
+    ).select("doc_id", "phash")
     x = chunked.select(
         "chunk", "cval", F.col("doc_id").alias("rep_1"), F.col("phash").alias("p1")
     )

@@ -687,8 +687,15 @@ class ReadOnlyVersionedKeyValueStore:
     def history(self, key: int) -> DataFrame:
         """All retained versions for the key, oldest first — the
         layout's extra verb (KS exposes no history scan; parquet
-        retention makes it free)."""
+        retention makes it free). A key hashing to an absent bucket
+        returns an empty frame with the STORE's schema (read from any
+        existing bucket), not the events-fixture default."""
         df = self._slice(key, None)
         if df is None:
-            return _empty_store(self.spark).limit(0)
+            others = glob.glob(os.path.join(self.root, "bucket=*"))
+            if not others:
+                return _empty_store(self.spark)
+            return (
+                self.spark.read.parquet(others[0]).limit(0).drop("bucket")
+            )
         return df.orderBy(self.ts_col)
