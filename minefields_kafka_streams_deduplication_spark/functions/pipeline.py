@@ -992,3 +992,67 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+CHUNK_TOKENS = 128   # window width (tokens)
+CHUNK_STRIDE = 96    # stride; 32-token overlap between neighbors
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, n, unnest(range(0,
+           CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+                ELSE (n - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} + 1
+           END)) AS chunk_idx
+  FROM toks
+)
+SELECT s.doc_id,
+       CAST(s.chunk_idx AS INT) AS chunk_idx,
+       array_to_string(
+         list_slice(t.t, s.chunk_idx * {CHUNK_STRIDE} + 1,
+                    least(s.chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}, s.n)),
+         ' ') AS chunk_text,
+       CAST(least({CHUNK_TOKENS}, s.n - s.chunk_idx * {CHUNK_STRIDE}) AS INT)
+         AS n_tokens
+FROM spans s JOIN toks t ON s.doc_id = t.doc_id
+ORDER BY s.doc_id, chunk_idx
+""",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the RAG-indexing / long-doc
+    training-window splitter: each document becomes ceil((n - W)/S) + 1
+    overlapping chunks of up to W = {CHUNK_TOKENS} tokens at stride
+    S = {CHUNK_STRIDE} (last chunk truncated, every token covered,
+    neighbors overlap by W - S tokens).
+
+    Plan: tokens materialized once, chunk spans explode from a
+    sequence (codegen), each chunk a slice+concat_ws projection — one
+    narrow explode, NO shuffle until the presentation sort; at 100 TB
+    this rides the scan like every other per-doc op."""
+    docs = load_table(spark, sf_dir, "documents")
+    W, S = CHUNK_TOKENS, CHUNK_STRIDE
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    n_chunks = F.expr(
+        f"IF(n <= {W}, 1, (n - {W} + {S} - 1) div {S} + 1)"
+    )
+    spans = toks.select(
+        "doc_id", "t", "n",
+        F.explode(F.sequence(F.lit(0), n_chunks.cast("int") - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * S
+    return spans.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", F.expr(f"slice(t, chunk_idx * {S} + 1, {W})")).alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(W), F.col("n") - start).cast("int").alias("n_tokens"),
+    ).orderBy("doc_id", "chunk_idx")

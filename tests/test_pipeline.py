@@ -336,3 +336,40 @@ def test_mix_temperature_flattens_shares(spark, sf_dir):
         # mix_weight is published at 4 decimals while budget_docs uses
         # the unrounded weight: bound = 0.5 (floor) + budget * 5e-5
         assert abs(r.budget_docs - r.mix_weight * MIX_SAMPLE_BUDGET) <= 0.5 + MIX_SAMPLE_BUDGET * 5e-5 + 1
+
+
+def test_chunk_documents_coverage_and_overlap(spark, sf_dir):
+    """Chunking invariants: every token of every doc lands in at least
+    one chunk (reassembling stride-aligned prefixes reproduces the
+    doc), neighbor chunks overlap by W-S tokens, chunk sizes are
+    bounded by W, and short docs are exactly one whole chunk."""
+    import minefields_kafka_streams_deduplication_spark as engine
+    from minefields_kafka_streams_deduplication_spark.functions.pipeline import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    rows = engine.get_queries()["chunk_documents"](spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in engine.load_table(spark, sf_dir, "documents").collect()
+    }
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        toks = docs[doc_id]
+        n = len(toks)
+        assert [r.chunk_idx for r in chunks] == list(range(len(chunks)))
+        for r in chunks:
+            start = r.chunk_idx * CHUNK_STRIDE
+            want = toks[start : start + CHUNK_TOKENS]
+            assert r.chunk_text.split(" ") == want if want else r.chunk_text == ""
+            assert r.n_tokens == len(want) <= CHUNK_TOKENS
+        # full coverage: last chunk reaches the end of the doc
+        last = chunks[-1]
+        assert last.chunk_idx * CHUNK_STRIDE + last.n_tokens == n
+        if n <= CHUNK_TOKENS:
+            assert len(chunks) == 1 and chunks[0].chunk_text == " ".join(toks)
