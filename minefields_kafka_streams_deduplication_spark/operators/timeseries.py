@@ -291,3 +291,64 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         kernel, "event_id LONG, user_id LONG, value DOUBLE, ewma DOUBLE"
     )
+
+
+@query(
+    "scd2_user_value_history",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, value, ts, event_id,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_value
+  FROM events
+),
+changes AS (
+  SELECT user_id, value, ts, event_id FROM ordered
+  WHERE prev_value IS NULL OR value <> prev_value
+)
+SELECT user_id, value, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to,
+       CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) IS NULL
+            THEN 1 ELSE 0 END AS is_current
+FROM changes
+""",
+)
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history build — the warehouse
+    twin of the KTable changelog ([R] a KTable materializes only the
+    LATEST value per key; SCD2 retains every distinct state with its
+    validity interval, which is what the versioned store's as-of read
+    serves point-wise). From the event changelog: collapse consecutive
+    equal values per key (change detection via LAG), then each change
+    opens an interval [valid_from, valid_to) closed by the next change
+    (LEAD), the open interval flagged ``is_current``.
+
+    Values are RAW stored doubles (no arithmetic), so cross-engine
+    equality of the change predicate is bit-exact; timestamps pass
+    through untouched.
+
+    Plan: ONE hash exchange on user_id shared by both windows (the
+    LEAD runs on the filtered change set under the same partitioning,
+    so Catalyst reuses the exchange — no second shuffle). At 100 TB
+    this is the per-entity ordered-processing shape: state per task is
+    one partition's sort run, and the output is bounded by the number
+    of VALUE CHANGES, not events."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "value", "ts", "event_id",
+        F.lag("value").over(w).alias("prev_value"),
+    )
+    changes = ordered.filter(
+        F.col("prev_value").isNull() | (F.col("value") != F.col("prev_value"))
+    )
+    valid_to = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.when(valid_to.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )

@@ -343,3 +343,62 @@ def test_phash_keep_first_matches_pair_star_policy(spark, sf_dir):
     got = {r.doc_id for r in phash_keep_first(payloads).collect()}
     assert got == want
     assert 0 < len(got) < len(hashed)  # the fixture has image near-dups
+
+
+def test_spectral_kernel_physics():
+    """The spectral features read real physics: a pure tone's centroid
+    lands within one FFT bin of the sine frequency with near-zero
+    flatness; white noise reads flat; rolloff brackets the tone."""
+    import numpy as np
+
+    from minefields_kafka_streams_deduplication_spark.multimodal.binary_ops import (
+        AUDIO_WINDOW_SAMPLES,
+        _encode_wav,
+        audio_spectral_batches,
+    )
+
+    rate, n = 8000, AUDIO_WINDOW_SAMPLES * 4
+    bin_hz = rate / AUDIO_WINDOW_SAMPLES
+    t = np.arange(n) / rate
+    tone = _encode_wav((12000 * np.sin(2 * np.pi * 440.0 * t)).astype("<i2"), rate)
+    noise = _encode_wav(
+        np.random.RandomState(7).randint(-20000, 20000, n).astype("<i2"), rate
+    )
+    pdf = pd.DataFrame({"doc_id": [1, 2], "payload": [tone, noise]})
+    out = pd.concat(list(audio_spectral_batches(iter([pdf]))))
+    assert (out.codec == "wav").all() and len(out) == 8
+    tone_rows = out[out.doc_id == 1]
+    assert (abs(tone_rows.centroid_hz - 440.0) <= bin_hz).all()
+    assert (tone_rows.flatness < 0.01).all()
+    assert (abs(tone_rows.rolloff_hz - 440.0) <= 2 * bin_hz).all()
+    noise_rows = out[out.doc_id == 2]
+    assert (noise_rows.flatness > 0.3).all()
+    assert (noise_rows.centroid_hz > 1000).all()  # energy spread high
+
+
+def test_audio_spectral_query_end_to_end(spark, sf_dir):
+    """End-to-end over the synthesized corpus: every row decodes via
+    the real WAV codec and each doc's centroid matches its synthesized
+    sine frequency (110*(1+doc_id%12)) within two FFT bins (fixture
+    tones sit BETWEEN bins, so per-window phase shifts the
+    leakage-weighted centroid by up to ~1.1 bins — the on-bin tight
+    pin lives in test_spectral_kernel_physics)."""
+    import pyspark.sql.functions as F
+
+    from minefields_kafka_streams_deduplication_spark.multimodal.binary_ops import (
+        AUDIO_WINDOW_SAMPLES,
+    )
+    from minefields_kafka_streams_deduplication_spark.registry import QUERIES
+
+    out = QUERIES["multimodal_audio_spectral"](spark, sf_dir)
+    bin_hz = 8000 / AUDIO_WINDOW_SAMPLES
+    expected = 110.0 * (1 + F.col("doc_id") % 12)
+    bad = out.filter(
+        (F.col("codec") != "wav")
+        | (F.abs(F.col("centroid_hz") - expected) > 2 * bin_hz)
+        | (F.col("flatness") > 0.05)
+    )
+    assert bad.count() == 0
+    # fan-out bounded: windows per doc = payload_samples // win <= 8
+    per_doc = out.groupBy("doc_id").count()
+    assert per_doc.filter(F.col("count") > 8).count() == 0

@@ -113,3 +113,49 @@ def test_ewma_matches_recursion_replay(spark, sf_dir):
     assert set(got) == set(want)
     for eid, y in want.items():
         assert abs(got[eid] - y) < 1e-9, eid
+
+
+def test_scd2_collapses_equal_runs_and_chains_intervals(spark, monkeypatch):
+    """Consecutive equal values collapse into one validity interval; a
+    value that RETURNS after an intervening change opens a NEW interval
+    (5,5,7,5 -> three rows); intervals chain end-to-start and exactly
+    the last one is current."""
+    rows = [(0, 7, 5.0), (10, 7, 5.0), (20, 7, 7.0), (30, 7, 5.0)]
+    monkeypatch.setattr(ts_ops, "load_table", lambda s, d, n: _ev(spark, rows))
+    out = sorted(
+        ts_ops.scd2_user_value_history(spark, "x").collect(),
+        key=lambda r: r.valid_from,
+    )
+    assert [r.value for r in out] == [5.0, 7.0, 5.0]
+    assert [r.is_current for r in out] == [0, 0, 1]
+    # intervals chain: each valid_to is the next valid_from; last open
+    assert out[0].valid_to == out[1].valid_from
+    assert out[1].valid_to == out[2].valid_from
+    assert out[2].valid_to is None
+    assert out[0].valid_from == T0  # first change = first event
+
+
+def test_scd2_fixture_invariants(spark, sf_dir):
+    """On the real fixture: exactly one current row per user, no
+    consecutive equal values, and intervals per user tile the span."""
+    out = ts_ops.scd2_user_value_history(spark, sf_dir)
+    per_user = out.groupBy("user_id").agg(
+        F.sum("is_current").alias("n_current"),
+        F.count("*").alias("n_rows"),
+    )
+    assert per_user.filter(F.col("n_current") != 1).count() == 0
+    # no adjacent interval shares its value (change detection worked)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("valid_from")
+    adj = out.withColumn("nxt_v", F.lead("value").over(w)).withColumn(
+        "nxt_from", F.lead("valid_from").over(w)
+    )
+    assert adj.filter(F.col("nxt_v") == F.col("value")).count() == 0
+    # chaining: valid_to == next interval's valid_from everywhere
+    assert (
+        adj.filter(F.col("nxt_from").isNotNull())
+        .filter(F.col("valid_to") != F.col("nxt_from"))
+        .count()
+        == 0
+    )
