@@ -586,16 +586,72 @@ def phash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"doc_id": ids, "phash": sigs})
 
 
-def _collapsed_sig_chunks(payloads: DataFrame):
+PHASH_DCT_EDGE = 32  # pHash: 32x32 grayscale -> 2D DCT -> 8x8 low-freq block
+_DCT_BASIS = None
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis matrix (the public JPEG/pHash
+    transform): row k is sqrt(2/n)*cos(pi*(2i+1)k/2n), row 0 scaled by
+    1/sqrt(2). 2-D DCT = D @ img @ D.T."""
+    import numpy as np
+
+    k = np.arange(n, dtype=np.float64)[:, None]
+    i = np.arange(n, dtype=np.float64)[None, :]
+    m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+def _dct_phash(img) -> int:
+    """True perceptual hash (public pHash algorithm): grayscale ->
+    32x32 resample -> 2-D DCT -> top-left 8x8 coefficient block minus
+    DC -> bit = coefficient > median. Compared to aHash this keeps only
+    the lowest spatial frequencies, so high-frequency edits (noise,
+    dithering, small local patches) perturb fewer bits, and two exact
+    invariances hold BY CONSTRUCTION: brightness shift (touches only
+    the excluded DC term) and linear contrast scaling (every AC
+    coefficient and their median scale by the same positive factor) —
+    both test-pinned."""
+    import numpy as np
+
+    global _DCT_BASIS
+    if _DCT_BASIS is None:
+        _DCT_BASIS = _dct_matrix(PHASH_DCT_EDGE)
+    gray = img.astype(np.float64).sum(axis=2) / 3.0
+    small = _resize_nearest(gray, PHASH_DCT_EDGE, PHASH_DCT_EDGE)
+    coef = _DCT_BASIS @ small @ _DCT_BASIS.T
+    block = coef[:PHASH_EDGE, :PHASH_EDGE].ravel()[1:]  # 63 AC coefs, no DC
+    bits = (block > np.median(block)).astype(np.uint64)
+    return int((bits << np.arange(63, dtype=np.uint64)).sum())
+
+
+def dct_phash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, payload) -> (doc_id, phash) via the
+    DCT pHash. Same drop-undecodable/too-small policy as
+    ``phash_batches``."""
+    for pdf in it:
+        ids, sigs = [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            img = _decode_bmp_pixels(bytes(payload))
+            if img is None or img.shape[0] < PHASH_EDGE or img.shape[1] < PHASH_EDGE:
+                continue
+            ids.append(int(doc_id))
+            sigs.append(_dct_phash(img))
+        yield pd.DataFrame({"doc_id": ids, "phash": sigs})
+
+
+def _collapsed_sig_chunks(payloads: DataFrame, batches_fn=phash_batches):
     """Shared candidate machinery of phash_pairs / phash_keep_first:
-    hash every image, collapse identical signatures to their min-doc
+    hash every image (``batches_fn`` picks the signature — aHash or
+    DCT pHash), collapse identical signatures to their min-doc
     representative (the exact-copy-flood rule), and band the DISTINCT
     signatures into 4×16-bit chunk rows. Returns (members, chunked):
     members = (doc_id, rep_id) for the expansion joins, chunked =
     (doc_id, phash, chunk, cval) over representatives only."""
     from pyspark.sql import Window
 
-    sigs = payloads.mapInPandas(phash_batches, "doc_id LONG, phash LONG")
+    sigs = payloads.mapInPandas(batches_fn, "doc_id LONG, phash LONG")
     flagged = sigs.withColumn(
         "rep_id", F.min("doc_id").over(Window.partitionBy("phash"))
     )
@@ -622,9 +678,10 @@ def _collapsed_sig_chunks(payloads: DataFrame):
     return flagged.select("doc_id", "rep_id"), chunked
 
 
-def phash_pairs(payloads: DataFrame) -> DataFrame:
+def phash_pairs(payloads: DataFrame, batches_fn=phash_batches) -> DataFrame:
     """Near-dup image pairs from a (doc_id, payload BINARY) frame:
-    aHash signatures, banded into 4x16-bit chunks (pigeonhole: two
+    perceptual signatures (``batches_fn``: aHash default, DCT pHash
+    via ``dct_phash_batches``), banded into 4x16-bit chunks (pigeonhole: two
     signatures within Hamming distance 3 share a chunk; wider
     distances are still found when any chunk collides — banding recall
     is declared, as in SimHash/MinHash), exact Hamming verification on
@@ -642,7 +699,7 @@ def phash_pairs(payloads: DataFrame) -> DataFrame:
     as Hamming-0 pairs) — output-sized work, which pairs inherently
     are.
     """
-    members, chunked = _collapsed_sig_chunks(payloads)
+    members, chunked = _collapsed_sig_chunks(payloads, batches_fn)
     x = chunked.select(
         "chunk", "cval", F.col("doc_id").alias("rep_1"), F.col("phash").alias("p1")
     )
@@ -700,6 +757,20 @@ def multimodal_phash_dedup_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     payloads = docs.mapInPandas(synthesize_bmp_batches, "doc_id LONG, payload BINARY")
     return phash_pairs(payloads)
+
+
+@query("multimodal_phash_dct_dedup")  # rows-only: signatures are impl-specific
+def multimodal_phash_dct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dedup on the TRUE pHash (32x32 -> 2-D DCT -> 8x8
+    low-frequency block, median-thresholded) — the production-grade
+    sibling of the aHash query, sharing the identical
+    collapse-band-verify machinery and scale shape. The DCT keeps only
+    low spatial frequencies, so noise/dither-style edits perturb fewer
+    bits than aHash's pixel grid; its exact brightness- and
+    contrast-invariances are pinned in tests/test_multimodal.py."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = docs.mapInPandas(synthesize_bmp_batches, "doc_id LONG, payload BINARY")
+    return phash_pairs(payloads, dct_phash_batches)
 
 
 def phash_keep_first(payloads: DataFrame) -> DataFrame:

@@ -402,3 +402,74 @@ def test_audio_spectral_query_end_to_end(spark, sf_dir):
     # fan-out bounded: windows per doc = payload_samples // win <= 8
     per_doc = out.groupBy("doc_id").count()
     assert per_doc.filter(F.col("count") > 8).count() == 0
+
+
+def test_dct_phash_invariances():
+    """The DCT pHash's construction-level invariances: brightness shift
+    (DC excluded) and linear contrast scaling (AC coefs and median
+    scale together) leave the signature BIT-IDENTICAL; a 2x nearest
+    upscale is signature-identical; distinct images differ widely; and
+    high-frequency noise perturbs the DCT signature no more than the
+    pixel-grid aHash (the low-pass advantage)."""
+    import numpy as np
+
+    from minefields_kafka_streams_deduplication_spark.multimodal.binary_ops import (
+        _ahash,
+        _dct_phash,
+        _resize_nearest,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 200, (64, 64, 3)).astype(np.uint8)
+    base = _dct_phash(img)
+    # brightness shift: +40 on every channel (no clipping: max 239)
+    assert _dct_phash(img + 40) == base
+    # contrast scale x1.2 without clipping (float pixels are fine)
+    assert _dct_phash(img.astype(np.float64) * 1.2) == base
+    # 2x nearest upscale
+    up = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+    assert _dct_phash(up) == base
+    # distinct random images are far apart
+    other = rng.randint(0, 200, (64, 64, 3)).astype(np.uint8)
+    far = bin(base ^ _dct_phash(other)).count("1")
+    assert far > 15
+    # high-frequency noise on NATURAL-image-like content (1/f^2 field:
+    # integrated white noise — photos have decaying spectra; a uniform-
+    # random image is itself white noise and carries no low-freq signal
+    # for the DCT to hold on to): the low-pass pHash flips fewer bits
+    # than the pixel-grid aHash, averaged over trials.
+    w = rng.randn(64, 64)
+    brown = np.cumsum(np.cumsum(w, axis=0), axis=1)
+    brown = (brown - brown.min()) / (brown.max() - brown.min()) * 200 + 20
+    nat = np.stack([brown.astype(np.uint8)] * 3, axis=2)
+    nat_d, nat_a = _dct_phash(nat), _ahash(nat)
+    d_dct = d_ahash = 0
+    for _ in range(10):
+        noisy = np.clip(
+            nat.astype(np.int32) + rng.randint(-25, 26, nat.shape), 0, 255
+        ).astype(np.uint8)
+        d_dct += bin(nat_d ^ _dct_phash(noisy)).count("1")
+        d_ahash += bin(nat_a ^ _ahash(noisy)).count("1")
+    assert d_dct < d_ahash  # the low-pass advantage, 10-trial mean
+    assert d_dct / 10 < 12  # and absolutely small vs the 63-bit sig
+    # sanity: the 32x32 resample path is what the hash sees
+    small = _resize_nearest(img, 32, 32)
+    assert small.shape == (32, 32, 3)
+
+
+def test_dct_phash_query_end_to_end(spark, sf_dir):
+    """The DCT query emits verified pairs over the synthesized corpus
+    with the same exact-copy guarantees as the aHash form: every
+    identical-text pair (same BMP bytes) appears at Hamming 0."""
+    import minefields_kafka_streams_deduplication_spark as engine
+    import pyspark.sql.functions as F
+
+    out = engine.get_queries()["multimodal_phash_dct_dedup"](spark, sf_dir)
+    docs = engine.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.select(F.col("doc_id").alias("d1"), F.col("text").alias("t"))
+    b = docs.select(F.col("doc_id").alias("d2"), F.col("text").alias("t"))
+    twins = a.join(b, "t").filter(F.col("d1") < F.col("d2")).select("d1", "d2")
+    found = out.filter(F.col("hamming") == 0).select(
+        F.col("doc_id_1").alias("d1"), F.col("doc_id_2").alias("d2")
+    )
+    assert twins.join(found, ["d1", "d2"], "left_anti").count() == 0
