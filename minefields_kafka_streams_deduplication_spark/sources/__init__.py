@@ -28,3 +28,5 @@ from .state_store import (  # noqa: F401
     store_approx_count,
     versioned_store_get,
 )
+from . import layout  # noqa: F401  (registers zorder_box_query)
+from .layout import morton_key, quantize, write_zorder  # noqa: F401
