@@ -528,6 +528,110 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIGRAM_LAMBDA = 0.75  # interpolation weight: bigram vs unigram backoff
+
+
+@query(
+    "doc_bigram_logprob",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk)),
+                               i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS b
+  FROM toks WHERE len(tk) >= 2
+),
+doc_bg AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2, count(*) AS c FROM bg
+  GROUP BY doc_id, b.w1, b.w2
+),
+corpus_bg AS (SELECT w1, w2, sum(c) AS cbg FROM doc_bg GROUP BY w1, w2),
+lefts AS (SELECT w1, sum(cbg) AS cl FROM corpus_bg GROUP BY w1),
+uni AS (
+  SELECT t, count(*) AS cu
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+  GROUP BY t
+),
+tot AS (SELECT sum(cu) AS tu FROM uni),
+terms AS (
+  SELECT d.doc_id, d.c,
+         CAST(ln({BIGRAM_LAMBDA} * (CAST(g.cbg AS DOUBLE) / l.cl)
+                 + {1 - BIGRAM_LAMBDA} * (CAST(u.cu AS DOUBLE) / t.tu))
+              AS DECIMAL(18,6)) AS lp
+  FROM doc_bg d
+  JOIN corpus_bg g ON d.w1 = g.w1 AND d.w2 = g.w2
+  JOIN lefts l ON d.w1 = l.w1
+  JOIN uni u ON d.w2 = u.t
+  CROSS JOIN tot t
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       floor(-CAST(sum(c * lp) AS DOUBLE) / sum(c) * 10000 + 0.5) / 10000
+         AS avg_nll
+FROM terms GROUP BY doc_id
+""",
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM quality score — the next rung above
+    `doc_unigram_logprob` on the KenLM-style perplexity-filter ladder:
+    per-doc average negative log-likelihood of each adjacent token pair
+    under p(w2|w1) = lambda*c(w1,w2)/c(w1,*) + (1-lambda)*c(w2)/total,
+    the classic Jelinek-Mercer interpolation (every transition backs
+    off to the unigram, so unseen-pair smoothing is never needed for a
+    self-fit LM — every scored pair exists in the corpus counts).
+
+    Cross-engine exactness (the doc_unigram_logprob discipline): the
+    interpolated probability is pure IEEE arithmetic in the SAME
+    operation order on both engines (divide, multiply, add), each
+    per-pair ln() term snaps to DECIMAL(18,6) BEFORE the exact decimal
+    sum, and the final quotient rounds via the floor form.
+
+    100 TB shape: positions collapse to (doc_id, w1, w2, c) BEFORE any
+    join, so join input is distinct-bigrams-per-doc; corpus bigram /
+    left-context / unigram frames are all map-side-combined and
+    vocabulary-bounded; the total is a 1-row broadcast. Zipf-head skew
+    is bounded by doc count (same argument as the unigram filter —
+    broadcast the head, shuffle the tail at extreme scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
+    n = F.size("tk")
+    zipped = F.arrays_zip(
+        F.slice("tk", 1, n - 1),
+        F.expr("slice(tk, 2, size(tk) - 1)"),
+    )
+    pairs = (
+        toks.where(n >= 2)
+        .select("doc_id", F.explode(zipped).alias("p"))
+        .select("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    )
+    doc_bg = pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    corpus_bg = doc_bg.groupBy("w1", "w2").agg(F.sum("c").alias("cbg"))
+    lefts = corpus_bg.groupBy("w1").agg(F.sum("cbg").alias("cl"))
+    uni = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    tot = uni.agg(F.sum("cu").alias("tu"))
+    p_interp = F.lit(BIGRAM_LAMBDA) * (
+        F.col("cbg").cast("double") / F.col("cl")
+    ) + F.lit(1 - BIGRAM_LAMBDA) * (F.col("cu").cast("double") / F.col("tu"))
+    terms = (
+        doc_bg.join(corpus_bg, ["w1", "w2"])
+        .join(lefts, "w1")
+        .join(uni, F.col("w2") == F.col("t"))
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "c", F.log(p_interp).cast("decimal(18,6)").alias("lp"))
+    )
+    return terms.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        round4f(
+            -F.sum(F.col("c") * F.col("lp")).cast("double") / F.sum("c")
+        ).alias("avg_nll"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic per-group K-sample with threshold pruning.
 # ---------------------------------------------------------------------------

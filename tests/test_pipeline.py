@@ -373,3 +373,57 @@ def test_chunk_documents_coverage_and_overlap(spark, sf_dir):
         assert last.chunk_idx * CHUNK_STRIDE + last.n_tokens == n
         if n <= CHUNK_TOKENS:
             assert len(chunks) == 1 and chunks[0].chunk_text == " ".join(toks)
+
+
+def test_bigram_logprob_matches_python_reference(spark, monkeypatch):
+    """Crafted corpus replayed by a pure-Python interpolated-bigram LM:
+    per-doc avg NLL matches to the 4-decimal snap, and a doc made of
+    the corpus's dominant transition scores lower (better) than one
+    using a rare transition."""
+    import math
+    from collections import Counter
+
+    from minefields_kafka_streams_deduplication_spark.functions import pipeline
+
+    texts = {0: "a b a b a b", 1: "a c", 2: "a b x y", 3: "q"}
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    monkeypatch.setattr(pipeline, "load_table", lambda s, d, n: df)
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_nll)
+        for r in pipeline.doc_bigram_logprob(spark, "ignored").collect()
+    }
+
+    toks = {i: t.split(" ") for i, t in texts.items()}
+    bg = Counter(
+        (w1, w2) for tk in toks.values() for w1, w2 in zip(tk, tk[1:])
+    )
+    left = Counter()
+    for (w1, _), c in bg.items():
+        left[w1] += c
+    uni = Counter(w for tk in toks.values() for w in tk)
+    tot = sum(uni.values())
+    lam = pipeline.BIGRAM_LAMBDA
+
+    def snap6(x: float) -> float:
+        return round(x, 6)  # DECIMAL(18,6) snap of each ln term
+
+    expect = {}
+    for i, tk in toks.items():
+        prs = list(zip(tk, tk[1:]))
+        if not prs:
+            continue  # <2 tokens: no bigrams, no row
+        s = sum(
+            snap6(math.log(lam * (bg[p] / left[p[0]]) + (1 - lam) * (uni[p[1]] / tot)))
+            for p in prs
+        )
+        expect[i] = (len(prs), math.floor(-s / len(prs) * 10000 + 0.5) / 10000)
+
+    assert set(got) == set(expect)  # doc 3 (1 token) absent
+    for i in expect:
+        assert got[i][0] == expect[i][0]
+        assert abs(got[i][1] - expect[i][1]) < 2e-4, (i, got[i], expect[i])
+    # dominant transition (a->b x3) beats the rare one (a->c)
+    assert got[0][1] < got[1][1]
