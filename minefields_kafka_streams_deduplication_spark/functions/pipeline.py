@@ -1160,3 +1160,122 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.least(F.lit(W), F.col("n") - start).cast("int").alias("n_tokens"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+DRIFT_BUCKETS = 10  # equal-width histogram cells for the PSI
+
+
+@query(
+    "drift_report_value_psi",
+    oracle=f"""
+WITH b AS (
+  SELECT min(value) AS vmin, max(value) AS vmax,
+         min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax
+  FROM events
+),
+tagged AS (
+  SELECT CASE WHEN epoch_us(e.ts) <= b.tmin + (b.tmax - b.tmin) // 2
+              THEN 0 ELSE 1 END AS half,
+         least({DRIFT_BUCKETS - 1}, greatest(0,
+           CAST(floor((e.value - b.vmin) / (b.vmax - b.vmin)
+                      * {DRIFT_BUCKETS}) AS INT))) AS bucket
+  FROM events e, b
+),
+counts AS (
+  SELECT bucket,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_base,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_curr
+  FROM tagged GROUP BY bucket
+),
+tot AS (SELECT sum(n_base) AS tb, sum(n_curr) AS tc FROM counts),
+probs AS (
+  SELECT bucket, n_base, n_curr,
+         (CAST(n_base AS DOUBLE) + 0.5)
+           / (CAST(tb AS DOUBLE) + {DRIFT_BUCKETS / 2.0}) AS pb,
+         (CAST(n_curr AS DOUBLE) + 0.5)
+           / (CAST(tc AS DOUBLE) + {DRIFT_BUCKETS / 2.0}) AS pc
+  FROM counts, tot
+)
+SELECT bucket,
+       CAST(n_base AS BIGINT) AS n_base,
+       CAST(n_curr AS BIGINT) AS n_curr,
+       floor(pb * 10000 + 0.5) / 10000 AS p_base,
+       floor(pc * 10000 + 0.5) / 10000 AS p_curr,
+       floor((pc - pb) * CAST(ln(pc / pb) AS DECIMAL(18,6)) * 10000 + 0.5)
+         / 10000 AS psi_term
+FROM probs
+""",
+)
+def drift_report_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report — the data-quality gate a recurring
+    ingestion pipeline runs before accepting a new crawl/batch: split
+    events at the midpoint of their time range into a baseline and a
+    current half, histogram `value` into equal-width cells over the
+    GLOBAL range, and emit each cell's population share in both halves
+    plus its Population-Stability-Index term
+    (p_curr - p_base) * ln(p_curr / p_base). Σ psi_term < 0.1 is the
+    classic "no action" threshold; 0.1-0.25 "monitor"; > 0.25 "drifted".
+    Counts are Laplace-smoothed (+0.5 per cell) so empty cells stay
+    finite — the standard PSI practice.
+
+    Cross-engine exactness: the split point is INTEGER microsecond
+    arithmetic (floor-div, no float); cell assignment, smoothing, and
+    shares are IEEE doubles in the same operation order on both
+    engines; the ln() divergence (1 ulp on ~1% of inputs) snaps to
+    DECIMAL(18,6) before the multiply, and every published ratio
+    rounds via the floor form.
+
+    100 TB shape: one map-side-combined aggregate over (bucket, half)
+    — cell-cardinality-bounded state — plus two 1-row broadcast
+    frames (bounds, totals). Nothing data-sized shuffles except the
+    10-cell count rows."""
+    ev = load_table(spark, sf_dir, "events")
+    k = DRIFT_BUCKETS
+    b = F.broadcast(
+        ev.agg(
+            F.min("value").alias("vmin"), F.max("value").alias("vmax"),
+            F.min(F.unix_micros("ts")).alias("tmin"),
+            F.max(F.unix_micros("ts")).alias("tmax"),
+        )
+    )
+    tagged = ev.crossJoin(b).select(
+        F.when(
+            F.unix_micros("ts")
+            <= F.col("tmin") + F.expr("(tmax - tmin) div 2"),
+            0,
+        ).otherwise(1).alias("half"),
+        F.least(
+            F.lit(k - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    / (F.col("vmax") - F.col("vmin"))
+                    * k
+                ).cast("int"),
+            ),
+        ).alias("bucket"),
+    )
+    counts = tagged.groupBy("bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_curr"),
+    )
+    tot = F.broadcast(
+        counts.agg(F.sum("n_base").alias("tb"), F.sum("n_curr").alias("tc"))
+    )
+    pb = (F.col("n_base").cast("double") + 0.5) / (
+        F.col("tb").cast("double") + k / 2.0
+    )
+    pc = (F.col("n_curr").cast("double") + 0.5) / (
+        F.col("tc").cast("double") + k / 2.0
+    )
+    return counts.crossJoin(tot).select(
+        "bucket",
+        F.col("n_base").cast("long").alias("n_base"),
+        F.col("n_curr").cast("long").alias("n_curr"),
+        round4f(pb).alias("p_base"),
+        round4f(pc).alias("p_curr"),
+        round4f(
+            (pc - pb) * F.log(pc / pb).cast("decimal(18,6)")
+        ).alias("psi_term"),
+    )

@@ -427,3 +427,40 @@ def test_bigram_logprob_matches_python_reference(spark, monkeypatch):
         assert abs(got[i][1] - expect[i][1]) < 2e-4, (i, got[i], expect[i])
     # dominant transition (a->b x3) beats the rare one (a->c)
     assert got[0][1] < got[1][1]
+
+
+def test_psi_drift_detects_shift(spark, monkeypatch):
+    """A corpus whose second half shifts its value distribution upward
+    produces a large PSI; an un-shifted corpus reads ~0. Crafted so
+    the halves are unambiguous (integer-µs midpoint split)."""
+    import datetime as dt
+
+    from minefields_kafka_streams_deduplication_spark.functions import pipeline
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = (
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+
+    def mk(values_by_minute):
+        rows = [
+            (i, t0 + dt.timedelta(minutes=m), 1, "x", v, "{}")
+            for i, (m, v) in enumerate(values_by_minute)
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    # shifted: first half clustered low, second half clustered high
+    shifted = mk([(m, 5.0 + (m % 3)) for m in range(50)]
+                 + [(m, 95.0 - (m % 3)) for m in range(50, 100)])
+    monkeypatch.setattr(pipeline, "load_table", lambda s, d, n: shifted)
+    rows = pipeline.drift_report_value_psi(spark, "ignored").collect()
+    psi = sum(r.psi_term for r in rows)
+    assert psi > 1.0  # near-total migration across cells
+    assert all(r.n_base + r.n_curr > 0 for r in rows)
+
+    # stable: identical distribution in both halves
+    stable = mk([(m, float(m % 10)) for m in range(100)])
+    monkeypatch.setattr(pipeline, "load_table", lambda s, d, n: stable)
+    rows = pipeline.drift_report_value_psi(spark, "ignored").collect()
+    assert sum(r.psi_term for r in rows) < 0.05
