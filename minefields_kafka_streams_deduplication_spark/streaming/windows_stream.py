@@ -506,3 +506,85 @@ def ohlc_bars_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         stream, "ohlc_bars_stream", partitions=stream_partitions(spark, sf_dir)
     )
+
+
+SCD2_OUTPUT_SCHEMA = "user_id LONG, value DOUBLE, valid_from TIMESTAMP"
+SCD2_STATE_SCHEMA = "last_value DOUBLE"
+
+
+def _scd2_change_fn(key, pdf_iter, state):
+    """applyInPandasWithState kernel: per-key change detection. State is
+    the key's last seen value; a batch's rows replay in (ts, event_id)
+    order (ALL Arrow chunks concatenated first — the multi-chunk
+    ordering lesson) and every value != previous emits one history-open
+    row. No timers: emission is purely data-driven, so the change rows
+    stream out in the same micro-batch that carried the change."""
+    import pandas as pd
+
+    pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+    last = state.get[0] if state.exists else None
+    out_v, out_ts = [], []
+    for v, ts in zip(pdf["value"], pdf["ts"]):
+        if last is None or v != last:
+            out_v.append(v)
+            out_ts.append(ts)
+            last = v
+    if last is not None:
+        state.update((float(last),))
+    yield pd.DataFrame(
+        {"user_id": key[0], "value": out_v, "valid_from": out_ts}
+    )
+
+
+@query("scd2_change_stream")  # rows-only: stateful streaming change detection
+def scd2_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `scd2_user_value_history`: the SCD2 change
+    stream maintained in-flight. Per-key state = last seen value (ONE
+    double — strictly smaller than the KTable); a time-ordered topic
+    replay drives change detection, and each change emits
+    (user_id, value, valid_from) the moment it is observed — the
+    open-interval half of the SCD2 row. valid_to is derivable
+    downstream (each change CLOSES its key's previous interval), so
+    the change stream carries the full history: parity with the batch
+    build's (user_id, value, valid_from) set is pinned in
+    tests/test_streaming.py.
+
+    Cross-batch correctness: the replay is time-ordered
+    (`stage_events_ordered`); state seeds each batch's comparison, so
+    a value that persists across a batch boundary does NOT re-emit."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..catalog import load_table
+    from .punctuate import _staged_partitions, stage_events_ordered
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    stage = tempfile.mkdtemp(prefix="scd2_stage_")
+    try:
+        stage_events_ordered(ev, stage)
+        schema = "user_id LONG, event_id LONG, ts TIMESTAMP, value DOUBLE"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        changes = stream.groupBy("user_id").applyInPandasWithState(
+            _scd2_change_fn,
+            outputStructType=SCD2_OUTPUT_SCHEMA,
+            stateStructType=SCD2_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        out = run_to_memory(
+            changes,
+            "scd2_change_stream",
+            partitions=_staged_partitions(spark, stage),
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.createDataFrame(rows, SCD2_OUTPUT_SCHEMA)

@@ -890,3 +890,58 @@ def test_suppress_buffer_and_event_timer_survive_restart(spark, tmp_path):
         q2.awaitTermination()
     got = {kv for kv in emitted() if kv[0] != -1}
     assert got == {(1, 2.0), (2, 9.0)}  # exactly once each, coalesced
+
+
+def test_scd2_stream_matches_batch_changes(spark, sf_dir):
+    """The streaming SCD2 change stream equals the batch history's
+    (user_id, value, valid_from) set — every change detected exactly
+    once across micro-batch boundaries."""
+    q = engine.get_queries()
+    a = set(map(tuple, q["scd2_change_stream"](spark, sf_dir).collect()))
+    b = set(
+        map(
+            tuple,
+            q["scd2_user_value_history"](spark, sf_dir)
+            .select("user_id", "value", "valid_from")
+            .collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+def test_scd2_stream_no_reemit_across_batches(spark, monkeypatch):
+    """A value that persists across micro-batch boundaries must NOT
+    re-emit: per-key state seeds the next batch's comparison. The
+    replay stages as 3 time slices, so the three equal-value rows land
+    in different micro-batches."""
+    import datetime as dt
+
+    from minefields_kafka_streams_deduplication_spark.streaming import (
+        windows_stream as ws,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, 5.0),
+        (2, t0 + dt.timedelta(minutes=40), 7, 5.0),
+        (3, t0 + dt.timedelta(minutes=80), 7, 9.0),
+        (4, t0 + dt.timedelta(minutes=85), 8, 5.0),
+    ]
+    df = spark.createDataFrame(
+        [(e, ts, u, v, "x", "{}") for (e, ts, u, v) in rows],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE, "
+        "event_type STRING, props STRING",
+    )
+    monkeypatch.setattr(ws, "load_table", lambda s, d, n: df, raising=False)
+    import minefields_kafka_streams_deduplication_spark.catalog as catalog
+
+    monkeypatch.setattr(catalog, "load_table", lambda s, d, n: df)
+    out = sorted(
+        map(tuple, ws.scd2_change_stream(spark, "ignored").collect())
+    )
+    # user 7: 5.0 once (not thrice), then 9.0; user 8: 5.0 once
+    assert out == [
+        (7, 5.0, t0),
+        (7, 9.0, t0 + dt.timedelta(minutes=80)),
+        (8, 5.0, t0 + dt.timedelta(minutes=85)),
+    ]
