@@ -971,3 +971,105 @@ def bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(len(merges)).cast("int").alias("n_merges"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (distributed power iteration).
+# ---------------------------------------------------------------------------
+
+TEXTRANK_DAMPING = 0.85
+TEXTRANK_ITERS = 12
+TEXTRANK_TOPK = 50
+
+
+def pagerank_edges(edges: DataFrame, damping: float = TEXTRANK_DAMPING,
+                   iters: int = TEXTRANK_ITERS) -> DataFrame:
+    """Distributed PageRank over a weighted directed edge list
+    (src, dst, w): the classic power iteration, each round ONE
+    hash-join of the rank vector onto the out-normalized edges plus
+    ONE map-side-combined aggregate — the 100 TB graph shape (no
+    adjacency matrix, no driver-side state beyond the node count).
+    Lineage is truncated with localCheckpoint every round (the
+    iterative-loop lesson from dedup_clusters_cc / bpe_learn_merges).
+
+    Dangling mass: nodes with no out-edges leak their rank each round
+    (the standard simplification when the graph is built from
+    co-occurrence, where every node has out-edges by construction —
+    bigram graphs are symmetric). Returns (node, rank).
+    """
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    norm = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
+        .localCheckpoint()
+    )
+    nodes = norm.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    n_nodes = nodes.count()  # bounded scalar: the only driver-side state
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(iters):
+        contribs = (
+            norm.join(ranks, norm.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") * F.col("p")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + damping * F.coalesce("inflow", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+@query("textrank_keywords")  # rows-only: iterative float fixpoint
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the corpus's token co-occurrence graph — nodes are tokens,
+    undirected edges weighted by adjacent-bigram frequency (the same
+    statistic bpe_pair_stats / doc_bigram_logprob compute), top-K
+    tokens by stationary rank are the corpus keywords. The classic
+    graph-centrality quality signal next to the frequency (tf-idf) and
+    LM (bigram NLL) families.
+
+    Scale shape: the graph is vocabulary-bounded (nodes = distinct
+    tokens, edges = distinct bigrams — Heaps-law sublinear in corpus
+    size); each power-iteration round is one edge-sized join + one
+    aggregate. Pinned in tests/test_text.py against a pure-Python
+    power iteration on the identical graph (1e-9 tolerance: only
+    float summation order differs) and a hand-solvable chain graph."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower("text"), " ").alias("tk")).where(
+        F.size("tk") >= 2
+    )
+    n = F.size("tk")
+    zipped = F.arrays_zip(
+        F.slice("tk", 1, n - 1),
+        F.expr("slice(tk, 2, size(tk) - 1)"),
+    )
+    bg = (
+        toks.select(F.explode(zipped).alias("p"))
+        .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    # undirected: each bigram contributes both directions
+    edges = (
+        bg.select(F.col("w1").alias("src"), F.col("w2").alias("dst"), "w")
+        .unionByName(
+            bg.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), "w")
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    ranks = pagerank_edges(edges)
+    return (
+        ranks.orderBy(F.desc("rank"), "node")
+        .limit(TEXTRANK_TOPK)
+        .select(F.col("node").alias("token"), F.round("rank", 8).alias("rank"))
+    )

@@ -383,3 +383,65 @@ def test_bpe_encode_matches_reference_apply(spark):
     assert got == {i: ref[i] for i in range(len(texts))}
     # compression is real on this corpus
     assert sum(len(t) for t in ref) < sum(len(t.split(" ")) for t in texts)
+
+
+def test_pagerank_matches_python_power_iteration(spark):
+    """Crafted weighted graph replayed by a pure-Python power
+    iteration: distributed ranks match to float-summation tolerance,
+    and the hub of a star graph outranks the leaves."""
+    from minefields_kafka_streams_deduplication_spark.functions.text import (
+        TEXTRANK_DAMPING,
+        TEXTRANK_ITERS,
+        pagerank_edges,
+    )
+
+    # star (hub=0) plus a chain tail 3-4-5
+    raw = [(0, 1, 2.0), (1, 0, 2.0), (0, 2, 1.0), (2, 0, 1.0),
+           (0, 3, 1.0), (3, 0, 1.0), (3, 4, 1.0), (4, 3, 1.0),
+           (4, 5, 1.0), (5, 4, 1.0)]
+    edges = spark.createDataFrame(raw, "src LONG, dst LONG, w DOUBLE")
+    got = {r.node: r.rank for r in pagerank_edges(edges).collect()}
+
+    out_w = {}
+    for s, d, w in raw:
+        out_w[s] = out_w.get(s, 0.0) + w
+    nodes = sorted(out_w)
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(TEXTRANK_ITERS):
+        inflow = {v: 0.0 for v in nodes}
+        for s, d, w in raw:
+            inflow[d] += rank[s] * (w / out_w[s])
+        rank = {
+            v: (1 - TEXTRANK_DAMPING) / n + TEXTRANK_DAMPING * inflow[v]
+            for v in nodes
+        }
+    assert set(got) == set(rank)
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
+    assert got[0] == max(got.values())  # the hub wins
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # stochastic: mass conserved
+
+
+def test_textrank_keywords_fixture(spark, sf_dir):
+    """Fixture-scale invariants: K rows, ranks positive and descending,
+    and every keyword is a real corpus token."""
+    import minefields_kafka_streams_deduplication_spark as engine
+    from minefields_kafka_streams_deduplication_spark.functions.text import (
+        TEXTRANK_TOPK,
+    )
+
+    out = engine.get_queries()["textrank_keywords"](spark, sf_dir).collect()
+    # sf0.001's template vocabulary has <50 co-occurring tokens
+    assert 10 <= len(out) <= TEXTRANK_TOPK
+    ranks = [r.rank for r in out]
+    assert all(r > 0 for r in ranks)
+    assert ranks == sorted(ranks, reverse=True)
+    toks = set(
+        t.t
+        for t in engine.load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .distinct()
+        .collect()
+    )
+    assert all(r.token in toks for r in out)
