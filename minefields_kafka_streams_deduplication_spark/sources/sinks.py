@@ -409,3 +409,67 @@ def compact_state_dir(
         .parquet(state_dir)
     )
     return sorted(need)
+
+
+def delete_keys_from_state(
+    spark: SparkSession,
+    state_dir: str,
+    keys: list[int],
+    key_col: str = "user_id",
+) -> list[int]:
+    """Targeted key erasure from the bucketed state layout — the
+    right-to-be-forgotten verb (RocksDB `delete`, Kafka tombstone +
+    compaction collapsed into one batch op). Only the buckets that can
+    CONTAIN the keys (pmod(xxhash64(key), UPSERT_BUCKETS)) are read and
+    rewritten via dynamic partition overwrite; every other bucket's
+    files are untouched bytes (pinned in tests/test_sources.py). Cost
+    is O(|touched buckets|), independent of table size — the same
+    partial-rewrite contract as merge_batch_into_state /
+    compact_state_dir.
+
+    The anti-join runs on the key column only; `localCheckpoint`
+    materializes survivors before the write because the rewrite
+    replaces the files it reads (the merge's self-overwrite hazard).
+    Returns the rewritten bucket ids."""
+    if not keys:
+        return []
+    kdf = spark.createDataFrame([(int(k),) for k in keys], f"{key_col} LONG")
+    touched = sorted(
+        r.b
+        for r in kdf.select(
+            F.pmod(F.xxhash64(key_col), F.lit(UPSERT_BUCKETS)).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    paths = [os.path.join(state_dir, f"bucket={b}") for b in touched]
+    paths = [p for p in paths if os.path.exists(p)]
+    if not paths:
+        return []
+    survivors = (
+        spark.read.parquet(*paths)
+        .join(F.broadcast(kdf), key_col, "left_anti")
+        .withColumn("bucket", F.pmod(F.xxhash64(key_col), F.lit(UPSERT_BUCKETS)))
+        .repartition("bucket")
+        .localCheckpoint(eager=True)
+    )
+    (
+        survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(state_dir)
+    )
+    # A bucket whose EVERY row was deleted writes nothing under dynamic
+    # overwrite — drop its stale directory explicitly so reads don't
+    # resurrect erased keys.
+    import shutil as _shutil
+
+    kept = {
+        r.bucket for r in survivors.select("bucket").distinct().collect()
+    }
+    for b in touched:
+        if b not in kept:
+            _shutil.rmtree(
+                os.path.join(state_dir, f"bucket={b}"), ignore_errors=True
+            )
+    return touched

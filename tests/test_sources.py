@@ -532,3 +532,112 @@ def test_versioned_merge_is_replay_idempotent_and_appends_versions(spark, tmp_pa
     # compaction with sort_cols keeps the version multiset intact
     compact_state_dir(spark, state, max_files_per_bucket=0, sort_cols=("user_id", "ts"))
     assert versions() == [(1, 10), (1, 11), (2, 20), (3, 30)]
+
+
+def test_delete_keys_rewrites_only_their_buckets(spark, tmp_path):
+    """Right-to-be-forgotten: deleted keys vanish, every other row
+    survives bit-identically, and buckets that cannot contain a deleted
+    key keep their exact files (mtime+size untouched)."""
+    import datetime as dt
+    import glob
+    import os
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from minefields_kafka_streams_deduplication_spark.sources.sinks import (
+        UPSERT_BUCKETS,
+        delete_keys_from_state,
+        merge_batch_into_state,
+    )
+
+    state = str(tmp_path / "state")
+    schema = "user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    rows = [(u, 100 + u, dt.datetime(2024, 1, 1), "view", float(u)) for u in range(64)]
+    merge_batch_into_state(spark, state, spark.createDataFrame(rows, schema))
+
+    doomed = [3, 17, 42]
+    doomed_buckets = {
+        r.b
+        for r in spark.createDataFrame([(k,) for k in doomed], "user_id LONG")
+        .select(F.pmod(F.xxhash64("user_id"), F.lit(UPSERT_BUCKETS)).alias("b"))
+        .collect()
+    }
+
+    def file_sig():
+        return {
+            f: (os.path.getmtime(f), os.path.getsize(f))
+            for f in glob.glob(f"{state}/bucket=*/*.parquet")
+        }
+
+    before_rows = Counter(
+        (r.user_id, r.event_id) for r in spark.read.parquet(f"{state}/bucket=*").collect()
+    )
+    before_files = file_sig()
+
+    touched = delete_keys_from_state(spark, state, doomed)
+    assert set(touched) == doomed_buckets
+
+    after_rows = Counter(
+        (r.user_id, r.event_id) for r in spark.read.parquet(f"{state}/bucket=*").collect()
+    )
+    expect = Counter(
+        {k: c for k, c in before_rows.items() if k[0] not in doomed}
+    )
+    assert after_rows == expect
+
+    after_files = file_sig()
+    for f, sig in before_files.items():
+        bucket = int(f.split("bucket=")[1].split("/")[0])
+        if bucket not in doomed_buckets:
+            assert after_files.get(f) == sig, f  # untouched bytes
+
+    # idempotent; deleting absent keys touches their buckets but
+    # changes nothing
+    again = delete_keys_from_state(spark, state, doomed)
+    assert set(again) == doomed_buckets
+    assert Counter(
+        (r.user_id, r.event_id) for r in spark.read.parquet(f"{state}/bucket=*").collect()
+    ) == expect
+
+
+def test_delete_keys_drops_fully_erased_bucket_dir(spark, tmp_path):
+    """Deleting EVERY key of a bucket must remove its directory (dynamic
+    overwrite writes nothing for an empty partition — stale files would
+    otherwise resurrect the keys)."""
+    import datetime as dt
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from minefields_kafka_streams_deduplication_spark.sources.sinks import (
+        UPSERT_BUCKETS,
+        delete_keys_from_state,
+        merge_batch_into_state,
+    )
+
+    state = str(tmp_path / "state")
+    schema = "user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    users = list(range(32))
+    merge_batch_into_state(
+        spark,
+        state,
+        spark.createDataFrame(
+            [(u, u, dt.datetime(2024, 1, 1), "x", 0.0) for u in users], schema
+        ),
+    )
+    # pick one bucket and doom all of its keys
+    by_bucket = {}
+    for r in (
+        spark.createDataFrame([(u,) for u in users], "user_id LONG")
+        .select("user_id", F.pmod(F.xxhash64("user_id"), F.lit(UPSERT_BUCKETS)).alias("b"))
+        .collect()
+    ):
+        by_bucket.setdefault(r.b, []).append(r.user_id)
+    bucket, doomed = next(iter(by_bucket.items()))
+    delete_keys_from_state(spark, state, doomed)
+    assert not glob.glob(f"{state}/bucket={bucket}/*.parquet")
+    survivors = {
+        r.user_id for r in spark.read.parquet(f"{state}/bucket=*").collect()
+    }
+    assert survivors == set(users) - set(doomed)
