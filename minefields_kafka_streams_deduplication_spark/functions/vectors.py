@@ -679,3 +679,83 @@ def embedding_pca_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(sq(F.col("orig"))).alias("orig_norm"),
         F.sqrt(sq(F.col("reduced"))).alias("reduced_norm"),
     )
+
+
+@query(
+    "drift_report_embedding_dims",
+    oracle="""
+WITH b AS (SELECT max(vec_id) // 2 AS mid FROM embeddings),
+expl AS (
+  SELECT CASE WHEN e.vec_id <= b.mid THEN 0 ELSE 1 END AS half,
+         unnest(range(1, len(e.embedding) + 1)) AS dim,
+         unnest(list_transform(e.embedding,
+                               x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)))) AS v
+  FROM embeddings e, b
+),
+agg AS (
+  SELECT dim,
+         sum(CASE WHEN half = 0 THEN v END) AS sb,
+         count(CASE WHEN half = 0 THEN 1 END) AS nb,
+         sum(CASE WHEN half = 1 THEN v END) AS sc,
+         count(CASE WHEN half = 1 THEN 1 END) AS nc
+  FROM expl GROUP BY dim
+)
+SELECT CAST(dim AS INT) AS dim,
+       CAST(nb AS BIGINT) AS n_base, CAST(nc AS BIGINT) AS n_curr,
+       floor(CAST(sb AS DOUBLE) / nb * 10000 + 0.5) / 10000 AS mean_base,
+       floor(CAST(sc AS DOUBLE) / nc * 10000 + 0.5) / 10000 AS mean_curr,
+       floor(abs(CAST(sb AS DOUBLE) / nb - CAST(sc AS DOUBLE) / nc)
+             * 10000 + 0.5) / 10000 AS mean_shift
+FROM agg
+""",
+)
+def drift_report_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift report — the vector twin of
+    `drift_report_value_psi`: split the embedding table at the vec_id
+    midpoint into baseline/current halves and report each DIMENSION's
+    mean in both halves plus the absolute centroid shift per dim. A
+    retrained or drifting encoder shows up as per-dim shifts long
+    before nearest-neighbor quality visibly degrades — this is the
+    cheap gate a vector-index pipeline runs before accepting a new
+    embedding batch.
+
+    Determinism: per-value snap to DECIMAL(18,6) (exact associative
+    sums under any partial-aggregation order), integer midpoint split,
+    quotients and the shift through the floor-rounding form with
+    identical operation order on both engines.
+
+    100 TB shape: one posexplode (dim-count fan-out) collapsed by a
+    map-side-combined (dim)-keyed aggregate — state is 64 rows × 4
+    counters; nothing data-sized shuffles."""
+    from ..catalog import dec6, round4f
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mid = F.broadcast(emb.agg(F.expr("max(vec_id) div 2").alias("mid")))
+    expl = (
+        emb.crossJoin(mid)
+        .select(
+            F.when(F.col("vec_id") <= F.col("mid"), 0).otherwise(1).alias("half"),
+            F.posexplode("embedding").alias("pos", "x"),
+        )
+        .select(
+            "half",
+            (F.col("pos") + 1).alias("dim"),
+            dec6(F.col("x").cast("double")).alias("v"),
+        )
+    )
+    agg = expl.groupBy("dim").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("v"))).alias("sb"),
+        F.count(F.when(F.col("half") == 0, F.lit(1))).alias("nb"),
+        F.sum(F.when(F.col("half") == 1, F.col("v"))).alias("sc"),
+        F.count(F.when(F.col("half") == 1, F.lit(1))).alias("nc"),
+    )
+    mb = F.col("sb").cast("double") / F.col("nb")
+    mc = F.col("sc").cast("double") / F.col("nc")
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("nb").cast("long").alias("n_base"),
+        F.col("nc").cast("long").alias("n_curr"),
+        round4f(mb).alias("mean_base"),
+        round4f(mc).alias("mean_curr"),
+        round4f(F.abs(mb - mc)).alias("mean_shift"),
+    )

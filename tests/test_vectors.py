@@ -182,3 +182,19 @@ def test_pca_reduce_contract(spark, sf_dir):
     again = {r.vec_id: r.reduced for r in q(spark, sf_dir).collect()}
     first = {r.vec_id: r.reduced for r in rows}
     assert again == first
+
+
+def test_embedding_drift_detects_shifted_dims(spark, monkeypatch):
+    """A dimension whose values shift between halves reports a large
+    mean_shift; an identical dimension reports ~0. Crafted vectors:
+    dim 1 flips sign across the midpoint, dim 2 is constant."""
+    from minefields_kafka_streams_deduplication_spark.functions import vectors
+
+    rows = [(i, [1.0 if i <= 4 else -1.0, 0.5], i % 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    monkeypatch.setattr(vectors, "load_table", lambda s, d, n: df)
+    out = {r.dim: r for r in vectors.drift_report_embedding_dims(spark, "x").collect()}
+    assert out[1].mean_base == 1.0 and out[1].mean_curr == -1.0
+    assert out[1].mean_shift == 2.0
+    assert out[2].mean_shift == 0.0
+    assert out[1].n_base == 5 and out[1].n_curr == 5
