@@ -170,3 +170,106 @@ def zorder_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") >= u_lo) & (F.col("user_id") <= u_hi)
         & (F.col("value") >= v_lo) & (F.col("value") <= v_hi)
     ).select("event_id", "user_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# Incrementally-maintained z-order: z-prefix partition dirs.
+# ---------------------------------------------------------------------------
+
+ZORDER_PREFIX_BITS = 5  # 2^5 = 32 z-range partition directories
+_BOUNDS_FILE = "_ZORDER_BOUNDS.json"
+
+
+def _zb(zkey: Column) -> Column:
+    """Partition id = the Morton key's top prefix bits: each partition
+    dir owns one contiguous z-range (a rectangle block in the 2-D key
+    plane) — the unit of incremental rewrite."""
+    return F.shiftright(zkey, 2 * ZORDER_BITS - ZORDER_PREFIX_BITS)
+
+
+def _zkey_from_bounds(bounds: dict, c1: str, c2: str) -> Column:
+    return morton_key(
+        quantize(F.col(c1), F.lit(bounds["lo1"]), F.lit(bounds["hi1"])),
+        quantize(F.col(c2), F.lit(bounds["lo2"]), F.lit(bounds["hi2"])),
+    )
+
+
+def stage_zorder_partitioned(
+    df: DataFrame, root: str, c1: str, c2: str
+) -> dict:
+    """Initial build of the MAINTAINABLE z-order layout: quantization
+    bounds are computed once, persisted next to the data, and reused by
+    every later merge — z-cell assignment must stay stable or old and
+    new rows of the same rectangle land in different partitions.
+    Out-of-bounds future values clamp into the edge cells (quantize
+    clamps), which degrades their locality but never their
+    correctness. Layout: dirs ``zb=<prefix>`` (one contiguous z-range
+    each), rows sorted by the full Morton key within files."""
+    import json
+
+    lo1, hi1, lo2, hi2 = df.agg(
+        F.min(c1), F.max(c1), F.min(c2), F.max(c2)
+    ).collect()[0]
+    bounds = {"lo1": lo1, "hi1": hi1, "lo2": lo2, "hi2": hi2}
+    zkey = _zkey_from_bounds(bounds, c1, c2)
+    (
+        df.withColumn("_z", zkey)
+        .withColumn("zb", _zb(F.col("_z")))
+        .repartition("zb")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .partitionBy("zb")
+        .parquet(root)
+    )
+    with open(os.path.join(root, _BOUNDS_FILE), "w") as fh:
+        json.dump(bounds, fh)
+    return bounds
+
+
+def merge_into_zorder(
+    spark: SparkSession, root: str, batch: DataFrame, c1: str, c2: str
+) -> list[int]:
+    """Incremental z-order maintenance — the OPTIMIZE-ZORDER analog for
+    a live table: a new batch is merged by rewriting ONLY the z-range
+    partitions its rows land in (same partial-rewrite contract as
+    merge_batch_into_state / delete_keys_from_state; untouched z-ranges
+    keep their exact files, pinned in tests). Per merge: compute the
+    batch's Morton keys under the PERSISTED bounds, collect the touched
+    prefix set (bounded by 2^ZORDER_PREFIX_BITS), read those partitions,
+    union, re-sort, dynamic-overwrite. Cost is O(touched z-ranges), not
+    table size; a clustered batch (e.g. one tenant's backfill) touches
+    few ranges. localCheckpoint materializes the union before the write
+    (self-overwrite hazard). Returns the rewritten prefix ids."""
+    import json
+
+    with open(os.path.join(root, _BOUNDS_FILE)) as fh:
+        bounds = json.load(fh)
+    zkey = _zkey_from_bounds(bounds, c1, c2)
+    tagged = batch.withColumn("_z", zkey).withColumn("zb", _zb(F.col("_z")))
+    touched = sorted(r.zb for r in tagged.select("zb").distinct().collect())
+    existing_paths = [
+        p
+        for b in touched
+        if os.path.exists(p := os.path.join(root, f"zb={b}"))
+    ]
+    cols = batch.columns
+    merged = tagged
+    if existing_paths:
+        old = spark.read.parquet(*existing_paths).select(*cols)
+        merged = tagged.select(*cols, "_z", "zb").unionByName(
+            old.withColumn("_z", zkey).withColumn("zb", _zb(F.col("_z")))
+        )
+    merged = (
+        merged.repartition("zb")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .localCheckpoint(eager=True)
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("zb")
+        .parquet(root)
+    )
+    return touched

@@ -135,3 +135,105 @@ def test_zorder_box_query_pushes_both_predicates(spark, sf_dir):
     line = pushed[0]
     assert "GreaterThanOrEqual(user_id" in line and "GreaterThanOrEqual(value" in line
     assert "LessThanOrEqual(user_id" in line and "LessThanOrEqual(value" in line
+
+
+def test_merge_into_zorder_rewrites_only_touched_ranges(spark, sf_dir, tmp_path):
+    """Incremental maintenance: a clustered batch merges by rewriting
+    only its z-range partitions; content is the exact union; untouched
+    partitions keep byte-identical files."""
+    import glob
+    import os
+    from collections import Counter
+
+    from minefields_kafka_streams_deduplication_spark.sources.layout import (
+        ZORDER_PREFIX_BITS,
+        merge_into_zorder,
+        stage_zorder_partitioned,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id", "value"
+    )
+    root = str(tmp_path / "z")
+    stage_zorder_partitioned(ev, root, "user_id", "value")
+
+    def rows():
+        return Counter(
+            (r.event_id, r.user_id, r.value)
+            for r in spark.read.parquet(root).select(
+                "event_id", "user_id", "value"
+            ).collect()
+        )
+
+    def file_sig():
+        return {
+            f: (os.path.getmtime(f), os.path.getsize(f))
+            for f in glob.glob(f"{root}/zb=*/*.parquet")
+        }
+
+    before_rows, before_files = rows(), file_sig()
+
+    # clustered batch: low user ids, low values -> one corner of the plane
+    b = spark.createDataFrame(
+        [(10_000_000 + i, 1 + i % 3, 0.5 + i * 0.01) for i in range(50)],
+        "event_id LONG, user_id LONG, value DOUBLE",
+    )
+    touched = merge_into_zorder(spark, root, b, "user_id", "value")
+    assert 0 < len(touched) <= 4  # corner batch -> few z-ranges
+    assert len(touched) < 2 ** ZORDER_PREFIX_BITS
+
+    after_rows = rows()
+    expect = before_rows + Counter(
+        (r.event_id, r.user_id, r.value) for r in b.collect()
+    )
+    assert after_rows == expect
+
+    after_files = file_sig()
+    for f, sig in before_files.items():
+        zb = int(f.split("zb=")[1].split("/")[0])
+        if zb not in touched:
+            assert after_files.get(f) == sig, f
+
+
+def test_merge_into_zorder_keeps_cell_assignment_stable(spark, tmp_path):
+    """Bounds persist across merges: a row merged later lands in the
+    same z-range as an identical row staged initially, and
+    out-of-bounds values clamp into edge cells instead of erroring."""
+    import os
+
+    from minefields_kafka_streams_deduplication_spark.sources.layout import (
+        merge_into_zorder,
+        stage_zorder_partitioned,
+    )
+
+    base = spark.createDataFrame(
+        [(i, i % 100, float(i % 50)) for i in range(1000)],
+        "event_id LONG, user_id LONG, value DOUBLE",
+    )
+    root = str(tmp_path / "z")
+    stage_zorder_partitioned(base, root, "user_id", "value")
+
+    twin = spark.createDataFrame(
+        [(9001, 7, 7.0)], "event_id LONG, user_id LONG, value DOUBLE"
+    )
+    t1 = merge_into_zorder(spark, root, twin, "user_id", "value")
+    # the original row (7, 7.0) exists; its partition is the one touched
+    orig_dir = None
+    for d in os.listdir(root):
+        if not d.startswith("zb="):
+            continue
+        got = (
+            spark.read.parquet(os.path.join(root, d))
+            .filter("user_id = 7 AND value = 7.0 AND event_id = 7")
+            .count()
+        )
+        if got:
+            orig_dir = int(d.split("=")[1])
+    assert t1 == [orig_dir]
+
+    # out-of-bounds: clamps, merges cleanly, content preserved
+    wild = spark.createDataFrame(
+        [(9002, 10_000, -999.0)], "event_id LONG, user_id LONG, value DOUBLE"
+    )
+    merge_into_zorder(spark, root, wild, "user_id", "value")
+    assert spark.read.parquet(root).filter("event_id = 9002").count() == 1
