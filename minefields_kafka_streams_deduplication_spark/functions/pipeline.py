@@ -1279,3 +1279,102 @@ def drift_report_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             (pc - pb) * F.log(pc / pb).cast("decimal(18,6)")
         ).alias("psi_term"),
     )
+
+
+@query(
+    "validate_expectations",
+    oracle="""
+SELECT 'lineitem.quantity_in_1_50' AS rule,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.discount_in_0_0.1',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.extendedprice_positive',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_extendedprice IS NULL OR l_extendedprice <= 0
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.shipdate_not_null',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.orderkey_refs_orders',
+       CAST(count(*) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders.custkey_refs_customer',
+       CAST(count(*) AS BIGINT),
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT)
+FROM orders
+ORDER BY rule
+""",
+)
+def validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-validation suite (the Great-Expectations /
+    dbt-test shape): per rule, rows checked and rows violating — range
+    checks, non-null checks, and referential integrity, evaluated in
+    ONE pass per table plus one anti-join per FK rule. The gate a
+    production load runs before promoting a batch.
+
+    Plan shape: the four lineitem range/null rules fold into a single
+    map-side-combined aggregate over one scan (not four); each FK rule
+    is a left-anti count against the (typically broadcast) parent key
+    set. Output is rule-cardinality-bounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    one_pass = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        viol((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias("qty"),
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).alias("disc"),
+        viol(
+            F.col("l_extendedprice").isNull() | (F.col("l_extendedprice") <= 0)
+        ).alias("price"),
+        viol(F.col("l_shipdate").isNull()).alias("ship"),
+    )
+    rules = one_pass.selectExpr(
+        "stack(4, "
+        "'lineitem.quantity_in_1_50', n, qty, "
+        "'lineitem.discount_in_0_0.1', n, disc, "
+        "'lineitem.extendedprice_positive', n, price, "
+        "'lineitem.shipdate_not_null', n, ship) "
+        "AS (rule, n_checked, n_violations)"
+    )
+    li_orphans = li.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey",
+        "left_anti",
+    ).count()
+    o_orphans = orders.join(
+        customer.select(F.col("c_custkey").alias("o_custkey")), "o_custkey",
+        "left_anti",
+    ).count()
+    li_n = li.count()
+    o_n = orders.count()
+    fk = spark.createDataFrame(
+        [
+            ("lineitem.orderkey_refs_orders", li_n, li_orphans),
+            ("orders.custkey_refs_customer", o_n, o_orphans),
+        ],
+        "rule STRING, n_checked LONG, n_violations LONG",
+    )
+    return rules.unionByName(fk).orderBy("rule")

@@ -464,3 +464,42 @@ def test_psi_drift_detects_shift(spark, monkeypatch):
     monkeypatch.setattr(pipeline, "load_table", lambda s, d, n: stable)
     rows = pipeline.drift_report_value_psi(spark, "ignored").collect()
     assert sum(r.psi_term for r in rows) < 0.05
+
+
+def test_expectations_count_violations(spark, monkeypatch):
+    """Crafted violations are counted per rule: one out-of-range
+    quantity, one null price, one orphan FK on each relationship."""
+    import datetime as dt
+
+    from minefields_kafka_streams_deduplication_spark.functions import pipeline
+
+    li = spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 10.0, 100.0, 0.05, 0.0, "N", "O", dt.date(2024, 1, 1)),
+            (1, 2, 1, 2, 99.0, 100.0, 0.05, 0.0, "N", "O", dt.date(2024, 1, 1)),
+            (2, 1, 1, 1, 10.0, None, 0.5, 0.0, "N", "O", None),
+            (777, 1, 1, 1, 10.0, 100.0, 0.05, 0.0, "N", "O", dt.date(2024, 1, 1)),
+        ],
+        "l_orderkey LONG, l_partkey LONG, l_suppkey LONG, l_linenumber INT, "
+        "l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, "
+        "l_tax DOUBLE, l_returnflag STRING, l_linestatus STRING, l_shipdate DATE",
+    )
+    orders = spark.createDataFrame(
+        [(1, 10, "O", 1.0, dt.date(2024, 1, 1), "1-URGENT"),
+         (2, 999, "O", 1.0, dt.date(2024, 1, 1), "1-URGENT")],
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate DATE, o_orderpriority STRING",
+    )
+    customer = spark.createDataFrame(
+        [(10, "a", 1, 0.0)], "c_custkey LONG, c_name STRING, c_nationkey LONG, c_acctbal DOUBLE"
+    )
+    tables = {"lineitem": li, "orders": orders, "customer": customer}
+    monkeypatch.setattr(pipeline, "load_table", lambda s, d, n: tables[n])
+    got = {r.rule: (r.n_checked, r.n_violations)
+           for r in pipeline.validate_expectations(spark, "x").collect()}
+    assert got["lineitem.quantity_in_1_50"] == (4, 1)
+    assert got["lineitem.discount_in_0_0.1"] == (4, 1)
+    assert got["lineitem.extendedprice_positive"] == (4, 1)
+    assert got["lineitem.shipdate_not_null"] == (4, 1)
+    assert got["lineitem.orderkey_refs_orders"] == (4, 1)   # orderkey 777
+    assert got["orders.custkey_refs_customer"] == (2, 1)    # custkey 999
