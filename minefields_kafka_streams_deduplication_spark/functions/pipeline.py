@@ -1378,3 +1378,68 @@ def validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule STRING, n_checked LONG, n_violations LONG",
     )
     return rules.unionByName(fk).orderBy("rule")
+
+
+WSAMPLE_K = 100
+WSAMPLE_SALT = "wsample-v1"
+_WSAMPLE_SPACE = float(2**52) + 1.0  # 13 hex chars = 52 uniform bits
+
+
+def weighted_sample(docs: DataFrame, k: int, salt: str) -> DataFrame:
+    """Deterministic weighted K-sample without replacement (Efraimidis-
+    Spirakis exponential race): each row draws u ~ Uniform(0,1) from a
+    salted md5 and races with key = -ln(u) / weight; the K smallest
+    keys win, giving inclusion probability proportional to weight —
+    the mixture-construction primitive (sample docs ∝ token count,
+    sources ∝ temperature weight) with the same salt-versioned
+    stability contract as train_val_split.
+
+    Determinism: u is integer md5 arithmetic; the race key snaps to
+    DECIMAL(28,12) (the ln 1-ulp discipline) with doc_id tiebreak.
+    Scale: orderBy+limit plans as TakeOrderedAndProject — per-partition
+    top-K then a K-row driver merge, no global sort, no window."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))),
+            1, 13,
+        ),
+        16, 10,
+    ).cast("long")
+    u = (h + F.lit(1.0)) / F.lit(_WSAMPLE_SPACE)
+    key = (-F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))).cast(
+        "decimal(28,12)"
+    )
+    return (
+        docs.select("doc_id", "n_chars", key.alias("race_key"))
+        .orderBy("race_key", "doc_id")
+        .limit(k)
+        .select("doc_id", "n_chars", F.col("race_key").cast("double").alias("race_key"))
+    )
+
+
+@query(
+    "sample_weighted_docs",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         CAST(-ln((('0x' || substr(md5('{WSAMPLE_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                   + 1.0) / {_WSAMPLE_SPACE!r})
+              / greatest(n_chars, 1) AS DECIMAL(28,12)) AS race_key
+  FROM documents
+)
+SELECT doc_id, n_chars, CAST(race_key AS DOUBLE) AS race_key
+FROM keyed
+ORDER BY race_key, doc_id
+LIMIT {WSAMPLE_K}
+""",
+)
+def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-weighted document sample: K docs with inclusion probability
+    proportional to n_chars (long docs carry more of the token budget,
+    so a char-weighted sample estimates corpus statistics with lower
+    variance than a uniform one). See `weighted_sample` for the
+    exponential-race mechanics and determinism contract; the weight-
+    proportional inclusion property is pinned statistically in
+    tests/test_pipeline.py across independent salts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, WSAMPLE_K, WSAMPLE_SALT)

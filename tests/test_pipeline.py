@@ -503,3 +503,32 @@ def test_expectations_count_violations(spark, monkeypatch):
     assert got["lineitem.shipdate_not_null"] == (4, 1)
     assert got["lineitem.orderkey_refs_orders"] == (4, 1)   # orderkey 777
     assert got["orders.custkey_refs_customer"] == (2, 1)    # custkey 999
+
+
+def test_weighted_sample_inclusion_tracks_weight(spark):
+    """Across 40 independent salts, a doc with 50x the weight of its
+    peers is included far more often — inclusion probability tracks
+    weight. Also: deterministic per salt, K rows, no duplicates."""
+    from minefields_kafka_streams_deduplication_spark.functions.pipeline import (
+        weighted_sample,
+    )
+
+    rows = [(i, "t", "en", "s", 1000 if i < 5 else 20) for i in range(100)]
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    heavy_hits = light_hits = 0
+    for s in range(40):
+        got = [r.doc_id for r in weighted_sample(docs, 10, f"salt{s}").collect()]
+        assert len(got) == 10 and len(set(got)) == 10
+        again = [r.doc_id for r in weighted_sample(docs, 10, f"salt{s}").collect()]
+        assert got == again  # deterministic per salt
+        heavy_hits += sum(1 for d in got if d < 5)
+        light_hits += sum(1 for d in got if d >= 5)
+    # 5 heavy docs (w=1000) vs 95 light (w=20): heavy inclusion ~1.0,
+    # light ~ (10-5)/95. Expect heavy_hits ≈ 200, light ≈ 200; assert
+    # the heavy RATE dominates by a wide, flake-proof margin.
+    heavy_rate = heavy_hits / (40 * 5)
+    light_rate = light_hits / (40 * 95)
+    assert heavy_rate > 0.8
+    assert heavy_rate > 5 * light_rate
