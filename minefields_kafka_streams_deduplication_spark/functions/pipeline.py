@@ -1443,3 +1443,119 @@ def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_pipeline.py across independent salts."""
     docs = load_table(spark, sf_dir, "documents")
     return weighted_sample(docs, WSAMPLE_K, WSAMPLE_SALT)
+
+
+@query(
+    "drift_report_value_ks",
+    oracle="""
+WITH b AS (
+  SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax FROM events
+),
+tagged AS (
+  SELECT e.value,
+         CASE WHEN epoch_us(e.ts) <= b.tmin + (b.tmax - b.tmin) // 2
+              THEN 0 ELSE 1 END AS half
+  FROM events e, b
+),
+per_value AS (
+  SELECT value,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1
+  FROM tagged GROUP BY value
+),
+tot AS (SELECT sum(c0) AS n0, sum(c1) AS n1 FROM per_value),
+cdf AS (
+  SELECT sum(c0) OVER (ORDER BY value) AS a0,
+         sum(c1) OVER (ORDER BY value) AS a1,
+         n0, n1
+  FROM per_value, tot
+)
+SELECT CAST(max(n0) AS BIGINT) AS n_base,
+       CAST(max(n1) AS BIGINT) AS n_curr,
+       floor(max(abs(CAST(a0 AS DOUBLE) / n0 - CAST(a1 AS DOUBLE) / n1))
+             * 10000 + 0.5) / 10000 AS ks_stat
+FROM cdf
+""",
+)
+def drift_report_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov drift statistic — the nonparametric sibling of
+    `drift_report_value_psi`: max over all values of the distance
+    between the baseline and current halves' empirical CDFs. Binning-
+    free (PSI's equal-width cells can hide within-cell shifts), exact,
+    and the standard two-sample test statistic a monitoring gate feeds
+    into the KS significance bound sqrt(-ln(alpha/2) * (n0+n1)/(2*n0*n1)).
+
+    Determinism: CDF arithmetic is exact integers until the final
+    divisions (same op order both engines), midpoint split is integer
+    microseconds, result through the floor form.
+
+    100 TB shape: rows collapse to (value, c0, c1) first (distinct-
+    value-bounded), then the global CDF cumsum runs in the TWO-PHASE
+    form (`_global_row_number`'s pattern: range partitions + local
+    window + per-partition offset self-join) — no single-partition
+    WindowExec at any scale; the final max is map-side-combinable."""
+    ev = load_table(spark, sf_dir, "events")
+    b = F.broadcast(
+        ev.agg(
+            F.min(F.unix_micros("ts")).alias("tmin"),
+            F.max(F.unix_micros("ts")).alias("tmax"),
+        )
+    )
+    tagged = ev.crossJoin(b).select(
+        "value",
+        F.when(
+            F.unix_micros("ts") <= F.col("tmin") + F.expr("(tmax - tmin) div 2"), 0
+        ).otherwise(1).alias("half"),
+    )
+    per_value = tagged.groupBy("value").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    tot = F.broadcast(per_value.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1")))
+    part = per_value.repartitionByRange("value").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part.withColumn("_l0", F.sum("c0").over(w)).withColumn(
+        "_l1", F.sum("c1").over(w)
+    )
+    counts = part.groupBy("_pid").agg(
+        F.sum("c0").alias("_t0"), F.sum("c1").alias("_t1")
+    )
+    c2 = counts.select(
+        F.col("_pid").alias("_pid2"),
+        F.col("_t0").alias("_t0b"),
+        F.col("_t1").alias("_t1b"),
+    )
+    offsets = (
+        counts.join(c2, F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(
+            F.coalesce(F.sum("_t0b"), F.lit(0)).alias("_o0"),
+            F.coalesce(F.sum("_t1b"), F.lit(0)).alias("_o1"),
+        )
+    )
+    cdf = (
+        local.join(F.broadcast(offsets), "_pid")
+        .select(
+            (F.col("_l0") + F.col("_o0")).alias("a0"),
+            (F.col("_l1") + F.col("_o1")).alias("a1"),
+        )
+        .crossJoin(tot)
+    )
+    return cdf.agg(
+        F.max("n0").cast("long").alias("n_base"),
+        F.max("n1").cast("long").alias("n_curr"),
+        round4f(
+            F.max(
+                F.abs(
+                    F.col("a0").cast("double") / F.col("n0")
+                    - F.col("a1").cast("double") / F.col("n1")
+                )
+            )
+        ).alias("ks_stat"),
+    )

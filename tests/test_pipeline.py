@@ -532,3 +532,36 @@ def test_weighted_sample_inclusion_tracks_weight(spark):
     light_rate = light_hits / (40 * 95)
     assert heavy_rate > 0.8
     assert heavy_rate > 5 * light_rate
+
+
+def test_ks_drift_detects_shift(spark, monkeypatch):
+    """The KS statistic reads ~1 for disjoint halves, ~0 for identical
+    halves — and catches a within-cell shift PSI's equal-width binning
+    can miss."""
+    import datetime as dt
+
+    from minefields_kafka_streams_deduplication_spark.functions import pipeline
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = (
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+
+    def mk(vals):
+        return spark.createDataFrame(
+            [(i, t0 + dt.timedelta(minutes=m), 1, "x", v, "{}")
+             for i, (m, v) in enumerate(vals)],
+            schema,
+        )
+
+    disjoint = mk([(m, float(m % 7)) for m in range(50)]
+                  + [(m, 100.0 + m % 7) for m in range(50, 100)])
+    monkeypatch.setattr(pipeline, "load_table", lambda s, d, n: disjoint)
+    r = pipeline.drift_report_value_ks(spark, "x").collect()[0]
+    assert r.ks_stat == 1.0 and r.n_base == 50 and r.n_curr == 50
+
+    stable = mk([(m, float(m % 10)) for m in range(100)])
+    monkeypatch.setattr(pipeline, "load_table", lambda s, d, n: stable)
+    r = pipeline.drift_report_value_ks(spark, "x").collect()[0]
+    assert r.ks_stat < 0.1
