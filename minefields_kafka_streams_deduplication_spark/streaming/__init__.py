@@ -11,3 +11,4 @@ from . import neardup_stream  # noqa: F401
 from . import punctuate  # noqa: F401
 from . import suppress  # noqa: F401
 from . import windows_stream  # noqa: F401
+from . import drift  # noqa: F401  (registers drift_stream_psi)

@@ -945,3 +945,45 @@ def test_scd2_stream_no_reemit_across_batches(spark, monkeypatch):
         (7, 9.0, t0 + dt.timedelta(minutes=80)),
         (8, 5.0, t0 + dt.timedelta(minutes=85)),
     ]
+
+
+def test_drift_stream_psi_spikes_on_drifting_batches(spark, tmp_path):
+    """A replay whose later batches shift distribution scores a PSI
+    spike vs the frozen baseline; a stationary replay stays low. The
+    streaming scores equal the pure-Python PSI on the same counts."""
+    import datetime as dt
+
+    from minefields_kafka_streams_deduplication_spark.streaming.drift import (
+        DRIFT_STREAM_BUCKETS,
+        psi_of_counts,
+        run_drift_monitor,
+    )
+    from minefields_kafka_streams_deduplication_spark.streaming.punctuate import (
+        stage_events_ordered,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE"
+    # values 0..9 uniform in the baseline; the replay's last third
+    # collapses onto value 9 (drift)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1,
+         9.0 if i >= 200 else float(i % 10))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, schema)
+    baseline = {b: 10 for b in range(DRIFT_STREAM_BUCKETS)}  # uniform
+
+    stage = str(tmp_path / "stage")
+    stage_events_ordered(df, stage, n_slices=3)
+    got = run_drift_monitor(
+        spark, stage, baseline, vmin=0.0, vmax=9.0, k=DRIFT_STREAM_BUCKETS
+    )
+    assert [b for b, _, _ in got] == [0, 1, 2]
+    psis = [p for _, _, p in got]
+    # batches 0/1 are uniform like the baseline; batch 2 is collapsed
+    assert psis[0] < 0.05 and psis[1] < 0.05
+    assert psis[2] > 1.0
+    # cross-check one score against the reference arithmetic directly
+    ref = psi_of_counts(baseline, {9: 100}, DRIFT_STREAM_BUCKETS)
+    assert abs(psis[2] - ref) < 1e-12
