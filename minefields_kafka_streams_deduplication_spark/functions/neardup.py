@@ -121,9 +121,9 @@ def dedup_text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5("text").alias("nh")
     )
     rep = member.groupBy("nh").agg(F.min("doc_id").alias("rep_id"))
-    members = member.join(F.broadcast(rep), "nh").select("doc_id", "rep_id").cache()
+    members = member.join(rep, "nh").select("doc_id", "rep_id").cache()
     reps = docs.join(
-        F.broadcast(rep.select(F.col("rep_id").alias("doc_id"))), "doc_id", "left_semi"
+        rep.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
     )
 
     sh = _shingles(reps).cache()
@@ -158,7 +158,7 @@ def dedup_text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with <3 tokens joins nothing in the inverted index, so the
     # reference formulation emits no pair for its copies either.
     shingled_reps = counts.select(F.col("doc_id").alias("rep_id"))
-    g1 = members.join(F.broadcast(shingled_reps), "rep_id").select(
+    g1 = members.join(shingled_reps, "rep_id").select(
         "rep_id", F.col("doc_id").alias("d1")
     )
     g2 = members.select("rep_id", F.col("doc_id").alias("d2"))
@@ -327,7 +327,7 @@ def dedup_text_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    docs = all_docs.join(F.broadcast(exact_winner), "doc_id", "left_semi")
+    docs = all_docs.join(exact_winner, "doc_id", "left_semi")
     # Signature path: NON-distinct shingles (narrow plan — duplicates
     # cannot change a min, so the distinct shuffle is pure waste here).
     sh_raw = _shingles(docs, distinct=False)
@@ -397,9 +397,9 @@ def neardup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     member = docs.select("doc_id", F.md5("text").alias("nh"))
     rep = member.groupBy("nh").agg(F.min("doc_id").alias("rep_id"))
-    members = member.join(F.broadcast(rep), "nh").select("doc_id", "rep_id").cache()
+    members = member.join(rep, "nh").select("doc_id", "rep_id").cache()
     reps = docs.join(
-        F.broadcast(rep.select(F.col("rep_id").alias("doc_id"))), "doc_id", "left_semi"
+        rep.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
     )
 
     # LSH candidates over representatives (non-distinct shingles — a
@@ -445,7 +445,7 @@ def neardup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         reps.filter(F.size(F.split(F.lower("text"), " ")) >= 3)
         .select(F.col("doc_id").alias("rep_id"))
     )
-    g1 = members.join(F.broadcast(shingled_reps), "rep_id").select(
+    g1 = members.join(shingled_reps, "rep_id").select(
         "rep_id", F.col("doc_id").alias("d1")
     )
     g2 = members.select("rep_id", F.col("doc_id").alias("d2"))
@@ -857,7 +857,7 @@ def dedup_text_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    d = docs.join(F.broadcast(winners), "doc_id", "left_semi").select(
+    d = docs.join(winners, "doc_id", "left_semi").select(
         "doc_id",
         "lang",
         "text",
@@ -975,9 +975,9 @@ def neardup_incremental_df(docs: DataFrame, cut: int) -> DataFrame:
     def reps_of(side: DataFrame) -> tuple[DataFrame, DataFrame]:
         member = side.select("doc_id", F.md5("text").alias("nh"))
         rep = member.groupBy("nh").agg(F.min("doc_id").alias("rep_id"))
-        members = member.join(F.broadcast(rep), "nh").select("doc_id", "rep_id")
+        members = member.join(rep, "nh").select("doc_id", "rep_id")
         reps = side.join(
-            F.broadcast(rep.select(F.col("rep_id").alias("doc_id"))),
+            rep.select(F.col("rep_id").alias("doc_id")),
             "doc_id",
             "left_semi",
         )

@@ -435,11 +435,16 @@ def dedup_text_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale-shaped plan: the shuffle carries (md5(norm_text), doc_id) —
     ~40 bytes/row — NOT the document bodies; the winner set (one
-    doc_id per distinct text) is broadcast back against the full table.
+    doc_id per distinct text) semi-joins back against the full table.
     A window over the raw text (the naive form) would shuffle every
     document byte twice; measured ~3× slower even at sf0.1. md5's
     128 bits make a winner-set collision effectively impossible, so
     semantics match the oracle's text-equality exactly.
+
+    No broadcast HINT on the winner set: it is documents-proportional
+    (one row per distinct text), so a forced broadcast would OOM
+    executors at 100 TB. AQE chooses broadcast at runtime whenever the
+    frame is actually small (it is, at every fixture scale).
     """
     docs = load_table(spark, sf_dir, "documents")
     norm_hash = F.md5(F.lower(F.trim(F.col("text"))))
@@ -449,6 +454,6 @@ def dedup_text_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    return docs.join(F.broadcast(winners), "doc_id", "left_semi").select(
+    return docs.join(winners, "doc_id", "left_semi").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )

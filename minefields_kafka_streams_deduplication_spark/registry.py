@@ -156,17 +156,41 @@ _R4_DRIVER_VERIFIED = frozenset(
     }
 )
 
+# Oracle queries that landed a green row in CORRECTNESS_r05.json (50/50
+# green — the 14 round-5 oracle additions plus the 36 stalest r2-era rows).
+_R5_DRIVER_VERIFIED = frozenset(
+    {
+        "scd2_user_value_history", "drift_report_embedding_dims", "doc_bigram_logprob",
+        "mix_temperature_weights", "chunk_documents", "drift_report_value_psi",
+        "validate_expectations", "sample_weighted_docs", "drift_report_value_ks",
+        "punctuate_stream_time_counts", "table_suppress_final_state", "store_window_fetch_all",
+        "store_versioned_get", "zorder_box_query", "q17_small_quantity_revenue",
+        "q20_promo_part_shippers", "q21_suppliers_kept_waiting", "q22_dormant_rich_customers",
+        "unpivot_lineitem_measures", "agg_grouping_id_rollup", "rank_users_by_spend",
+        "rank_distribution_functions", "first_last_event_per_user", "lead_next_event_gap",
+        "lag_time_between_events", "topk_products_by_revenue", "set_intersect_buyers_viewers",
+        "set_except_all_view_surplus", "set_except_inactive_users", "rolling_distinct_users_7d",
+        "third_event_per_user", "agg_mode_median_by_type", "text_stats",
+        "token_frequency", "lang_id_stopwords", "doc_quality_score",
+        "token_counts", "doc_fingerprint", "sample_mix_by_lang",
+        "tfidf_top_terms", "pii_scrub", "gopher_quality_rules",
+        "bm25_doc_search", "doc_repetition_metrics", "json_extract_props",
+        "json_parse_struct", "events_by_weekday", "array_vector_norm",
+        "similarity_topk", "similarity_topk_blocked",
+    }
+)
+
 # Tier 1: failed-or-hardened this round — re-verify ahead of rotation.
-# Empty after round 4: no red rows and no hash-affecting hardening.
-_R5_REVERIFY: tuple[str, ...] = ()
+# Empty after round 5: no red rows and no hash-affecting hardening.
+_R6_REVERIFY: tuple[str, ...] = ()
 
 
 def _driver_order(names: list[str]) -> list[str]:
     driver_seen = (
         _R1_DRIVER_VERIFIED | _R2_DRIVER_VERIFIED | _R3_DRIVER_VERIFIED
-        | _R4_DRIVER_VERIFIED
+        | _R4_DRIVER_VERIFIED | _R5_DRIVER_VERIFIED
     )
-    reverify = {n: i for i, n in enumerate(_R5_REVERIFY)}
+    reverify = {n: i for i, n in enumerate(_R6_REVERIFY)}
     never_checked = [
         n for n in names if n in ORACLES and n not in driver_seen and n not in reverify
     ]
@@ -180,6 +204,8 @@ def _driver_order(names: list[str]) -> list[str]:
     # Oldest driver rows re-verify first: sort by the LATEST round in which
     # the driver checked the query (r1-only rows are the stalest).
     def last_verified(n: str) -> int:
+        if n in _R5_DRIVER_VERIFIED:
+            return 5
         if n in _R4_DRIVER_VERIFIED:
             return 4
         if n in _R3_DRIVER_VERIFIED:

@@ -341,3 +341,40 @@ def test_plan_sweep_no_scale_antipatterns(spark, sf_dir):
                 break
         spark.catalog.clearCache()
     assert not failures, failures
+
+
+def test_no_forced_broadcast_of_document_sized_frames():
+    """Source gate (VERDICT r5 #2): an explicit ``F.broadcast(...)``
+    hint OVERRIDES autoBroadcastJoinThreshold, so a hint on any frame
+    whose cardinality grows with the documents table (distinct-text
+    representatives, dedup winner sets, winnow fingerprint winners)
+    force-materializes a data-sized frame on every executor at 100 TB.
+    AQE already picks broadcast at runtime whenever the frame is small,
+    so the hint buys nothing at fixture scale and OOMs at cluster scale.
+
+    Gate: in the near-dup family (functions/neardup.py) the ONLY
+    allowed hint is the contamination check's eval-set shingles
+    (bounded by the benchmark suite size, not the corpus); in
+    operators/dedup.py no hint is allowed at all. Any new hint in
+    these files needs a cardinality-bounded justification AND an
+    allowlist entry here.
+    """
+    import re
+    from pathlib import Path
+
+    import minefields_kafka_streams_deduplication_spark as pkg
+
+    root = Path(pkg.__file__).parent
+    hint = re.compile(r"F\.broadcast\(\s*(\w+)")
+
+    neardup_hints = hint.findall((root / "functions" / "neardup.py").read_text())
+    assert neardup_hints == ["bench"], (
+        "unexpected broadcast hint(s) in neardup.py — only the bounded "
+        f"eval-set 'bench' frame may be hinted, found: {neardup_hints}"
+    )
+
+    dedup_hints = hint.findall((root / "operators" / "dedup.py").read_text())
+    assert dedup_hints == [], (
+        "broadcast hint(s) on dedup winner frames (documents-proportional "
+        f"cardinality): {dedup_hints}"
+    )
