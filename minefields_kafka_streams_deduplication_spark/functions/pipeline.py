@@ -1493,7 +1493,11 @@ def drift_report_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-bounded), then the global CDF cumsum runs in the TWO-PHASE
     form (`_global_row_number`'s pattern: range partitions + local
     window + per-partition offset self-join) — no single-partition
-    WindowExec at any scale; the final max is map-side-combinable."""
+    WindowExec at any scale; the final max is map-side-combinable.
+    The range-partitioned frame is localCheckpoint-ed so both phases
+    read one materialized RDD (consistent _pid by construction, not by
+    ReuseExchange luck — see the inline note and the plan pin in
+    tests/test_plans.py)."""
     ev = load_table(spark, sf_dir, "events")
     b = F.broadcast(
         ev.agg(
@@ -1512,8 +1516,21 @@ def drift_report_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
     )
     tot = F.broadcast(per_value.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1")))
-    part = per_value.repartitionByRange("value").withColumn(
-        "_pid", F.spark_partition_id()
+    # localCheckpoint pins the range-partitioned frame: the window
+    # branch and the counts/offsets branch both read the SAME
+    # materialized RDD, so their _pid assignments cannot diverge. The
+    # declarative form fed both branches from one `repartitionByRange`
+    # subtree and relied on ReuseExchange to dedup it — but Catalyst
+    # only deduped PARTIALLY here (two materialized range exchanges in
+    # the final AQE plan, each sampling its own RangePartitioner
+    # boundaries), exactly the silent mis-pairing hazard ADVICE r5
+    # flagged. The checkpointed frame is per-distinct-value (already
+    # collapsed), so the materialization is value-bounded, not
+    # data-sized. eager=False keeps the query lazy.
+    part = (
+        per_value.repartitionByRange("value")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     w = (
         Window.partitionBy("_pid")
@@ -1523,8 +1540,17 @@ def drift_report_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     local = part.withColumn("_l0", F.sum("c0").over(w)).withColumn(
         "_l1", F.sum("c1").over(w)
     )
-    counts = part.groupBy("_pid").agg(
-        F.sum("c0").alias("_t0"), F.sum("c1").alias("_t1")
+    # Partition totals from the WINDOWED frame (max of a nonnegative
+    # running sum = the partition's last row = its total), NOT from
+    # `part` directly: deriving both branches from `local` makes every
+    # consumer share one canonical subtree, so ReuseExchange dedups the
+    # range exchange COMPLETELY (1 materialized + N reused — same shape
+    # as analytic._global_row_number, pinned in test_plans). With
+    # counts built from `part` the window and counts branches planned
+    # two separate range exchanges, each sampling its own partition
+    # boundaries — the _pid mis-pairing hazard ADVICE r5 flagged.
+    counts = local.groupBy("_pid").agg(
+        F.max("_l0").alias("_t0"), F.max("_l1").alias("_t1")
     )
     c2 = counts.select(
         F.col("_pid").alias("_pid2"),

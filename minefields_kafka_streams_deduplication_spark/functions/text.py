@@ -992,10 +992,14 @@ def pagerank_edges(edges: DataFrame, damping: float = TEXTRANK_DAMPING,
     Lineage is truncated with localCheckpoint every round (the
     iterative-loop lesson from dedup_clusters_cc / bpe_learn_merges).
 
-    Dangling mass: nodes with no out-edges leak their rank each round
-    (the standard simplification when the graph is built from
-    co-occurrence, where every node has out-edges by construction —
-    bigram graphs are symmetric). Returns (node, rank).
+    The node set is src ∪ dst (ADVICE r5): on a genuinely directed
+    edge list a pure-sink node (appears only as dst) still holds rank
+    and receives inflow — building nodes from src alone silently
+    dropped it and discarded its mass. Dangling mass: a sink has no
+    out-edges, so its rank leaks each round (the standard
+    simplification; on the symmetric co-occurrence graphs TextRank
+    builds, every node has out-edges and nothing leaks). Returns
+    (node, rank).
     """
     out_w = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     norm = (
@@ -1003,7 +1007,12 @@ def pagerank_edges(edges: DataFrame, damping: float = TEXTRANK_DAMPING,
         .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
         .localCheckpoint()
     )
-    nodes = norm.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
     n_nodes = nodes.count()  # bounded scalar: the only driver-side state
     base = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))

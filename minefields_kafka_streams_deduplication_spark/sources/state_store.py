@@ -636,7 +636,15 @@ class ReadOnlyVersionedKeyValueStore:
     ``get(key)`` serves the latest version; ``get(key, as_of)`` the
     version current at the timestamp (None past it — KS returns null).
     Both open only the key's bucket directory; the as-of bound rides
-    the (key, ts)-sorted row-group stats."""
+    the (key, ts)-sorted row-group stats.
+
+    Tie-breaking (ADVICE r5): two versions can share a timestamp, and a
+    ``max_by`` on ts alone picks a nondeterministic winner. When
+    ``tie_col`` is given (``materialize_versioned``'s ``tiebreak``,
+    e.g. event_id — the repo-wide ordering), ties break on it; when it
+    is None the store falls back to ordering by the FULL remaining row
+    struct in schema order, which is deterministic for any two distinct
+    rows. ``history()`` applies the same total order, oldest first."""
 
     def __init__(
         self,
@@ -651,6 +659,14 @@ class ReadOnlyVersionedKeyValueStore:
         self.key_col = key_col
         self.ts_col = ts_col
         self.tie_col = tie_col
+
+    def _order_cols(self, df: DataFrame) -> list[str]:
+        """Deterministic version total-order: ts, then the explicit
+        tiebreak, else every remaining column in schema order."""
+        if self.tie_col:
+            return [self.ts_col, self.tie_col]
+        rest = [c for c in df.columns if c not in (self.key_col, self.ts_col)]
+        return [self.ts_col, *rest]
 
     def _slice(self, key: int, as_of_ts: str | None) -> DataFrame | None:
         b = buckets_of(self.spark, [key])[key]
@@ -670,11 +686,7 @@ class ReadOnlyVersionedKeyValueStore:
         df = self._slice(key, as_of_ts)
         if df is None:
             return None
-        order = (
-            F.struct(self.ts_col, self.tie_col)
-            if self.tie_col
-            else F.col(self.ts_col)
-        )
+        order = F.struct(*self._order_cols(df))
         others = [c for c in df.columns if c != self.key_col]
         rows = (
             df.groupBy(self.key_col)
@@ -698,4 +710,4 @@ class ReadOnlyVersionedKeyValueStore:
             return (
                 self.spark.read.parquet(others[0]).limit(0).drop("bucket")
             )
-        return df.orderBy(self.ts_col)
+        return df.orderBy(*self._order_cols(df))

@@ -269,7 +269,13 @@ def _suppress_history_rows(spark: SparkSession, sf_dir: str) -> list:
     import os
 
     st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    key = (id(spark), sf_dir, st.st_mtime_ns, st.st_size)
+    # The state-store provider is part of the key: a provider-parity
+    # test (RocksDB vs default) must re-run the harness under the new
+    # provider, not read back the memoized default-provider rows.
+    provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", "default"
+    )
+    key = (id(spark), sf_dir, st.st_mtime_ns, st.st_size, provider)
     if key in _SUPPRESS_HIST_CACHE:
         return _SUPPRESS_HIST_CACHE[key]
     ev = load_table(spark, sf_dir, "events").select(

@@ -641,3 +641,43 @@ def test_delete_keys_drops_fully_erased_bucket_dir(spark, tmp_path):
         r.user_id for r in spark.read.parquet(f"{state}/bucket=*").collect()
     }
     assert survivors == set(users) - set(doomed)
+
+
+def test_versioned_store_class_tie_determinism(spark, tmp_path):
+    """ADVICE r5: the ReadOnlyVersionedKeyValueStore CLASS (the generic
+    facade materialize_versioned returns) must break same-ts version
+    ties deterministically — with an explicit tiebreak column when
+    given, and by the full remaining-row struct when not. history()
+    applies the same total order oldest-first."""
+    import datetime as dt
+
+    from minefields_kafka_streams_deduplication_spark.sources.sinks import UPSERT_BUCKETS
+    from minefields_kafka_streams_deduplication_spark.sources.state_store import (
+        ReadOnlyVersionedKeyValueStore,
+    )
+    from pyspark.sql import functions as F
+
+    t = lambda d: dt.datetime(2024, 1, d)
+    schema = "k LONG, eid LONG, ts TIMESTAMP, v DOUBLE"
+    rows = [
+        (1, 10, t(3), 5.0),
+        (1, 12, t(5), 1.0),  # tie on ts: higher eid wins under tiebreak
+        (1, 11, t(5), 9.0),
+    ]
+    root = str(tmp_path / "v")
+    df = spark.createDataFrame(rows, schema).withColumn(
+        "bucket", F.pmod(F.xxhash64("k"), F.lit(UPSERT_BUCKETS))
+    )
+    df.repartition("bucket").sortWithinPartitions("k", "ts").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(root)
+
+    with_tie = ReadOnlyVersionedKeyValueStore(spark, root, "k", tie_col="eid")
+    assert with_tie.get(1).eid == 12
+    assert [r.eid for r in with_tie.history(1).collect()] == [10, 11, 12]
+
+    # no tiebreak given: full-row struct order is still deterministic —
+    # (ts, eid, v) ranks (5, 12, 1.0) above (5, 11, 9.0)
+    no_tie = ReadOnlyVersionedKeyValueStore(spark, root, "k")
+    assert no_tie.get(1).eid == 12
+    assert [r.eid for r in no_tie.history(1).collect()] == [10, 11, 12]

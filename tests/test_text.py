@@ -445,3 +445,41 @@ def test_textrank_keywords_fixture(spark, sf_dir):
         .collect()
     )
     assert all(r.token in toks for r in out)
+
+
+def test_pagerank_directed_sink_node_kept(spark):
+    """ADVICE r5: on a DIRECTED edge list a pure-sink node (appears
+    only as dst) must stay in the rank vector and keep its inflow —
+    replayed against the same pure-Python iteration with the sink in
+    the node set (its rank leaks each round, the documented dangling
+    simplification)."""
+    from minefields_kafka_streams_deduplication_spark.functions.text import (
+        TEXTRANK_DAMPING,
+        TEXTRANK_ITERS,
+        pagerank_edges,
+    )
+
+    # 0→1→2, 0→2: node 2 is a pure sink (no out-edges)
+    raw = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0)]
+    edges = spark.createDataFrame(raw, "src LONG, dst LONG, w DOUBLE")
+    got = {r.node: r.rank for r in pagerank_edges(edges).collect()}
+    assert set(got) == {0, 1, 2}, got  # sink present
+
+    out_w = {}
+    for s, d, w in raw:
+        out_w[s] = out_w.get(s, 0.0) + w
+    nodes = [0, 1, 2]
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(TEXTRANK_ITERS):
+        inflow = {v: 0.0 for v in nodes}
+        for s, d, w in raw:
+            inflow[d] += rank[s] * (w / out_w[s])
+        rank = {
+            v: (1 - TEXTRANK_DAMPING) / n + TEXTRANK_DAMPING * inflow[v]
+            for v in nodes
+        }
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
+    # the sink accumulates the most rank (everything flows into it)
+    assert got[2] == max(got.values())
