@@ -652,14 +652,40 @@ def scrub_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_repeated_spans_df(load_table(spark, sf_dir, "documents"))
 
 
-def scrub_repeated_spans_df(docs: DataFrame) -> DataFrame:
+@query("scrub_repeated_spans_all")  # rows-only: reconstruction is engine-specific
+def scrub_repeated_spans_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remove-ALL-occurrences mode (``keep_first=False``) over the
+    documents fixture — Lee et al.'s released ExactSubstr semantics."""
+    return scrub_repeated_spans_df(
+        load_table(spark, sf_dir, "documents"), keep_first=False
+    )
+
+
+def scrub_repeated_spans_df(docs: DataFrame, keep_first: bool = True) -> DataFrame:
     """Cross-document exact-substring scrub (the span-level counterpart
     of doc-level dedup; cf. Lee et al. 2021 "Deduplicating Training
     Data Makes Language Models Better" and C4's repeated-line rule):
     any SCRUB_SPAN_TOKENS-token span occurring in more than one
-    document is removed from every document EXCEPT the lowest-doc_id
-    occurrence (one canonical copy survives, keep-first like the doc
-    dedups). Returns (doc_id, scrubbed_text, n_removed_tokens).
+    document is removed. Two modes (r6, closing VERDICT r5 #4):
+
+    - ``keep_first=True`` (default, the ``scrub_repeated_spans``
+      query): every occurrence EXCEPT the lowest-doc_id one is removed
+      (one canonical copy survives, keep-first like the doc dedups).
+      Caveat: when OVERLAPPING repeats have different keep docs (a
+      shorter third-party occurrence), the per-window attribution can
+      fragment the canonical copy — a 15-token repeat can end up
+      surviving nowhere intact (pinned in tests).
+    - ``keep_first=False`` (the ``scrub_repeated_spans_all`` query):
+      EVERY occurrence of every cross-document repeat is removed —
+      the semantics of Lee et al.'s released ExactSubstr dedup
+      (google-research/deduplicate-text-datasets removes each
+      duplicated byte range from all documents). No attribution, so
+      no fragmentation: any repeat ≥ n tokens scrubs FULLY from every
+      document regardless of window alignment or overlapping repeats
+      (all its sub-windows are repeated, so the merged run covers it
+      by construction — edge token comparison is unnecessary).
+
+    Returns (doc_id, scrubbed_text, n_removed_tokens).
 
     Scale shape — everything is equi-keyed, no Python: span hashes
     explode JVM-side (one row per token, 8-token window via
@@ -695,19 +721,29 @@ def scrub_repeated_spans_df(docs: DataFrame) -> DataFrame:
     # re-split the corpus three times — measured 2.05 → 1.31 s at
     # sf0.1). No broadcast anywhere: the rep set is proportional to
     # DISTINCT docs (huge at scale).
-    flagged = all_toks.withColumn(
-        "rep_id", F.min("doc_id").over(Window.partitionBy("th"))
+    grp = Window.partitionBy("th")
+    flagged = all_toks.withColumn("rep_id", F.min("doc_id").over(grp)).withColumn(
+        "gsz", F.count(F.lit(1)).over(grp)
     )
-    toks = flagged.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "t")
-    copies = flagged.filter(F.col("doc_id") != F.col("rep_id")).select(
-        "doc_id",
-        F.when(F.size("t") >= n, F.lit("")).otherwise(F.concat_ws(" ", "t")).alias(
-            "scrubbed_text"
-        ),
-        F.when(F.size("t") >= n, F.size("t")).otherwise(F.lit(0)).alias(
-            "n_removed_tokens"
-        ),
+    toks = flagged.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id", "t", "gsz"
     )
+    if keep_first:
+        copies = flagged.filter(F.col("doc_id") != F.col("rep_id")).select(
+            "doc_id",
+            F.when(F.size("t") >= n, F.lit("")).otherwise(
+                F.concat_ws(" ", "t")
+            ).alias("scrubbed_text"),
+            F.when(F.size("t") >= n, F.size("t")).otherwise(F.lit(0)).alias(
+                "n_removed_tokens"
+            ),
+        )
+    else:
+        # remove-all: a copy's text is its rep's text, so its scrub
+        # result is the rep's — resolved by a join after reconstruction.
+        copies_map = flagged.filter(F.col("doc_id") != F.col("rep_id")).select(
+            "doc_id", "rep_id"
+        )
     spans = toks.select(
         "doc_id",
         F.explode(
@@ -729,12 +765,10 @@ def scrub_repeated_spans_df(docs: DataFrame) -> DataFrame:
         .filter(F.col("nd") > 1)
         .select("h", "keep_doc")
     )
-    marks = (
-        spans.join(repeated, "h")
-        .filter(F.col("doc_id") != F.col("keep_doc"))
-        .groupBy("doc_id")
-        .agg(F.collect_set("pos").alias("marks"))
-    )
+    occ = spans.join(repeated, "h")
+    if keep_first:
+        occ = occ.filter(F.col("doc_id") != F.col("keep_doc"))
+    marks = occ.groupBy("doc_id").agg(F.collect_set("pos").alias("marks"))
     # Fold the marked window positions into MAXIMAL covered runs, then
     # reconstruct by slicing the UNcovered gaps — replacing the r3 form's
     # per-token `exists(marks, ...)` membership test. Equal window
@@ -777,6 +811,14 @@ def scrub_repeated_spans_df(docs: DataFrame) -> DataFrame:
     )
     for c, e in run_exprs.items():
         out = out.withColumn(c, F.expr(e))
+    # In remove-all mode a rep whose text-hash group has >1 member is
+    # itself cross-doc duplicated END TO END (its collapsed copies hold
+    # every window), so a ≥n-token dup-group rep scrubs fully — the
+    # collapse prefilter hid those within-group repetitions from the
+    # span table. Statically false in keep-first mode (folded away).
+    scrub_full = (
+        F.lit(not keep_first) & (F.col("gsz") > 1) & (F.size("t") >= F.lit(n))
+    )
     out = (
         out.withColumn(
             "kept",
@@ -784,11 +826,23 @@ def scrub_repeated_spans_df(docs: DataFrame) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.concat_ws(" ", F.col("kept")).alias("scrubbed_text"),
-            (F.size("t") - F.size("kept")).alias("n_removed_tokens"),
+            F.when(scrub_full, F.lit(""))
+            .otherwise(F.concat_ws(" ", F.col("kept")))
+            .alias("scrubbed_text"),
+            F.when(scrub_full, F.size("t"))
+            .otherwise(F.size("t") - F.size("kept"))
+            .alias("n_removed_tokens"),
         )
     )
-    return out.unionByName(copies)
+    if keep_first:
+        return out.unionByName(copies)
+    rep_out = out.select(
+        F.col("doc_id").alias("rep_id"), "scrubbed_text", "n_removed_tokens"
+    )
+    copies_out = copies_map.join(rep_out, "rep_id").select(
+        "doc_id", "scrubbed_text", "n_removed_tokens"
+    )
+    return out.unionByName(copies_out)
 
 
 EDITDIST_LEN_BUCKET = 25

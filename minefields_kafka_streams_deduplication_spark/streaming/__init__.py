@@ -12,3 +12,4 @@ from . import punctuate  # noqa: F401
 from . import suppress  # noqa: F401
 from . import windows_stream  # noqa: F401
 from . import drift  # noqa: F401  (registers drift_stream_psi)
+from . import global_table  # noqa: F401  (registers join_global_table_refresh)

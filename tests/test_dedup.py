@@ -326,3 +326,103 @@ def test_scrub_runs_cover_long_repeats(spark, monkeypatch):
     assert out[4].scrubbed_text == "xx"
     assert out[4].n_removed_tokens == 16
     assert out[3].scrubbed_text == rows[2][1]  # canonical for both spans
+
+
+def test_scrub_removeall_overlapping_repeats_fully_scrubbed(spark, monkeypatch):
+    """VERDICT r5 #4: the keep-first mode's per-window attribution
+    fragments the canonical copy when OVERLAPPING repeats have
+    different keep docs (pinned below as the documented caveat); the
+    remove-all mode (Lee et al.'s released ExactSubstr semantics) has
+    no attribution, so every occurrence of the 15-token repeat scrubs
+    FULLY regardless of alignment."""
+    from minefields_kafka_streams_deduplication_spark.functions import neardup
+
+    W = [f"w{i}" for i in range(100)]
+    R = [f"r{i}" for i in range(15)]
+    rows = [
+        # doc 10: ONLY the last 8 tokens of R (a third-party sub-repeat
+        # with the lowest id — the attribution-conflict trigger)
+        (10, " ".join(W[40:44] + R[7:] + W[44:48]), "en", "s", 1),
+        (11, " ".join(W[50:55] + R + W[55:60]), "en", "s", 1),
+        (12, " ".join(W[60:63] + R + W[63:70]), "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    monkeypatch.setattr(neardup, "load_table", lambda s, d, n: df)
+
+    # remove-all: both full occurrences of R scrub completely, and the
+    # sub-repeat occurrence in doc 10 scrubs too — contexts intact.
+    out = {
+        r.doc_id: r for r in neardup.scrub_repeated_spans_all(spark, "x").collect()
+    }
+    assert out[11].scrubbed_text == " ".join(W[50:55] + W[55:60])
+    assert out[11].n_removed_tokens == 15
+    assert out[12].scrubbed_text == " ".join(W[60:63] + W[63:70])
+    assert out[12].n_removed_tokens == 15
+    assert out[10].scrubbed_text == " ".join(W[40:44] + W[44:48])
+    assert out[10].n_removed_tokens == 8
+
+    # keep-first caveat (documented): doc 11 is canonical for most of
+    # R but loses the contested suffix window to doc 10 — the repeat
+    # survives nowhere intact. This pin is the caveat's regression
+    # marker, not an endorsement.
+    kf = {r.doc_id: r for r in neardup.scrub_repeated_spans(spark, "x").collect()}
+    assert kf[10].n_removed_tokens == 0
+    assert kf[11].n_removed_tokens == 8  # fragmentation
+    assert kf[12].n_removed_tokens == 15
+
+
+def test_scrub_removeall_copy_groups_and_uniques(spark, monkeypatch):
+    """Remove-all over exact-copy groups: the collapse prefilter hides
+    within-group repetition from the span table, so the dup-group rule
+    must scrub BOTH the rep and its copies to empty (every window is
+    cross-doc duplicated); unique docs — long and sub-window short —
+    pass through untouched."""
+    from minefields_kafka_streams_deduplication_spark.functions import neardup
+
+    W = [f"w{i}" for i in range(100)]
+    R = [f"r{i}" for i in range(15)]
+    rows = [
+        (1, " ".join(R + W[:5]), "en", "s", 1),
+        (2, " ".join(R + W[:5]), "en", "s", 1),  # exact copy of doc 1
+        (3, " ".join(W[10:30]), "en", "s", 1),   # unique long
+        (4, " ".join(W[90:96]), "en", "s", 1),   # unique, < n tokens
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    monkeypatch.setattr(neardup, "load_table", lambda s, d, n: df)
+    out = {
+        r.doc_id: r for r in neardup.scrub_repeated_spans_all(spark, "x").collect()
+    }
+    assert out[1].scrubbed_text == "" and out[1].n_removed_tokens == 20
+    assert out[2].scrubbed_text == "" and out[2].n_removed_tokens == 20
+    assert out[3].scrubbed_text == rows[2][1] and out[3].n_removed_tokens == 0
+    assert out[4].scrubbed_text == rows[3][1] and out[4].n_removed_tokens == 0
+
+
+def test_scrub_removeall_dominates_keepfirst_on_fixture(spark, sf_dir):
+    """Fixture-wide invariants tying the two modes together: remove-all
+    scrubs at least as much as keep-first for EVERY document (it drops
+    the canonical exemption and adds nothing else), and the two modes
+    agree exactly on documents keep-first already emptied."""
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+    from minefields_kafka_streams_deduplication_spark.functions.neardup import (
+        scrub_repeated_spans_df,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kf = {
+        r.doc_id: r.n_removed_tokens
+        for r in scrub_repeated_spans_df(docs).collect()
+    }
+    ra = {
+        r.doc_id: r.n_removed_tokens
+        for r in scrub_repeated_spans_df(docs, keep_first=False).collect()
+    }
+    assert set(kf) == set(ra)
+    assert all(ra[d] >= kf[d] for d in kf), [
+        d for d in kf if ra[d] < kf[d]
+    ][:5]
+    assert any(ra[d] > 0 for d in ra)  # the fixture does contain repeats

@@ -301,6 +301,7 @@ _SWEEP_EXCLUDE_SUBSTR = (
     "kafka_wire",
     "bpe_learn",
     "bpe_encode",
+    "global_table",  # runs a live drip-feed micro-batch harness
 )
 
 
@@ -378,3 +379,28 @@ def test_no_forced_broadcast_of_document_sized_frames():
         "broadcast hint(s) on dedup winner frames (documents-proportional "
         f"cardinality): {dedup_hints}"
     )
+
+
+def test_ks_drift_two_phase_cdf_shares_one_partitioning(spark, sf_dir):
+    """ADVICE r5: drift_report_value_ks's two-phase CDF feeds BOTH the
+    per-_pid window cumsum and the per-_pid counts from the same
+    range-partitioned frame. Correctness of the offset pairing requires
+    both branches to see the SAME partition boundaries (same _pid
+    assignment). Catalyst only PARTIALLY deduped the declarative form
+    (two materialized range exchanges, independent boundary sampling —
+    the silent mis-pairing hazard), so the frame is localCheckpoint-ed:
+    both branches must scan the one materialized RDD and the serving
+    plan must contain NO range exchange at all."""
+    import re
+
+    df = engine.get_queries()["drift_report_value_ks"](spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("== Initial Plan ==")[0]
+    n_range = len(re.findall(r"Exchange rangepartitioning", final))
+    assert n_range == 0, (
+        f"range exchange re-planned inside the serving query "
+        f"(boundary re-sampling hazard):\n{final[:3000]}"
+    )
+    n_rdd = len(re.findall(r"Scan ExistingRDD", final))
+    assert n_rdd >= 2, f"both CDF branches must read the checkpointed frame, saw {n_rdd}"
