@@ -8,3 +8,4 @@ from . import json_dt  # noqa: F401
 from . import vectors  # noqa: F401
 from . import neardup  # noqa: F401
 from . import pipeline  # noqa: F401
+from . import unigram_lm  # noqa: F401

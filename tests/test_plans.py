@@ -302,6 +302,7 @@ _SWEEP_EXCLUDE_SUBSTR = (
     "bpe_learn",
     "bpe_encode",
     "global_table",  # runs a live drip-feed micro-batch harness
+    "unigram_",  # iterative EM trainer runs at build time (like bpe_learn)
 )
 
 
