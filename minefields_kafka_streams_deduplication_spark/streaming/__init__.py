@@ -13,3 +13,4 @@ from . import suppress  # noqa: F401
 from . import windows_stream  # noqa: F401
 from . import drift  # noqa: F401  (registers drift_stream_psi)
 from . import global_table  # noqa: F401  (registers join_global_table_refresh)
+from . import expectations  # noqa: F401  (registers validate_stream_gate)

@@ -987,3 +987,108 @@ def test_drift_stream_psi_spikes_on_drifting_batches(spark, tmp_path):
     # cross-check one score against the reference arithmetic directly
     ref = psi_of_counts(baseline, {9: 100}, DRIFT_STREAM_BUCKETS)
     assert abs(psis[2] - ref) < 1e-12
+
+
+def test_expectations_gate_quarantines_poisoned_batch(spark, tmp_path):
+    """VERDICT r5 #7: crafted replay through the streaming expectations
+    gate — the poisoned batch is diverted to quarantine byte-intact
+    (all rows, original columns), clean batches promote untouched, and
+    promoted + quarantined conserve the input exactly."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from minefields_kafka_streams_deduplication_spark.streaming.expectations import (
+        EXPECT_EVENT_RULES,
+        run_expectations_gate,
+    )
+    from minefields_kafka_streams_deduplication_spark.streaming.punctuate import (
+        stage_events_ordered,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(90):
+        # three 30-row days; day 2 (Jan 2) carries nulls + a negative
+        v = None if (30 <= i < 55) else (-1.0 if i == 58 else float(i))
+        rows.append((i, t0 + dt.timedelta(days=i // 30, minutes=i % 30), i % 7, v))
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE"
+    )
+    stage, promoted, quarantine = (
+        str(tmp_path / "stage"), str(tmp_path / "prom"), str(tmp_path / "quar")
+    )
+    stage_events_ordered(df, stage, n_slices=3)
+    report = run_expectations_gate(
+        spark,
+        stage,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE",
+        EXPECT_EVENT_RULES,
+        promoted,
+        quarantine,
+    )
+    statuses = {b: s for b, _n, _v, s in report}
+    assert statuses == {0: "promoted", 1: "quarantined", 2: "promoted"}, report
+    viol = {b: v for b, _n, v, s in report}
+    assert viol[1] == 26  # 25 nulls + 1 negative
+    prom = spark.read.parquet(promoted)
+    quar = spark.read.parquet(quarantine)
+    assert prom.count() + quar.count() == 90
+    # quarantined batch is the day-2 slice, rows untouched (nulls kept)
+    assert quar.count() == 30
+    assert quar.filter(F.col("value").isNull()).count() == 25
+    assert sorted(r.event_id for r in quar.collect()) == list(range(30, 60))
+    # promoted side is violation-free
+    assert prom.filter(F.col("value").isNull() | (F.col("value") < 0)).count() == 0
+
+
+def test_expectations_gate_clean_stream_all_promoted(spark, tmp_path):
+    """A violation-free replay promotes every batch — the gate must not
+    quarantine on a clean stream (no false positives)."""
+    import datetime as dt
+
+    from minefields_kafka_streams_deduplication_spark.streaming.expectations import (
+        EXPECT_EVENT_RULES,
+        run_expectations_gate,
+    )
+    from minefields_kafka_streams_deduplication_spark.streaming.punctuate import (
+        stage_events_ordered,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(hours=i), i % 5, float(i)) for i in range(40)],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE",
+    )
+    stage, promoted, quarantine = (
+        str(tmp_path / "stage"), str(tmp_path / "prom"), str(tmp_path / "quar")
+    )
+    stage_events_ordered(df, stage, n_slices=2)
+    report = run_expectations_gate(
+        spark,
+        stage,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE",
+        EXPECT_EVENT_RULES,
+        promoted,
+        quarantine,
+    )
+    assert [s for _b, _n, _v, s in report] == ["promoted", "promoted"]
+    assert spark.read.parquet(promoted).count() == 40
+    import os
+    assert not os.path.exists(quarantine)  # nothing ever quarantined
+
+
+def test_validate_stream_gate_query_shape(spark, sf_dir):
+    """The registered fixture query: 4 time slices, exactly slice 2
+    quarantined (the synthetic poison), conservation of row counts."""
+    import minefields_kafka_streams_deduplication_spark as engine
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+
+    out = engine.get_queries()["validate_stream_gate"](spark, sf_dir).collect()
+    assert [r.batch_id for r in out] == [0, 1, 2, 3]
+    assert [r.status for r in out] == [
+        "promoted", "promoted", "quarantined", "promoted"
+    ]
+    quarantined = next(r for r in out if r.status == "quarantined")
+    assert quarantined.n_violations == quarantined.n_rows  # every value nulled
+    total = sum(r.n_rows for r in out)
+    assert total == load_table(spark, sf_dir, "events").count()
