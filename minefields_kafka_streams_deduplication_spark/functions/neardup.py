@@ -1069,3 +1069,137 @@ def neardup_incremental_df(docs: DataFrame, cut: int) -> DataFrame:
     )
     dropped = i_members.join(dropped_reps, "rep_id", "left_semi").select("doc_id")
     return inc.select("doc_id", "lang", "source").join(dropped, "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap + document novelty (shingle-level corpus forensics).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_overlap_ngrams",
+    oracle=f"""
+WITH shingles AS ({_SHINGLE_SQL}),
+ss AS (
+  SELECT DISTINCT d.source, s.shingle
+  FROM shingles s JOIN documents d USING (doc_id)
+),
+sizes AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+inter AS (
+  SELECT a.source AS source_1, b.source AS source_2, count(*) AS n_shared
+  FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_1, source_2, CAST(n_shared AS BIGINT) AS n_shared,
+       floor(CAST(n_shared AS DOUBLE) / (s1.n + s2.n - n_shared) * 10000 + 0.5)
+         / 10000 AS overlap_jaccard
+FROM inter
+JOIN sizes s1 ON source_1 = s1.source
+JOIN sizes s2 ON source_2 = s2.source
+ORDER BY source_1, source_2
+""",
+)
+def source_overlap_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram overlap matrix — the corpus-forensics
+    statistic behind contamination checks and source dedup priority:
+    for every source pair, the count of distinct 3-token shingles both
+    sources contain and the Jaccard of their shingle sets. A high cell
+    says two crawls/feeds overlap enough that cross-source dedup (not
+    just within-source) will pay.
+
+    Scale shape: (source, shingle) distinct is shingle-bounded; the
+    pair join is an equi-join on shingle (never all-pairs over docs);
+    output is source-pair-bounded (P(P-1)/2 rows). A hot shingle
+    appearing in all S sources contributes S(S-1)/2 pair rows — still
+    source-bounded, independent of how many DOCUMENTS carry it, because
+    the per-source distinct collapses first."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)  # distinct (doc_id, shingle)
+    ss = (
+        sh.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+        .cache()
+    )
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = ss.select(F.col("source").alias("source_1"), "shingle")
+    b = ss.select(F.col("source").alias("source_2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("source_1") < F.col("source_2"))
+        .groupBy("source_1", "source_2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    s1 = sizes.select(F.col("source").alias("source_1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("source").alias("source_2"), F.col("n").alias("n2"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_shared")
+    )
+    from ..catalog import round4f
+
+    return (
+        inter.join(s1, "source_1")
+        .join(s2, "source_2")
+        .select(
+            "source_1",
+            "source_2",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            round4f(jac).alias("overlap_jaccard"),
+        )
+        .orderBy("source_1", "source_2")
+    )
+
+
+@query(
+    "doc_novelty_ngrams",
+    oracle=f"""
+WITH shingles AS ({_SHINGLE_SQL}),
+firsts AS (SELECT shingle, min(doc_id) AS first_doc FROM shingles GROUP BY 1)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       floor(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 10000 + 0.5) / 10000 AS novelty
+FROM shingles s JOIN firsts f USING (shingle)
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+""",
+)
+def doc_novelty_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — what fraction of a doc's distinct
+    3-token shingles FIRST appear in it (min doc_id over the corpus,
+    i.e. ingestion order as the repo-wide keep-first convention). The
+    dedup-adjacent quality signal: near-zero novelty marks boilerplate
+    and late copies; a training-data curator samples high-novelty docs
+    first (the "fading novelty" curriculum statistic).
+
+    Scale shape: first-occurrence is a shingle-bounded min aggregate;
+    the join back is an equi-join on shingle; output is one row per
+    shingled doc. Docs with <3 tokens have no shingles and are absent
+    (both engines agree by construction)."""
+    from ..catalog import round4f
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            round4f(
+                F.col("n_novel").cast("double") / F.col("n_shingles")
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
