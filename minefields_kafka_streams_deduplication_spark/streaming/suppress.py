@@ -31,6 +31,7 @@ key, identical to any keyed stateful op.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 import time
@@ -164,7 +165,7 @@ def run_suppressed(
     spark: SparkSession,
     stage_dir: str,
     expected_final: dict[int, int],
-    timeout_s: float = 180.0,
+    timeout_s: float | None = None,
     limit_ms: int = SUPPRESS_LIMIT_MS,
     watermark_delay_ms: int = 60_000,
 ) -> DataFrame:
@@ -176,7 +177,14 @@ def run_suppressed(
     Drain mirrors run_punctuated_stream_time: timers are bounded by
     (last buffered update + limit), so escalating far-future sentinel
     rows (impossible key, filtered out) push the watermark past every
-    armed timeout. ``stage_dir`` is consumed (sentinels accumulate)."""
+    armed timeout. ``stage_dir`` is consumed (sentinels accumulate).
+
+    Drain pacing scales with staged input size (r6 probe-driven fix —
+    the fixed 180 s deadline, 3 s stall window and 0.15 s poll were
+    fixture-sized: at the 1000× probe a single micro-batch runs
+    MINUTES, so the old pacing declared a timeout before batch 1
+    committed and would have dumped a sentinel file every 3 s while
+    waiting). timeout_s=None → max(180 s, 2 s per staged MB)."""
     schema = "user_id LONG, event_id LONG, ts TIMESTAMP, value DOUBLE, event_type STRING"
     name = f"suppress_{uuid.uuid4().hex[:8]}"
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
@@ -190,6 +198,15 @@ def run_suppressed(
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(_staged_partitions(spark, stage_dir))
     )
+    staged_mb = sum(
+        os.path.getsize(os.path.join(stage_dir, f))
+        for f in os.listdir(stage_dir)
+        if f.endswith(".parquet")
+    ) / 1e6
+    if timeout_s is None:
+        timeout_s = max(180.0, staged_mb * 2.0)
+    stall_s = max(3.0, staged_mb / 8.0)
+    poll_s = max(0.15, min(staged_mb / 100.0, 5.0))
     max_ts_us = (
         spark.read.schema(schema).parquet(stage_dir).agg(F.max("ts")).first()[0]
     )
@@ -234,7 +251,7 @@ def run_suppressed(
                 )
             if cur != last:
                 last, stalled_since = cur, time.time()
-            elif time.time() - stalled_since > 3.0:
+            elif time.time() - stalled_since > stall_s:
                 n_sentinels += 1
                 push_us = sentinel_base_us + n_sentinels * (
                     limit_ms + watermark_delay_ms
@@ -248,7 +265,7 @@ def run_suppressed(
                     "value", "event_type",
                 ).coalesce(1).write.mode("append").parquet(stage_dir)
                 stalled_since = time.time()
-            time.sleep(0.15)
+            time.sleep(poll_s)
     finally:
         if q is not None:
             q.stop()
