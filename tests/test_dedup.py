@@ -426,3 +426,48 @@ def test_scrub_removeall_dominates_keepfirst_on_fixture(spark, sf_dir):
         d for d in kf if ra[d] < kf[d]
     ][:5]
     assert any(ra[d] > 0 for d in ra)  # the fixture does contain repeats
+
+
+def test_scrub_removeall_matches_positional_reference_hypothesis(spark):
+    """Hypothesis pin for remove-all semantics: a pure-Python positional
+    reference (windows → cross-doc repeated → union of covered
+    positions → gap-kept tokens) must match the distributed output
+    EXACTLY on arbitrary random corpora — including exact-copy groups
+    (both copies empty), sub-window docs, and overlapping repeats."""
+    from hypothesis import given, settings, strategies as st
+
+    from minefields_kafka_streams_deduplication_spark.functions.neardup import (
+        SCRUB_SPAN_TOKENS as N,
+        scrub_repeated_spans_df,
+    )
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd"])
+    doc = st.lists(word, min_size=0, max_size=14)
+
+    @given(st.lists(doc, min_size=1, max_size=5))
+    @settings(max_examples=12, deadline=None)
+    def run(corpus):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        got = {
+            r.doc_id: (r.scrubbed_text, r.n_removed_tokens)
+            for r in scrub_repeated_spans_df(df, keep_first=False).collect()
+        }
+
+        # positional reference
+        toks = {i: t for i, t in enumerate(corpus)}
+        owners: dict[tuple, set] = {}
+        for i, t in toks.items():
+            for p in range(len(t) - N + 1):
+                owners.setdefault(tuple(t[p : p + N]), set()).add(i)
+        exp = {}
+        for i, t in toks.items():
+            removed = set()
+            for p in range(len(t) - N + 1):
+                if len(owners[tuple(t[p : p + N])]) > 1:
+                    removed.update(range(p, p + N))
+            kept = [w for j, w in enumerate(t) if j not in removed]
+            exp[i] = (" ".join(kept), len(removed))
+        assert got == exp, (got, exp)
+
+    run()
