@@ -146,6 +146,66 @@ def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRAT_SALT = "strat-split-v1"
+
+
+@query(
+    "train_val_split_stratified",
+    oracle=f"""
+SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT source,
+         CASE WHEN substr(md5('{STRAT_SALT}:' || source || ':'
+                              || CAST(doc_id AS VARCHAR)), 1, 4)
+                   < '{_VAL_THRESHOLD}'
+              THEN 'val' ELSE 'train' END AS split,
+         n_chars
+  FROM documents
+) t
+GROUP BY source, split
+ORDER BY source, split
+""",
+)
+def train_val_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE stratified train/validation split — the multi-corpus
+    form of `train_val_split`: the salted coin includes the source, so
+    each stratum draws its ~5% validation slice independently (a small
+    source cannot be starved of validation docs by a global coin, the
+    failure mode of unstratified splits on skewed mixtures). Same
+    salt-versioned stability contract: assignment is a pure function of
+    (salt, source, doc_id).
+
+    Scale: pure scan-side expressions; one (source, split)-bounded
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    coin = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(f"{STRAT_SALT}:"),
+                F.col("source"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+        1,
+        4,
+    )
+    return (
+        docs.select(
+            "source",
+            F.when(coin < _VAL_THRESHOLD, "val").otherwise("train").alias("split"),
+            "n_chars",
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("source", "split")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Global deterministic shuffle (training-order materialization).
 # ---------------------------------------------------------------------------

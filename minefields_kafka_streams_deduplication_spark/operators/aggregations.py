@@ -1541,3 +1541,131 @@ def histogram_equidepth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("hi"),
         )
     )
+
+
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+@query(
+    "events_winsorized_stats",
+    oracle=f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+bounds AS (
+  SELECT event_type,
+         max(CASE WHEN rn = CAST(ceil({WINSOR_LO} * n) AS BIGINT)
+                  THEN value END) AS p01,
+         max(CASE WHEN rn = CAST(ceil({WINSOR_HI} * n) AS BIGINT)
+                  THEN value END) AS p99
+  FROM ranked GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN e.value < b.p01 OR e.value > b.p99
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       b.p01 AS p01,
+       b.p99 AS p99,
+       CAST(round(sum(CAST(least(greatest(e.value, b.p01), b.p99)
+                           AS DECIMAL(18,6))), 4) AS DOUBLE) AS winsorized_sum
+FROM events e JOIN bounds b USING (event_type)
+GROUP BY e.event_type, b.p01, b.p99
+ORDER BY e.event_type
+""",
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per event type — the outlier-clip
+    pass a feature pipeline runs before normalization: exact p01/p99
+    order statistics, the count of clipped rows, and the sum after
+    clamping into [p01, p99].
+
+    Scale shape — the drift_report_value_ks discipline: rows collapse
+    to (event_type, value, cnt) FIRST (distinct-value-bounded), the
+    per-type CDF cumsum runs in the two-phase form over a
+    ``localCheckpoint``-ed range-partitioned frame (both the window and
+    the offsets branch read ONE materialized RDD — consistent _pid by
+    construction, never by ReuseExchange luck; a per-type
+    ``Window.partitionBy(event_type)`` over the RAW rows would be the
+    SinglePartition pathology times five at 100 TB). The quantile is
+    then the SMALLEST value whose cumulative count reaches
+    ``ceil(p * n)`` — a selected order statistic, no float arithmetic
+    on values; the clamped sum goes through DECIMAL(18,6)
+    (order-independent); the index expression is the same IEEE double
+    math on both engines.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    per_val = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    part = (
+        per_val.repartitionByRange("event_type", "value")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w = (
+        Window.partitionBy("event_type", "_pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part.withColumn("_lc", F.sum("c").over(w))
+    counts = local.groupBy("event_type", "_pid").agg(F.max("_lc").alias("_t"))
+    c2 = counts.select(
+        F.col("event_type").alias("_et2"),
+        F.col("_pid").alias("_pid2"),
+        F.col("_t").alias("_t2"),
+    )
+    offsets = (
+        counts.join(
+            c2,
+            (F.col("_et2") == F.col("event_type"))
+            & (F.col("_pid2") < F.col("_pid")),
+            "left",
+        )
+        .groupBy("event_type", "_pid")
+        .agg(F.coalesce(F.sum("_t2"), F.lit(0)).alias("_off"))
+    )
+    totals = counts.groupBy("event_type").agg(F.sum("_t").alias("_n"))
+    cum = (
+        local.join(F.broadcast(offsets), ["event_type", "_pid"])
+        .withColumn("_cum", F.col("_lc") + F.col("_off"))
+        .join(F.broadcast(totals), "event_type")
+    )
+    lo_idx = F.ceil(F.lit(WINSOR_LO) * F.col("_n"))
+    hi_idx = F.ceil(F.lit(WINSOR_HI) * F.col("_n"))
+    bounds = cum.groupBy("event_type").agg(
+        F.min(F.when(F.col("_cum") >= lo_idx, F.col("value"))).alias("p01"),
+        F.min(F.when(F.col("_cum") >= hi_idx, F.col("value"))).alias("p99"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "p01", "p99")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("p01"))
+                    | (F.col("value") > F.col("p99")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clipped"),
+            F.round(F.sum(dec6(clamped)), 4)
+            .cast("double")
+            .alias("winsorized_sum"),
+        )
+        .select(
+            "event_type", "n_events", "n_clipped", "p01", "p99", "winsorized_sum"
+        )
+        .orderBy("event_type")
+    )

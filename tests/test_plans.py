@@ -405,3 +405,27 @@ def test_ks_drift_two_phase_cdf_shares_one_partitioning(spark, sf_dir):
     )
     n_rdd = len(re.findall(r"Scan ExistingRDD", final))
     assert n_rdd >= 2, f"both CDF branches must read the checkpointed frame, saw {n_rdd}"
+
+
+def test_winsorized_quantiles_share_one_partitioning(spark, sf_dir):
+    """events_winsorized_stats' per-type CDF follows the
+    drift_report_value_ks discipline: the range-partitioned
+    value-collapsed frame is localCheckpoint-ed so the window branch
+    and the offsets branch read the SAME materialized RDD — no range
+    exchange (with its independent boundary sampling) may appear in the
+    serving plan."""
+    import re
+
+    df = engine.get_queries()["events_winsorized_stats"](spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("== Initial Plan ==")[0]
+    # the only permitted range exchange is the final ORDER BY
+    # event_type sort of the 5-row result — none may partition on the
+    # CDF's (event_type, value) key
+    n_range = len(
+        re.findall(r"Exchange rangepartitioning\([^)]*value", final)
+    )
+    assert n_range == 0, final[:3000]
+    n_rdd = len(re.findall(r"Scan ExistingRDD", final))
+    assert n_rdd >= 2, f"both CDF branches must read the checkpointed frame, saw {n_rdd}"
