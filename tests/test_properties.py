@@ -542,3 +542,52 @@ def test_bpe_train_matches_model_on_random_corpora(spark, texts):
         [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
     )
     assert bpe_train_merges(docs, n_merges=3) == _ref_bpe_train(texts, 3)
+
+
+def test_winsorized_quantiles_match_python_reference(spark, monkeypatch):
+    """Hypothesis pin for the checkpointed per-group CDF quantiles in
+    events_winsorized_stats: on arbitrary random value multisets
+    (duplicates, negatives, single-row groups) the selected p01/p99,
+    clip counts and winsorized sum must equal a direct pure-Python
+    evaluation of the same definition (value at rank ceil(p*n) under
+    (value, event_id) order == smallest value with CDF >= index)."""
+    import datetime as dt
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from minefields_kafka_streams_deduplication_spark.operators import aggregations as ag
+
+    vals = st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=60
+    )
+
+    @given(vals, vals)
+    @settings(max_examples=12, deadline=None)
+    def run(va, vb):
+        t0 = dt.datetime(2024, 1, 1)
+        rows, eid = [], 0
+        for et, vs in (("a", va), ("b", vb)):
+            for v in vs:
+                rows.append((eid, t0, 1, et, float(v) / 4))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+        )
+        monkeypatch.setattr(ag, "load_table", lambda s, d, n: df)
+        got = {r.event_type: r for r in ag.events_winsorized_stats(spark, "x").collect()}
+        monkeypatch.undo()
+
+        for et, vs in (("a", va), ("b", vb)):
+            xs = sorted(float(v) / 4 for v in vs)
+            n = len(xs)
+            lo = xs[math.ceil(ag.WINSOR_LO * n) - 1]
+            hi = xs[math.ceil(ag.WINSOR_HI * n) - 1]
+            clipped = sum(1 for x in xs if x < lo or x > hi)
+            wsum = round(sum(min(max(x, lo), hi) for x in xs), 4)
+            r = got[et]
+            assert r.p01 == lo and r.p99 == hi, (et, r, lo, hi)
+            assert r.n_clipped == clipped and r.n_events == n
+            assert abs(r.winsorized_sum - wsum) < 1e-9, (r.winsorized_sum, wsum)
+
+    run()
