@@ -84,11 +84,54 @@ class StreamsBuilder:
 
     def global_table(self, name: str, key: str) -> "KTable":
         """[R StreamsBuilder#globalTable]: replicated dimension —
-        broadcast, so joins against it never shuffle the stream side."""
+        broadcast, so joins against it never shuffle the stream side.
+        SNAPSHOT form: the dimension is fixed at build time; for the
+        continuously-updated store KS actually provides, use
+        :meth:`global_table_live`."""
         return KTable(
             F.broadcast(load_table(self.spark, self.sf_dir, name)),
             key,
             lineage=(f"Source: {name} (globalTable, broadcast)",),
+        )
+
+    def global_table_live(self, dim_root: str, key: str) -> "LiveGlobalKTable":
+        """[R StreamsBuilder#globalTable — the global store updates
+        CONTINUOUSLY from its topic]: a versioned-snapshot-backed
+        dimension handle. Publishers append full snapshots
+        (``publish``); ``current()`` resolves the latest complete one
+        as a broadcast KTable — call it inside ``foreachBatch`` so
+        every micro-batch enriches against the freshest dimension
+        (streaming/global_table.py has the full harness)."""
+        return LiveGlobalKTable(self.spark, dim_root, key)
+
+
+class LiveGlobalKTable:
+    """Continuously-refreshed GlobalKTable facade over the versioned
+    snapshot store. Not a lazy DataFrame wrapper: ``current()`` is
+    deliberately re-invoked per micro-batch (the point of the live
+    form); each call is one bounded parquet read."""
+
+    def __init__(self, spark: SparkSession, root: str, key: str) -> None:
+        self.spark = spark
+        self.root = root
+        self.key = key
+
+    def publish(self, df: DataFrame) -> int:
+        """Append the next snapshot version; atomic via _SUCCESS."""
+        from .streaming.global_table import publish_dim_snapshot
+
+        return publish_dim_snapshot(df, self.root)
+
+    def current(self) -> "KTable":
+        """The latest complete snapshot as a broadcast KTable (carries
+        ``_dim_version``). The broadcast hint is the GlobalKTable
+        contract: user-declared instance-memory-bounded."""
+        from .streaming.global_table import read_dim_latest
+
+        return KTable(
+            F.broadcast(read_dim_latest(self.spark, self.root)),
+            self.key,
+            lineage=(f"Source: {self.root} (globalTable LIVE, broadcast)",),
         )
 
 

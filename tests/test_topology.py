@@ -361,3 +361,41 @@ def test_ktable_group_by_reaggregates_final_table(spark, sf_dir):
         for r in latest.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_global_table_live_facade_sees_published_updates(spark, sf_dir, tmp_path):
+    """[R StreamsBuilder#globalTable updates continuously]: the live
+    facade resolves the LATEST published snapshot on every current()
+    call, composes with KStream.join_table, and is broadcast (the
+    GlobalKTable replication contract)."""
+    from pyspark.sql import functions as F
+
+    from minefields_kafka_streams_deduplication_spark.topology import StreamsBuilder
+
+    b = StreamsBuilder(spark, sf_dir)
+    live = b.global_table_live(str(tmp_path / "dim"), "c_custkey")
+    assert live.publish(
+        spark.createDataFrame([(1, "gold"), (2, "basic")], "c_custkey LONG, tier STRING")
+    ) == 1
+    events = b.stream("events").select_key("user_id")
+    enriched = events.join_table(
+        live.current(), F.col("user_id") == F.col("c_custkey"), "left"
+    )
+    v1 = {r.tier for r in enriched.to_df().select("tier").distinct().collect()}
+    assert "gold" in v1
+
+    live.publish(
+        spark.createDataFrame([(1, "platinum"), (2, "basic")], "c_custkey LONG, tier STRING")
+    )
+    v2 = {
+        r.tier
+        for r in events.join_table(
+            live.current(), F.col("user_id") == F.col("c_custkey"), "left"
+        ).to_df().select("tier").distinct().collect()
+    }
+    assert "platinum" in v2 and "gold" not in v2
+    # replication contract: the dimension side is broadcast
+    plan = enriched.to_df()._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    # lineage names the live source
+    assert "globalTable LIVE" in enriched.describe()
