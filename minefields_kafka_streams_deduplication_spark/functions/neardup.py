@@ -116,14 +116,18 @@ def dedup_text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-shingle quadratic blowup from exact copies is gone (measured
     66 s → ~8 s on a corpus where every doc has 10 copies).
     """
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
-    member = docs.select(
-        "doc_id", F.md5("text").alias("nh")
+    # Window-form collapse (r6 — see dedup_text_minhash): one exchange
+    # on the text hash serves member map and rep filter, replacing the
+    # groupBy + join/semi-join pair.
+    flagged = docs.select("doc_id", "text").withColumn(
+        "rep_id", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
     )
-    rep = member.groupBy("nh").agg(F.min("doc_id").alias("rep_id"))
-    members = member.join(rep, "nh").select("doc_id", "rep_id").cache()
-    reps = docs.join(
-        rep.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
+    members = flagged.select("doc_id", "rep_id").cache()
+    reps = flagged.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id", "text"
     )
 
     sh = _shingles(reps).cache()
@@ -394,12 +398,21 @@ def neardup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     per distinct text (hot-band quadratic blowup from copies is gone),
     member pairs are expanded back afterwards — identical output.
     """
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
-    member = docs.select("doc_id", F.md5("text").alias("nh"))
-    rep = member.groupBy("nh").agg(F.min("doc_id").alias("rep_id"))
-    members = member.join(rep, "nh").select("doc_id", "rep_id").cache()
-    reps = docs.join(
-        rep.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
+    # Rep flag via a min-over-text-hash WINDOW (the scrub's collapse
+    # form, r6): ONE exchange on the text hash serves both the member
+    # map and the rep filter through ReuseExchange — the groupBy +
+    # join/semi-join form re-shuffled the corpus twice more, and with
+    # the r6 hint removal each of those joins also paid an AQE
+    # shuffle-write before its runtime broadcast decision.
+    flagged = docs.select("doc_id", "text").withColumn(
+        "rep_id", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    )
+    members = flagged.select("doc_id", "rep_id").cache()
+    reps = flagged.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id", "text"
     )
 
     # LSH candidates over representatives (non-distinct shingles — a
@@ -1032,14 +1045,14 @@ def neardup_incremental_df(docs: DataFrame, cut: int) -> DataFrame:
     inc = docs.where(F.col("doc_id") >= cut)
 
     def reps_of(side: DataFrame) -> tuple[DataFrame, DataFrame]:
-        member = side.select("doc_id", F.md5("text").alias("nh"))
-        rep = member.groupBy("nh").agg(F.min("doc_id").alias("rep_id"))
-        members = member.join(rep, "nh").select("doc_id", "rep_id")
-        reps = side.join(
-            rep.select(F.col("rep_id").alias("doc_id")),
-            "doc_id",
-            "left_semi",
+        # window-form collapse (r6 — see dedup_text_minhash)
+        from pyspark.sql import Window
+
+        flagged = side.withColumn(
+            "rep_id", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
         )
+        members = flagged.select("doc_id", "rep_id")
+        reps = flagged.filter(F.col("doc_id") == F.col("rep_id")).drop("rep_id")
         return reps, members
 
     h_reps, _h_members = reps_of(hist)
