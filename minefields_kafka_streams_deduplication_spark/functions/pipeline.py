@@ -1645,3 +1645,141 @@ def drift_report_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ks_stat"),
     )
+
+
+@query(
+    "drift_report_ks_by_type",
+    oracle="""
+WITH b AS (
+  SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax FROM events
+),
+tagged AS (
+  SELECT e.event_type, e.value,
+         CASE WHEN epoch_us(e.ts) <= b.tmin + (b.tmax - b.tmin) // 2
+              THEN 0 ELSE 1 END AS half
+  FROM events e, b
+),
+per_value AS (
+  SELECT event_type, value,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1
+  FROM tagged GROUP BY event_type, value
+),
+tot AS (
+  SELECT event_type, sum(c0) AS n0, sum(c1) AS n1
+  FROM per_value GROUP BY event_type
+),
+cdf AS (
+  SELECT p.event_type,
+         sum(c0) OVER (PARTITION BY p.event_type ORDER BY value) AS a0,
+         sum(c1) OVER (PARTITION BY p.event_type ORDER BY value) AS a1,
+         t.n0, t.n1
+  FROM per_value p JOIN tot t USING (event_type)
+)
+SELECT event_type,
+       CAST(max(n0) AS BIGINT) AS n_base,
+       CAST(max(n1) AS BIGINT) AS n_curr,
+       floor(max(abs(CAST(a0 AS DOUBLE) / n0 - CAST(a1 AS DOUBLE) / n1))
+             * 10000 + 0.5) / 10000 AS ks_stat
+FROM cdf
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def drift_report_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP Kolmogorov-Smirnov drift — `drift_report_value_ks`
+    stratified by event_type: a global KS can miss a drift confined to
+    one event class (opposing shifts cancel in the pooled CDF), so the
+    monitoring gate a real pipeline runs is per-stratum. Same midpoint
+    split, same exact-integer CDF arithmetic, same floor-form rounding.
+
+    Scale shape: the grouped twin of the checkpointed two-phase CDF
+    (events_winsorized_stats uses the identical skeleton) — rows
+    collapse to (event_type, value, c0, c1) first, the range-
+    partitioned frame is localCheckpoint-ed (both cumsum branches read
+    ONE materialized RDD; consistent _pid by construction), offsets
+    join within (event_type, _pid) — group-×-partition-bounded — and
+    the final max is map-side-combinable per type."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = F.broadcast(
+        ev.agg(
+            F.min(F.unix_micros("ts")).alias("tmin"),
+            F.max(F.unix_micros("ts")).alias("tmax"),
+        )
+    )
+    tagged = ev.crossJoin(b).select(
+        "event_type",
+        "value",
+        F.when(
+            F.unix_micros("ts") <= F.col("tmin") + F.expr("(tmax - tmin) div 2"), 0
+        ).otherwise(1).alias("half"),
+    )
+    per_value = tagged.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    part = (
+        per_value.repartitionByRange("event_type", "value")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w = (
+        Window.partitionBy("event_type", "_pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part.withColumn("_l0", F.sum("c0").over(w)).withColumn(
+        "_l1", F.sum("c1").over(w)
+    )
+    counts = local.groupBy("event_type", "_pid").agg(
+        F.max("_l0").alias("_t0"), F.max("_l1").alias("_t1")
+    )
+    c2 = counts.select(
+        F.col("event_type").alias("_et2"),
+        F.col("_pid").alias("_pid2"),
+        F.col("_t0").alias("_t0b"),
+        F.col("_t1").alias("_t1b"),
+    )
+    offsets = (
+        counts.join(
+            c2,
+            (F.col("_et2") == F.col("event_type"))
+            & (F.col("_pid2") < F.col("_pid")),
+            "left",
+        )
+        .groupBy("event_type", "_pid")
+        .agg(
+            F.coalesce(F.sum("_t0b"), F.lit(0)).alias("_o0"),
+            F.coalesce(F.sum("_t1b"), F.lit(0)).alias("_o1"),
+        )
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("_t0").alias("n0"), F.sum("_t1").alias("n1")
+    )
+    cdf = (
+        local.join(F.broadcast(offsets), ["event_type", "_pid"])
+        .select(
+            "event_type",
+            (F.col("_l0") + F.col("_o0")).alias("a0"),
+            (F.col("_l1") + F.col("_o1")).alias("a1"),
+        )
+        .join(F.broadcast(totals), "event_type")
+    )
+    return (
+        cdf.groupBy("event_type")
+        .agg(
+            F.max("n0").cast("long").alias("n_base"),
+            F.max("n1").cast("long").alias("n_curr"),
+            round4f(
+                F.max(
+                    F.abs(
+                        F.col("a0").cast("double") / F.col("n0")
+                        - F.col("a1").cast("double") / F.col("n1")
+                    )
+                )
+            ).alias("ks_stat"),
+        )
+        .orderBy("event_type")
+    )
