@@ -1783,3 +1783,73 @@ def drift_report_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "corpus_dup_inflation",
+    oracle="""
+WITH t AS (
+  SELECT source,
+         len(string_split(lower(text), ' ')) AS ntok,
+         row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                            ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+       CAST(sum(CASE WHEN rn > 1 THEN ntok ELSE 0 END) AS BIGINT) AS dup_tokens,
+       floor(CAST(sum(CASE WHEN rn > 1 THEN ntok ELSE 0 END) AS DOUBLE)
+             / sum(ntok) * 10000 + 0.5) / 10000 AS dup_token_frac
+FROM t
+GROUP BY source
+ORDER BY source
+""",
+)
+def corpus_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-inflation accounting per source — the number a curation
+    budget runs on: how many documents and TOKENS are exact-duplicate
+    copies (beyond the keep-first canonical), i.e. what fraction of the
+    training-token spend a dedup pass recovers, broken out by source so
+    the crawl with the worst copy inflation is visible. (Near-dup and
+    span-level recovery stack on top — this row is the exact-copy
+    floor.)
+
+    Scale shape: one min-over-text-hash window (the shared collapse
+    exchange) + one source-bounded aggregate; the shuffle carries
+    (hash, source, ntok), never document bodies twice."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower("text"), " ")).alias("ntok"),
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5(F.lower(F.trim("text")))))
+        .alias("rep_id"),
+    )
+    is_dup = F.col("doc_id") != F.col("rep_id")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+            F.sum(F.when(is_dup, 1).otherwise(0)).cast("long").alias("dup_docs"),
+            F.sum(F.when(is_dup, F.col("ntok")).otherwise(0))
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "dup_docs",
+            "dup_tokens",
+            round4f(
+                F.col("dup_tokens").cast("double") / F.col("n_tokens")
+            ).alias("dup_token_frac"),
+        )
+        .orderBy("source")
+    )
