@@ -29,4 +29,5 @@ from .state_store import (  # noqa: F401
     versioned_store_get,
 )
 from . import layout  # noqa: F401  (registers zorder_box_query)
+from . import snapshots  # noqa: F401  (registers store_snapshot_diff)
 from .layout import morton_key, quantize, write_zorder  # noqa: F401

@@ -1,0 +1,126 @@
+"""SnapshotStateTable (sources/snapshots.py): manifest-based atomic
+commits, time travel, file reuse, torn-commit invisibility, expiry GC,
+and idempotent replay — the table-format discipline the upsert sink's
+docstring deferred to "a real table format"."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from minefields_kafka_streams_deduplication_spark.sources.snapshots import SnapshotStateTable
+
+SCHEMA = "user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+T0 = dt.datetime(2024, 1, 1)
+
+
+def ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, e, T0 + dt.timedelta(minutes=m), "t", v) for (u, e, m, v) in rows],
+        SCHEMA,
+    )
+
+
+def snap(table, version=None):
+    return {
+        r.user_id: (r.event_id, r.value)
+        for r in table.read(version).collect()
+    }
+
+
+def test_commit_read_and_time_travel(spark, tmp_path):
+    t = SnapshotStateTable(spark, str(tmp_path / "s"))
+    assert t.commit(ev(spark, [(1, 10, 0, 1.0), (2, 20, 1, 2.0)])) == 1
+    assert t.commit(ev(spark, [(1, 11, 5, 9.0), (3, 30, 6, 3.0)])) == 2
+    assert t.commit(ev(spark, [(2, 21, 9, 8.0)])) == 3
+    # every historical snapshot remains exactly readable
+    assert snap(t, 1) == {1: (10, 1.0), 2: (20, 2.0)}
+    assert snap(t, 2) == {1: (11, 9.0), 2: (20, 2.0), 3: (30, 3.0)}
+    assert snap(t, 3) == {1: (11, 9.0), 2: (21, 8.0), 3: (30, 3.0)}
+    assert snap(t) == snap(t, 3)  # default = latest
+    assert t.versions() == [1, 2, 3]
+
+
+def test_untouched_buckets_inherited_by_reference(spark, tmp_path):
+    """A commit must not rewrite buckets its batch never touched: their
+    manifest paths — and the files behind them — are inherited."""
+    t = SnapshotStateTable(spark, str(tmp_path / "s"))
+    t.commit(ev(spark, [(u, u * 10, 0, 1.0) for u in range(1, 9)]))
+    p1 = t.bucket_paths(1)
+    t.commit(ev(spark, [(1, 999, 5, 7.0)]))  # touches key 1's bucket only
+    p2 = t.bucket_paths(2)
+    changed = {b for b in p2 if p2[b] != p1.get(b)}
+    assert len(changed) == 1  # exactly key 1's bucket moved
+    untouched = [b for b in p1 if b not in changed]
+    assert untouched and all(p2[b] == p1[b] for b in untouched)
+    # inherited paths still point at the ORIGINAL commit's files
+    assert all("c000001" in p2[b] for b in untouched)
+
+
+def test_torn_manifest_invisible(spark, tmp_path):
+    """A crashed publication (manifest .tmp present, rename never ran)
+    must not surface as a version — readers keep resolving the last
+    complete snapshot."""
+    t = SnapshotStateTable(spark, str(tmp_path / "s"))
+    t.commit(ev(spark, [(1, 10, 0, 1.0)]))
+    tmp = t._manifest_path(2) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": 2, "buckets": {}}, fh)
+    assert t.versions() == [1]
+    assert t.latest_version() == 1
+    assert snap(t) == {1: (10, 1.0)}
+
+
+def test_expire_gc_keeps_referenced_files(spark, tmp_path):
+    """expire(keep_last) removes only commit dirs no KEPT manifest
+    references: old versions become unreadable, the kept snapshot is
+    byte-identical, and inherited (still-referenced) old commit dirs
+    survive the GC."""
+    t = SnapshotStateTable(spark, str(tmp_path / "s"))
+    t.commit(ev(spark, [(u, u * 10, 0, 1.0) for u in range(1, 9)]))
+    t.commit(ev(spark, [(1, 999, 5, 7.0)]))
+    before = snap(t, 2)
+    deleted = t.expire(keep_last=1)
+    # v2 inherits most buckets from commit 1, so commit 1 must SURVIVE
+    assert deleted == []
+    assert t.versions() == [2]
+    assert snap(t, 2) == before
+    with pytest.raises(FileNotFoundError):
+        t.read(1).collect()
+
+    # now overwrite every bucket so commit 1+2 become unreferenced
+    t.commit(ev(spark, [(u, u * 10 + 1, 9, 2.0) for u in range(1, 9)]))
+    final = snap(t, 3)
+    deleted = t.expire(keep_last=1)
+    assert any("c000001" in d for d in deleted)
+    assert snap(t, 3) == final
+
+
+def test_replay_is_idempotent_in_content(spark, tmp_path):
+    """Latest-per-key is an idempotent fold: re-committing an
+    already-applied batch produces a NEW version with IDENTICAL
+    content (at-least-once delivery → exactly-once state)."""
+    t = SnapshotStateTable(spark, str(tmp_path / "s"))
+    batch = [(1, 10, 0, 1.0), (2, 20, 1, 2.0)]
+    t.commit(ev(spark, batch))
+    t.commit(ev(spark, batch))
+    assert snap(t, 1) == snap(t, 2)
+
+
+def test_snapshot_diff_query_matches_incremental_build(spark, sf_dir):
+    """The registered query's v2 snapshot (two incremental commits)
+    must equal the one-shot latest_by_key over all events — the fold
+    algebra across commits."""
+    import minefields_kafka_streams_deduplication_spark as engine
+
+    diff = engine.get_queries()["store_snapshot_diff"](spark, sf_dir)
+    v2 = {r.user_id: r.v2_event_id for r in diff.collect()}
+    direct = {
+        r.user_id: r.event_id
+        for r in engine.get_queries()["latest_by_key"](spark, sf_dir).collect()
+    }
+    assert v2 == direct
