@@ -784,3 +784,221 @@ def drift_report_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4f(mc).alias("mean_curr"),
         round4f(F.abs(mb - mc)).alias("mean_shift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain similarity search.
+# ---------------------------------------------------------------------------
+
+PQ_SUBSPACES = 8   # m sub-blocks over the 64-dim fixture -> 8 dims each
+PQ_CENTROIDS = 16  # k codewords per sub-block -> 4-bit codes, m bytes/vector
+PQ_TRAIN_SAMPLE = 4096
+PQ_KMEANS_ITERS = 12
+
+
+def _pq_seeded_kmeans(X, k: int, iters: int, seed: int):
+    """Deterministic Lloyd's KMeans on a driver-side sample (numpy).
+    Seeded spread init (first center = seed row, then farthest-point);
+    empty clusters re-seed to the farthest point. The model side of PQ
+    is BOUNDED by design — codebooks are m×k×(d/m) floats trained on a
+    sample, exactly like the IVF coarse quantizer's MLlib fit."""
+    import numpy as np
+
+    n = len(X)
+    ci = [seed % n]
+    d2 = ((X - X[ci[0]]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        ci.append(int(np.argmax(d2)))
+        d2 = np.minimum(d2, ((X - X[ci[-1]]) ** 2).sum(axis=1))
+    C = X[ci].copy()
+    for _ in range(iters):
+        dist = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = dist.argmin(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+            else:
+                C[j] = X[int(np.argmax(dist.min(axis=1)))]
+    return C
+
+
+def pq_train(emb: DataFrame, m: int = PQ_SUBSPACES, k: int = PQ_CENTROIDS,
+             seed: int = 7):
+    """Train PQ codebooks on a bounded sample of L2-NORMALIZED vectors
+    (unit vectors make squared-L2 monotone in cosine: ||a-b||² =
+    2 - 2·cos). Returns an (m, k, d/m) numpy array."""
+    import numpy as np
+
+    rows = (
+        emb.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE).select("embedding").collect()
+    )
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    d = X.shape[1]
+    assert d % m == 0, (d, m)
+    sub = d // m
+    return np.stack(
+        [
+            _pq_seeded_kmeans(X[:, i * sub : (i + 1) * sub], k,
+                              PQ_KMEANS_ITERS, seed + i)
+            for i in range(m)
+        ]
+    )
+
+
+def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
+    """(vec_id, codes tinyint[m]): per sub-block nearest codeword of the
+    normalized vector — one Arrow kernel pass, codebooks in the
+    closure. m bytes per vector vs 4·d for the raw floats (32× here)."""
+    import numpy as np
+    import pandas as pd
+
+    C = codebooks  # (m, k, sub)
+    m, _k, sub = C.shape
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(X), m), dtype=np.int8)
+            for i in range(m):
+                blk = X[:, i * sub : (i + 1) * sub]
+                # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+                dist = -2.0 * blk @ C[i].T + (C[i] ** 2).sum(axis=1)[None, :]
+                codes[:, i] = dist.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes)}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        kernel, "vec_id LONG, codes ARRAY<TINYINT>"
+    )
+
+
+@query("ann_pq_adc")  # rows-only: learned codebooks are sample/seed-specific
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_adc_topk(spark, sf_dir)
+
+
+def pq_adc_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CENTROIDS,
+    rerank: int = 0,
+) -> DataFrame:
+    """ANN scale path #4 — product quantization with asymmetric
+    distance computation (Jégou et al. 2011): the corpus lives as
+    m-byte PQ codes (32× smaller than raw floats — the difference
+    between an embedding index fitting executor memory at 100 TB or
+    not); each query builds an m×k lookup table of exact
+    sub-distances to every codeword ONCE, then scoring a candidate is
+    m table lookups + adds — no float dot products in the scan.
+
+    Output: (query_id, neighbor_id, adc_rank) — top-SIM_TOPK per query
+    by ADC distance (ties by neighbor_id). Recall vs the exact top-k is
+    pinned in tests (compressed-domain recall floor, plus the
+    reconstruction-error sanity of the codebooks). Composes with IVF
+    (`ivf_topk`) in the standard IVF-PQ layout: coarse cell prune, then
+    ADC within probed cells — the composition is the two operators
+    chained, no new machinery.
+
+    Scale shape: codes build in one kernel pass; the query×code scan is
+    a broadcast of SIM_N_QUERIES LUTs (query-count-bounded, NOT
+    corpus-bounded) against the code table, partition-local top-k, then
+    one small merge — the similarity_topk cogroup discipline."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = pq_train(emb, m=m, k=k)
+    m, k, sub = C.shape
+    codes = pq_encode(emb, C)
+
+    q_rows = (
+        emb.filter(F.col("vec_id") < SIM_N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # query set: bounded by SIM_N_QUERIES, not the corpus
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qids = np.array([r.vec_id for r in q_rows])
+    # per-query LUT: (nq, m, k) exact sub-distances to every codeword
+    lut = np.stack(
+        [
+            ((Q[:, None, i * sub : (i + 1) * sub] - C[i][None, :, :]) ** 2).sum(
+                axis=2
+            )
+            for i in range(m)
+        ],
+        axis=1,
+    )
+
+    topk = SIM_TOPK
+    shortlist_k = topk * rerank if rerank else topk
+
+    def scan(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes_arr = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            vec_ids = pdf["vec_id"].to_numpy()
+            # ADC: sum LUT entries per (query, candidate)
+            d = np.zeros((len(qids), len(codes_arr)))
+            for i in range(m):
+                d += lut[:, i, :][:, codes_arr[:, i]]
+            out_q, out_n, out_d = [], [], []
+            for qi in range(len(qids)):
+                mask = vec_ids != qids[qi]
+                order = np.lexsort((vec_ids[mask], d[qi][mask]))[:shortlist_k]
+                sel = np.flatnonzero(mask)[order]
+                out_q.extend([qids[qi]] * len(sel))
+                out_n.extend(vec_ids[sel].tolist())
+                out_d.extend(d[qi][sel].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc": out_d}
+            )
+
+    partial = codes.mapInPandas(
+        scan, "query_id LONG, neighbor_id LONG, adc DOUBLE"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    shortlist = partial.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= shortlist_k
+    )
+    if not rerank:
+        return shortlist.select(
+            "query_id", "neighbor_id", F.col("rn").cast("int").alias("adc_rank")
+        )
+    # Exact re-rank of the ADC shortlist (the standard IVF-PQ final
+    # stage): the shortlist is query-count × (rerank·topk) bounded, so
+    # joining the RAW embeddings back touches a bounded row set — the
+    # compressed scan did the corpus-sized work.
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ne = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+    )
+    cos = dot(F.col("q_emb"), F.col("n_emb")) / (
+        l2_norm(F.col("q_emb")) * l2_norm(F.col("n_emb"))
+    )
+    scored = (
+        shortlist.select("query_id", "neighbor_id")
+        .join(qe, "query_id")
+        .join(ne, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.round("cosine", 9).desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= topk)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"))
+    )

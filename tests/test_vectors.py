@@ -234,3 +234,83 @@ def test_embedding_drift_detects_shifted_dims(spark, monkeypatch):
     assert out[1].mean_shift == 2.0
     assert out[2].mean_shift == 0.0
     assert out[1].n_base == 5 and out[1].n_curr == 5
+
+
+def test_pq_adc_recall_and_rerank_curve(spark, sf_dir):
+    """ANN path #4 (PQ-ADC, Jégou et al. 2011) honesty pins on the
+    PQ-hostile near-random fixture: compressed-domain recall grows
+    monotonically with codebook size (measured 0.30/0.41 at k=16/64),
+    and the standard exact re-rank of the ADC shortlist recovers
+    near-exact recall (0.97 at k=16·rr20, 0.996 at k=64·rr20) while the
+    corpus-sized scan stays in the compressed domain."""
+    import minefields_kafka_streams_deduplication_spark as engine
+    from minefields_kafka_streams_deduplication_spark.functions.vectors import pq_adc_topk
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in engine.get_queries()["similarity_topk"](spark, sf_dir).collect()
+    }
+
+    def recall(**kw):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in pq_adc_topk(spark, sf_dir, **kw).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r16, r64 = recall(k=16), recall(k=64)
+    assert r16 >= 0.2 and r64 >= 0.3
+    assert r64 > r16  # codebook size buys compressed-domain recall
+    assert recall(k=16, rerank=20) >= 0.9
+    assert recall(k=64, rerank=20) >= 0.95
+
+
+def test_pq_codes_shape_and_codebook_sanity(spark, sf_dir):
+    """Codes are m int8 codewords per vector (m bytes vs 4·d raw —
+    32× here); a larger codebook strictly reduces reconstruction error
+    on the training sample (quantizer sanity)."""
+    import numpy as np
+
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+    from minefields_kafka_streams_deduplication_spark.functions.vectors import (
+        PQ_SUBSPACES,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = pq_train(emb, k=16)
+    rows = pq_encode(emb, C).limit(50).collect()
+    assert all(len(r.codes) == PQ_SUBSPACES for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r.codes)
+
+    X = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").limit(256).select("embedding").collect()],
+        dtype=np.float64,
+    )
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sub = X.shape[1] // PQ_SUBSPACES
+
+    def mse(k):
+        Ck = pq_train(emb, k=k)
+        err = 0.0
+        for i in range(PQ_SUBSPACES):
+            blk = X[:, i * sub : (i + 1) * sub]
+            d = ((blk[:, None, :] - Ck[i][None, :, :]) ** 2).sum(axis=2)
+            err += d.min(axis=1).sum()
+        return err
+
+    assert mse(16) < mse(2) < mse(1)
+
+
+def test_ann_pq_adc_query_shape(spark, sf_dir):
+    """Registered query: exactly SIM_TOPK ranked neighbors per query,
+    ranks 1..k, never self."""
+    import minefields_kafka_streams_deduplication_spark as engine
+
+    rows = engine.get_queries()["ann_pq_adc"](spark, sf_dir).collect()
+    per_q = {}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        per_q.setdefault(r.query_id, []).append(r.adc_rank)
+    assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())
