@@ -1002,3 +1002,155 @@ def pq_adc_topk(
         .filter(F.col("rn") <= topk)
         .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"))
     )
+
+
+def ivf_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = IVF_NPROBE,
+    k: int = PQ_CENTROIDS,
+    rerank: int = 0,
+) -> DataFrame:
+    """The full FAISS-style IVF-PQ layout — coarse KMeans cells prune
+    the candidate set (ivf_topk's quantizer), PQ-ADC scores the
+    survivors in the compressed domain, an optional exact re-rank
+    finishes. At 100 TB this is THE standard layout: the index holds
+    cell id + m int8 codes per vector (no raw floats in the scan), a
+    query touches nprobe/K of the index, and each touched row costs m
+    table lookups.
+
+    Sanity identity pinned in tests: at nprobe = IVF_K (probe
+    everything) the result equals the pure ADC scan with the same
+    codebooks — the composition changes the candidate set, never the
+    scoring."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    nprobe = min(nprobe, IVF_K)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # coarse quantizer (ivf_topk's fit, same seed)
+    vecs = emb.select(array_to_vector(F.col("embedding")).alias("features"))
+    model = KMeans(k=IVF_K, seed=42, maxIter=5).fit(vecs)
+    centers = np.array(model.clusterCenters(), dtype=np.float64)
+    cn = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
+
+    # PQ codebooks + coded index with cell ids, one kernel pass
+    C = pq_train(emb, k=k)
+    m, kk, sub = C.shape
+
+    def encode_with_cell(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            cell = (Xn @ cn.T).argmax(axis=1).astype(np.int32)
+            codes = np.empty((len(X), m), dtype=np.int8)
+            for i in range(m):
+                blk = Xn[:, i * sub : (i + 1) * sub]
+                dist = -2.0 * blk @ C[i].T + (C[i] ** 2).sum(axis=1)[None, :]
+                codes[:, i] = dist.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": cell, "codes": list(codes)}
+            )
+
+    index = emb.select("vec_id", "embedding").mapInPandas(
+        encode_with_cell, "vec_id LONG, cell INT, codes ARRAY<TINYINT>"
+    )
+
+    # query side: probed cells + LUTs (both SIM_N_QUERIES-bounded)
+    q_rows = (
+        emb.filter(F.col("vec_id") < SIM_N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qids = [int(r.vec_id) for r in q_rows]
+    probed = np.argsort(-(Qn @ cn.T), axis=1)[:, :nprobe]
+    luts = {}
+    for qi, qid in enumerate(qids):
+        luts[qid] = np.stack(
+            [
+                ((Qn[qi, i * sub : (i + 1) * sub][None, :] - C[i]) ** 2).sum(axis=1)
+                for i in range(m)
+            ]
+        )  # (m, k)
+
+    pairs = spark.createDataFrame(
+        [(qid, int(c)) for qi, qid in enumerate(qids) for c in probed[qi]],
+        "query_id LONG, cell INT",
+    )
+    cand = index.join(F.broadcast(pairs), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    topk = SIM_TOPK
+    shortlist_k = topk * rerank if rerank else topk
+
+    def adc_score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for qid, grp in pdf.groupby("query_id"):
+                lut = luts[int(qid)]
+                codes_arr = np.array(list(grp["codes"]), dtype=np.int64)
+                d = np.zeros(len(codes_arr))
+                for i in range(m):
+                    d += lut[i][codes_arr[:, i]]
+                vec_ids = grp["vec_id"].to_numpy()
+                order = np.lexsort((vec_ids, d))[:shortlist_k]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(order), qid, dtype=np.int64),
+                            "neighbor_id": vec_ids[order],
+                            "adc": d[order],
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "adc": []}
+            )
+
+    partial = cand.mapInPandas(
+        adc_score, "query_id LONG, neighbor_id LONG, adc DOUBLE"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    shortlist = partial.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= shortlist_k
+    )
+    if not rerank:
+        return shortlist.select(
+            "query_id", "neighbor_id", F.col("rn").cast("int").alias("adc_rank")
+        )
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ne = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+    )
+    cos = dot(F.col("q_emb"), F.col("n_emb")) / (
+        l2_norm(F.col("q_emb")) * l2_norm(F.col("n_emb"))
+    )
+    scored = (
+        shortlist.select("query_id", "neighbor_id")
+        .join(qe, "query_id")
+        .join(ne, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.round("cosine", 9).desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= topk)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"))
+    )

@@ -314,3 +314,44 @@ def test_ann_pq_adc_query_shape(spark, sf_dir):
         assert r.neighbor_id != r.query_id
         per_q.setdefault(r.query_id, []).append(r.adc_rank)
     assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())
+
+
+def test_ivf_pq_composition(spark, sf_dir):
+    """IVF-PQ: (a) probing EVERY cell reproduces the pure ADC scan
+    with the same codebooks exactly — the composition changes the
+    candidate set, never the scoring; (b) recall grows with nprobe;
+    (c) exact re-rank on the probed shortlist clears a recall floor
+    at partial probe."""
+    import minefields_kafka_streams_deduplication_spark as engine
+    from minefields_kafka_streams_deduplication_spark.functions.vectors import (
+        IVF_K,
+        ivf_pq_topk,
+        pq_adc_topk,
+    )
+
+    full = {
+        (r.query_id, r.neighbor_id, r.adc_rank)
+        for r in ivf_pq_topk(spark, sf_dir, nprobe=IVF_K).collect()
+    }
+    pure = {
+        (r.query_id, r.neighbor_id, r.adc_rank)
+        for r in pq_adc_topk(spark, sf_dir).collect()
+    }
+    assert full == pure  # (a) identity at full probe
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in engine.get_queries()["similarity_topk"](spark, sf_dir).collect()
+    }
+
+    def recall(pairs):
+        return len(exact & pairs) / len(exact)
+
+    r2 = recall({(r.query_id, r.neighbor_id)
+                 for r in ivf_pq_topk(spark, sf_dir, nprobe=2).collect()})
+    r8 = recall({(r.query_id, r.neighbor_id)
+                 for r in ivf_pq_topk(spark, sf_dir, nprobe=8).collect()})
+    assert r2 < r8  # (b)
+    rr = recall({(r.query_id, r.neighbor_id)
+                 for r in ivf_pq_topk(spark, sf_dir, nprobe=8, rerank=10).collect()})
+    assert rr >= r8 and rr >= 0.4  # (c)
