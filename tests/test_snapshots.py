@@ -186,3 +186,47 @@ def test_streaming_commits_build_versioned_view(spark, sf_dir, tmp_path):
     # winners must match latest-per-key over slices 1-2 only
     n1, n2 = t.read(1).count(), t.read(2).count()
     assert 0 < n1 <= n2 <= len(direct)
+
+
+def test_snapshot_history_matches_dict_model_hypothesis(spark, tmp_path):
+    """Model-based Hypothesis pin: an arbitrary sequence of commits
+    must leave EVERY historical snapshot equal to a pure-Python
+    dict-fold replay of the batch prefix (latest-per-key by
+    (ts, event_id)) — commits, inheritance and manifest routing all
+    collapse to the fold algebra."""
+    import shutil
+
+    from hypothesis import given, settings, strategies as st
+
+    batch = st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),    # user_id
+            st.integers(min_value=0, max_value=500),  # event_id
+            st.integers(min_value=0, max_value=100),  # ts minutes
+            st.integers(min_value=0, max_value=9),    # value
+        ),
+        min_size=1,
+        max_size=6,
+    )
+
+    @given(st.lists(batch, min_size=1, max_size=4))
+    @settings(max_examples=10, deadline=None)
+    def run(batches):
+        root = str(tmp_path / f"s{abs(hash(str(batches))) % 10**9}")
+        shutil.rmtree(root, ignore_errors=True)
+        t = SnapshotStateTable(spark, root)
+        model: dict = {}
+        states = []
+        for rows in batches:
+            t.commit(ev(spark, [(u, e, m, float(v)) for u, e, m, v in rows]))
+            for u, e, m, v in rows:
+                cur = model.get(u)
+                cand = (T0 + dt.timedelta(minutes=m), e, float(v))
+                if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
+                    model[u] = cand
+            states.append({u: (e, v) for u, (ts_, e, v) in model.items()})
+        for ver, want in enumerate(states, start=1):
+            assert snap(t, ver) == want, (ver, snap(t, ver), want)
+        shutil.rmtree(root, ignore_errors=True)
+
+    run()
