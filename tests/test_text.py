@@ -483,3 +483,73 @@ def test_pagerank_directed_sink_node_kept(spark):
         assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
     # the sink accumulates the most rank (everything flows into it)
     assert got[2] == max(got.values())
+
+
+def test_jaccard_df_cap_drops_boilerplate_candidates(spark, sf_dir):
+    """The documented hot-shingle answer, pinned (r6): (a) with the cap
+    above the corpus's max document frequency the capped pipeline is
+    IDENTICAL to the uncapped oracle-backed query; (b) on a
+    boilerplate-flooded corpus the capped index's candidate volume
+    collapses from O(n²) to the true pairs while every true near-dup —
+    sharing at least one sub-cap shingle — is still found with its
+    EXACT (uncapped) jaccard."""
+    import minefields_kafka_streams_deduplication_spark as engine
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+    from minefields_kafka_streams_deduplication_spark.functions.neardup import (
+        _shingles,
+        jaccard_pairs_with_df_cap,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    max_df = (
+        _shingles(docs)
+        .groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.max("df"))
+        .first()[0]
+    )
+    capped = {
+        (r.doc_id_1, r.doc_id_2): r.jaccard
+        for r in jaccard_pairs_with_df_cap(docs, int(max_df)).collect()
+    }
+    uncapped = {
+        (r.doc_id_1, r.doc_id_2): r.jaccard
+        for r in engine.get_queries()["dedup_text_ngram_jaccard"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert capped == uncapped  # (a)
+
+    # (b) 40 docs sharing an 8-token boilerplate header; docs 0/1 are
+    # true near-dups through their distinctive tails
+    boiler = " ".join(f"b{i}" for i in range(8))
+    tail = " ".join(f"t{i}" for i in range(30))
+    rows = [(0, f"{boiler} {tail}"), (1, f"{boiler} {tail} extra")]
+    rows += [
+        (i, f"{boiler} " + " ".join(f"u{i}_{j}" for j in range(10)))
+        for i in range(2, 42)
+    ]
+    crafted = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        (r.doc_id_1, r.doc_id_2): r.jaccard
+        for r in jaccard_pairs_with_df_cap(crafted, df_cap=5).collect()
+    }
+    assert set(got) == {(0, 1)}, got
+    # the surviving pair's jaccard is computed on the FULL shingle sets
+    sh0 = set(
+        r.shingle for r in _shingles(crafted.where("doc_id = 0")).collect()
+    )
+    sh1 = set(
+        r.shingle for r in _shingles(crafted.where("doc_id = 1")).collect()
+    )
+    want = round(len(sh0 & sh1) / len(sh0 | sh1), 4)
+    assert got[(0, 1)] == want
+    # candidate-volume collapse: the capped index holds no boilerplate
+    # shingle, so cross-boilerplate candidates are structurally gone
+    idx_df = (
+        _shingles(crafted)
+        .groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    assert idx_df.where("df > 5").count() > 0  # the flood is real
