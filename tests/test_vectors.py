@@ -355,3 +355,53 @@ def test_ivf_pq_composition(spark, sf_dir):
     rr = recall({(r.query_id, r.neighbor_id)
                  for r in ivf_pq_topk(spark, sf_dir, nprobe=8, rerank=10).collect()})
     assert rr >= r8 and rr >= 0.4  # (c)
+
+
+def test_pq_index_streaming_build_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming vector-index ingestion: encoding arriving embeddings
+    per micro-batch (foreachBatch appends to the code index) produces
+    the IDENTICAL code table a one-shot batch encode builds — so an
+    ADC serving layer on the streamed index answers exactly like the
+    batch pipeline (codes are a pure per-row function of the frozen
+    codebooks)."""
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+    from minefields_kafka_streams_deduplication_spark.functions.vectors import (
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = pq_train(emb)  # codebooks frozen before ingestion (prod shape)
+    batch_codes = {
+        r.vec_id: list(r.codes) for r in pq_encode(emb, C).collect()
+    }
+
+    stage = str(tmp_path / "stage")
+    half = emb.count() // 2
+    emb.where(F.col("vec_id") < half).select("vec_id", "embedding").coalesce(
+        1
+    ).write.mode("append").parquet(stage)
+    emb.where(F.col("vec_id") >= half).select("vec_id", "embedding").coalesce(
+        1
+    ).write.mode("append").parquet(stage)
+
+    out_dir = str(tmp_path / "index")
+
+    def ingest(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            pq_encode(batch_df, C).write.mode("append").parquet(out_dir)
+
+    q = (
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        r.vec_id: list(r.codes) for r in spark.read.parquet(out_dir).collect()
+    }
+    assert streamed == batch_codes
