@@ -830,6 +830,7 @@ def pq_train(emb: DataFrame, m: int = PQ_SUBSPACES, k: int = PQ_CENTROIDS,
     2 - 2·cos). Returns an (m, k, d/m) numpy array."""
     import numpy as np
 
+    assert k <= 128, "codes are int8 — k above 128 would wrap silently"
     rows = (
         emb.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE).select("embedding").collect()
     )

@@ -135,6 +135,10 @@ class SnapshotStateTable:
         if v == 0:
             raise LookupError(f"no snapshot committed under {self.root}")
         buckets = self._load_manifest(v)["buckets"]
+        if not buckets:
+            # a table whose only commits were empty batches has no
+            # data paths — surface it as the empty-store condition
+            raise LookupError(f"snapshot v{v} holds no buckets ({self.root})")
         return self.spark.read.parquet(*buckets.values())
 
     def bucket_paths(self, version: int) -> dict[str, str]:
