@@ -680,3 +680,69 @@ def anomaly_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > ZSCORE_THRESHOLD)
         .select("event_id", "user_id", "value", round4f(z).alias("zscore"))
     )
+
+
+MAU_DAYS = 28
+
+
+@query(
+    "dau_mau_stickiness",
+    oracle=f"""
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM du),
+dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+mau AS (
+  SELECT d.day AS day, count(DISTINCT u.user_id) AS mau
+  FROM days d JOIN du u ON u.day BETWEEN d.day - {MAU_DAYS - 1} AND d.day
+  GROUP BY d.day
+)
+SELECT dau.day AS day,
+       CAST(dau AS BIGINT) AS dau,
+       CAST(mau AS BIGINT) AS mau,
+       floor(CAST(dau AS DOUBLE) / mau * 10000 + 0.5) / 10000 AS stickiness
+FROM dau JOIN mau USING (day)
+ORDER BY day
+""",
+)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-engagement stickiness: per day, DAU, trailing-28-day
+    MAU, and DAU/MAU — the classic retention-health ratio next to the
+    cohort grid (`cohort_weekly_retention`) and the 7-day rolling
+    actives.
+
+    Scale shape: same fan-out discipline as rolling_distinct_users_7d —
+    dedup to (day, user) first (active-users × days bounded), explode
+    each pair to the ≤28 report days it serves, one groupBy(day)
+    distinct count; the days×events theta-join the oracle writes never
+    appears. DAU rides the same (day, user) frame for free; the ratio
+    is floor-form."""
+    du = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .cache()
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    fanned = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), MAU_DAYS - 1))
+        ).alias("day"),
+        "user_id",
+    )
+    mau = (
+        fanned.join(du.select("day").distinct(), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("mau"))
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            round4f(F.col("dau").cast("double") / F.col("mau")).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
