@@ -746,3 +746,175 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+CHURN_IDLE_DAYS = 7
+
+
+@query(
+    "cohort_churn_rate",
+    oracle=f"""
+WITH span AS (SELECT max(ts) AS tmax FROM events),
+ul AS (
+  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+  FROM events GROUP BY user_id
+)
+SELECT CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN last_ts <= tmax - INTERVAL {CHURN_IDLE_DAYS} DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS churned_users,
+       floor(CAST(sum(CASE WHEN last_ts <= tmax - INTERVAL {CHURN_IDLE_DAYS} DAY
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 10000 + 0.5) / 10000 AS churn_rate
+FROM ul, span
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def cohort_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn by signup cohort — the complement of
+    `cohort_weekly_retention`: a user counts as churned when their LAST
+    event is at least {CHURN_IDLE_DAYS} days before the corpus horizon
+    (the observable-inactivity definition that avoids right-censoring
+    newer users less than older ones within the same cohort snapshot).
+
+    Scale shape: one key-bounded (first_ts, last_ts) aggregate, the
+    horizon as a broadcast scalar, cohort-week-bounded output."""
+    ev = load_table(spark, sf_dir, "events")
+    span = F.broadcast(ev.agg(F.max("ts").alias("tmax")))
+    ul = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    churned = F.sum(
+        F.when(
+            F.col("last_ts")
+            <= F.col("tmax") - F.expr(f"INTERVAL {CHURN_IDLE_DAYS} DAYS"),
+            1,
+        ).otherwise(0)
+    ).cast("long")
+    return (
+        ul.crossJoin(span)
+        .groupBy(F.to_date(F.date_trunc("week", "first_ts")).alias("cohort_week"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            churned.alias("churned_users"),
+        )
+        .select(
+            "cohort_week",
+            "n_users",
+            "churned_users",
+            round4f(
+                F.col("churned_users").cast("double") / F.col("n_users")
+            ).alias("churn_rate"),
+        )
+        .orderBy("cohort_week")
+    )
+
+
+PARETO_SHARE = 0.8
+
+
+@query(
+    "revenue_pareto_point",
+    oracle=f"""
+WITH spend AS (
+  SELECT user_id, sum(CAST(value AS DECIMAL(18,6))) AS s
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+pv AS (SELECT s, count(*) AS nu, sum(s) AS tot FROM spend GROUP BY s),
+g AS (SELECT sum(nu) AS total_users, sum(tot) AS grand FROM pv),
+c AS (
+  SELECT s,
+         sum(nu) OVER (ORDER BY s DESC) AS cu,
+         sum(tot) OVER (ORDER BY s DESC) AS ct
+  FROM pv
+)
+SELECT CAST(g.total_users AS BIGINT) AS total_users,
+       CAST(min(c.cu) AS BIGINT) AS users_to_share,
+       floor(CAST(min(c.cu) AS DOUBLE) / g.total_users * 10000 + 0.5) / 10000
+         AS user_frac
+FROM c, g
+WHERE CAST(c.ct AS DOUBLE) >= {PARETO_SHARE} * CAST(g.grand AS DOUBLE)
+GROUP BY g.total_users
+""",
+)
+def revenue_pareto_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the 80/20 point): the smallest number of
+    top-spending users whose cumulative purchase value reaches
+    {PARETO_SHARE:.0%} of total revenue, and the user fraction that is
+    — the Lorenz-curve summary a mixture/curation budget reads.
+
+    Scale shape: per-user spends collapse to DISTINCT spend values
+    (value-bounded) and the descending cumulative sums run on the
+    checkpointed two-phase CDF (the KS-drift discipline — one
+    materialized range partitioning, no data-sized window). The
+    crossing point is computed per VALUE GROUP in both engines, so
+    ties at the boundary cannot split differently. DECIMAL sums keep
+    the cumulative arithmetic exact until the final share comparison,
+    which both engines evaluate on identical doubles."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    spend = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(dec6("value")).alias("s"))
+    )
+    pv = spend.groupBy("s").agg(
+        F.count(F.lit(1)).alias("nu"), F.sum("s").alias("tot")
+    )
+    part = (
+        pv.repartitionByRange(F.desc("s"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.desc("s"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part.withColumn("_lu", F.sum("nu").over(w)).withColumn(
+        "_lt", F.sum("tot").over(w)
+    )
+    counts = local.groupBy("_pid").agg(
+        F.max("_lu").alias("_tu"), F.max("_lt").alias("_tt")
+    )
+    c2 = counts.select(
+        F.col("_pid").alias("_pid2"),
+        F.col("_tu").alias("_tu2"),
+        F.col("_tt").alias("_tt2"),
+    )
+    offsets = (
+        counts.join(c2, F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(
+            F.coalesce(F.sum("_tu2"), F.lit(0)).alias("_ou"),
+            F.coalesce(F.sum("_tt2"), F.lit(0)).alias("_ot"),
+        )
+    )
+    g = F.broadcast(
+        counts.agg(
+            F.sum("_tu").alias("total_users"), F.sum("_tt").alias("grand")
+        )
+    )
+    cum = (
+        local.join(F.broadcast(offsets), "_pid")
+        .select(
+            (F.col("_lu") + F.col("_ou")).alias("cu"),
+            (F.col("_lt") + F.col("_ot")).alias("ct"),
+        )
+        .crossJoin(g)
+    )
+    hit = cum.where(
+        F.col("ct").cast("double")
+        >= F.lit(PARETO_SHARE) * F.col("grand").cast("double")
+    )
+    return hit.groupBy("total_users").agg(
+        F.min("cu").cast("long").alias("users_to_share"),
+    ).select(
+        F.col("total_users").cast("long").alias("total_users"),
+        "users_to_share",
+        round4f(
+            F.col("users_to_share").cast("double") / F.col("total_users")
+        ).alias("user_frac"),
+    )
