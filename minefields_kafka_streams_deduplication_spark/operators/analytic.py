@@ -918,3 +918,54 @@ def revenue_pareto_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("users_to_share").cast("double") / F.col("total_users")
         ).alias("user_frac"),
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+),
+outs AS (SELECT prev_type, sum(n) AS n_out FROM trans GROUP BY prev_type)
+SELECT t.prev_type, t.next_type, CAST(t.n AS BIGINT) AS n,
+       floor(CAST(t.n AS DOUBLE) / o.n_out * 10000 + 0.5) / 10000 AS p
+FROM trans t JOIN outs o USING (prev_type)
+ORDER BY prev_type, next_type
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral Markov matrix: per user-journey step, the
+    count and conditional probability of each (prev → next) event-type
+    transition — the session-model statistic behind funnel diagnosis
+    and synthetic-journey generation.
+
+    Scale shape: ONE per-user window (partitioned on the natural key,
+    never global), then two type-cardinality-bounded aggregates; the
+    probability denominator joins back on the tiny per-type frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    outs = trans.groupBy("prev_type").agg(F.sum("n").alias("n_out"))
+    return (
+        trans.join(F.broadcast(outs), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").cast("long").alias("n"),
+            round4f(F.col("n").cast("double") / F.col("n_out")).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
