@@ -180,17 +180,41 @@ _R5_DRIVER_VERIFIED = frozenset(
     }
 )
 
+# Oracle queries that landed a green row in CORRECTNESS_r06.json (50/50
+# green — the 11 round-6 oracle additions plus the 39 stalest r2/r3-era rows).
+_R6_DRIVER_VERIFIED = frozenset(
+    {
+        "events_winsorized_stats", "dau_mau_stickiness", "cohort_churn_rate",
+        "revenue_pareto_point", "event_transition_matrix", "source_overlap_ngrams",
+        "doc_novelty_ngrams", "train_val_split_stratified", "drift_report_ks_by_type",
+        "corpus_dup_inflation", "store_snapshot_diff", "dedup_embedding_cosine",
+        "dedup_text_ngram_jaccard", "multimodal_meta", "scan_events",
+        "latest_by_key", "latest_by_key_tombstoned", "filter_purchases",
+        "project_events", "explode_tokens", "branch_by_type",
+        "merge_streams", "dedup_exact", "dedup_keep_first",
+        "dedup_windowed", "dedup_incremental_new_events", "dedup_incremental_bloom",
+        "dedup_text_exact", "join_orders_customer", "agg_revenue_by_user",
+        "scalar_subquery_delta", "cogroup_user_activity", "agg_salted_by_type",
+        "histogram_equidepth_value", "window_tumbling_daily", "window_hopping",
+        "window_session_sql", "window_session_native", "window_sliding_event_anchored",
+        "window_incremental_backfill", "running_total_by_user", "funnel_view_click_purchase",
+        "cohort_weekly_retention", "anomaly_value_zscore", "ohlc_bars_hourly",
+        "time_weighted_avg_daily", "gap_fill_locf_hourly", "join_asof_forward_order",
+        "doc_char_entropy", "embedding_quantize_int8",
+    }
+)
+
 # Tier 1: failed-or-hardened this round — re-verify ahead of rotation.
-# Empty after round 5: no red rows and no hash-affecting hardening.
-_R6_REVERIFY: tuple[str, ...] = ()
+# Empty after round 6: no red rows and no hash-affecting hardening.
+_R7_REVERIFY: tuple[str, ...] = ()
 
 
 def _driver_order(names: list[str]) -> list[str]:
     driver_seen = (
         _R1_DRIVER_VERIFIED | _R2_DRIVER_VERIFIED | _R3_DRIVER_VERIFIED
-        | _R4_DRIVER_VERIFIED | _R5_DRIVER_VERIFIED
+        | _R4_DRIVER_VERIFIED | _R5_DRIVER_VERIFIED | _R6_DRIVER_VERIFIED
     )
-    reverify = {n: i for i, n in enumerate(_R6_REVERIFY)}
+    reverify = {n: i for i, n in enumerate(_R7_REVERIFY)}
     never_checked = [
         n for n in names if n in ORACLES and n not in driver_seen and n not in reverify
     ]
@@ -204,6 +228,8 @@ def _driver_order(names: list[str]) -> list[str]:
     # Oldest driver rows re-verify first: sort by the LATEST round in which
     # the driver checked the query (r1-only rows are the stalest).
     def last_verified(n: str) -> int:
+        if n in _R6_DRIVER_VERIFIED:
+            return 6
         if n in _R5_DRIVER_VERIFIED:
             return 5
         if n in _R4_DRIVER_VERIFIED:
