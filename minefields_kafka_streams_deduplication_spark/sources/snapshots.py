@@ -82,15 +82,35 @@ class SnapshotStateTable:
 
     # -- write path ---------------------------------------------------------
 
-    def commit(self, batch_df: DataFrame) -> int:
+    def commit(self, batch_df: DataFrame, batch_id: int | None = None) -> int:
         """Fold a batch into the table (latest-per-key by (ts,
         event_id), the idempotent algebra of merge_batch_into_state)
         and publish it as the next snapshot. Only the batch's buckets
-        are rewritten; everything else is inherited by reference."""
+        are rewritten; everything else is inherited by reference.
+
+        ``batch_id`` makes the commit IDEMPOTENT under Structured
+        Streaming's at-least-once foreachBatch delivery (the Delta
+        txnVersion discipline): the manifest records the highest
+        batch_id ever folded, and a commit whose batch_id is <= that
+        watermark is a recognized replay — it returns the already
+        published version without touching data. Batch ids are
+        monotonic per checkpoint, so one inherited LONG is the whole
+        dedup state."""
         prev_v = self.latest_version()
-        prev = self._load_manifest(prev_v)["buckets"] if prev_v else {}
+        prev_m = self._load_manifest(prev_v) if prev_v else {}
+        prev = prev_m.get("buckets", {})
+        last_bid = prev_m.get("last_batch_id")
+        if batch_id is not None and last_bid is not None and batch_id <= last_bid:
+            return prev_v  # replayed micro-batch: already folded
         new_v = prev_v + 1
         commit_dir = os.path.join(self.root, "commits", f"c{new_v:06d}")
+        if os.path.exists(commit_dir):
+            # Orphan from a torn commit (crash after the data write,
+            # before the manifest rename). No manifest <= prev_v can
+            # reference paths under c<new_v>, so removing it is safe —
+            # and required, or mode('errorifexists') below wedges every
+            # future commit until an expire() happens to GC it.
+            shutil.rmtree(commit_dir)
 
         bucket = F.pmod(F.xxhash64(self.key_col), F.lit(UPSERT_BUCKETS)).alias(
             "bucket"
@@ -119,7 +139,12 @@ class SnapshotStateTable:
         buckets = dict(prev)
         for t in touched:
             buckets[str(t)] = os.path.join(commit_dir, f"bucket={t}")
-        manifest = {"version": new_v, "buckets": buckets}
+        manifest = {
+            "version": new_v,
+            "buckets": buckets,
+            "batch_id": batch_id,
+            "last_batch_id": batch_id if batch_id is not None else last_bid,
+        }
         tmp = self._manifest_path(new_v) + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -149,7 +174,13 @@ class SnapshotStateTable:
     def expire(self, keep_last: int) -> list[str]:
         """Drop all but the newest ``keep_last`` snapshots and delete
         commit directories no kept manifest references. Returns the
-        deleted commit dirs."""
+        deleted commit dirs. ``keep_last`` must be >= 1: a slice of
+        ``vs[-0:]`` would silently keep EVERYTHING (the opposite of the
+        caller's likely intent), and dropping all snapshots of a live
+        table is never what expire means — use shutil on the root for
+        that."""
+        if keep_last < 1:
+            raise ValueError(f"expire(keep_last={keep_last}): must be >= 1")
         vs = self.versions()
         kept, dropped = vs[-keep_last:], vs[:-keep_last]
         referenced = set()
@@ -245,5 +276,99 @@ def store_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def run_stream_into_snapshots(
+    spark: SparkSession, stage_dir: str, root: str
+) -> "SnapshotStateTable":
+    """foreachBatch -> SnapshotStateTable: exactly-once, time-travel-able
+    streaming state — the KTable-changelog-with-history production
+    shape, merging the repo's two state machines (the EOS upsert sink's
+    batchId idempotency, sinks.py:163; the snapshot table's atomic
+    manifests above).
+
+    Each micro-batch commits ONE snapshot version tagged with its
+    batchId. Structured Streaming delivers micro-batches to
+    foreachBatch at-least-once; commit()'s batch-id watermark makes a
+    re-delivered batch map to the SAME already-published version (no
+    double fold), and a torn commit (data written, manifest rename
+    lost) is invisible to readers and cleaned up by the replay — so the
+    composition is exactly-once WITH readable history, not just
+    exactly-once final state. Replay/torn-manifest/duplicate-batch
+    paths are pinned in tests/test_sources.py.
+
+    Scale: per batch this is the snapshot commit's O(touched buckets)
+    rewrite; state between batches lives entirely in the manifest
+    chain (no driver memory, no checkpoint-versioned store)."""
+    import tempfile
+
+    table = SnapshotStateTable(spark, root)
+    schema = "user_id LONG, event_id LONG, ts TIMESTAMP, value DOUBLE, event_type STRING"
+    checkpoint = tempfile.mkdtemp(prefix="snapstream_ckpt_")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    try:
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch_df, batch_id: table.commit(batch_df, batch_id=batch_id)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(checkpoint, ignore_errors=True)
+    return table
+
+
+@query(
+    "store_snapshot_stream_eos",
+    oracle="""
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t
+WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def store_snapshot_stream_eos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end witness for streaming EOS commits into the snapshot
+    table: replay the events fixture as a 3-slice file stream, commit
+    one snapshot version per micro-batch via foreachBatch, then read
+    the FINAL snapshot back through its manifest. The oracle is
+    latest-per-key over the raw table, so a lost batch, a double-folded
+    replay, or a mis-routed bucket breaks the hash. (Version-count and
+    duplicate-batchId replay invariants are pinned in
+    tests/test_sources.py; this row is the final-state conservation
+    law.)"""
+    import tempfile
+
+    from ..streaming.punctuate import stage_events_ordered
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    stage = tempfile.mkdtemp(prefix="snapstream_stage_")
+    root = tempfile.mkdtemp(prefix="snapstream_root_")
+    try:
+        stage_events_ordered(ev, stage, n_slices=3)
+        table = run_stream_into_snapshots(spark, stage, root)
+        out = (
+            table.read()
+            .select("user_id", "event_id", "ts", "event_type", "value")
+            .orderBy("user_id")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(root, ignore_errors=True)
     return out

@@ -230,3 +230,89 @@ def test_snapshot_history_matches_dict_model_hypothesis(spark, tmp_path):
         shutil.rmtree(root, ignore_errors=True)
 
     run()
+
+
+def test_expire_keep_last_zero_rejected(spark, tmp_path):
+    """expire(0) would slice vs[-0:] == everything — i.e. silently keep
+    every snapshot while reading as 'drop all'. It must be rejected
+    (ADVICE r6)."""
+    t = SnapshotStateTable(spark, str(tmp_path / "s"))
+    t.commit(ev(spark, [(1, 10, 0, 1.0)]))
+    with pytest.raises(ValueError):
+        t.expire(keep_last=0)
+    with pytest.raises(ValueError):
+        t.expire(keep_last=-3)
+    assert t.versions() == [1]  # untouched
+
+
+def test_orphan_commit_dir_from_torn_commit_is_cleaned(spark, tmp_path):
+    """Crash AFTER the data write, BEFORE the manifest rename leaves an
+    unreferenced commits/c<N> directory. The next commit must clean it
+    and succeed — previously mode('errorifexists') wedged every commit
+    until an expire() happened to GC the orphan (ADVICE r6)."""
+    t = SnapshotStateTable(spark, str(tmp_path / "s"))
+    t.commit(ev(spark, [(1, 10, 0, 1.0)]))
+    # simulate the torn second commit: data dir exists, no manifest v2
+    orphan = os.path.join(t.root, "commits", "c000002")
+    os.makedirs(os.path.join(orphan, "bucket=0"))
+    with open(os.path.join(orphan, "bucket=0", "junk.parquet"), "w") as fh:
+        fh.write("torn")
+    assert t.latest_version() == 1
+    v = t.commit(ev(spark, [(2, 20, 1, 2.0)]))  # the replayed commit
+    assert v == 2
+    assert snap(t, 2) == {1: (10, 1.0), 2: (20, 2.0)}
+    assert not os.path.exists(os.path.join(orphan, "bucket=0", "junk.parquet"))
+
+
+def test_batch_id_replay_returns_same_version(spark, tmp_path):
+    """The foreachBatch EOS discipline: a re-delivered micro-batch
+    (same batch_id) maps to the ALREADY-PUBLISHED version — no new
+    snapshot, no double fold — while the next batch_id commits
+    normally. This is what merges the EOS sink's idempotency with time
+    travel (VERDICT r6 #4)."""
+    t = SnapshotStateTable(spark, str(tmp_path / "s"))
+    assert t.commit(ev(spark, [(1, 10, 0, 1.0)]), batch_id=0) == 1
+    assert t.commit(ev(spark, [(2, 20, 1, 2.0)]), batch_id=1) == 2
+    before = snap(t, 2)
+    # replay of batch 1 (at-least-once delivery after a crash)
+    assert t.commit(ev(spark, [(2, 20, 1, 2.0)]), batch_id=1) == 2
+    # stale replay of batch 0 likewise recognized
+    assert t.commit(ev(spark, [(1, 10, 0, 1.0)]), batch_id=0) == 2
+    assert t.versions() == [1, 2]
+    assert snap(t, 2) == before
+    # progress resumes normally
+    assert t.commit(ev(spark, [(3, 30, 2, 3.0)]), batch_id=2) == 3
+    assert snap(t, 3) == {1: (10, 1.0), 2: (20, 2.0), 3: (30, 3.0)}
+
+
+def test_stream_eos_snapshot_query_parity_and_versions(spark, sf_dir, tmp_path):
+    """store_snapshot_stream_eos end to end: one version per micro-batch
+    (3 staged slices -> 3 versions), final snapshot == latest_by_key,
+    and the batch-id watermark is recorded in the manifest chain."""
+    import json as _json
+
+    import minefields_kafka_streams_deduplication_spark as engine
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+    from minefields_kafka_streams_deduplication_spark.sources.snapshots import (
+        run_stream_into_snapshots,
+    )
+    from minefields_kafka_streams_deduplication_spark.streaming.punctuate import (
+        stage_events_ordered,
+    )
+
+    ev_fix = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value", "event_type"
+    )
+    stage = str(tmp_path / "stage")
+    stage_events_ordered(ev_fix, stage, n_slices=3)
+    t = run_stream_into_snapshots(spark, stage, str(tmp_path / "root"))
+    assert t.versions() == [1, 2, 3]
+    with open(t._manifest_path(3)) as fh:
+        m = _json.load(fh)
+    assert m["last_batch_id"] == 2  # batch ids 0,1,2 folded in order
+    direct = {
+        r.user_id: r.event_id
+        for r in engine.get_queries()["latest_by_key"](spark, sf_dir).collect()
+    }
+    got = {r.user_id: r.event_id for r in t.read().collect()}
+    assert got == direct

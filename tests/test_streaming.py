@@ -739,7 +739,7 @@ def test_suppress_until_time_limit_semantics(spark, tmp_path):
         n_slices=3,  # span cuts: {Jan1 rows} {Jan3} {Jan6}
     )
     hist = run_suppressed(
-        spark, stage, {1: us(6), 2: us(1, 3)}, limit_ms=day_ms
+        spark, stage, out_dir=str(tmp_path / "out"), limit_ms=day_ms
     ).collect()
 
     a = sorted((r for r in hist if r.user_id == 1), key=lambda r: r.emit_stream_time_ms)
