@@ -682,12 +682,19 @@ def scrub_repeated_spans_df(docs: DataFrame, keep_first: bool = True) -> DataFra
     document is removed. Two modes (r6, closing VERDICT r5 #4):
 
     - ``keep_first=True`` (default, the ``scrub_repeated_spans``
-      query): every occurrence EXCEPT the lowest-doc_id one is removed
-      (one canonical copy survives, keep-first like the doc dedups).
-      Caveat: when OVERLAPPING repeats have different keep docs (a
-      shorter third-party occurrence), the per-window attribution can
-      fragment the canonical copy — a 15-token repeat can end up
-      surviving nowhere intact (pinned in tests).
+      query): a maximal repeated RUN survives in a document iff that
+      document is the lowest-doc_id holder of at least one of the
+      run's windows, and then it survives INTACT; everywhere else the
+      whole run is removed. Attribution is per merged run, not per
+      window (r7, closing VERDICT r6 #5): the old per-window rule let
+      OVERLAPPING repeats with different keep docs fragment the
+      canonical copy — a 15-token repeat could survive nowhere intact.
+      Now every repeated window survives unbroken in its keeper's run
+      (the keeper's own mark anchors the run it sits in). The dual
+      trade, documented: at run granularity a contested window can
+      survive in MORE than one doc (its keeper's run and a larger
+      overlapping run canonical to another doc) — "at least one intact
+      copy" replaces "at most one fragmented copy".
     - ``keep_first=False`` (the ``scrub_repeated_spans_all`` query):
       EVERY occurrence of every cross-document repeat is removed —
       the semantics of Lee et al.'s released ExactSubstr dedup
@@ -783,8 +790,19 @@ def scrub_repeated_spans_df(docs: DataFrame, keep_first: bool = True) -> DataFra
     )
     occ = spans.join(repeated, "h")
     if keep_first:
-        occ = occ.filter(F.col("doc_id") != F.col("keep_doc"))
-    marks = occ.groupBy("doc_id").agg(F.collect_set("pos").alias("marks"))
+        # ALL repeated windows are marked (runs must merge across
+        # attribution boundaries); the doc's own keeper windows ride
+        # along as the run-level keep anchors.
+        marks = occ.groupBy("doc_id").agg(
+            F.collect_set("pos").alias("marks"),
+            F.sort_array(
+                F.collect_set(
+                    F.when(F.col("doc_id") == F.col("keep_doc"), F.col("pos"))
+                )
+            ).alias("keeps"),
+        )
+    else:
+        marks = occ.groupBy("doc_id").agg(F.collect_set("pos").alias("marks"))
     # Fold the marked window positions into MAXIMAL covered runs, then
     # reconstruct by slicing the UNcovered gaps — replacing the r3 form's
     # per-token `exists(marks, ...)` membership test. Equal window
@@ -800,10 +818,13 @@ def scrub_repeated_spans_df(docs: DataFrame, keep_first: bool = True) -> DataFra
     # sub-windows marked, so it merges into one run covering the whole
     # repeat — a 15-token repeat scrubs completely, not in 8-token
     # bites (tests/test_dedup.py::test_scrub_runs_cover_long_repeats).
-    # Known limitation vs Lee et al.'s suffix arrays (unchanged): when
-    # DIFFERENT sub-windows of one repeat have different keep_docs (a
-    # shorter third-party occurrence), the canonical copy can lose the
-    # contested slice — maximal-repeat attribution needs global order.
+    # Keep-first attribution happens HERE, per run (r7): a run whose
+    # window set contains one of this doc's keeper positions survives
+    # whole (filtered out of the removal set); runs the doc holds no
+    # claim to are removed whole. The exists() probe scans the (usually
+    # tiny, often empty) keeps array per run — runs and keeps are both
+    # bounded by marks/1, so the worst case is quadratic only within a
+    # single pathological doc, never across rows.
     run_exprs = {
         "sm": "array_sort(marks)",
         # element_at is 1-based: element_at(sm, i) with a 0-based lambda
@@ -817,14 +838,24 @@ def scrub_repeated_spans_df(docs: DataFrame, keep_first: bool = True) -> DataFra
             f" OR element_at(sm, i + 2) > p + {n}, p + {n},"
             f" cast(null as int))), x -> x IS NOT NULL)"
         ),
+    }
+    if keep_first:
+        run_exprs["removed"] = (
+            f"filter(zip_with(starts, ends, (s, e) -> named_struct('s', s, 'e', e)),"
+            f" r -> NOT exists(keeps, k -> k >= r.s AND k <= r.e - {n}))"
+        )
+        run_exprs["gap_s"] = "concat(array(0), transform(removed, r -> r.e))"
+        run_exprs["gap_e"] = "concat(transform(removed, r -> r.s), array(size(t)))"
+    else:
         # uncovered gaps: [0, starts[0]), [ends[0], starts[1]), ...,
         # [ends[-1], size(t)) — kept text is their concatenated slices.
-        "gap_s": "concat(array(0), ends)",
-        "gap_e": "concat(starts, array(size(t)))",
-    }
+        run_exprs["gap_s"] = "concat(array(0), ends)"
+        run_exprs["gap_e"] = "concat(starts, array(size(t)))"
     out = toks.join(marks, "doc_id", "left").withColumn(
         "marks", F.expr("coalesce(marks, array())")
     )
+    if keep_first:
+        out = out.withColumn("keeps", F.expr("coalesce(keeps, array())"))
     for c, e in run_exprs.items():
         out = out.withColumn(c, F.expr(e))
     # In remove-all mode a rep whose text-hash group has >1 member is

@@ -363,14 +363,17 @@ def test_scrub_removeall_overlapping_repeats_fully_scrubbed(spark, monkeypatch):
     assert out[10].scrubbed_text == " ".join(W[40:44] + W[44:48])
     assert out[10].n_removed_tokens == 8
 
-    # keep-first caveat (documented): doc 11 is canonical for most of
-    # R but loses the contested suffix window to doc 10 — the repeat
-    # survives nowhere intact. This pin is the caveat's regression
-    # marker, not an endorsement.
+    # keep-first with run-level attribution (r7, VERDICT r6 #5): doc 11
+    # is canonical for most of R's windows, so its merged run — the
+    # WHOLE 15-token repeat — survives intact even though the contested
+    # suffix window's keeper is doc 10. The old per-window rule cut
+    # R[7:] out of doc 11, leaving the repeat intact nowhere.
     kf = {r.doc_id: r for r in neardup.scrub_repeated_spans(spark, "x").collect()}
-    assert kf[10].n_removed_tokens == 0
-    assert kf[11].n_removed_tokens == 8  # fragmentation
-    assert kf[12].n_removed_tokens == 15
+    assert kf[10].n_removed_tokens == 0  # keeper of its own sub-repeat
+    assert kf[11].n_removed_tokens == 0  # canonical copy survives INTACT
+    assert kf[11].scrubbed_text == rows[1][1]
+    assert kf[12].n_removed_tokens == 15  # keeper of nothing: run removed
+    assert kf[12].scrubbed_text == " ".join(W[60:63] + W[63:70])
 
 
 def test_scrub_removeall_copy_groups_and_uniques(spark, monkeypatch):

@@ -591,3 +591,70 @@ def test_winsorized_quantiles_match_python_reference(spark, monkeypatch):
             assert abs(r.winsorized_sum - wsum) < 1e-9, (r.winsorized_sum, wsum)
 
     run()
+
+
+@settings(max_examples=5, deadline=None)
+@given(data=st.data())
+def test_scrub_keep_first_every_repeat_survives_intact(spark, data):
+    """The r7 run-level attribution guarantee (VERDICT r6 #5): every
+    n-token window occurring in more than one document survives
+    CONTIGUOUSLY in at least one scrubbed output — the keeper's merged
+    run is kept whole, so overlapping repeats with different keepers
+    can no longer fragment every copy. Corpora are built from a shared
+    phrase pool plus doc-unique filler so cross-doc repeats (including
+    straddling/overlapping ones) actually occur."""
+    from minefields_kafka_streams_deduplication_spark.functions.neardup import (
+        SCRUB_SPAN_TOKENS,
+        scrub_repeated_spans_df,
+    )
+
+    n = SCRUB_SPAN_TOKENS
+    vocab = [f"p{i}" for i in range(6)]
+    phrases = data.draw(
+        st.lists(
+            st.lists(st.sampled_from(vocab), min_size=n, max_size=n + 4),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    n_docs = data.draw(st.integers(min_value=2, max_value=6))
+    docs = []
+    for d in range(n_docs):
+        parts: list = []
+        for s in range(data.draw(st.integers(min_value=1, max_value=3))):
+            if data.draw(st.booleans()):
+                parts += phrases[
+                    data.draw(st.integers(min_value=0, max_value=len(phrases) - 1))
+                ]
+            else:
+                parts += [
+                    f"u{d}x{s}x{j}"
+                    for j in range(data.draw(st.integers(min_value=0, max_value=4)))
+                ]
+        docs.append(parts)
+    rows = [
+        (i, " ".join(toks), "en", "s", len(" ".join(toks)))
+        for i, toks in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    out = {r.doc_id: r for r in scrub_repeated_spans_df(df).collect()}
+    kept = {
+        d: [t for t in out[d].scrubbed_text.split(" ") if t != ""]
+        for d in out
+    }
+    from collections import defaultdict
+
+    wins: dict = defaultdict(set)
+    for d, toks in enumerate(docs):
+        for i in range(len(toks) - n + 1):
+            wins[tuple(toks[i : i + n])].add(d)
+    for w, holders in wins.items():
+        if len(holders) < 2:
+            continue
+        survives = any(
+            any(tuple(kt[i : i + n]) == w for i in range(len(kt) - n + 1))
+            for kt in kept.values()
+        )
+        assert survives, (w, docs, {d: kept[d] for d in kept})
