@@ -879,6 +879,48 @@ def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
     )
 
 
+def pq_train_residual(
+    emb: DataFrame,
+    coarse_k: int = IVF_K,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CENTROIDS,
+    seed: int = 7,
+):
+    """Train the RESIDUAL flavor of IVF-PQ (the standard FAISS layout;
+    Jégou et al. 2011 §III-C): a coarse L2 quantizer over the
+    normalized sample, then per-subspace codebooks on x - centroid[cell]
+    — the codes spend their bits on the part of the vector the coarse
+    cell doesn't already explain. The coarse centroids here are cell
+    MEANS (un-normalized): subtracting a re-normalized centroid made
+    residuals LARGER than the raw vectors and cost recall (measured
+    0.18 vs 0.296 raw on the fixture); against mean centroids the
+    compressed-domain recall at the same code budget rises 0.296 ->
+    0.33 (k=16 cells) / 0.378 (k=64) — pinned in tests. Returns
+    (coarse (K, d), codebooks (m, k, d/m))."""
+    import numpy as np
+
+    assert k <= 128, "codes are int8 — k above 128 would wrap silently"
+    rows = (
+        emb.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE).select("embedding").collect()
+    )
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    coarse = _pq_seeded_kmeans(Xn, coarse_k, PQ_KMEANS_ITERS, 42)
+    cell = (-2.0 * Xn @ coarse.T + (coarse**2).sum(axis=1)[None, :]).argmin(axis=1)
+    R = Xn - coarse[cell]
+    d = X.shape[1]
+    assert d % m == 0, (d, m)
+    sub = d // m
+    books = np.stack(
+        [
+            _pq_seeded_kmeans(R[:, i * sub : (i + 1) * sub], k,
+                              PQ_KMEANS_ITERS, seed + i)
+            for i in range(m)
+        ]
+    )
+    return coarse, books
+
+
 @query("ann_pq_adc")  # rows-only: learned codebooks are sample/seed-specific
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(spark, sf_dir)
@@ -1005,12 +1047,22 @@ def pq_adc_topk(
     )
 
 
+@query("ann_ivf_pq_residual")  # rows-only: learned quantizers are seed-specific
+def ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF-PQ (the FAISS default layout) at the
+    standard nprobe with exact re-rank — see :func:`ivf_pq_topk`
+    (residual=True). Recall-vs-raw dominance and the per-cell LUT
+    discipline are pinned in tests/test_vectors.py."""
+    return ivf_pq_topk(spark, sf_dir, nprobe=8, rerank=10, residual=True)
+
+
 def ivf_pq_topk(
     spark: SparkSession,
     sf_dir: str,
     nprobe: int = IVF_NPROBE,
     k: int = PQ_CENTROIDS,
     rerank: int = 0,
+    residual: bool = False,
 ) -> DataFrame:
     """The full FAISS-style IVF-PQ layout — coarse KMeans cells prune
     the candidate set (ivf_topk's quantizer), PQ-ADC scores the
@@ -1020,27 +1072,41 @@ def ivf_pq_topk(
     query touches nprobe/K of the index, and each touched row costs m
     table lookups.
 
+    ``residual=True`` (r7, VERDICT r6 #3) encodes x - centroid[cell]
+    instead of the raw vector — the FAISS default, strictly better
+    codes at the same budget (recall pinned: 0.296 -> 0.33 on the
+    fixture). The LUT becomes per (query, probed cell) — built from the
+    QUERY residual to that cell — still query-count × nprobe bounded,
+    never corpus-bounded; the scan cost per candidate is identical (m
+    lookups).
+
     Sanity identity pinned in tests: at nprobe = IVF_K (probe
-    everything) the result equals the pure ADC scan with the same
+    everything) the raw form equals the pure ADC scan with the same
     codebooks — the composition changes the candidate set, never the
-    scoring."""
+    scoring. (The residual form's codes depend on the cell by design,
+    so its full-probe pin is recall-dominance + nprobe monotonicity.)"""
     import numpy as np
     import pandas as pd
-
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     nprobe = min(nprobe, IVF_K)
     emb = load_table(spark, sf_dir, "embeddings")
 
-    # coarse quantizer (ivf_topk's fit, same seed)
-    vecs = emb.select(array_to_vector(F.col("embedding")).alias("features"))
-    model = KMeans(k=IVF_K, seed=42, maxIter=5).fit(vecs)
-    centers = np.array(model.clusterCenters(), dtype=np.float64)
-    cn = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
+    if residual:
+        # coarse = sample-trained L2 quantizer with MEAN centroids (the
+        # residual must be small; see pq_train_residual's docstring)
+        coarse, C = pq_train_residual(emb, coarse_k=IVF_K, k=k)
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    # PQ codebooks + coded index with cell ids, one kernel pass
-    C = pq_train(emb, k=k)
+        # coarse quantizer (ivf_topk's fit, same seed)
+        vecs = emb.select(array_to_vector(F.col("embedding")).alias("features"))
+        model = KMeans(k=IVF_K, seed=42, maxIter=5).fit(vecs)
+        centers = np.array(model.clusterCenters(), dtype=np.float64)
+        cn = centers / np.maximum(
+            np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
+        )
+        C = pq_train(emb, k=k)
     m, kk, sub = C.shape
 
     def encode_with_cell(batches):
@@ -1049,10 +1115,17 @@ def ivf_pq_topk(
                 continue
             X = np.array(list(pdf["embedding"]), dtype=np.float64)
             Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-            cell = (Xn @ cn.T).argmax(axis=1).astype(np.int32)
+            if residual:
+                cell = (
+                    -2.0 * Xn @ coarse.T + (coarse**2).sum(axis=1)[None, :]
+                ).argmin(axis=1).astype(np.int32)
+                E = Xn - coarse[cell]
+            else:
+                cell = (Xn @ cn.T).argmax(axis=1).astype(np.int32)
+                E = Xn
             codes = np.empty((len(X), m), dtype=np.int8)
             for i in range(m):
-                blk = Xn[:, i * sub : (i + 1) * sub]
+                blk = E[:, i * sub : (i + 1) * sub]
                 dist = -2.0 * blk @ C[i].T + (C[i] ** 2).sum(axis=1)[None, :]
                 codes[:, i] = dist.argmin(axis=1)
             yield pd.DataFrame(
@@ -1063,7 +1136,8 @@ def ivf_pq_topk(
         encode_with_cell, "vec_id LONG, cell INT, codes ARRAY<TINYINT>"
     )
 
-    # query side: probed cells + LUTs (both SIM_N_QUERIES-bounded)
+    # query side: probed cells + LUTs (both SIM_N_QUERIES-bounded;
+    # residual LUTs are per (query, probed cell) — nq × nprobe × m × k)
     q_rows = (
         emb.filter(F.col("vec_id") < SIM_N_QUERIES)
         .select("vec_id", "embedding")
@@ -1072,15 +1146,33 @@ def ivf_pq_topk(
     Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     qids = [int(r.vec_id) for r in q_rows]
-    probed = np.argsort(-(Qn @ cn.T), axis=1)[:, :nprobe]
     luts = {}
-    for qi, qid in enumerate(qids):
-        luts[qid] = np.stack(
-            [
-                ((Qn[qi, i * sub : (i + 1) * sub][None, :] - C[i]) ** 2).sum(axis=1)
-                for i in range(m)
-            ]
-        )  # (m, k)
+    if residual:
+        probed = np.argsort(
+            -2.0 * Qn @ coarse.T + (coarse**2).sum(axis=1)[None, :], axis=1
+        )[:, :nprobe]
+        for qi, qid in enumerate(qids):
+            for c in probed[qi]:
+                qr = Qn[qi] - coarse[int(c)]
+                luts[(qid, int(c))] = np.stack(
+                    [
+                        ((qr[i * sub : (i + 1) * sub][None, :] - C[i]) ** 2).sum(
+                            axis=1
+                        )
+                        for i in range(m)
+                    ]
+                )  # (m, k)
+    else:
+        probed = np.argsort(-(Qn @ cn.T), axis=1)[:, :nprobe]
+        for qi, qid in enumerate(qids):
+            luts[qid] = np.stack(
+                [
+                    ((Qn[qi, i * sub : (i + 1) * sub][None, :] - C[i]) ** 2).sum(
+                        axis=1
+                    )
+                    for i in range(m)
+                ]
+            )  # (m, k)
 
     pairs = spark.createDataFrame(
         [(qid, int(c)) for qi, qid in enumerate(qids) for c in probed[qi]],
@@ -1092,14 +1184,20 @@ def ivf_pq_topk(
 
     topk = SIM_TOPK
     shortlist_k = topk * rerank if rerank else topk
+    group_cols = ["query_id", "cell"] if residual else ["query_id"]
 
     def adc_score(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
             out = []
-            for qid, grp in pdf.groupby("query_id"):
-                lut = luts[int(qid)]
+            for gkey, grp in pdf.groupby(group_cols):
+                if residual:
+                    qid, cell = int(gkey[0]), int(gkey[1])
+                    lut = luts[(qid, cell)]
+                else:
+                    qid = int(gkey[0] if isinstance(gkey, tuple) else gkey)
+                    lut = luts[qid]
                 codes_arr = np.array(list(grp["codes"]), dtype=np.int64)
                 d = np.zeros(len(codes_arr))
                 for i in range(m):

@@ -405,3 +405,90 @@ def test_pq_index_streaming_build_matches_batch(spark, sf_dir, tmp_path):
         r.vec_id: list(r.codes) for r in spark.read.parquet(out_dir).collect()
     }
     assert streamed == batch_codes
+
+
+def test_ivf_pq_residual_beats_raw_codes(spark, sf_dir):
+    """VERDICT r6 #3: residual encoding (x - centroid[cell], the FAISS
+    default) buys compressed-domain recall at the SAME code budget
+    (m=8 sub-blocks × 16 codewords). Pins, all deterministic (seeded
+    quantizers):
+      (a) full-probe compressed recall: residual >= raw + 0.02
+          (measured 0.33 vs 0.296 on the fixture),
+      (b) residual recall floor 0.32 at full probe,
+      (c) recall is monotone in nprobe for the residual form,
+      (d) exact re-rank on the residual shortlist clears the same
+          floor the raw form's pin uses."""
+    import minefields_kafka_streams_deduplication_spark as engine
+    from minefields_kafka_streams_deduplication_spark.functions.vectors import (
+        IVF_K,
+        ivf_pq_topk,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in engine.get_queries()["similarity_topk"](spark, sf_dir).collect()
+    }
+
+    def recall(**kw):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_pq_topk(spark, sf_dir, **kw).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    raw_full = recall(nprobe=IVF_K)
+    res_full = recall(nprobe=IVF_K, residual=True)
+    assert res_full >= raw_full + 0.02, (raw_full, res_full)  # (a)
+    assert res_full >= 0.32, res_full  # (b)
+    r2 = recall(nprobe=2, residual=True)
+    r8 = recall(nprobe=8, residual=True)
+    assert r2 <= r8 <= res_full  # (c)
+    rr = recall(nprobe=8, rerank=10, residual=True)
+    assert rr >= r8 and rr >= 0.4  # (d)
+
+
+def test_pq_residual_reconstruction_error_lower(spark, sf_dir):
+    """The mechanism behind the recall gain, pinned directly: decoding
+    centroid[cell] + codeword reconstructs the corpus with strictly
+    lower MSE than raw-PQ decoding at the same code budget — residual
+    codes spend their bits on what the coarse cell doesn't explain."""
+    import numpy as np
+
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+    from minefields_kafka_streams_deduplication_spark.functions.vectors import (
+        pq_train,
+        pq_train_residual,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    X = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").select("embedding").collect()],
+        dtype=np.float64,
+    )
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    m = 8
+    sub = Xn.shape[1] // m
+
+    Craw = pq_train(emb)
+
+    def mse_raw():
+        err = 0.0
+        for i in range(m):
+            blk = Xn[:, i * sub : (i + 1) * sub]
+            d = ((blk[:, None, :] - Craw[i][None, :, :]) ** 2).sum(axis=2)
+            err += d.min(axis=1).sum()
+        return err / len(Xn)
+
+    coarse, Cres = pq_train_residual(emb)
+    cell = (-2.0 * Xn @ coarse.T + (coarse**2).sum(axis=1)[None, :]).argmin(axis=1)
+    R = Xn - coarse[cell]
+
+    def mse_res():
+        err = 0.0
+        for i in range(m):
+            blk = R[:, i * sub : (i + 1) * sub]
+            d = ((blk[:, None, :] - Cres[i][None, :, :]) ** 2).sum(axis=2)
+            err += d.min(axis=1).sum()
+        return err / len(Xn)
+
+    assert mse_res() < mse_raw(), (mse_res(), mse_raw())
