@@ -748,6 +748,50 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dau_mau_stickiness_hll")  # rows-only: HLL estimates are sketch-specific
+def dau_mau_stickiness_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB production form of `dau_mau_stickiness` (r7, VERDICT
+    r6 #7): ONE mergeable HLL sketch per day, unioned over the trailing
+    28-day window. The exact form's fan-out is (day, user) pairs × 28
+    — linear but with a 28× constant on active-user volume (100× probe
+    15.1 s); here the 28× fan-out applies to DAYS × sketch-bytes, so
+    the per-window union work is calendar-bounded no matter how many
+    users exist. Relative error vs the exact query is pinned < 5% in
+    tests (HLL lgConfigK=12 ≈ 1.6% std error) — the estimate trades a
+    bounded bias for shuffle volume, the standard sketch contract
+    (same discipline as agg_hll_mergeable_daily, which pins weekly
+    roll-ups of the identical sketch column)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk")).cache()
+    days = daily.select("day")
+    dau = daily.select("day", F.hll_sketch_estimate("sk").alias("dau_est"))
+    fanned = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), MAU_DAYS - 1))
+        ).alias("day"),
+        "sk",
+    )
+    mau = (
+        fanned.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("mau_est"))
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau_est",
+            "mau_est",
+            round4f(
+                F.col("dau_est").cast("double") / F.col("mau_est")
+            ).alias("stickiness_est"),
+        )
+        .orderBy("day")
+    )
+
+
 CHURN_IDLE_DAYS = 7
 
 

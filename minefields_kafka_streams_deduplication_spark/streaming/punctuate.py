@@ -618,11 +618,18 @@ def run_cancellable(
     reschedule_after: int = 10**9,
     settle_s: float = 2.5,
     timeout_s: float = 120.0,
+    build_snapshots=None,
 ) -> DataFrame:
     """Drive the cancellable punctuator until EVERY key has exhausted
     its firing budget, then keep the query alive ``settle_s`` longer —
     proving no post-cancel punctuation fires — and return the
-    snapshots. Same stall-sentinel protocol as run_punctuated."""
+    snapshots. Same stall-sentinel protocol as run_punctuated.
+
+    ``build_snapshots`` (stream DataFrame -> snapshots DataFrame)
+    swaps in an alternative construction of the SAME punctuator —
+    the topology facade's schedule() verb pins facade-vs-direct parity
+    through it; the drain/settle protocol and the output contract
+    (event_type/n/firing columns) stay the harness's."""
     from pyspark.sql.types import StringType, StructType
 
     st = StructType.fromDDL(schema) if isinstance(schema, str) else schema
@@ -635,8 +642,12 @@ def run_cancellable(
     stream = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", 1
     ).parquet(stage_dir)
-    snapshots = punctuated_counts_cancellable(
-        stream, interval_ms, slow_interval_ms, reschedule_after, cancel_after
+    snapshots = (
+        build_snapshots(stream)
+        if build_snapshots is not None
+        else punctuated_counts_cancellable(
+            stream, interval_ms, slow_interval_ms, reschedule_after, cancel_after
+        )
     )
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(

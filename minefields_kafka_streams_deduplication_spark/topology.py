@@ -373,6 +373,63 @@ class KGroupedStream(_Describable):
             self._lineage + ("Processor: aggregate",),
         )
 
+    def schedule(
+        self,
+        interval_ms: int,
+        slow_interval_ms: int | None = None,
+        reschedule_after: int = 10**9,
+        cancel_after: int = 10**9,
+    ) -> "KStream":
+        """[R ProcessorContext#schedule(interval, WALL_CLOCK_TIME,
+        callback) returning a Cancellable]: per-key wall-clock
+        punctuation snapshots over a STREAMING grouped frame, with the
+        Cancellable lifecycle declared up front instead of called
+        imperatively — ``reschedule_after`` firings switch the timer to
+        ``slow_interval_ms`` (KS cancel-then-schedule-new, the backoff
+        pattern) and ``cancel_after`` firings cancel it for good
+        (rows keep accumulating in state, punctuations stop; pinned by
+        the settle window in streaming/punctuate.run_cancellable).
+        Emits (key, n, firing, emit_wall_us) per punctuation.
+
+        The facade delegates to the engine's cancellable punctuator
+        unchanged — the grouped key column is transported through the
+        operator's canonical key name, so any single string-typed key
+        works without touching the checkpointed state layout."""
+        if self.df.isStreaming is False:
+            raise ValueError("schedule() needs a streaming KStream source")
+        if len(self.keys) != 1 or self.window is not None:
+            raise ValueError("schedule() punctuates one un-windowed key")
+        from .streaming.punctuate import punctuated_counts_cancellable
+
+        key = self.keys[0]
+        src = (
+            self.df.withColumnRenamed(key, "event_type")
+            if key != "event_type"
+            else self.df
+        )
+        out = punctuated_counts_cancellable(
+            src,
+            interval_ms,
+            slow_interval_ms if slow_interval_ms is not None else interval_ms,
+            reschedule_after,
+            cancel_after,
+        )
+        if key != "event_type":
+            out = out.withColumnRenamed("event_type", key)
+        lifecycle = (
+            f"reschedule@{reschedule_after}->{slow_interval_ms}ms, "
+            f"cancel@{cancel_after}"
+        )
+        return KStream(
+            out,
+            key,
+            self._lineage
+            + (
+                f"Processor: schedule({interval_ms}ms, WALL_CLOCK_TIME) "
+                f"[Cancellable: {lifecycle}]",
+            ),
+        )
+
     def _unwrap(self, df: DataFrame) -> DataFrame:
         if self.window is None:
             return df

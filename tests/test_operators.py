@@ -406,3 +406,24 @@ def test_native_session_merges_touching_windows(spark, monkeypatch):
     )
     assert [n for n, _ in out] == [1, 2]
     assert out[1][1] == base
+
+
+def test_dau_mau_hll_rel_err_vs_exact(spark, sf_dir):
+    """The sketch-form stickiness (dau_mau_stickiness_hll, the 100 TB
+    production shape) must track the exact rolling-distinct query
+    within 5% relative error on every report day, for DAU and MAU both
+    — the bounded-bias contract that justifies swapping user-volume
+    fan-out for calendar-bounded sketch unions."""
+    import minefields_kafka_streams_deduplication_spark as engine
+
+    qs = engine.get_queries()
+    exact = {r.day: (r.dau, r.mau) for r in qs["dau_mau_stickiness"](spark, sf_dir).collect()}
+    est = {
+        r.day: (r.dau_est, r.mau_est)
+        for r in qs["dau_mau_stickiness_hll"](spark, sf_dir).collect()
+    }
+    assert set(est) == set(exact)
+    for day, (dau, mau) in exact.items():
+        dau_e, mau_e = est[day]
+        assert abs(dau_e - dau) / dau < 0.05, (day, dau, dau_e)
+        assert abs(mau_e - mau) / mau < 0.05, (day, mau, mau_e)

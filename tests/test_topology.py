@@ -399,3 +399,70 @@ def test_global_table_live_facade_sees_published_updates(spark, sf_dir, tmp_path
     assert "Broadcast" in plan
     # lineage names the live source
     assert "globalTable LIVE" in enriched.describe()
+
+
+def test_schedule_facade_cancellable_punctuator_parity(spark, sf_dir, tmp_path):
+    """[R ProcessorContext#schedule returning a Cancellable] through
+    the DSL facade: group_by_key().schedule(...) reaches the engine's
+    cancellable punctuator unchanged — run through the SAME
+    drain/settle harness as the direct form, every key exhausts
+    exactly its firing budget and stays silent afterwards (the settle
+    window raises otherwise); the key transport (arbitrary key name ->
+    the operator's canonical column) is exercised by grouping on a
+    renamed key; describe() names the punctuator and its lifecycle."""
+    import minefields_kafka_streams_deduplication_spark.catalog as catalog
+    from minefields_kafka_streams_deduplication_spark.streaming.punctuate import (
+        run_cancellable,
+    )
+    from minefields_kafka_streams_deduplication_spark.topology import KStream
+
+    ev = (
+        catalog.load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", F.col("event_type").alias("etype"))
+        .limit(400)
+    )
+    stage = str(tmp_path / "stage")
+    ev.coalesce(1).write.parquet(stage)
+    n_keys = ev.select("etype").distinct().count()
+    captured = {}
+
+    def build(stream):
+        ks = KStream(stream, "etype", ("Source: staged events",))
+        scheduled = ks.group_by_key().schedule(interval_ms=400, cancel_after=2)
+        captured["lineage"] = scheduled.describe()
+        # the harness tracks the operator's canonical column name
+        return scheduled.to_df().withColumnRenamed("etype", "event_type")
+
+    out = run_cancellable(
+        spark,
+        stage,
+        "event_id LONG, ts TIMESTAMP, etype STRING",
+        n_keys=n_keys,
+        cancel_after=2,
+        interval_ms=400,
+        build_snapshots=build,
+    )
+    per_key = {
+        r.event_type: r.mx
+        for r in out.groupBy("event_type").agg(F.max("firing").alias("mx")).collect()
+    }
+    assert len(per_key) >= n_keys
+    # every REAL key fired exactly its budget (sentinel keys may be
+    # mid-budget when the run stops)
+    real = {k: v for k, v in per_key.items() if k is not None}
+    assert all(v == 2 for v in real.values()), real
+    assert "schedule(400ms, WALL_CLOCK_TIME)" in captured["lineage"]
+    assert "cancel@2" in captured["lineage"]
+
+
+def test_schedule_facade_rejects_batch_and_windowed(spark, sf_dir):
+    """schedule() is a streaming-only, single-key, un-windowed verb —
+    the failure modes a ported KS topology would hit are loud."""
+    import pytest
+
+    from minefields_kafka_streams_deduplication_spark.topology import StreamsBuilder
+
+    b = StreamsBuilder(spark, sf_dir)
+    grouped = b.stream("events").select_key("event_type").group_by_key()
+    with pytest.raises(ValueError, match="streaming"):
+        grouped.schedule(interval_ms=1000)
