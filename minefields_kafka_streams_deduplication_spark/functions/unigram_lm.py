@@ -243,6 +243,13 @@ def unigram_encode(docs: DataFrame, scores: dict[str, float],
     Returns (doc_id, pieces, n_pieces, nll)."""
     import pandas as pd
 
+    # OOV floor for byte-fallback chars outside the vocabulary: the
+    # worst in-vocabulary log-prob. scores.get(c, 0.0) — log-prob 0,
+    # probability 1 — silently DEFLATED the corpus NLL on
+    # out-of-vocab text instead of penalizing it (ADVICE r6);
+    # SentencePiece charges unk_surface pieces a real penalty too.
+    unk_logprob = min(scores.values()) if scores else 0.0
+
     def kernel(batches):
         for pdf in batches:
             out_pieces, out_n, out_nll = [], [], []
@@ -253,7 +260,7 @@ def unigram_encode(docs: DataFrame, scores: dict[str, float],
                     seg = unigram_viterbi(w, scores, max_len)
                     if seg is None:
                         seg = list(w)  # byte-fallback analog
-                        nll += sum(scores.get(c, 0.0) for c in seg)
+                        nll += sum(scores.get(c, unk_logprob) for c in seg)
                     else:
                         nll += sum(scores[p] for p in seg)
                     pieces.extend(seg)

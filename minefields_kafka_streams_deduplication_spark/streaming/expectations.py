@@ -55,12 +55,15 @@ def run_expectations_gate(
     Returns the per-batch report [(batch_id, n_rows, n_violations,
     'promoted'|'quarantined')] in batch order; the batches' rows land
     in ``promoted_dir`` / ``quarantine_dir`` accordingly."""
+    from ..sources.sinks import write_idempotent_batch
+
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage_dir)
     )
     report: list[tuple[int, int, int, str]] = []
+    reported: set[int] = set()
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         counts = batch_df.agg(
@@ -76,12 +79,19 @@ def run_expectations_gate(
         if n == 0:
             return
         n_viol = sum(counts[f"r{i}"] for i in range(len(rules)))
-        if n_viol > 0:
-            batch_df.write.mode("append").parquet(quarantine_dir)
-            report.append((batch_id, n, int(n_viol), "quarantined"))
-        else:
-            batch_df.write.mode("append").parquet(promoted_dir)
-            report.append((batch_id, n, 0, "promoted"))
+        # foreachBatch delivery is at-least-once: a checkpointed
+        # availableNow restart re-runs the last uncommitted batch, so
+        # both the sink write and the report entry must be idempotent
+        # (ADVICE r6) — batchId-addressed _SUCCESS-gated directories
+        # (the EOS sink's discipline) plus a batch-id dedupe on the
+        # report keep the conservation invariant under replay.
+        dest, status = (
+            (quarantine_dir, "quarantined") if n_viol > 0 else (promoted_dir, "promoted")
+        )
+        write_idempotent_batch(batch_df, dest, batch_id)
+        if batch_id not in reported:
+            reported.add(batch_id)
+            report.append((batch_id, n, int(n_viol), status))
 
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_gate_{uuid.uuid4().hex[:8]}_")
     try:

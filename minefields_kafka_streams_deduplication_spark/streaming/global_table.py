@@ -99,7 +99,7 @@ def run_global_table_join(
     stream_schema: str,
     join_expr,
     select_cols: list,
-    feed,  # callable(phase:int) -> None; drips input/dim between phases
+    feed,  # callable(phase:int) -> int; drips input/dim between phases
     n_phases: int,
     poll_timeout_s: float = 90.0,
 ) -> DataFrame:
@@ -107,17 +107,20 @@ def run_global_table_join(
     re-resolves the latest dimension snapshot, broadcast-joins the
     batch, and appends the enriched rows to an output directory.
     ``feed(phase)`` is invoked before each phase to drip the next input
-    slice (and, between phases, publish updated dimension snapshots);
-    the harness waits for the phase's rows to land before advancing —
-    so a phase's batches deterministically see every snapshot published
-    before its slice was written.
+    slice (and, between phases, publish updated dimension snapshots)
+    and returns the phase's STAGED ROW COUNT; the harness waits until
+    the cumulative expected total has landed before advancing — so a
+    phase's batches deterministically see every snapshot published
+    before its slice was written. Counting to the expected total
+    (ADVICE r6) rather than 'any new rows visible' makes multi-file and
+    multi-batch slices safe: a parquet append is not atomic across part
+    files, and the old check could advance (or stop the query) having
+    seen only part of a phase's output.
 
     Returns the accumulated enriched output as a batch DataFrame."""
     out_dir = tempfile.mkdtemp(prefix="gtab_out_")
     checkpoint = tempfile.mkdtemp(prefix="gtab_ckpt_")
     name = f"gtab_{uuid.uuid4().hex[:8]}"
-    done_rows = 0
-    expected: list[int] = []
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -140,8 +143,8 @@ def run_global_table_join(
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
     q = None
     try:
-        expected.append(0)
-        feed(0)  # initial dim + first slice land before the query starts
+        # initial dim + first slice land before the query starts
+        expected_total = int(feed(0) or 0)
         stream = spark.readStream.schema(stream_schema).parquet(stage_dir)
         q = (
             stream.writeStream.foreachBatch(handle)
@@ -152,21 +155,21 @@ def run_global_table_join(
         )
         for phase in range(1, n_phases + 1):
             deadline = time.time() + poll_timeout_s
-            # Wait until the PREVIOUS phase's rows are fully out: its
-            # foreachBatch (and thus its dimension read) has completed
-            # before we publish the next snapshot / slice.
-            while _out_count() <= done_rows:
+            # Wait until the PREVIOUS phase's rows are FULLY out (the
+            # cumulative expected total, not merely 'something new'):
+            # its foreachBatch — and thus its dimension read — has
+            # completed before we publish the next snapshot / slice.
+            while _out_count() < expected_total:
                 if time.time() > deadline:
                     raise TimeoutError(
-                        f"phase {phase - 1} produced no output within "
-                        f"{poll_timeout_s}s"
+                        f"phase {phase - 1}: {_out_count()}/{expected_total} "
+                        f"rows within {poll_timeout_s}s"
                     )
                 if q.exception() is not None:
                     raise q.exception()
                 time.sleep(0.1)
-            done_rows = _out_count()
             if phase < n_phases:
-                feed(phase)
+                expected_total += int(feed(phase) or 0)
         q.stop()
         q.awaitTermination()
         q = None
@@ -218,7 +221,7 @@ def join_global_table_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # like read_events_stream); boundaries computed on normalized ts.
     norm = normalize_events_ts(raw).select("event_id", "ts")
 
-    def feed(phase: int) -> None:
+    def feed(phase: int) -> int:
         if phase == 0:
             publish_dim_snapshot(dim_v1, dim_root)
             half = raw.join(
@@ -226,7 +229,6 @@ def join_global_table_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_id",
                 "left_semi",
             )
-            half.coalesce(1).write.mode("append").parquet(stage)
         else:
             publish_dim_snapshot(dim_v2, dim_root)
             time.sleep(0.05)
@@ -235,7 +237,10 @@ def join_global_table_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_id",
                 "left_semi",
             )
-            half.coalesce(1).write.mode("append").parquet(stage)
+        half.coalesce(1).write.mode("append").parquet(stage)
+        # expected output rows == staged rows: the enrichment is a left
+        # join against a unique-keyed dimension (row-preserving)
+        return half.count()
 
     try:
         enriched = run_global_table_join(

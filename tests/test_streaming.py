@@ -1173,3 +1173,44 @@ def test_cancellable_punctuator_reschedules_interval(spark, tmp_path):
     assert gaps[1] >= slow and gaps[2] >= slow, gaps
     # the reschedule visibly changed cadence (fast gap well under slow)
     assert gaps[0] < slow, gaps
+
+
+def test_expectations_gate_replay_idempotent(spark, tmp_path):
+    """ADVICE r6: foreachBatch delivery is at-least-once — replaying
+    the same staged batches through the gate (fresh checkpoint, same
+    sinks: the restart-after-crash shape) must not double-write rows
+    or duplicate report entries. The batchId-addressed _SUCCESS-gated
+    writes skip already-committed batches, so promoted + quarantined
+    still conserve the input exactly."""
+    import datetime as dt
+
+    from minefields_kafka_streams_deduplication_spark.streaming.expectations import (
+        EXPECT_EVENT_RULES,
+        run_expectations_gate,
+    )
+    from minefields_kafka_streams_deduplication_spark.streaming.punctuate import (
+        stage_events_ordered,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(hours=i), i % 5, None if 20 <= i < 40 else float(i))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE"
+    )
+    stage, promoted, quarantine = (
+        str(tmp_path / "stage"), str(tmp_path / "prom"), str(tmp_path / "quar")
+    )
+    stage_events_ordered(df, stage, n_slices=2)
+    args = (
+        spark, stage,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE",
+        EXPECT_EVENT_RULES, promoted, quarantine,
+    )
+    r1 = run_expectations_gate(*args)
+    r2 = run_expectations_gate(*args)  # full replay, fresh checkpoint
+    assert r1 == r2  # same batches, same routing, no duplicate entries
+    assert spark.read.parquet(promoted).count() == 20
+    assert spark.read.parquet(quarantine).count() == 20

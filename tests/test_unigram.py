@@ -269,3 +269,22 @@ def test_encode_reconstructs_words(spark):
     out = {r.doc_id: r for r in unigram_encode(docs, vocab).collect()}
     for i, t in enumerate(texts):
         assert "".join(out[i].pieces) == t.lower().replace(" ", "")
+
+
+def test_encode_charges_oov_penalty(spark):
+    """ADVICE r6: out-of-vocab byte-fallback chars must be charged a
+    real penalty (the worst in-vocab log-prob), not log-prob 0 — an
+    OOV doc must carry a HIGHER NLL than an in-vocab doc of the same
+    length, never a deflated one."""
+    vocab = {"a": -1.0, "b": -2.0, "ab": -0.5}
+    docs = spark.createDataFrame(
+        [(0, "ab ab"), (1, "zq zq")],  # z, q nowhere in the vocab
+        "doc_id LONG, text STRING",
+    )
+    from minefields_kafka_streams_deduplication_spark.functions.unigram_lm import unigram_encode
+
+    out = {r.doc_id: r for r in unigram_encode(docs, vocab).collect()}
+    assert out[0].nll == 1.0  # two 'ab' pieces at -0.5
+    # each OOV char pays the floor (-2.0): 4 chars -> nll 8, not 0
+    assert out[1].nll == 8.0
+    assert out[1].nll > out[0].nll
