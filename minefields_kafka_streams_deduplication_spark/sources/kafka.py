@@ -77,20 +77,30 @@ def events_from_kafka(
     bootstrap_servers: str,
     topic: str,
     starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming events table from a Kafka topic. Same columns as the
     parquet fixture — swap this for `read_events_stream` and every
-    query/dedup/window downstream runs unchanged."""
+    query/dedup/window downstream runs unchanged.
+
+    ``max_offsets_per_trigger`` caps records per micro-batch (the
+    backpressure knob a production ingest always sets); left None the
+    source takes whatever is available. The env-gated integration test
+    (tests/test_sources.py::test_kafka_live_roundtrip_env_gated, active
+    when KAFKA_BOOTSTRAP is set) drives this path against a real
+    broker; in broker-less containers the wire serde is still proven
+    bit-exact by kafka_wire_roundtrip."""
     tune(spark)
-    raw = (
+    reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
         .option("includeHeaders", "true")
-        .load()
     )
-    return parse_event_payload(raw)
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return parse_event_payload(reader.load())
 
 
 def serialize_event_payload(events: DataFrame) -> DataFrame:

