@@ -1853,3 +1853,158 @@ def corpus_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "dup_rate_by_source",
+    oracle="""
+WITH g AS (
+  SELECT source, doc_id, lower(text) AS t FROM documents
+),
+tf AS (
+  SELECT t, count(*) AS gsz, min(doc_id) AS keep_id FROM g GROUP BY t
+)
+SELECT g.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN tf.gsz > 1 AND g.doc_id <> tf.keep_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_redundant,
+       floor(CAST(sum(CASE WHEN tf.gsz > 1 AND g.doc_id <> tf.keep_id
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 10000 + 0.5) / 10000 AS dup_rate
+FROM g JOIN tf ON g.t = tf.t
+GROUP BY g.source
+ORDER BY g.source
+""",
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate burden — the curation report a
+    dedup pass starts from: how many of each source's documents are
+    REDUNDANT copies (their lowercased text appears elsewhere and they
+    are not the keep-first representative). Complements
+    corpus_dup_inflation (corpus-level factor) with the
+    per-source blame assignment.
+
+    Scale shape: one groupBy on the text key (the exact-dedup shuffle),
+    joined back on the same key — both exchanges hash the identical
+    column so AQE reuses the partitioning; per-source rollup is
+    source-bounded."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.lower("text").alias("t")
+    )
+    tf = docs.groupBy("t").agg(
+        F.count(F.lit(1)).alias("gsz"), F.min("doc_id").alias("keep_id")
+    )
+    redundant = (
+        (F.col("gsz") > 1) & (F.col("doc_id") != F.col("keep_id"))
+    ).cast("int")
+    return (
+        docs.join(tf, "t")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(redundant).cast("long").alias("n_redundant"),
+            round4f(
+                F.sum(redundant).cast("double") / F.count(F.lit(1))
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "vocab_zipf_top100",
+    oracle="""
+SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+GROUP BY t
+ORDER BY freq DESC, word
+LIMIT 100
+""",
+)
+def vocab_zipf_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The head of the corpus rank-frequency (Zipf) curve: the 100 most
+    frequent whitespace tokens with exact counts (ties broken
+    alphabetically, so the cut is deterministic). corpus_vocab_stats
+    gives the aggregate health numbers; this is the eyeball list a
+    tokenizer/stopword audit reads.
+
+    Scale shape: map-side-combined token counts (vocabulary-bounded,
+    Heaps' law), then orderBy+limit — Spark plans TakeOrderedAndProject
+    (per-partition top-100 then one 100-row merge), never a global
+    sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(100)
+    )
+
+
+@query(
+    "tokens_per_doc_percentiles",
+    oracle="""
+WITH n AS (
+  SELECT lang, doc_id, len(string_split(lower(text), ' ')) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT lang, n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM n
+)
+SELECT lang,
+       CAST(max(cnt) AS BIGINT) AS n_docs,
+       CAST(max(CASE WHEN rn = (cnt + 1) // 2 THEN n_tokens END) AS BIGINT)
+         AS p50_tokens,
+       CAST(max(CASE WHEN rn = (cnt * 9 + 9) // 10 THEN n_tokens END) AS BIGINT)
+         AS p90_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+FROM r
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def tokens_per_doc_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution cut points (discrete
+    p50/p90 — the value at rank (n+1) DIV 2 / ceil(0.9n), so there is
+    no interpolation arithmetic to diverge between engines) plus max —
+    the length-filter calibration table a curation pass reads before
+    setting Gopher-style min/max token bounds.
+
+    Scale shape: token counts are per-row expressions (no explode —
+    size(split()) never materializes the token array); the per-lang
+    rank window rides one hash exchange on lang. Language cardinality
+    is small but each partition is corpus-sized: at extreme volume the
+    same answer comes from the two-phase value-collapsed CDF
+    (events_winsorized_stats' shape) — documented trade."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select(
+        "lang", F.size(F.split(F.lower("text"), " ")).cast("long").alias("n_tokens")
+    )
+    wr = Window.partitionBy("lang").orderBy("n_tokens")
+    wc = Window.partitionBy("lang")
+    r = n.select(
+        "lang",
+        "n_tokens",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.max("cnt").cast("long").alias("n_docs"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("n_tokens"))
+            ).cast("long").alias("p50_tokens"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(cnt * 9 + 9) div 10"), F.col("n_tokens")
+                )
+            ).cast("long").alias("p90_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )

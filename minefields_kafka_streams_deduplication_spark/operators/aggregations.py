@@ -1669,3 +1669,53 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "order_fulfillment_latency",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE)))
+            // count(*) AS BIGINT) AS avg_order_to_ship_days,
+       CAST(max(date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE))) AS BIGINT)
+         AS max_order_to_ship_days
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def order_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency by order priority: whole-day gaps between
+    the order date and each line item's ship date — exact integers, an
+    integer-division mean, so nothing interpolates or rounds
+    differently across engines. The fulfillment-SLA rollup beside q4's
+    late-shipment counts.
+
+    Scale shape: the lineitem-orders equi-join is the engine's standard
+    FK shuffle join (both sides hashed on the order key; AQE handles
+    skew); the priority rollup is a 5-value map-side-combined
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("gap_days"),
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.expr("sum(gap_days) div count(*)").cast("long").alias(
+                "avg_order_to_ship_days"
+            ),
+            F.max("gap_days").cast("long").alias("max_order_to_ship_days"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1013,3 +1013,177 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "weekly_active_growth",
+    oracle="""
+WITH wau AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM events GROUP BY 1
+)
+SELECT c.week, c.wau, p.wau AS prev_wau,
+       floor(CAST(c.wau - p.wau AS DOUBLE) / p.wau * 10000 + 0.5) / 10000
+         AS wow_growth
+FROM wau c JOIN wau p ON c.week = p.week + INTERVAL 7 DAY
+ORDER BY c.week
+""",
+)
+def weekly_active_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week active-user growth — the top-line product metric
+    beside DAU/MAU stickiness. First week drops (no predecessor), the
+    ratio is floor-form.
+
+    Scale shape: one distinct-count shuffle keyed (week, user), then a
+    SELF-JOIN on week-minus-7-days over the calendar-bounded weekly
+    frame — no window over a single partition (the lag() formulation
+    would plan exactly that), so the growth step never funnels data
+    through one task no matter the corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    wau = (
+        ev.select(F.date_trunc("week", "ts").cast("date").alias("week"), "user_id")
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    prev = wau.select(
+        F.date_add("week", 7).alias("week"), F.col("wau").alias("prev_wau")
+    )
+    return (
+        wau.join(prev, "week")
+        .select(
+            "week",
+            "wau",
+            "prev_wau",
+            round4f(
+                (F.col("wau") - F.col("prev_wau")).cast("double")
+                / F.col("prev_wau")
+            ).alias("wow_growth"),
+        )
+        .orderBy("week")
+    )
+
+
+@query(
+    "inter_event_gap_stats",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events
+),
+r AS (
+  SELECT event_type, gap_us,
+         row_number() OVER (PARTITION BY event_type ORDER BY gap_us) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM g WHERE gap_us IS NOT NULL
+)
+SELECT event_type,
+       CAST(max(cnt) AS BIGINT) AS n_gaps,
+       CAST(sum(gap_us) // max(cnt) AS BIGINT) AS avg_gap_us,
+       CAST(max(CASE WHEN rn = (cnt + 1) // 2 THEN gap_us END) AS BIGINT)
+         AS median_gap_us
+FROM r
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival statistics over each user's
+    timeline: count, integer-division mean, and the discrete median
+    (lower median — the value at row (n+1) DIV 2 of the sorted gaps, so
+    no cross-engine interpolation arithmetic exists to diverge; ties
+    broken by position are value-identical at the median by
+    definition). All outputs are exact integers in µs.
+
+    Scale shape: one per-user window for the lag (keyed shuffle), then
+    one per-type window for the median rank — event_type cardinality is
+    tiny but each type's partition is data-sized, so the rank window
+    rides the same hash exchange as the final groupBy; the fixture plan
+    shows no single-partition funnel. At extreme skew the rank-based
+    exact median would become a two-phase CDF cut like
+    events_winsorized_stats — documented trade, same answer."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        ev.select(
+            "event_type",
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+                "gap_us"
+            ),
+        )
+        .where(F.col("gap_us").isNotNull())
+    )
+    wr = Window.partitionBy("event_type").orderBy("gap_us")
+    wc = Window.partitionBy("event_type")
+    r = g.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("cnt").cast("long").alias("n_gaps"),
+            F.expr("sum(gap_us) div max(cnt)").cast("long").alias("avg_gap_us"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("gap_us"))
+            ).cast("long").alias("median_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+WITH tl AS (
+  SELECT user_id, event_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_view_id
+  FROM events
+)
+SELECT user_id, event_id AS purchase_id, last_view_id
+FROM tl
+WHERE event_type = 'purchase'
+ORDER BY user_id, purchase_id
+""",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is attributed to the same
+    user's most recent PRIOR 'view' event (NULL when none exists) — the
+    funnel join (funnel_view_click_purchase) answers 'did a path
+    exist'; this answers 'which exact touchpoint gets credit', the
+    marketing-attribution primitive.
+
+    Scale shape: ONE per-user ordered window with an ignore-nulls
+    last_value over the preceding frame — no self-join of views ×
+    purchases (the theta-join formulation is quadratic per user). The
+    deterministic (ts, event_id) order makes the credited view unique,
+    so the output hashes identically on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("event_id")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            "event_type",
+            last_view.alias("last_view_id"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "purchase_id", "last_view_id")
+        .orderBy("user_id", "purchase_id")
+    )
