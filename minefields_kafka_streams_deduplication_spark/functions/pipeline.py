@@ -1884,12 +1884,13 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_dup_inflation (corpus-level factor) with the
     per-source blame assignment.
 
-    Scale shape: one groupBy on the text key (the exact-dedup shuffle),
-    joined back on the same key — both exchanges hash the identical
-    column so AQE reuses the partitioning; per-source rollup is
-    source-bounded."""
+    Scale shape: one groupBy on the text HASH (md5 — the exact-dedup
+    family's key, so the shuffle moves 32-byte digests, never document
+    bodies; the full-text key form moved every text twice and ran 2.6×
+    slower at the 100× copy-flood probe), joined back on the same key;
+    per-source rollup is source-bounded."""
     docs = load_table(spark, sf_dir, "documents").select(
-        "source", "doc_id", F.lower("text").alias("t")
+        "source", "doc_id", F.md5(F.lower("text")).alias("t")
     )
     tf = docs.groupBy("t").agg(
         F.count(F.lit(1)).alias("gsz"), F.min("doc_id").alias("keep_id")
@@ -1928,15 +1929,22 @@ def vocab_zipf_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     gives the aggregate health numbers; this is the eyeball list a
     tokenizer/stopword audit reads.
 
-    Scale shape: map-side-combined token counts (vocabulary-bounded,
-    Heaps' law), then orderBy+limit — Spark plans TakeOrderedAndProject
-    (per-partition top-100 then one 100-row merge), never a global
-    sort."""
+    Scale shape: exact-copy texts collapse to one weighted
+    representative BEFORE the explode (the copy-flood discipline every
+    dedup op here uses — a duplicate-heavy corpus otherwise pays the
+    token explode once per copy: 30 s -> seconds at the 10×
+    exact-copy probe), then map-side-combined weighted token counts
+    (vocabulary-bounded, Heaps' law) and orderBy+limit — Spark plans
+    TakeOrderedAndProject (per-partition top-100, one 100-row merge),
+    never a global sort."""
     docs = load_table(spark, sf_dir, "documents")
+    reps = docs.groupBy(F.lower("text").alias("t")).agg(
+        F.count(F.lit(1)).alias("w")
+    )
     return (
-        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        reps.select(F.explode(F.split("t", " ")).alias("word"), "w")
         .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
+        .agg(F.sum("w").cast("long").alias("freq"))
         .orderBy(F.desc("freq"), F.asc("word"))
         .limit(100)
     )
@@ -1975,36 +1983,44 @@ def tokens_per_doc_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     setting Gopher-style min/max token bounds.
 
     Scale shape: token counts are per-row expressions (no explode —
-    size(split()) never materializes the token array); the per-lang
-    rank window rides one hash exchange on lang. Language cardinality
-    is small but each partition is corpus-sized: at extreme volume the
-    same answer comes from the two-phase value-collapsed CDF
-    (events_winsorized_stats' shape) — documented trade."""
+    size(split()) never materializes the token array); lengths collapse
+    to (lang, n_tokens, c) and the cut points come from the
+    value-collapsed grouped CDF (`_grouped_value_cdf`) — parallelism
+    follows the length-value range split, never the (tiny) language
+    cardinality, and length values are Zipf-bounded so the collapsed
+    frame is effectively value-bounded at any corpus size."""
+    from ..operators.analytic import _grouped_value_cdf
+
     docs = load_table(spark, sf_dir, "documents")
     n = docs.select(
         "lang", F.size(F.split(F.lower("text"), " ")).cast("long").alias("n_tokens")
     )
-    wr = Window.partitionBy("lang").orderBy("n_tokens")
-    wc = Window.partitionBy("lang")
-    r = n.select(
-        "lang",
-        "n_tokens",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("cnt"),
+    collapsed = n.groupBy("lang", "n_tokens").agg(F.count(F.lit(1)).alias("c"))
+    totals = collapsed.groupBy("lang").agg(
+        F.sum("c").alias("n_docs"), F.max("n_tokens").alias("max_tokens")
+    )
+    cdf = _grouped_value_cdf(collapsed, "lang", "n_tokens").join(
+        F.broadcast(totals.select("lang", "n_docs")), "lang"
+    )
+    p50 = (
+        cdf.where(F.col("cum") >= F.expr("(n_docs + 1) div 2"))
+        .groupBy("lang")
+        .agg(F.min("n_tokens").alias("p50_tokens"))
+    )
+    p90 = (
+        cdf.where(F.col("cum") >= F.expr("(n_docs * 9 + 9) div 10"))
+        .groupBy("lang")
+        .agg(F.min("n_tokens").alias("p90_tokens"))
     )
     return (
-        r.groupBy("lang")
-        .agg(
-            F.max("cnt").cast("long").alias("n_docs"),
-            F.max(
-                F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("n_tokens"))
-            ).cast("long").alias("p50_tokens"),
-            F.max(
-                F.when(
-                    F.col("rn") == F.expr("(cnt * 9 + 9) div 10"), F.col("n_tokens")
-                )
-            ).cast("long").alias("p90_tokens"),
-            F.max("n_tokens").cast("long").alias("max_tokens"),
+        totals.join(p50, "lang")
+        .join(p90, "lang")
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("p50_tokens").cast("long").alias("p50_tokens"),
+            F.col("p90_tokens").cast("long").alias("p90_tokens"),
+            F.col("max_tokens").cast("long").alias("max_tokens"),
         )
         .orderBy("lang")
     )

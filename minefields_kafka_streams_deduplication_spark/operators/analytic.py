@@ -1064,6 +1064,49 @@ def weekly_active_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _grouped_value_cdf(collapsed: DataFrame, group: str, value: str) -> DataFrame:
+    """(group, value, c) -> same frame + ``cum`` (running count within
+    group in value order) via the checkpointed two-phase
+    range-partitioned cumsum — the drift_report_ks_by_type /
+    events_winsorized_stats skeleton. Parallelism follows the VALUE
+    range split, never the group cardinality (a Window.partitionBy
+    (group) would cap the whole query at #groups tasks); the
+    localCheckpoint pins one materialized partitioning so the local
+    cumsum and the offset counts cannot resample range boundaries
+    independently (the r6 ReuseExchange hazard)."""
+    part = (
+        collapsed.repartitionByRange(group, value)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w = (
+        Window.partitionBy(group, "_pid")
+        .orderBy(value)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part.withColumn("_lc", F.sum("c").over(w))
+    counts = local.groupBy(group, "_pid").agg(F.max("_lc").alias("_t"))
+    c2 = counts.select(
+        F.col(group).alias("_g2"),
+        F.col("_pid").alias("_pid2"),
+        F.col("_t").alias("_tb"),
+    )
+    offsets = (
+        counts.join(
+            c2,
+            (F.col("_g2") == F.col(group)) & (F.col("_pid2") < F.col("_pid")),
+            "left",
+        )
+        .groupBy(group, "_pid")
+        .agg(F.coalesce(F.sum("_tb"), F.lit(0)).alias("_o"))
+    )
+    return (
+        local.join(F.broadcast(offsets), [group, "_pid"])
+        .withColumn("cum", (F.col("_lc") + F.col("_o")).cast("long"))
+        .drop("_pid", "_lc", "_o")
+    )
+
+
 @query(
     "inter_event_gap_stats",
     oracle="""
@@ -1093,18 +1136,17 @@ ORDER BY event_type
 def inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type inter-arrival statistics over each user's
     timeline: count, integer-division mean, and the discrete median
-    (lower median — the value at row (n+1) DIV 2 of the sorted gaps, so
-    no cross-engine interpolation arithmetic exists to diverge; ties
-    broken by position are value-identical at the median by
-    definition). All outputs are exact integers in µs.
+    (lower median — the smallest gap whose cumulative count reaches
+    (n+1) DIV 2, identical to the oracle's row_number cut, with no
+    interpolation arithmetic to diverge). All outputs exact µs ints.
 
     Scale shape: one per-user window for the lag (keyed shuffle), then
-    one per-type window for the median rank — event_type cardinality is
-    tiny but each type's partition is data-sized, so the rank window
-    rides the same hash exchange as the final groupBy; the fixture plan
-    shows no single-partition funnel. At extreme skew the rank-based
-    exact median would become a two-phase CDF cut like
-    events_winsorized_stats — documented trade, same answer."""
+    the median via the value-collapsed grouped CDF
+    (`_grouped_value_cdf`) — gaps collapse to (type, gap_us, c) first
+    and the cumsum is range-partitioned on the VALUE, so parallelism
+    never caps at event-type cardinality (the naive per-type rank
+    window ran 24.9 s at the 100× probe on 5 tasks; this is the
+    drift_report_ks_by_type shape instead)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     g = (
@@ -1116,22 +1158,26 @@ def inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("gap_us").isNotNull())
     )
-    wr = Window.partitionBy("event_type").orderBy("gap_us")
-    wc = Window.partitionBy("event_type")
-    r = g.select(
-        "event_type",
-        "gap_us",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("cnt"),
+    collapsed = g.groupBy("event_type", "gap_us").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = collapsed.groupBy("event_type").agg(
+        F.sum("c").alias("n_gaps"), F.sum(F.col("gap_us") * F.col("c")).alias("s")
+    )
+    cdf = _grouped_value_cdf(collapsed, "event_type", "gap_us")
+    med = (
+        cdf.join(F.broadcast(totals.select("event_type", "n_gaps")), "event_type")
+        .where(F.col("cum") >= F.expr("(n_gaps + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.min("gap_us").alias("median_gap_us"))
     )
     return (
-        r.groupBy("event_type")
-        .agg(
-            F.max("cnt").cast("long").alias("n_gaps"),
-            F.expr("sum(gap_us) div max(cnt)").cast("long").alias("avg_gap_us"),
-            F.max(
-                F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("gap_us"))
-            ).cast("long").alias("median_gap_us"),
+        totals.join(med, "event_type")
+        .select(
+            "event_type",
+            F.col("n_gaps").cast("long").alias("n_gaps"),
+            F.expr("s div n_gaps").cast("long").alias("avg_gap_us"),
+            F.col("median_gap_us").cast("long").alias("median_gap_us"),
         )
         .orderBy("event_type")
     )
