@@ -1174,9 +1174,23 @@ def ivf_pq_topk(
                 ]
             )  # (m, k)
 
-    pairs = spark.createDataFrame(
-        [(qid, int(c)) for qi, qid in enumerate(qids) for c in probed[qi]],
-        "query_id LONG, cell INT",
+    # Pure-JVM literal plan for the (query, probed cell) pairs — a
+    # createDataFrame from a Python list scans a Python RDD whose tasks
+    # each pay the ~4 s pyspark-worker spawn on this box (measured:
+    # this single frame made the residual query ~200 s at ANY corpus
+    # size); explode(array(lit...)) stays in codegen.
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.lit(int(c)).cast("int").alias("cell"),
+            )
+            for qi, qid in enumerate(qids)
+            for c in probed[qi]
+        ]
+    )
+    pairs = spark.range(1).select(F.explode(pair_structs).alias("p")).select(
+        "p.query_id", "p.cell"
     )
     cand = index.join(F.broadcast(pairs), "cell").filter(
         F.col("vec_id") != F.col("query_id")

@@ -1233,3 +1233,86 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "purchase_id", "last_view_id")
         .orderBy("user_id", "purchase_id")
     )
+
+
+def _ntile_from_rank(rn, n, k: int):
+    """SQL NTILE(k) from a (global rank, total) pair: n = k·q + r →
+    the first r buckets take q+1 rows. Lets a two-phase global rank
+    (`_global_row_number`) stand in for the single-partition window
+    NTILE plans, with identical bucket assignment."""
+    base = F.floor(n / k).cast("long")
+    rem = (n % k).cast("long")
+    big = rem * (base + 1)
+    return F.when(rn <= big, F.ceil(rn / (base + 1))).otherwise(
+        rem + F.ceil((rn - big) / F.greatest(base, F.lit(1)))
+    )
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+WITH p AS (
+  SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+         count(*) AS freq,
+         sum(CAST(value AS DECIMAL(18,6))) AS money
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+mx AS (SELECT max(last_day) AS d FROM p),
+b AS (
+  SELECT ntile(4) OVER (ORDER BY date_diff('day', last_day, mx.d), user_id)
+           AS r_bucket,
+         ntile(4) OVER (ORDER BY freq, user_id) AS f_bucket,
+         ntile(4) OVER (ORDER BY money, user_id) AS m_bucket
+  FROM p, mx
+)
+SELECT r_bucket, f_bucket, m_bucket, CAST(count(*) AS BIGINT) AS n_users
+FROM b GROUP BY r_bucket, f_bucket, m_bucket
+ORDER BY r_bucket, f_bucket, m_bucket
+""",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation —
+    the classic customer-value grid, emitted as segment population
+    counts (≤64 rows). Every quartile is assigned by NTILE(4) over the
+    deterministic (metric, user_id) order, so bucket boundaries are
+    identical on both engines.
+
+    Scale shape: one per-user purchase aggregate, then THREE two-phase
+    global ranks (`_global_row_number` — range-partitioned, no
+    single-partition NTILE window at any scale) joined back on
+    user_id; the segment rollup is 64-cell bounded. The oracle keeps
+    the window formulation, which is the equivalence check."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    base = ev.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(dec6("value")).alias("money"),
+    )
+    mx = F.broadcast(base.agg(F.max("last_day").alias("_maxd")))
+    base = base.crossJoin(mx).withColumn(
+        "rec_days", F.datediff("_maxd", "last_day")
+    )
+
+    def bucket(col: str, alias: str) -> DataFrame:
+        ranked = _global_row_number(
+            base.select("user_id", col), [F.asc(col), F.asc("user_id")]
+        )
+        return ranked.select(
+            "user_id",
+            _ntile_from_rank(F.col("_rn"), F.col("_n"), 4)
+            .cast("int")
+            .alias(alias),
+        )
+
+    seg = (
+        bucket("rec_days", "r_bucket")
+        .join(bucket("freq", "f_bucket"), "user_id")
+        .join(bucket("money", "m_bucket"), "user_id")
+    )
+    return (
+        seg.groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("r_bucket", "f_bucket", "m_bucket")
+    )

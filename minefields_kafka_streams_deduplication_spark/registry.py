@@ -205,8 +205,15 @@ _R6_DRIVER_VERIFIED = frozenset(
 )
 
 # Tier 1: failed-or-hardened this round — re-verify ahead of rotation.
-# Empty after round 6: no red rows and no hash-affecting hardening.
-_R7_REVERIFY: tuple[str, ...] = ()
+# Round 7 hardened two oracle-backed paths without (intended) semantic
+# change: the suppress drain harness was rewritten to progress-based
+# fixpoint detection (table_suppress_final_state) and SnapshotStateTable
+# commits grew the batch-id watermark + orphan cleanup
+# (store_snapshot_diff) — re-verify both ahead of the staleness rotation.
+_R7_REVERIFY: tuple[str, ...] = (
+    "table_suppress_final_state",
+    "store_snapshot_diff",
+)
 
 
 def _driver_order(names: list[str]) -> list[str]:

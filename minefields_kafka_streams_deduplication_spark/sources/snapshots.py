@@ -115,27 +115,37 @@ class SnapshotStateTable:
         bucket = F.pmod(F.xxhash64(self.key_col), F.lit(UPSERT_BUCKETS)).alias(
             "bucket"
         )
-        b_latest = _latest_per_key(
+        # The batch fold feeds BOTH the touched-bucket probe and the
+        # write — persist it or the whole batch aggregation runs twice
+        # (measured: the initial 50M-row commit at the 1000× probe
+        # spent 257 s, ~2× the second commit's fold, on exactly this
+        # double evaluation).
+        b_fold = _latest_per_key(
             batch_df.select(
                 self.key_col, "event_id", "ts", "event_type", "value", bucket
             )
-        )
-        touched = sorted(
-            r.bucket for r in b_latest.select("bucket").distinct().collect()
-        )
-        old_paths = [prev[str(t)] for t in touched if str(t) in prev]
-        if old_paths:
-            old = self.spark.read.parquet(*old_paths).withColumn(
-                "bucket", F.pmod(F.xxhash64(self.key_col), F.lit(UPSERT_BUCKETS))
+        ).persist()
+        try:
+            touched = sorted(
+                r.bucket for r in b_fold.select("bucket").distinct().collect()
             )
-            b_latest = _latest_per_key(b_latest.unionByName(old))
-        # immutable target: plain overwrite into a FRESH directory (no
-        # dynamic-overwrite subtleties, no self-read hazard)
-        (
-            b_latest.write.mode("errorifexists")
-            .partitionBy("bucket")
-            .parquet(commit_dir)
-        )
+            old_paths = [prev[str(t)] for t in touched if str(t) in prev]
+            b_latest = b_fold
+            if old_paths:
+                old = self.spark.read.parquet(*old_paths).withColumn(
+                    "bucket",
+                    F.pmod(F.xxhash64(self.key_col), F.lit(UPSERT_BUCKETS)),
+                )
+                b_latest = _latest_per_key(b_fold.unionByName(old))
+            # immutable target: plain overwrite into a FRESH directory (no
+            # dynamic-overwrite subtleties, no self-read hazard)
+            (
+                b_latest.write.mode("errorifexists")
+                .partitionBy("bucket")
+                .parquet(commit_dir)
+            )
+        finally:
+            b_fold.unpersist()
         buckets = dict(prev)
         for t in touched:
             buckets[str(t)] = os.path.join(commit_dir, f"bucket={t}")
