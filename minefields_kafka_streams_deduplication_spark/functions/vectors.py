@@ -1174,65 +1174,71 @@ def ivf_pq_topk(
                 ]
             )  # (m, k)
 
-    # Pure-JVM literal plan for the (query, probed cell) pairs — a
-    # createDataFrame from a Python list scans a Python RDD whose tasks
-    # each pay the ~4 s pyspark-worker spawn on this box (measured:
-    # this single frame made the residual query ~200 s at ANY corpus
-    # size); explode(array(lit...)) stays in codegen.
-    pair_structs = F.array(
-        *[
-            F.struct(
-                F.lit(qid).cast("long").alias("query_id"),
-                F.lit(int(c)).cast("int").alias("cell"),
-            )
-            for qi, qid in enumerate(qids)
-            for c in probed[qi]
-        ]
-    )
-    pairs = spark.range(1).select(F.explode(pair_structs).alias("p")).select(
-        "p.query_id", "p.cell"
-    )
-    cand = index.join(F.broadcast(pairs), "cell").filter(
-        F.col("vec_id") != F.col("query_id")
-    )
+    # Probing is resolved IN the scan closure, never as a join: the
+    # cell -> probing-queries map is query-count × nprobe bounded, so
+    # it ships with the task like the LUTs. The r7 first cut joined a
+    # broadcast (query, cell) pairs frame into the index — which
+    # DUPLICATES every index row once per probing query (nq · nprobe /
+    # K ≈ 50 copies here) before the Python scorer ever runs; the
+    # Arrow transfer of the duplicated rows made the query ~200 s at
+    # 100× while the pure ADC scan (one pass, all queries vectorized)
+    # ran 12 s. One index pass + per-cell LUT stack restores the
+    # pq_adc_topk scan shape with IVF's pruning: rows in unprobed
+    # cells cost one pandas groupby bucket and nothing else.
+    cell_qids: dict[int, list[int]] = {}
+    for qi, qid in enumerate(qids):
+        for c in probed[qi]:
+            cell_qids.setdefault(int(c), []).append(qid)
+    if residual:
+        cell_luts = {
+            cell: (np.array(qs_), np.stack([luts[(q, cell)] for q in qs_]))
+            for cell, qs_ in cell_qids.items()
+        }  # cell -> (qids (nq_c,), luts (nq_c, m, k))
+    else:
+        cell_luts = {
+            cell: (np.array(qs_), np.stack([luts[q] for q in qs_]))
+            for cell, qs_ in cell_qids.items()
+        }
 
     topk = SIM_TOPK
     shortlist_k = topk * rerank if rerank else topk
-    group_cols = ["query_id", "cell"] if residual else ["query_id"]
 
-    def adc_score(batches):
+    def adc_scan(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
             out = []
-            for gkey, grp in pdf.groupby(group_cols):
-                if residual:
-                    qid, cell = int(gkey[0]), int(gkey[1])
-                    lut = luts[(qid, cell)]
-                else:
-                    qid = int(gkey[0] if isinstance(gkey, tuple) else gkey)
-                    lut = luts[qid]
+            for cell, grp in pdf.groupby("cell"):
+                entry = cell_luts.get(int(cell))
+                if entry is None:
+                    continue  # cell probed by no query
+                q_arr, lut = entry  # (nq_c,), (nq_c, m, k)
                 codes_arr = np.array(list(grp["codes"]), dtype=np.int64)
-                d = np.zeros(len(codes_arr))
-                for i in range(m):
-                    d += lut[i][codes_arr[:, i]]
                 vec_ids = grp["vec_id"].to_numpy()
-                order = np.lexsort((vec_ids, d))[:shortlist_k]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.full(len(order), qid, dtype=np.int64),
-                            "neighbor_id": vec_ids[order],
-                            "adc": d[order],
-                        }
+                d = np.zeros((len(q_arr), len(codes_arr)))
+                for i in range(m):
+                    d += lut[:, i, :][:, codes_arr[:, i]]
+                for qi in range(len(q_arr)):
+                    mask = vec_ids != q_arr[qi]
+                    order = np.lexsort((vec_ids[mask], d[qi][mask]))[:shortlist_k]
+                    sel = np.flatnonzero(mask)[order]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(
+                                    len(sel), q_arr[qi], dtype=np.int64
+                                ),
+                                "neighbor_id": vec_ids[sel],
+                                "adc": d[qi][sel],
+                            }
+                        )
                     )
-                )
             yield pd.concat(out) if out else pd.DataFrame(
                 {"query_id": [], "neighbor_id": [], "adc": []}
             )
 
-    partial = cand.mapInPandas(
-        adc_score, "query_id LONG, neighbor_id LONG, adc DOUBLE"
+    partial = index.mapInPandas(
+        adc_scan, "query_id LONG, neighbor_id LONG, adc DOUBLE"
     )
     from pyspark.sql import Window
 
