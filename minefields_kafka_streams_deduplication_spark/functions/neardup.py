@@ -651,6 +651,79 @@ def contamination_ngram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAM_DROP_HITS = 5  # docs sharing >= this many eval shingles are dropped
+
+
+@query(
+    "decontaminate_report",
+    oracle=f"""
+WITH sh AS ({_SHINGLE_SQL}),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {BENCHMARK_DOC_CUTOFF}),
+corpus AS (SELECT * FROM sh WHERE doc_id >= {BENCHMARK_DOC_CUTOFF}),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_hits
+  FROM corpus c JOIN bench b ON c.shingle = b.shingle
+  GROUP BY 1
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN coalesce(h.n_hits, 0) >= {CONTAM_DROP_HITS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       floor(CAST(sum(CASE WHEN coalesce(h.n_hits, 0) >= {CONTAM_DROP_HITS}
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 10000 + 0.5) / 10000 AS drop_rate
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id >= {BENCHMARK_DOC_CUTOFF}
+GROUP BY d.lang
+ORDER BY d.lang
+""",
+)
+def decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECISION layer over contamination_ngram_check: apply the
+    pipeline's drop rule (>= CONTAM_DROP_HITS shared eval shingles =
+    contaminated) and report per-language corpus size, dropped count
+    and drop rate — the before/after accounting a decontamination pass
+    publishes next to the training manifest (cf. the GPT-3 appendix's
+    13-gram overlap removal; 3-gram here to suit the tiny fixture
+    texts).
+
+    Scale shape: the hit counting is contamination_ngram_check's
+    broadcast-semi-join-with-count; the rule + rollup add one
+    doc-keyed left join against the (contaminated-docs-bounded) hits
+    frame and a lang-bounded aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    bench = (
+        sh.filter(F.col("doc_id") < BENCHMARK_DOC_CUTOFF)
+        .select("shingle")
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") >= BENCHMARK_DOC_CUTOFF)
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    from ..catalog import round4f
+
+    dropped = (
+        F.coalesce(F.col("n_hits"), F.lit(0)) >= CONTAM_DROP_HITS
+    ).cast("int")
+    return (
+        docs.filter(F.col("doc_id") >= BENCHMARK_DOC_CUTOFF)
+        .join(hits, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(dropped).cast("long").alias("n_dropped"),
+            round4f(
+                F.sum(dropped).cast("double") / F.count(F.lit(1))
+            ).alias("drop_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cross-document repeated-span scrubbing (exact-substring dedup family).
 # ---------------------------------------------------------------------------

@@ -457,3 +457,44 @@ def dedup_text_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(winners, "doc_id", "left_semi").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
+
+
+@query(
+    "dedup_keep_by_source_priority",
+    oracle="""
+SELECT doc_id, source, lang
+FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY lower(text)
+           ORDER BY CAST(substr(source, 4) AS INT), doc_id
+         ) AS rn
+  FROM documents
+) t
+WHERE rn = 1
+ORDER BY doc_id
+""",
+)
+def dedup_keep_by_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a SOURCE-priority keep rule — the curation
+    variant of keep-first: when the same text exists in several
+    sources, keep the copy from the most-trusted one (here: the
+    source's numeric rank ascending, e.g. curated dumps before common
+    crawl), tiebreak on doc_id. Plain keep-first (D2) optimizes for
+    stability; this optimizes for provenance — the rule real pipeline
+    mixes apply when sources overlap.
+
+    Scale shape: identical to dedup_text_exact — ONE hash aggregate on
+    the text digest with a min_by(struct) winner (map-side combinable,
+    no window, no join); the priority is a per-row expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    prio = F.substring("source", 4, 10).cast("int")
+    winner = F.min_by(
+        F.struct("doc_id", "source", "lang"), F.struct(prio, F.col("doc_id"))
+    ).alias("w")
+    return (
+        docs.groupBy(F.md5(F.lower("text")).alias("h"))
+        .agg(winner)
+        .select("w.doc_id", "w.source", "w.lang")
+        .orderBy("doc_id")
+    )
