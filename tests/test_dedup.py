@@ -474,3 +474,24 @@ def test_scrub_removeall_matches_positional_reference_hypothesis(spark):
         assert got == exp, (got, exp)
 
     run()
+
+
+def test_dedup_source_priority_numeric_order(spark, monkeypatch):
+    """The keep rule orders sources by NUMERIC rank (src2 beats src10),
+    not lexicographically ('src10' < 'src2' as strings would invert
+    it), with doc_id as tiebreak within a source."""
+    from minefields_kafka_streams_deduplication_spark.operators import dedup
+
+    rows = [
+        (1, "shared text body here", "en", "src10", 1),
+        (2, "shared text body here", "en", "src2", 1),
+        (3, "shared text body here", "en", "src2", 1),
+        (4, "unique text", "en", "src19", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    monkeypatch.setattr(dedup, "load_table", lambda s, d, n: df)
+    out = dedup.dedup_keep_by_source_priority(spark, "x").collect()
+    kept = {(r.doc_id, r.source) for r in out}
+    assert kept == {(2, "src2"), (4, "src19")}
