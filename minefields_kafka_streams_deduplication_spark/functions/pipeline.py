@@ -793,15 +793,23 @@ def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     OCR-junk signal), top token frequency and type-token ratio. The
     standard pre-tokenizer corpus diagnostic.
 
-    100 TB shape: both aggregates are map-side combined; the second is
+    100 TB shape: exact-copy texts collapse to one weighted
+    representative per (lang, text) BEFORE the token explode (the
+    copy-flood discipline — the per-copy explode ran 61 s at the 10×
+    exact-duplicate probe, the weighted form seconds; counts are
+    identical since each copy contributes its representative's token
+    multiset); both aggregates are map-side combined and the second is
     vocabulary-bounded. Integer outputs except the final exact-division
     ratio (deterministic IEEE divide of two exact ints both engines).
     """
     docs = load_table(spark, sf_dir, "documents")
+    reps = docs.groupBy("lang", F.lower("text").alias("txt")).agg(
+        F.count(F.lit(1)).alias("w")
+    )
     tf = (
-        docs.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        reps.select("lang", F.explode(F.split("txt", " ")).alias("t"), "w")
         .groupBy("lang", "t")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("w").alias("c"))
     )
     return tf.groupBy("lang").agg(
         F.count(F.lit(1)).alias("vocab_size"),
