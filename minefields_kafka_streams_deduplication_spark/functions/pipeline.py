@@ -654,24 +654,39 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by doc count (same argument as the unigram filter —
     broadcast the head, shuffle the tail at extreme scale)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
+    # Exact-copy collapse (r7 copy-flood discipline): identical texts
+    # carry identical bigram multisets AND identical scores, so the LM
+    # fits and scores the DISTINCT-text table; corpus-level counts
+    # weight each representative by its copy count (duplicates still
+    # shape the corpus statistics — collapse changes the execution,
+    # never the model); doc ids re-attach by text hash at the end.
+    # 10x exact-duplicate probe: 61.7 s -> distinct-text cost.
+    doc_map = docs.select("doc_id", F.md5(F.lower("text")).alias("th"))
+    reps = docs.groupBy(F.md5(F.lower("text")).alias("th")).agg(
+        F.count(F.lit(1)).alias("w"),
+        F.first(F.split(F.lower("text"), " ")).alias("tk"),
+    )
     n = F.size("tk")
     zipped = F.arrays_zip(
         F.slice("tk", 1, n - 1),
         F.expr("slice(tk, 2, size(tk) - 1)"),
     )
     pairs = (
-        toks.where(n >= 2)
-        .select("doc_id", F.explode(zipped).alias("p"))
-        .select("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        reps.where(n >= 2)
+        .select("th", "w", F.explode(zipped).alias("p"))
+        .select("th", "w", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
     )
-    doc_bg = pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    corpus_bg = doc_bg.groupBy("w1", "w2").agg(F.sum("c").alias("cbg"))
+    doc_bg = pairs.groupBy("th", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c"), F.max("w").alias("w")
+    )
+    corpus_bg = doc_bg.groupBy("w1", "w2").agg(
+        F.sum(F.col("c") * F.col("w")).alias("cbg")
+    )
     lefts = corpus_bg.groupBy("w1").agg(F.sum("cbg").alias("cl"))
     uni = (
-        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        reps.select(F.explode("tk").alias("t"), "w")
         .groupBy("t")
-        .agg(F.count(F.lit(1)).alias("cu"))
+        .agg(F.sum("w").alias("cu"))
     )
     tot = uni.agg(F.sum("cu").alias("tu"))
     p_interp = F.lit(BIGRAM_LAMBDA) * (
@@ -682,14 +697,15 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lefts, "w1")
         .join(uni, F.col("w2") == F.col("t"))
         .crossJoin(F.broadcast(tot))
-        .select("doc_id", "c", F.log(p_interp).cast("decimal(18,6)").alias("lp"))
+        .select("th", "c", F.log(p_interp).cast("decimal(18,6)").alias("lp"))
     )
-    return terms.groupBy("doc_id").agg(
+    per_rep = terms.groupBy("th").agg(
         F.sum("c").cast("long").alias("n_bigrams"),
         round4f(
             -F.sum(F.col("c") * F.col("lp")).cast("double") / F.sum("c")
         ).alias("avg_nll"),
     )
+    return doc_map.join(per_rep, "th").select("doc_id", "n_bigrams", "avg_nll")
 
 
 # ---------------------------------------------------------------------------

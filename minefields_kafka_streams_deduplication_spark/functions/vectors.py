@@ -260,20 +260,40 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each (i, j) tile cogroups A-chunk i with B-chunk j and runs one
     numpy matmul. No driver collect, no full-corpus broadcast —
     shuffle volume is 2·GRID·n rows and each tile holds (n/GRID)²
-    similarities. The O(n²) FLOPs are inherent to the exact contract;
-    the approximate scale path is `ann_lsh_hyperplane` bucketing."""
+    similarities. The O(n²) FLOPs are inherent to the exact contract —
+    but only over DISTINCT vectors (r7, the copy-flood discipline):
+    bit-identical embeddings collapse to their min-id representative
+    first, every non-representative copy is a duplicate BY DEFINITION
+    (cosine 1 with its lower-id rep), and a representative r is a
+    duplicate iff some lower-id representative clears the threshold —
+    exact because a group member with id < r exists iff its group's
+    min does (proof in-line below). The 10× exact-copy probe paid the
+    quadratic on every replica before this (42 s → the distinct-set
+    cost). The approximate scale path is `ann_lsh_hyperplane`."""
     import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # v is a dup ⟺ ∃u<v, cos(u,v) >= T. For a non-rep copy: u = its
+    # rep (cos exactly 1 >= T, rep < copy). For a rep r: any candidate
+    # u belongs to some group s with cos(r, u) == cos(r, rep_s), and a
+    # member of s with id < r exists ⟺ rep_s = min(s) < r — so the
+    # distinct-rep grid decides every rep correctly.
+    groups = emb.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
+    copies = (
+        emb.join(groups, "embedding")
+        .where(F.col("vec_id") != F.col("rep_id"))
+        .select("vec_id")
+    )
+    reps = groups.select(F.col("rep_id").alias("vec_id"), "embedding")
     nb = DEDUP_GRID
 
     grid_j = spark.range(nb).select(F.col("id").alias("bj"))
     grid_i = spark.range(nb).select(F.col("id").alias("bi"))
-    a = emb.select(
+    a = reps.select(
         F.pmod(F.col("vec_id"), F.lit(nb)).alias("bi"), "vec_id", "embedding"
     ).crossJoin(F.broadcast(grid_j))
-    b = emb.select(
+    b = reps.select(
         F.pmod(F.col("vec_id"), F.lit(nb)).alias("bj"),
         F.col("vec_id").alias("b_vec_id"),
         F.col("embedding").alias("b_embedding"),
@@ -298,12 +318,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_dup = ((S >= thresh) & lower).any(axis=1)
         return pd.DataFrame({"vec_id": a_ids[is_dup]})
 
-    dup_ids = (
+    rep_dups = (
         a.groupBy("bi", "bj")
         .cogroup(b.groupBy("bi", "bj"))
         .applyInPandas(block_dups, "vec_id LONG")
         .distinct()
     )
+    dup_ids = rep_dups.unionByName(copies).distinct()
     return emb.select("vec_id", "label").join(dup_ids, "vec_id", "left_anti")
 
 

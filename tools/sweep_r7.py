@@ -31,6 +31,9 @@ only = set(sys.argv[1:])
 for name, fn in QS.items():
     if only and name not in only:
         continue
+    # r1 sweep find: per-query caches accumulate across a long session
+    # and skew later queries up to 7x — clear between queries.
+    spark.catalog.clearCache()
     t0 = time.time()
     try:
         fn(spark, P10).write.format("noop").mode("overwrite").save()
