@@ -213,6 +213,11 @@ _R6_DRIVER_VERIFIED = frozenset(
 _R7_REVERIFY: tuple[str, ...] = (
     "table_suppress_final_state",
     "store_snapshot_diff",
+    # copy-flood collapse rewrites (sweep finds; output pinned
+    # identical at both SFs, but the execution changed):
+    "dedup_embedding_cosine",
+    "doc_bigram_logprob",
+    "corpus_vocab_stats",
 )
 
 

@@ -370,7 +370,10 @@ def test_no_forced_broadcast_of_document_sized_frames():
     hint = re.compile(r"F\.broadcast\(\s*(\w+)")
 
     neardup_hints = hint.findall((root / "functions" / "neardup.py").read_text())
-    assert neardup_hints == ["bench"], (
+    # contamination_ngram_check AND decontaminate_report (r7) both hint
+    # their eval-set shingle frame — the same benchmark-suite-bounded
+    # cardinality, the one legitimate hint in this family.
+    assert neardup_hints and set(neardup_hints) == {"bench"}, (
         "unexpected broadcast hint(s) in neardup.py — only the bounded "
         f"eval-set 'bench' frame may be hinted, found: {neardup_hints}"
     )
