@@ -1231,7 +1231,8 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("event_type") == "purchase")
         .select("user_id", "purchase_id", "last_view_id")
-        .orderBy("user_id", "purchase_id")
+        # no trailing global sort (order-insensitive driver hash; an
+        # event-level orderBy would be a second data-sized exchange)
     )
 
 
@@ -1315,4 +1316,87 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg.groupBy("r_bucket", "f_bucket", "m_bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("r_bucket", "f_bucket", "m_bucket")
+    )
+
+
+BOUNCE_GAP_MIN = 30  # session boundary: gap > 30 minutes
+
+
+@query(
+    "bounce_rate_daily",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > {BOUNCE_GAP_MIN} * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+per_sess AS (
+  SELECT user_id, sid, min(ts) AS start_ts, count(*) AS n_events
+  FROM sess GROUP BY user_id, sid
+)
+SELECT CAST(start_ts AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       floor(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 10000 + 0.5) / 10000 AS bounce_rate
+FROM per_sess
+GROUP BY CAST(start_ts AS DATE)
+ORDER BY day
+""",
+)
+def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate over gap-sessionized activity: sessions split
+    where a user's inter-event gap exceeds {BOUNCE_GAP_MIN} minutes
+    (the lag-flag-cumsum sessionization — the SQL-parity twin of the
+    native session_window queries, which DuckDB cannot express); a
+    single-event session is a bounce. The engagement-quality metric
+    next to DAU/MAU and churn.
+
+    Scale shape: both windows are per-user keyed (one hash exchange
+    shared by lag and running-sum via the same partitioning), the
+    session rollup is keyed by (user, sid), and the daily rollup is
+    calendar-bounded. No global window anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            gap_us.isNull() | (gap_us > BOUNCE_GAP_MIN * 60 * 1_000_000), 1
+        ).otherwise(0).alias("is_start"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("sid"),
+    )
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("start_ts"), F.count(F.lit(1)).alias("n_events")
+    )
+    bounce = (F.col("n_events") == 1).cast("int")
+    return (
+        per_sess.groupBy(F.col("start_ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(bounce).cast("long").alias("n_bounces"),
+            round4f(
+                F.sum(bounce).cast("double") / F.count(F.lit(1))
+            ).alias("bounce_rate"),
+        )
+        .orderBy("day")
     )
