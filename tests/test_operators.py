@@ -427,3 +427,28 @@ def test_dau_mau_hll_rel_err_vs_exact(spark, sf_dir):
         dau_e, mau_e = est[day]
         assert abs(dau_e - dau) / dau < 0.05, (day, dau, dau_e)
         assert abs(mau_e - mau) / mau < 0.05, (day, mau, mau_e)
+
+
+def test_gap_stats_bucketed_matches_exact_within_bucket(spark, sf_dir):
+    """The bucketed gap-stats twin: count and mean EXACTLY equal the
+    exact query's; the bucket-midpoint median sits within one bucket
+    width (1 s) of the exact discrete median — the bounded-error
+    contract that buys the value-bounded CDF at scale."""
+    import minefields_kafka_streams_deduplication_spark as engine
+
+    qs = engine.get_queries()
+    exact = {
+        r.event_type: r for r in qs["inter_event_gap_stats"](spark, sf_dir).collect()
+    }
+    approx = {
+        r.event_type: r
+        for r in qs["inter_event_gap_stats_bucketed"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for t, e in exact.items():
+        a = approx[t]
+        assert a.n_gaps == e.n_gaps
+        assert a.avg_gap_us == e.avg_gap_us
+        assert abs(a.median_gap_us_approx - e.median_gap_us) <= 1_000_000, (
+            t, a.median_gap_us_approx, e.median_gap_us,
+        )
