@@ -658,3 +658,46 @@ def test_scrub_keep_first_every_repeat_survives_intact(spark, data):
             for kt in kept.values()
         )
         assert survives, (w, docs, {d: kept[d] for d in kept})
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),        # group
+            st.integers(min_value=-50, max_value=50),  # value
+            st.integers(min_value=1, max_value=9),     # count
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_grouped_value_cdf_matches_model(spark, rows):
+    """`_grouped_value_cdf` (the shared skeleton under the grouped
+    quantile/median/bucketed queries) must equal a pure-Python
+    group-sorted cumulative sum on arbitrary collapsed frames —
+    including duplicate (group, value) input rows, negative values,
+    and single-row groups. The helper's range partitioning, local
+    cumsum and offsets join are all invisible at the contract level."""
+    from minefields_kafka_streams_deduplication_spark.operators.analytic import (
+        _grouped_value_cdf,
+    )
+
+    # collapse duplicates the way callers do (the helper's contract is
+    # a (group, value)-unique collapsed frame)
+    agg: dict = {}
+    for g, v, c in rows:
+        agg[(g, v)] = agg.get((g, v), 0) + c
+    df = spark.createDataFrame(
+        [(g, v, c) for (g, v), c in agg.items()], "g STRING, v LONG, c LONG"
+    )
+    got = {
+        (r.g, r.v): r.cum for r in _grouped_value_cdf(df, "g", "v").collect()
+    }
+    model: dict = {}
+    for g in {g for g, _ in agg}:
+        run = 0
+        for v in sorted(v for gg, v in agg if gg == g):
+            run += agg[(g, v)]
+            model[(g, v)] = run
+    assert got == model
