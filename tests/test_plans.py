@@ -432,3 +432,33 @@ def test_winsorized_quantiles_share_one_partitioning(spark, sf_dir):
     assert n_range == 0, final[:3000]
     n_rdd = len(re.findall(r"Scan ExistingRDD", final))
     assert n_rdd >= 2, f"both CDF branches must read the checkpointed frame, saw {n_rdd}"
+
+
+def test_grouped_quantile_queries_share_one_partitioning(spark, sf_dir):
+    """The r7 grouped-quantile family (inter_event_gap_stats,
+    tokens_per_doc_percentiles and the bucketed gap twin) rides
+    `_grouped_value_cdf`, which must follow the drift CDF discipline:
+    the range-partitioned collapsed frame is localCheckpoint-ed so the
+    cumsum branch, the offsets branch AND the totals aggregate all read
+    ONE materialized RDD — no range exchange on the value key may
+    appear in the serving plan (independent boundary sampling would
+    silently mis-pair _pid between branches), and deriving totals
+    upstream of the checkpoint would re-run the whole collapse
+    pipeline (the 253 s -> 72 s find at the 1000x probe)."""
+    import re
+
+    for q, key in (
+        ("inter_event_gap_stats", "gap_us"),
+        ("inter_event_gap_stats_bucketed", "sec"),
+        ("tokens_per_doc_percentiles", "n_tokens"),
+    ):
+        df = engine.get_queries()[q](spark, sf_dir)
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        final = executed.split("== Initial Plan ==")[0]
+        n_range = len(
+            re.findall(r"Exchange rangepartitioning\([^)]*" + key, final)
+        )
+        assert n_range == 0, (q, final[:2500])
+        n_rdd = len(re.findall(r"Scan ExistingRDD", final))
+        assert n_rdd >= 2, (q, f"branches must read the checkpointed frame, saw {n_rdd}")
