@@ -563,20 +563,34 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab and shuffle-join only the tail.)
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t"))
-    doc_tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
-    vocab = doc_tf.groupBy("t").agg(F.sum("c").alias("cnt")).select(
+    # Exact-copy collapse (r7, same as doc_bigram_logprob): the LM
+    # scores the DISTINCT-text table and corpus counts weight each
+    # representative by its copy count — identical model, identical
+    # scores, and the copy-flood no longer pays the explode per copy.
+    doc_map = docs.select("doc_id", F.md5(F.lower("text")).alias("th"))
+    reps = docs.groupBy(F.md5(F.lower("text")).alias("th")).agg(
+        F.count(F.lit(1)).alias("w"),
+        F.first(F.split(F.lower("text"), " ")).alias("tk"),
+    )
+    tok = reps.select("th", "w", F.explode("tk").alias("t"))
+    doc_tf = tok.groupBy("th", "t").agg(
+        F.count(F.lit(1)).alias("c"), F.max("w").alias("w")
+    )
+    vocab = doc_tf.groupBy("t").agg(
+        F.sum(F.col("c") * F.col("w")).alias("cnt")
+    ).select(
         "t", F.log("cnt").cast("decimal(18,6)").alias("lp"), "cnt"
     )
     total = vocab.agg(F.log(F.sum("cnt")).cast("decimal(18,6)").alias("lt"))
-    per_doc = (
+    per_rep = (
         doc_tf.join(vocab.select("t", "lp"), "t")
-        .groupBy("doc_id")
+        .groupBy("th")
         .agg(
             F.sum("c").alias("n_tokens"),
             F.sum(F.col("c") * F.col("lp")).alias("s"),
         )
     )
+    per_doc = doc_map.join(per_rep, "th")
     return per_doc.crossJoin(F.broadcast(total)).select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),

@@ -218,6 +218,7 @@ _R7_REVERIFY: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "doc_bigram_logprob",
     "corpus_vocab_stats",
+    "doc_unigram_logprob",
 )
 
 
