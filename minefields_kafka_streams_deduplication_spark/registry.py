@@ -204,30 +204,45 @@ _R6_DRIVER_VERIFIED = frozenset(
     }
 )
 
-# Tier 1: failed-or-hardened this round — re-verify ahead of rotation.
-# Round 7 hardened two oracle-backed paths without (intended) semantic
-# change: the suppress drain harness was rewritten to progress-based
-# fixpoint detection (table_suppress_final_state) and SnapshotStateTable
-# commits grew the batch-id watermark + orphan cleanup
-# (store_snapshot_diff) — re-verify both ahead of the staleness rotation.
-_R7_REVERIFY: tuple[str, ...] = (
-    "table_suppress_final_state",
-    "store_snapshot_diff",
-    # copy-flood collapse rewrites (sweep finds; output pinned
-    # identical at both SFs, but the execution changed):
-    "dedup_embedding_cosine",
-    "doc_bigram_logprob",
-    "corpus_vocab_stats",
-    "doc_unigram_logprob",
+# Oracle queries that landed a green row in CORRECTNESS_r07.json (50/50
+# green — the 12 round-7 oracle additions, 6 tier-1 hardened re-verifies,
+# and the stalest r3/r4-era rotation rows).
+_R7_DRIVER_VERIFIED = frozenset(
+    {
+        "agg_count_by_type", "agg_distinct_users_by_type", "agg_rollup_nation_region",
+        "attribution_last_touch", "bounce_rate_daily", "contamination_ngram_check",
+        "corpus_vocab_stats", "decontaminate_report", "dedup_embedding_cosine",
+        "dedup_keep_by_source_priority", "dedup_text_editdistance", "diagnose_key_skew",
+        "doc_bigram_logprob", "doc_unigram_logprob", "dup_rate_by_source",
+        "explode_tokens_with_position", "histogram_event_values", "importance_weight_dsir",
+        "inter_event_gap_stats", "join_anti_customers_no_orders", "join_asof_latest_order_before_event",
+        "join_broadcast_nation", "join_fk_orders_nation", "join_interval_view_purchase",
+        "join_left_customer_orders", "join_salted_orders_customer", "join_semi_customers_with_orders",
+        "order_fulfillment_latency", "peek_event_counts", "profile_lineitem",
+        "q12_late_shipment_buckets", "q15_top_supplier", "q1_pricing_summary",
+        "q2_min_price_supplier", "q7_nation_trade_volume", "q9_product_profit",
+        "rfm_segments", "sample_topk_per_group", "shuffle_deterministic",
+        "sink_exactly_once_parquet", "sink_parquet_roundtrip", "sink_upsert_keyed_table",
+        "store_snapshot_diff", "store_snapshot_stream_eos", "table_suppress_final_state",
+        "tokens_per_doc_percentiles", "topk_terms_per_lang", "vocab_zipf_top100",
+        "weekly_active_growth", "window_daily_distinct_users",
+    }
 )
+
+# Tier 1: failed-or-hardened this round — re-verify ahead of rotation.
+# Round 8 items are appended as hardening lands (oracle-backed paths
+# whose execution changed; semantics pinned identical by the test
+# suite, but the driver should re-check them before the rotation).
+_R8_REVERIFY: tuple[str, ...] = ()
 
 
 def _driver_order(names: list[str]) -> list[str]:
     driver_seen = (
         _R1_DRIVER_VERIFIED | _R2_DRIVER_VERIFIED | _R3_DRIVER_VERIFIED
         | _R4_DRIVER_VERIFIED | _R5_DRIVER_VERIFIED | _R6_DRIVER_VERIFIED
+        | _R7_DRIVER_VERIFIED
     )
-    reverify = {n: i for i, n in enumerate(_R7_REVERIFY)}
+    reverify = {n: i for i, n in enumerate(_R8_REVERIFY)}
     never_checked = [
         n for n in names if n in ORACLES and n not in driver_seen and n not in reverify
     ]
@@ -241,6 +256,8 @@ def _driver_order(names: list[str]) -> list[str]:
     # Oldest driver rows re-verify first: sort by the LATEST round in which
     # the driver checked the query (r1-only rows are the stalest).
     def last_verified(n: str) -> int:
+        if n in _R7_DRIVER_VERIFIED:
+            return 7
         if n in _R6_DRIVER_VERIFIED:
             return 6
         if n in _R5_DRIVER_VERIFIED:
