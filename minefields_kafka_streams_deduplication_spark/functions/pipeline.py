@@ -2034,12 +2034,16 @@ def tokens_per_doc_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.size(F.split(F.lower("text"), " ")).cast("long").alias("n_tokens")
     )
     collapsed = n.groupBy("lang", "n_tokens").agg(F.count(F.lit(1)).alias("c"))
-    totals = collapsed.groupBy("lang").agg(
-        F.sum("c").alias("n_docs"), F.max("n_tokens").alias("max_tokens")
+    # Totals derive from the CHECKPOINTED cdf frame (max(cum) within a
+    # lang IS the total count), not from `collapsed` — reading the
+    # pre-checkpoint frame would execute the scan+tokenize+collapse
+    # pipeline a second time per action (r8, advisor-directed; same
+    # discipline as inter_event_gap_stats).
+    cdf0 = _grouped_value_cdf(collapsed, "lang", "n_tokens")
+    totals = cdf0.groupBy("lang").agg(
+        F.max("cum").alias("n_docs"), F.max("n_tokens").alias("max_tokens")
     )
-    cdf = _grouped_value_cdf(collapsed, "lang", "n_tokens").join(
-        F.broadcast(totals.select("lang", "n_docs")), "lang"
-    )
+    cdf = cdf0.join(F.broadcast(totals.select("lang", "n_docs")), "lang")
     p50 = (
         cdf.where(F.col("cum") >= F.expr("(n_docs + 1) div 2"))
         .groupBy("lang")

@@ -280,9 +280,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # member of s with id < r exists ⟺ rep_s = min(s) < r — so the
     # distinct-rep grid decides every rep correctly.
     groups = emb.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
+    # A zero-norm vector has UNDEFINED cosine with everything — the
+    # oracle's NaN >= T is false, so zero-vector copies are NOT dups
+    # by definition (r8, advisor-directed): the unconditional
+    # copy-is-dup rule (cos == 1 with its rep) only holds for groups
+    # whose shared vector has a direction.
     copies = (
         emb.join(groups, "embedding")
         .where(F.col("vec_id") != F.col("rep_id"))
+        .where(F.exists("embedding", lambda x: x != F.lit(0.0)))
         .select("vec_id")
     )
     reps = groups.select(F.col("rep_id").alias("vec_id"), "embedding")
@@ -309,10 +315,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             return empty
         a_ids = a_pdf["vec_id"].to_numpy()
         A = np.array(list(a_pdf["embedding"]), dtype=np.float64)
-        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        # max(norm, eps): a zero vector normalizes to zero (cosine 0 <
+        # threshold, matching the oracle's NaN-compares-false) instead
+        # of emitting NaN rows through the whole tile.
+        An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
         b_ids = b_pdf["b_vec_id"].to_numpy()
         B = np.array(list(b_pdf["b_embedding"]), dtype=np.float64)
-        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
         S = An @ Bn.T
         lower = b_ids[None, :] < a_ids[:, None]
         is_dup = ((S >= thresh) & lower).any(axis=1)

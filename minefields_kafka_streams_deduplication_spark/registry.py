@@ -233,7 +233,14 @@ _R7_DRIVER_VERIFIED = frozenset(
 # Round 8 items are appended as hardening lands (oracle-backed paths
 # whose execution changed; semantics pinned identical by the test
 # suite, but the driver should re-check them before the rotation).
-_R8_REVERIFY: tuple[str, ...] = ()
+_R8_REVERIFY: tuple[str, ...] = (
+    # advisor-directed hardening (r8): drain-loop recentProgress walk
+    "table_suppress_final_state",
+    # totals now derive from the checkpointed CDF frame
+    "tokens_per_doc_percentiles",
+    # zero-norm guard + zero-vector copies excluded from the dup union
+    "dedup_embedding_cosine",
+)
 
 
 def _driver_order(names: list[str]) -> list[str]:

@@ -192,7 +192,10 @@ def run_suppressed(
     reads ``StreamingQueryProgress``: a completed batch with
     ``numInputRows == 0`` and ``stateOperators[0].numRowsTotal == 0``
     is the fixpoint. Output goes to a parquet sink (``out_dir``), never
-    through driver memory; the caller owns ``out_dir`` cleanup.
+    through driver memory; the caller owns ``out_dir`` cleanup. With
+    ``out_dir=None`` an internal temp directory is used and registered
+    for atexit removal (the returned DataFrame stays readable for the
+    session; nothing leaks past it).
 
     Drain mirrors run_punctuated_stream_time: timers are bounded by
     (last buffered update + limit), so escalating far-future sentinel
@@ -209,6 +212,7 @@ def run_suppressed(
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     if out_dir is None:
         out_dir = tempfile.mkdtemp(prefix=f"out_{name}_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
         stage_dir
     )
@@ -249,9 +253,19 @@ def run_suppressed(
         last_batch = -1
         state_rows = -1
         sentinel_pending = False
+        drained = False
         while True:
-            p = q.lastProgress
-            if p is not None and p["batchId"] != last_batch:
+            # Walk EVERY completed batch since the last poll, in batch-id
+            # order — lastProgress alone can skip the sentinel-consuming
+            # batch when the 300 ms trigger completes it plus a following
+            # no-data batch inside one poll_s window, leaving
+            # sentinel_pending stuck True and the drain to time out
+            # (r8, advisor-directed). recentProgress buffers 100 entries;
+            # poll_s<=5 s / 300 ms trigger observes at most ~17 new ones.
+            for p in sorted(
+                (p for p in q.recentProgress if p["batchId"] > last_batch),
+                key=lambda p: p["batchId"],
+            ):
                 last_batch = p["batchId"]
                 progressed_at = time.time()
                 ops = p.get("stateOperators") or []
@@ -259,7 +273,9 @@ def run_suppressed(
                 if p["numInputRows"] > 0:
                     sentinel_pending = False
                 elif state_rows == 0:
-                    break  # input exhausted, no buffered keys: drained
+                    drained = True  # input exhausted, no buffered keys
+            if drained:
+                break
             if time.time() > deadline:
                 raise TimeoutError(
                     f"suppress drain timed out with {state_rows} buffered "

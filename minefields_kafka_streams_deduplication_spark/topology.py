@@ -402,11 +402,16 @@ class KGroupedStream(_Describable):
         from .streaming.punctuate import punctuated_counts_cancellable
 
         key = self.keys[0]
-        src = (
-            self.df.withColumnRenamed(key, "event_type")
-            if key != "event_type"
-            else self.df
-        )
+        src = self.df
+        if key != "event_type":
+            # The punctuator counts rows per key; a pre-existing
+            # non-key `event_type` column would collide with the key
+            # transport rename (ambiguous reference inside the state
+            # fn) and carries no information the operator reads — drop
+            # it before renaming (r8, advisor-directed).
+            if "event_type" in src.columns:
+                src = src.drop("event_type")
+            src = src.withColumnRenamed(key, "event_type")
         out = punctuated_counts_cancellable(
             src,
             interval_ms,

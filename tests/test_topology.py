@@ -455,6 +455,36 @@ def test_schedule_facade_cancellable_punctuator_parity(spark, sf_dir, tmp_path):
     assert "cancel@2" in captured["lineage"]
 
 
+def test_schedule_facade_key_collides_with_canonical_column(spark, tmp_path):
+    """A grouped stream keyed on `etype` that ALSO carries an unrelated
+    `event_type` column must not trip the key-transport rename into a
+    duplicate-column ambiguity (r8 advisor fix): the colliding column
+    carries nothing the punctuator reads and is dropped before the
+    rename. Plan analysis is eager, so constructing the scheduled
+    stream is the regression surface — no micro-batch needed."""
+    from minefields_kafka_streams_deduplication_spark.topology import KStream
+
+    stage = str(tmp_path / "stage")
+    spark.range(1).select(
+        F.col("id").alias("event_id"),
+        F.current_timestamp().alias("ts"),
+        F.lit("k1").alias("etype"),
+        F.lit("unrelated").alias("event_type"),
+    ).write.parquet(stage)
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, etype STRING, event_type STRING"
+        ).parquet(stage)
+    )
+    scheduled = (
+        KStream(stream, "etype", ("Source: staged",))
+        .group_by_key()
+        .schedule(interval_ms=400, cancel_after=1)
+    )
+    assert "etype" in scheduled.to_df().columns
+    assert scheduled.to_df().columns.count("etype") == 1
+
+
 def test_schedule_facade_rejects_batch_and_windowed(spark, sf_dir):
     """schedule() is a streaming-only, single-key, un-windowed verb —
     the failure modes a ported KS topology would hit are loud."""

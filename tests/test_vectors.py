@@ -47,6 +47,23 @@ def test_embedding_dedup_drops_parallel_vector(spark, monkeypatch):
     assert kept == [0, 2]
 
 
+def test_embedding_dedup_zero_vectors_never_dup(spark, monkeypatch):
+    """A zero-norm vector has undefined cosine with everything — the
+    oracle's NaN >= T comparison is false, so zero vectors (including
+    bit-identical zero COPIES) must never be classified duplicates,
+    while ordinary copies still are (r8 advisor fix: the unconditional
+    copy-is-dup rule applies only to groups with a direction)."""
+    from minefields_kafka_streams_deduplication_spark.functions import vectors
+
+    a = [1.0, 0.0]
+    df = vec_df(spark, [[0.0, 0.0], a, [0.0, 0.0], list(a)])  # 2 zero copies
+    monkeypatch.setattr(vectors, "load_table", lambda s, d, n: df)
+    kept = sorted(
+        r.vec_id for r in vectors.dedup_embedding_cosine(spark, "ignored").collect()
+    )
+    assert kept == [0, 1, 2]  # 3 (copy of 1) dropped; zero copy 2 kept
+
+
 def test_lsh_buckets_find_duplicate(spark, monkeypatch):
     from minefields_kafka_streams_deduplication_spark.functions import vectors
 
