@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..registry import query
-from .source import read_events_stream, run_to_memory
+from .source import read_events_stream, run_to_parquet
 
 ZSCORE_MIN_EVENTS = 10
 ZSCORE_THRESHOLD = 3.0
@@ -109,7 +109,7 @@ def anomaly_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_part = spark.sparkContext.defaultParallelism
-    return run_to_memory(flagged, "anomaly_stream_zscore", partitions=n_part)
+    return run_to_parquet(flagged, "anomaly_stream_zscore", partitions=n_part)
 
 
 # ---------------------------------------------------------------------------
@@ -206,4 +206,4 @@ def table_changelog_tombstone_stream(spark: SparkSession, sf_dir: str) -> DataFr
         )
     )
     n_part = spark.sparkContext.defaultParallelism
-    return run_to_memory(log, "table_changelog_tombstone_stream", partitions=n_part)
+    return run_to_parquet(log, "table_changelog_tombstone_stream", partitions=n_part)

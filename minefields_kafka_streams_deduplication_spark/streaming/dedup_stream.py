@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..registry import query
-from .source import read_events_stream, run_to_memory, stream_partitions
+from .source import read_events_stream, run_to_parquet, stream_partitions
 
 WATERMARK_DELAY = "10 minutes"
 BUSINESS_KEY = ["user_id", "event_type", "value"]
@@ -52,7 +52,7 @@ def dedup_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(BUSINESS_KEY)
         .select("event_id", "ts", "user_id", "event_type", "value")
     )
-    return run_to_memory(stream, "dedup_stream_watermark", partitions=stream_partitions(spark, sf_dir))
+    return run_to_parquet(stream, "dedup_stream_watermark", partitions=stream_partitions(spark, sf_dir))
 
 
 DEDUP_TTL_STATE_SCHEMA = "last_kept_us LONG"
@@ -114,7 +114,7 @@ def dedup_stream_custom_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Python-state ops are worker-CPU-bound: give them a worker per core
     # (unlike JVM state ops, where fewer stores win at fixture scale).
     n_part = spark.sparkContext.defaultParallelism
-    return run_to_memory(deduped, "dedup_stream_custom_ttl", partitions=n_part)
+    return run_to_parquet(deduped, "dedup_stream_custom_ttl", partitions=n_part)
 
 
 # Which implementation the last dedup_stream_tws call actually executed
@@ -209,7 +209,7 @@ def dedup_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_part = spark.sparkContext.defaultParallelism
-    return run_to_memory(deduped, "dedup_stream_tws", partitions=n_part)
+    return run_to_parquet(deduped, "dedup_stream_tws", partitions=n_part)
 
 
 @query("dedup_batch_custom_ttl")  # rows-only: iterative semantics, not SQL-expressible
@@ -281,6 +281,6 @@ def dedup_stream_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "ts", "user_id", "event_type", "value")
         .dropDuplicates(BUSINESS_KEY)
     )
-    return run_to_memory(
+    return run_to_parquet(
         stream, "dedup_stream_global", partitions=stream_partitions(spark, sf_dir)
     )

@@ -65,7 +65,7 @@ from ..functions.neardup import (
     exact_jaccard_for_pairs,
 )
 from ..registry import query
-from .source import run_to_memory
+from .source import run_to_parquet
 
 ANCHOR_STATE_SCHEMA = "anchor LONG"
 CANDIDATE_SCHEMA = "doc_id LONG, anchor LONG"
@@ -185,7 +185,7 @@ def dedup_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    cand = run_to_memory(
+    cand = run_to_parquet(
         streaming_neardup_candidates(stream),
         "neardup_stream",
         partitions=spark.sparkContext.defaultParallelism,

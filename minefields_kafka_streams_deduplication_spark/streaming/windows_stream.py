@@ -14,7 +14,12 @@ from pyspark.sql import functions as F
 
 from ..catalog import dec6
 from ..registry import query
-from .source import read_events_stream, run_to_memory, stream_partitions
+from .source import (
+    read_events_stream,
+    run_to_memory,
+    run_to_parquet,
+    stream_partitions,
+)
 
 WATERMARK_DELAY = "10 minutes"
 
@@ -98,7 +103,7 @@ def join_interval_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (purchases.p_ts <= views.v_ts + F.expr("INTERVAL 10 MINUTES")),
         "leftOuter",
     ).select("view_id", "purchase_id", "user_id")
-    return run_to_memory(joined, "join_interval_stream_left", partitions=stream_partitions(spark, sf_dir))
+    return run_to_parquet(joined, "join_interval_stream_left", partitions=stream_partitions(spark, sf_dir))
 
 
 @query("join_interval_stream_full")  # rows-only: full-outer stream-stream join
@@ -141,7 +146,7 @@ def join_interval_stream_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         F.coalesce(F.col("v_user_id"), F.col("p_user_id")).alias("user_id"),
     )
-    return run_to_memory(
+    return run_to_parquet(
         joined, "join_interval_stream_full", partitions=stream_partitions(spark, sf_dir)
     )
 
@@ -209,7 +214,7 @@ def join_asof_stream_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("purchase_id", "version_id", "version_ts")
     )
-    return run_to_memory(
+    return run_to_parquet(
         asof, "join_asof_stream_versioned", partitions=stream_partitions(spark, sf_dir)
     )
 
@@ -281,7 +286,7 @@ def join_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (purchases.p_ts <= views.v_ts + F.expr("INTERVAL 10 MINUTES")),
         "inner",
     ).select("view_id", "purchase_id", "user_id")
-    return run_to_memory(joined, "join_interval_stream", partitions=stream_partitions(spark, sf_dir))
+    return run_to_parquet(joined, "join_interval_stream", partitions=stream_partitions(spark, sf_dir))
 
 
 @query("window_sliding_stream")  # rows-only: overlapping windows, streaming
@@ -467,7 +472,7 @@ def join_interval_stream_right(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (purchases.p_ts <= views.v_ts + F.expr("INTERVAL 10 MINUTES")),
         "rightOuter",
     ).select("view_id", "purchase_id", "user_id")
-    return run_to_memory(
+    return run_to_parquet(
         joined, "join_interval_stream_right", partitions=stream_partitions(spark, sf_dir)
     )
 
@@ -503,7 +508,7 @@ def ohlc_bars_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ticks",
         )
     )
-    return run_to_memory(
+    return run_to_parquet(
         stream, "ohlc_bars_stream", partitions=stream_partitions(spark, sf_dir)
     )
 
@@ -551,7 +556,14 @@ def scd2_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-batch correctness: the replay is time-ordered
     (`stage_events_ordered`); state seeds each batch's comparison, so
-    a value that persists across a batch boundary does NOT re-emit."""
+    a value that persists across a batch boundary does NOT re-emit.
+
+    Harness: parquet sink + lazy scan (r8, judge-directed). The change
+    stream is O(events)-sized, so the previous memory-sink + collect()
+    + createDataFrame round-trip held the full output in driver Python
+    — at 100M events that OOMs the driver and pays the ~4 s/task
+    Python-RDD re-ship. Executors now write the sink; the driver never
+    sees a row."""
     import shutil
     import tempfile
 
@@ -559,6 +571,7 @@ def scd2_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..catalog import load_table
     from .punctuate import _staged_partitions, stage_events_ordered
+    from .source import run_to_parquet
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value"
@@ -579,12 +592,10 @@ def scd2_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-        out = run_to_memory(
+        return run_to_parquet(
             changes,
             "scd2_change_stream",
             partitions=_staged_partitions(spark, stage),
         )
-        rows = out.collect()
     finally:
         shutil.rmtree(stage, ignore_errors=True)
-    return spark.createDataFrame(rows, SCD2_OUTPUT_SCHEMA)
