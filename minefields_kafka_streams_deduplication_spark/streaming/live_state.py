@@ -1,0 +1,141 @@
+"""Interactive queries over LIVE streaming state — the true analog of
+[R o.a.k.streams.KafkaStreams#store(StoreQueryParameters) serving reads
+from a RUNNING topology's RocksDB state store] (reconstructed public
+API surface — SURVEY.md §0; the reference checkout is empty, so
+coordinates are the public Kafka Streams ones).
+
+The batch-materialized bucketed layout (sources/state_store.py) answers
+the same verbs from a *derived* table; this module reads the streaming
+query's OWN state via Spark's State Data Source
+(``spark.read.format("statestore")`` over a checkpoint location):
+
+- every committed micro-batch is an addressable state VERSION
+  (``option("batchId", n)``) — the point-in-time read KS exposes via
+  standby replicas, here first-class;
+- the store read is distributed (one task per state-store shard,
+  ``partition_id`` in the output), no driver materialization;
+- change-feed options exist upstream for CDC-style tailing.
+
+Topology under read: the infinite-retention streaming dedup
+(``dropDuplicates([user_id])`` — the non-windowed persistent
+KeyValueStore twin, dedup_stream.py) replayed over time-ordered chunks
+with one micro-batch per chunk, checkpoint RETAINED. Its state rows are
+exactly the first-seen row per user — so the live-state read is
+parity-checkable against both the batch distinct-key set and the
+bucketed-layout store (pinned in tests/test_live_state.py).
+
+100 TB story: checkpointed state shards by ``spark.sql.shuffle
+.partitions`` at first run; the statestore reader scans shards in
+parallel and never routes rows through the driver. Reading version N
+costs the delta replay from the latest snapshot ≤ N (RocksDB/HDFS
+state-store snapshot discipline), independent of event volume.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import fingerprint_dir, load_table, mark_ready
+from ..registry import query
+from .punctuate import stage_events_ordered
+from .source import STREAM_SHUFFLE_PARTITIONS
+
+LIVE_STATE_CHUNKS = 3  # time-ordered replay chunks = state versions
+
+
+def dedup_state_checkpoint(spark: SparkSession, sf_dir: str) -> str:
+    """Run the keyed streaming dedup over the fixture once per fixture
+    identity, RETAINING the checkpoint, and return its location.
+
+    Unlike every other harness here the checkpoint is the *product*:
+    interactive queries address its committed versions long after the
+    query stopped — exactly a KS state dir surviving app restarts. The
+    dir is fingerprint-keyed (catalog.fingerprint_dir), so a fixture
+    regeneration rebuilds and stale state dirs are swept, bounding /tmp
+    to one live state per fixture."""
+    root, ready = fingerprint_dir(
+        "livestate", os.path.join(sf_dir, "events.parquet")
+    )
+    ckpt = os.path.join(root, "ckpt")
+    if ready:
+        return ckpt
+    stage = os.path.join(root, "stage")
+    out = os.path.join(root, "out")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    stage_events_ordered(ev, stage, n_slices=LIVE_STATE_CHUNKS)
+    schema = "user_id LONG, event_id LONG, ts TIMESTAMP, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    deduped = stream.dropDuplicates(["user_id"])
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # Shard count freezes into the checkpoint at first commit — size it
+    # like the other fixture-scale streams (8 stores locally; a
+    # deployment sizes UP with key cardinality before first run).
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            deduped.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    mark_ready(root)
+    return ckpt
+
+
+def _ensure_state_coordinator(spark: SparkSession) -> None:
+    """The statestore reader's partition readers report to the driver's
+    StateStoreCoordinator RPC endpoint, which Spark only materializes
+    lazily for a RUNNING streaming query — in a session that has not
+    run one (or after the last query stopped and executor-side state
+    management wound down), every read fails with
+    CANNOT_LOAD_STATE_STORE / RpcEndpointNotFoundException. Touching the
+    StreamingQueryManager's lazy coordinator val creates (or returns)
+    the endpoint; idempotent."""
+    spark._jsparkSession.sessionState().streamingQueryManager().stateStoreCoordinator()
+
+
+def read_live_state(
+    spark: SparkSession, checkpoint: str, batch_id: int | None = None
+) -> DataFrame:
+    """ReadOnlyKeyValueStore#all over the streaming query's own store:
+    one row per live state entry, key columns flattened, with the
+    owning shard (`partition_id`). ``batch_id`` addresses a committed
+    version (KS standby point-in-time read); default = latest."""
+    _ensure_state_coordinator(spark)
+    reader = spark.read.format("statestore").option("path", checkpoint)
+    if batch_id is not None:
+        reader = reader.option("batchId", batch_id)
+    return reader.load()
+
+
+@query("store_live_streaming_state")  # rows-only: reads a checkpoint's state,
+# not a SQL-derivable table (parity vs batch distinct keys + the
+# bucketed-layout store is pinned in tests/test_live_state.py)
+def store_live_streaming_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[R KafkaStreams#store(...).all()] against LIVE state: the
+    per-shard key inventory of the running dedup topology's store —
+    key set == distinct user_id (infinite-retention dedup state), each
+    with its state shard. Ordered for determinism."""
+    ckpt = dedup_state_checkpoint(spark, sf_dir)
+    state = read_live_state(spark, ckpt)
+    return (
+        state.select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("partition_id").cast("int").alias("state_shard"),
+        )
+        .orderBy("user_id")
+    )
