@@ -509,3 +509,76 @@ def test_pq_residual_reconstruction_error_lower(spark, sf_dir):
         return err / len(Xn)
 
     assert mse_res() < mse_raw(), (mse_res(), mse_raw())
+
+
+def test_ivf_pq_opq_beats_residual(spark, sf_dir):
+    """VERDICT r7 #4: the learned OPQ rotation buys compressed-domain
+    recall over the unrotated residual form at the SAME code budget
+    (m=8 × k=16, identical index bytes and scan cost). Pins
+    (deterministic — seeded quantizers, eig-alloc init):
+      (a) full-probe compressed recall: opq >= residual + 0.02,
+      (b) recall monotone in nprobe for the opq form,
+      (c) exact re-rank on the opq shortlist clears the residual
+          form's re-rank floor."""
+    from minefields_kafka_streams_deduplication_spark.functions.vectors import (
+        IVF_K,
+        ivf_pq_topk,
+    )
+    import minefields_kafka_streams_deduplication_spark as engine
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in engine.get_queries()["similarity_topk"](spark, sf_dir).collect()
+    }
+
+    def recall(**kw):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_pq_topk(spark, sf_dir, **kw).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    res_full = recall(nprobe=IVF_K, residual=True)
+    opq_full = recall(nprobe=IVF_K, opq=True)
+    assert opq_full >= res_full + 0.02, (res_full, opq_full)  # (a)
+    r2 = recall(nprobe=2, opq=True)
+    r8 = recall(nprobe=8, opq=True)
+    assert r2 <= r8 <= opq_full  # (b)
+    rr = recall(nprobe=8, rerank=10, opq=True)
+    assert rr >= r8 and rr >= 0.4  # (c)
+
+
+def test_pq_opq_rotation_properties(spark, sf_dir):
+    """The OPQ mechanism pinned directly: (a) the learned rotation is
+    orthogonal (RRᵀ = I — ADC distances in the rotated domain equal
+    rotated-vector distances, so the scan is exact w.r.t. the codes);
+    (b) reconstructing the ROTATED corpus residuals under the OPQ
+    codebooks has strictly lower MSE than the unrotated residual
+    reconstruction — the alternation's monotone objective, extended
+    from the train sample to the full fixture corpus."""
+    import numpy as np
+
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+    from minefields_kafka_streams_deduplication_spark.functions.vectors import (
+        _pq_reconstruct,
+        pq_train_residual,
+        pq_train_residual_opq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    X = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").select("embedding").collect()],
+        dtype=np.float64,
+    )
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+    coarse, R, Copq = pq_train_residual_opq(emb)
+    assert np.abs(R @ R.T - np.eye(R.shape[0])).max() < 1e-9  # (a)
+
+    cell = (-2.0 * Xn @ coarse.T + (coarse**2).sum(axis=1)[None, :]).argmin(axis=1)
+    Z = Xn - coarse[cell]
+    _, Cres = pq_train_residual(emb)
+    mse_res = ((Z - _pq_reconstruct(Z, Cres)) ** 2).sum(axis=1).mean()
+    Zr = Z @ R
+    mse_opq = ((Zr - _pq_reconstruct(Zr, Copq)) ** 2).sum(axis=1).mean()
+    assert mse_opq < mse_res, (mse_opq, mse_res)  # (b)
