@@ -240,6 +240,9 @@ _R8_REVERIFY: tuple[str, ...] = (
     "tokens_per_doc_percentiles",
     # zero-norm guard + zero-vector copies excluded from the dup union
     "dedup_embedding_cosine",
+    # snapshot commit path reworked for concurrent-writer CAS
+    "store_snapshot_diff",
+    "store_snapshot_stream_eos",
 )
 
 

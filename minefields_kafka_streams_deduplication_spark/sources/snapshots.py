@@ -10,25 +10,33 @@ This module keeps the same latest-per-key fold and bucket layout while
 making commits ATOMIC and HISTORY readable:
 
 - Data files are IMMUTABLE. A commit writes the merged versions of its
-  TOUCHED buckets into a fresh ``commits/c<N>/bucket=K/`` directory and
-  never modifies existing files.
+  TOUCHED buckets into a fresh writer-unique ``commits/c<N>-<token>/
+  bucket=K/`` directory and never modifies existing files.
 - A JSON manifest per version maps every bucket to the commit
   directory currently holding it; untouched buckets simply inherit the
   previous manifest's path — file REUSE, zero rewrite.
-- Manifest publication is one atomic ``os.rename``; a torn commit
-  leaves a ``.tmp`` that no reader resolves. Readers pin a manifest and
-  therefore see one consistent snapshot regardless of concurrent
-  commits (readers never list data directories).
+- Manifest publication is an atomic CREATE-IF-ABSENT (``os.link`` of
+  the staged tmp onto ``v=<N>.json`` — EEXIST means another writer won
+  version N). A torn commit leaves a ``.tmp`` that no reader resolves.
+  Readers pin a manifest and therefore see one consistent snapshot
+  regardless of concurrent commits (readers never list data dirs).
+- CONCURRENT WRITERS race safely on that CAS: the loser deletes its
+  unreferenced commit directory, re-reads the new head, re-folds its
+  batch against it, and retries the next version — history stays
+  linear, no update is lost (two-writer conflict + interleaved-writer
+  model tests). On an object store the ``os.link`` maps to a
+  conditional PUT (If-None-Match), the same primitive Delta's
+  commit service and Iceberg's catalog swap use.
 - ``expire(keep_last)`` garbage-collects commit directories no kept
   manifest references — bounded storage without ever breaking a kept
-  snapshot.
+  snapshot. Because an IN-FLIGHT writer's data dir is unreferenced
+  until its manifest lands, expire() must not run concurrently with
+  writers (the standard table-format GC/retention caveat).
 
 At 100 TB: commit cost is O(touched buckets) exactly like the overwrite
 sink, manifests are bucket-count-sized JSON, and snapshot reads are
 plain multi-path parquet scans (each bucket dir remains min/max-stats
-prunable). Concurrent WRITERS would need a CAS on the manifest rename
-(object-store conditional put) — single-writer is assumed here, as in
-Structured Streaming's one-query-owns-the-sink model.
+prunable).
 """
 
 from __future__ import annotations
@@ -82,7 +90,13 @@ class SnapshotStateTable:
 
     # -- write path ---------------------------------------------------------
 
-    def commit(self, batch_df: DataFrame, batch_id: int | None = None) -> int:
+    def commit(
+        self,
+        batch_df: DataFrame,
+        batch_id: int | None = None,
+        max_retries: int = 5,
+        _pre_publish=None,
+    ) -> int:
         """Fold a batch into the table (latest-per-key by (ts,
         event_id), the idempotent algebra of merge_batch_into_state)
         and publish it as the next snapshot. Only the batch's buckets
@@ -95,71 +109,102 @@ class SnapshotStateTable:
         watermark is a recognized replay — it returns the already
         published version without touching data. Batch ids are
         monotonic per checkpoint, so one inherited LONG is the whole
-        dedup state."""
-        prev_v = self.latest_version()
-        prev_m = self._load_manifest(prev_v) if prev_v else {}
-        prev = prev_m.get("buckets", {})
-        last_bid = prev_m.get("last_batch_id")
-        if batch_id is not None and last_bid is not None and batch_id <= last_bid:
-            return prev_v  # replayed micro-batch: already folded
-        new_v = prev_v + 1
-        commit_dir = os.path.join(self.root, "commits", f"c{new_v:06d}")
-        if os.path.exists(commit_dir):
-            # Orphan from a torn commit (crash after the data write,
-            # before the manifest rename). No manifest <= prev_v can
-            # reference paths under c<new_v>, so removing it is safe —
-            # and required, or mode('errorifexists') below wedges every
-            # future commit until an expire() happens to GC it.
-            shutil.rmtree(commit_dir)
+        dedup state.
 
-        bucket = F.pmod(F.xxhash64(self.key_col), F.lit(UPSERT_BUCKETS)).alias(
-            "bucket"
-        )
-        # The batch fold feeds BOTH the touched-bucket probe and the
-        # write — persist it or the whole batch aggregation runs twice
-        # (measured: the initial 50M-row commit at the 1000× probe
-        # spent 257 s, ~2× the second commit's fold, on exactly this
-        # double evaluation).
-        b_fold = _latest_per_key(
-            batch_df.select(
-                self.key_col, "event_id", "ts", "event_type", "value", bucket
+        Concurrent writers (r8, VERDICT r7 #5): each attempt stages its
+        data under a writer-unique ``c<N>-<token>`` dir, then publishes
+        with an atomic create-if-absent (``os.link``) of the version-N
+        manifest. Losing the CAS means another writer published N
+        first: this writer deletes its now-unreferenced staging dir,
+        re-reads the NEW head, re-folds the batch against it (the merge
+        depends on the head, so a blind re-publish would lose the
+        winner's rows), and retries at N+1. ``max_retries`` bounds the
+        livelock; exceeding it raises. ``_pre_publish`` is a test seam
+        invoked on every attempt between the data write and the CAS —
+        conflict tests schedule a rival commit inside it."""
+        import uuid
+
+        for _attempt in range(max_retries + 1):
+            prev_v = self.latest_version()
+            prev_m = self._load_manifest(prev_v) if prev_v else {}
+            prev = prev_m.get("buckets", {})
+            last_bid = prev_m.get("last_batch_id")
+            if (
+                batch_id is not None
+                and last_bid is not None
+                and batch_id <= last_bid
+            ):
+                return prev_v  # replayed micro-batch: already folded
+            new_v = prev_v + 1
+            # Writer-unique staging dir: racing writers can never
+            # collide on the data path, so a torn commit's orphan only
+            # costs disk until expire() GCs it (it wedges nothing).
+            commit_dir = os.path.join(
+                self.root, "commits", f"c{new_v:06d}-{uuid.uuid4().hex[:8]}"
             )
-        ).persist()
-        try:
-            touched = sorted(
-                r.bucket for r in b_fold.select("bucket").distinct().collect()
-            )
-            old_paths = [prev[str(t)] for t in touched if str(t) in prev]
-            b_latest = b_fold
-            if old_paths:
-                old = self.spark.read.parquet(*old_paths).withColumn(
-                    "bucket",
-                    F.pmod(F.xxhash64(self.key_col), F.lit(UPSERT_BUCKETS)),
+
+            bucket = F.pmod(
+                F.xxhash64(self.key_col), F.lit(UPSERT_BUCKETS)
+            ).alias("bucket")
+            # The batch fold feeds BOTH the touched-bucket probe and the
+            # write — persist it or the whole batch aggregation runs twice
+            # (measured: the initial 50M-row commit at the 1000× probe
+            # spent 257 s, ~2× the second commit's fold, on exactly this
+            # double evaluation).
+            b_fold = _latest_per_key(
+                batch_df.select(
+                    self.key_col, "event_id", "ts", "event_type", "value", bucket
                 )
-                b_latest = _latest_per_key(b_fold.unionByName(old))
-            # immutable target: plain overwrite into a FRESH directory (no
-            # dynamic-overwrite subtleties, no self-read hazard)
-            (
-                b_latest.write.mode("errorifexists")
-                .partitionBy("bucket")
-                .parquet(commit_dir)
-            )
-        finally:
-            b_fold.unpersist()
-        buckets = dict(prev)
-        for t in touched:
-            buckets[str(t)] = os.path.join(commit_dir, f"bucket={t}")
-        manifest = {
-            "version": new_v,
-            "buckets": buckets,
-            "batch_id": batch_id,
-            "last_batch_id": batch_id if batch_id is not None else last_bid,
-        }
-        tmp = self._manifest_path(new_v) + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.rename(tmp, self._manifest_path(new_v))  # atomic publish
-        return new_v
+            ).persist()
+            try:
+                touched = sorted(
+                    r.bucket for r in b_fold.select("bucket").distinct().collect()
+                )
+                old_paths = [prev[str(t)] for t in touched if str(t) in prev]
+                b_latest = b_fold
+                if old_paths:
+                    old = self.spark.read.parquet(*old_paths).withColumn(
+                        "bucket",
+                        F.pmod(F.xxhash64(self.key_col), F.lit(UPSERT_BUCKETS)),
+                    )
+                    b_latest = _latest_per_key(b_fold.unionByName(old))
+                # immutable target: plain write into a FRESH directory (no
+                # dynamic-overwrite subtleties, no self-read hazard)
+                (
+                    b_latest.write.mode("errorifexists")
+                    .partitionBy("bucket")
+                    .parquet(commit_dir)
+                )
+            finally:
+                b_fold.unpersist()
+            if _pre_publish is not None:
+                _pre_publish()
+            buckets = dict(prev)
+            for t in touched:
+                buckets[str(t)] = os.path.join(commit_dir, f"bucket={t}")
+            manifest = {
+                "version": new_v,
+                "buckets": buckets,
+                "batch_id": batch_id,
+                "last_batch_id": batch_id if batch_id is not None else last_bid,
+            }
+            tmp = self._manifest_path(new_v) + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            try:
+                # atomic publish: create-if-absent CAS on version new_v
+                os.link(tmp, self._manifest_path(new_v))
+            except FileExistsError:
+                # lost the race — another writer owns new_v; rebase
+                os.unlink(tmp)
+                shutil.rmtree(commit_dir, ignore_errors=True)
+                continue
+            os.unlink(tmp)
+            return new_v
+        raise RuntimeError(
+            f"commit lost the manifest CAS {max_retries + 1} times in a row "
+            f"(root={self.root}) — writer contention exceeds max_retries"
+        )
 
     # -- read path ----------------------------------------------------------
 

@@ -232,6 +232,81 @@ def test_snapshot_history_matches_dict_model_hypothesis(spark, tmp_path):
     run()
 
 
+def test_snapshot_interleaved_writers_match_dict_model_hypothesis(spark, tmp_path):
+    """Model-based pin for the CAS path (r8): batches are dealt to TWO
+    writer instances on the same root, and a drawn subset of writer-A
+    commits is made to CONFLICT — the next batch (writer B's) commits
+    inside A's _pre_publish seam, so A stages against a stale head,
+    loses the CAS, and rebases. Whatever the interleaving, history must
+    equal the dict-fold replay in PUBLICATION order (B's batch folds
+    before the conflicted A batch) — linear versions, no lost update."""
+    import shutil
+
+    from hypothesis import given, settings, strategies as st
+
+    batch = st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+
+    @given(
+        st.lists(batch, min_size=2, max_size=4),
+        st.lists(st.booleans(), min_size=4, max_size=4),
+    )
+    @settings(max_examples=8, deadline=None)
+    def run(batches, conflicts):
+        root = str(tmp_path / f"i{abs(hash(str((batches, conflicts)))) % 10**9}")
+        shutil.rmtree(root, ignore_errors=True)
+        a = SnapshotStateTable(spark, root)
+        b = SnapshotStateTable(spark, root)
+        model: dict = {}
+        states = []
+
+        def fold(rows):
+            for u, e, m, v in rows:
+                cur = model.get(u)
+                cand = (T0 + dt.timedelta(minutes=m), e, float(v))
+                if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
+                    model[u] = cand
+            states.append({u: (e, v) for u, (ts_, e, v) in model.items()})
+
+        i = 0
+        while i < len(batches):
+            rows = batches[i]
+            df = ev(spark, [(u, e, m, float(v)) for u, e, m, v in rows])
+            nxt = batches[i + 1] if i + 1 < len(batches) else None
+            if conflicts[i % len(conflicts)] and nxt is not None:
+                fired = []
+
+                def rival(nxt=nxt):
+                    if not fired:
+                        fired.append(1)
+                        b.commit(
+                            ev(spark, [(u, e, m, float(v)) for u, e, m, v in nxt])
+                        )
+
+                a.commit(df, _pre_publish=rival)
+                fold(nxt)   # B published first
+                fold(rows)  # then A's rebased fold
+                i += 2
+            else:
+                a.commit(df)
+                fold(rows)
+                i += 1
+        assert a.versions() == list(range(1, len(states) + 1))
+        for ver, want in enumerate(states, start=1):
+            assert snap(a, ver) == want, (ver, snap(a, ver), want)
+        shutil.rmtree(root, ignore_errors=True)
+
+    run()
+
+
 def test_expire_keep_last_zero_rejected(spark, tmp_path):
     """expire(0) would slice vs[-0:] == everything — i.e. silently keep
     every snapshot while reading as 'drop all'. It must be rejected
@@ -246,14 +321,15 @@ def test_expire_keep_last_zero_rejected(spark, tmp_path):
 
 
 def test_orphan_commit_dir_from_torn_commit_is_cleaned(spark, tmp_path):
-    """Crash AFTER the data write, BEFORE the manifest rename leaves an
-    unreferenced commits/c<N> directory. The next commit must clean it
-    and succeed — previously mode('errorifexists') wedged every commit
-    until an expire() happened to GC the orphan (ADVICE r6)."""
+    """Crash AFTER the data write, BEFORE the manifest publish leaves an
+    unreferenced commits/c<N>-<token> directory. Staging dirs are
+    writer-unique (r8 CAS rework), so the orphan wedges NOTHING — the
+    next commit takes version 2 under its own token — and expire() GCs
+    the orphan, since no kept manifest references it."""
     t = SnapshotStateTable(spark, str(tmp_path / "s"))
     t.commit(ev(spark, [(1, 10, 0, 1.0)]))
     # simulate the torn second commit: data dir exists, no manifest v2
-    orphan = os.path.join(t.root, "commits", "c000002")
+    orphan = os.path.join(t.root, "commits", "c000002-deadbeef")
     os.makedirs(os.path.join(orphan, "bucket=0"))
     with open(os.path.join(orphan, "bucket=0", "junk.parquet"), "w") as fh:
         fh.write("torn")
@@ -261,7 +337,75 @@ def test_orphan_commit_dir_from_torn_commit_is_cleaned(spark, tmp_path):
     v = t.commit(ev(spark, [(2, 20, 1, 2.0)]))  # the replayed commit
     assert v == 2
     assert snap(t, 2) == {1: (10, 1.0), 2: (20, 2.0)}
-    assert not os.path.exists(os.path.join(orphan, "bucket=0", "junk.parquet"))
+    assert t.expire(keep_last=2) == [orphan]
+    assert not os.path.exists(orphan)
+    assert snap(t, 2) == {1: (10, 1.0), 2: (20, 2.0)}
+
+
+def test_two_writer_conflict_loser_rebases_and_retries(spark, tmp_path):
+    """VERDICT r7 #5 — the concurrent-writer CAS. Writer A stages its
+    data against head v1; BEFORE A publishes, writer B commits fully
+    (winning version 2). A's create-if-absent manifest link must fail,
+    and A must rebase: re-read head v2, RE-FOLD its batch against B's
+    rows (user 1 moved under B — a blind re-publish of A's stale fold
+    would resurrect the old value), and publish as v3. History stays
+    linear, no update lost, A's losing staging dir is GC-able."""
+    root = str(tmp_path / "s")
+    a = SnapshotStateTable(spark, root)
+    b = SnapshotStateTable(spark, root)
+    a.commit(ev(spark, [(1, 10, 0, 1.0), (2, 20, 0, 2.0)]))  # head v1
+
+    fired = []
+
+    def rival():
+        if fired:
+            return  # one-shot: A's retry proceeds uncontended
+        fired.append(1)
+        # B updates user 1 and adds user 3 while A's publish is in flight
+        assert b.commit(ev(spark, [(1, 11, 5, 1.5), (3, 30, 5, 3.0)])) == 2
+
+    # A updates user 2 and adds user 4
+    v = a.commit(ev(spark, [(2, 21, 3, 2.5), (4, 40, 3, 4.0)]), _pre_publish=rival)
+    assert v == 3
+    assert a.versions() == [1, 2, 3]  # linear history, no gap, no fork
+    # final state folds BOTH writers' batches
+    assert snap(a, 3) == {
+        1: (11, 1.5),
+        2: (21, 2.5),
+        3: (30, 3.0),
+        4: (40, 4.0),
+    }
+    # intermediate snapshots intact (time travel across the race)
+    assert snap(a, 2) == {1: (11, 1.5), 2: (20, 2.0), 3: (30, 3.0)}
+    assert snap(a, 1) == {1: (10, 1.0), 2: (20, 2.0)}
+    # A cleaned its losing staging dir eagerly on CAS loss: exactly one
+    # commit dir per published version remains, nothing for expire to GC
+    import glob as _glob
+
+    assert len(_glob.glob(os.path.join(root, "commits", "c*"))) == 3
+    assert a.expire(keep_last=3) == []
+    assert snap(a, 3)[4] == (40, 4.0)  # kept snapshots unbroken
+
+
+def test_writer_contention_exceeding_retries_raises(spark, tmp_path):
+    """Losing the CAS max_retries+1 times raises loudly instead of
+    spinning — and the table is left uncorrupted (the rival's commits
+    all landed; the loser's staging dirs are unreferenced)."""
+    root = str(tmp_path / "s")
+    a = SnapshotStateTable(spark, root)
+    b = SnapshotStateTable(spark, root)
+    a.commit(ev(spark, [(1, 10, 0, 1.0)]))
+
+    def rival():
+        b.commit(ev(spark, [(5, 50, 9, 5.0)]))
+
+    with pytest.raises(RuntimeError, match="CAS"):
+        # the seam fires on EVERY attempt: A can never win
+        a.commit(ev(spark, [(2, 20, 1, 2.0)]), max_retries=1, _pre_publish=rival)
+    # rival's two wins are the only published versions; loser left no junk
+    assert a.versions() == [1, 2, 3]
+    vals = snap(a)
+    assert vals[5] == (50, 5.0) and 2 not in vals
 
 
 def test_batch_id_replay_returns_same_version(spark, tmp_path):
