@@ -271,7 +271,10 @@ class KStream(_Describable):
             .drop("__rn")
         )
         return KTable(
-            latest, self.key, self._lineage + ("Processor: toTable (latest per key)",)
+            latest,
+            self.key,
+            self._lineage + ("Processor: toTable (latest per key)",),
+            updates=self.df,
         )
 
     # --- sink (SURVEY §2.1 S4) ---
@@ -307,8 +310,45 @@ class KStream(_Describable):
             self.df.sparkSession, root, self.key, ts_col=ts, tie_col=tiebreak
         )
 
-    def to(self, path: str, fmt: str = "parquet") -> None:  # [R KStream#to]
-        self.df.write.format(fmt).mode("overwrite").save(path)
+    def to(self, path: str, fmt: str = "parquet", eos: bool = False):
+        """[R KStream#to]. Plain form: write the stream's rows to
+        ``path`` as ``fmt``. ``eos=True`` (r8, VERDICT r7 #8) is the
+        exactly-once topic sink [R KS `processing.guarantee=
+        exactly_once_v2`]: replay this stream through the engine's
+        streaming EOS snapshot sink (sources/snapshots.py — real
+        micro-batches via foreachBatch, one batchId-tagged snapshot
+        version per batch, idempotent under at-least-once redelivery)
+        and return the resulting ``SnapshotStateTable`` at ``path`` so
+        the caller can read the final state AND time-travel the commit
+        history — the IQ affordance ``materialize`` also provides.
+        Requires the engine's keyed-event shape (clear error
+        otherwise). KS returns void here; returning the store handle is
+        this facade's documented deviation."""
+        if not eos:
+            self.df.write.format(fmt).mode("overwrite").save(path)
+            return None
+        import shutil
+
+        from .sources.snapshots import run_stream_into_snapshots
+        from .streaming.punctuate import stage_events_ordered
+
+        required = ["user_id", "event_id", "ts", "value", "event_type"]
+        missing = [c for c in required if c not in self.df.columns]
+        if missing:
+            raise ValueError(
+                f"to(eos=True) commits the keyed-event columns {required} "
+                f"through the snapshot sink; the stream is missing {missing}"
+            )
+        stage = tempfile.mkdtemp(prefix="kstream_eos_stage_")
+        try:
+            stage_events_ordered(self.df.select(*required), stage, n_slices=3)
+            table = run_stream_into_snapshots(self.df.sparkSession, stage, path)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        self._lineage = self._lineage + (
+            f"Sink: to[{path}, exactly_once_v2 -> snapshot versions]",
+        )
+        return table
 
     def to_df(self) -> DataFrame:
         return self.df
@@ -455,10 +495,22 @@ class KTable(_Describable):
         df: DataFrame,
         key: str | list[str],
         lineage: tuple[str, ...] = (),
+        updates: DataFrame | None = None,
     ) -> None:
         self.df = df
         self.key = key if isinstance(key, str) else key[0]
         self._lineage = lineage or ("Source: <table>",)
+        # the UN-compacted changelog that produced this table, when the
+        # producer had one (to_table keeps its stream; suppress keeps
+        # the debounced emission history). Batch-replay KTables carry
+        # only the compacted state in .df; verbs that need every update
+        # (suppress untilTimeLimit) read this instead.
+        self._updates = updates
+
+    def updates(self) -> DataFrame | None:
+        """The un-compacted update stream behind this table (None when
+        the table was built directly from compacted state)."""
+        return self._updates
 
     def filter(self, pred: Column) -> "KTable":  # [R KTable#filter]
         return KTable(
@@ -507,17 +559,77 @@ class KTable(_Describable):
             self._lineage + (f"Processor: fkJoin[{how}, fk={fk}] {_nest(other)}",),
         )
 
-    def suppress(self) -> "KTable":
-        """[R KTable#suppress(Suppressed.untilWindowCloses)]: emit only
-        the FINAL result per window/key. In batch replay every result is
-        already final, so this is the identity; on the streaming twins
-        the same semantics is append output mode + watermark
-        (streaming/windows_stream.py docstrings) — suppression is an
-        OUTPUT-MODE property in Spark, not an operator. The OTHER
-        suppression mode, `Suppressed.untilTimeLimit` (debounced
-        unwindowed updates), is inherently streaming and lives in
-        streaming/suppress.py."""
-        return self
+    def suppress(self, until_time_limit_ms: int | None = None) -> "KTable":
+        """[R KTable#suppress]. Two modes, matching the two
+        ``Suppressed`` factories:
+
+        - No argument → ``Suppressed.untilWindowCloses``: emit only the
+          FINAL result per window/key. In batch replay every result is
+          already final, so this is the identity; on the streaming
+          twins the same semantics is append output mode + watermark
+          (streaming/windows_stream.py docstrings) — suppression is an
+          OUTPUT-MODE property in Spark, not an operator.
+        - ``until_time_limit_ms=N`` → ``Suppressed.untilTimeLimit``
+          (r8, VERDICT r7 #8): debounce the table's UPDATE STREAM with
+          an N-ms stream-time buffer per key, by actually driving the
+          engine's streaming debounce (streaming/suppress.py — real
+          micro-batches, transformWithState timers, fixpoint drain)
+          over this table's changelog. The returned KTable holds the
+          final emission per key (== latest-per-key by conservation,
+          pinned); the full debounced emission history is on
+          ``.updates()``. Requires the changelog the producer attached
+          (``to_table`` keeps its stream) with the engine's keyed-event
+          shape; raises a clear error otherwise."""
+        if until_time_limit_ms is None:
+            return self
+        import shutil
+
+        from .streaming.punctuate import stage_events_ordered
+        from .streaming.suppress import _SENTINEL_KEY, run_suppressed
+
+        if self._updates is None:
+            raise ValueError(
+                "suppress(until_time_limit_ms=...) debounces the table's "
+                "update stream, but this KTable carries no changelog — "
+                "build it with KStream.to_table() (which keeps its stream)"
+            )
+        required = ["user_id", "event_id", "ts", "value", "event_type"]
+        missing = [c for c in required if c not in self._updates.columns]
+        if missing:
+            raise ValueError(
+                f"suppress(until_time_limit_ms=...) needs the keyed-event "
+                f"columns {required}; the changelog is missing {missing}"
+            )
+        spark = self.df.sparkSession
+        stage = tempfile.mkdtemp(prefix="ktable_suppress_stage_")
+        try:
+            stage_events_ordered(
+                self._updates.select(*required), stage, n_slices=3
+            )
+            hist = run_suppressed(
+                spark, stage, limit_ms=until_time_limit_ms
+            ).where(F.col("user_id") != _SENTINEL_KEY)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        final = (
+            hist.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("last_value", "last_type", "last_ts_us"),
+                    "last_ts_us",
+                ).alias("b")
+            )
+            .select("user_id", "b.last_value", "b.last_type", "b.last_ts_us")
+        )
+        return KTable(
+            final,
+            "user_id",
+            self._lineage
+            + (
+                f"Processor: suppress(untilTimeLimit[{until_time_limit_ms}ms])",
+            ),
+            updates=hist,
+        )
 
     def group_by(self, *keys: str) -> "KGroupedStream":
         """[R KTable#groupBy -> KGroupedTable]: re-key the table and
