@@ -613,6 +613,49 @@ def dedup_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 BENCHMARK_DOC_CUTOFF = 20  # doc_id < 20 stands in for the held-out eval set
 
 
+def _contamination_hits(docs: DataFrame):
+    """The copy-collapsed core of the contamination family (r8 — the
+    1000× copy-flood probe caught decontaminate_report paying the
+    3-gram explode once per COPY, 592.8 s): shingle work runs once per
+    DISTINCT text (md5 digest), and the per-doc frames move digests
+    only. Returns (keyed (doc_id, lang, h), hits (h, n_hits)) where
+    n_hits counts the distinct eval shingles each distinct corpus text
+    shares with the benchmark set — identical per copy, so joining it
+    back by digest reproduces the per-doc counts exactly (pinned by
+    the unchanged oracles). Bench membership is any-copy-below-cutoff;
+    corpus texts keep their hits even when the same text also appears
+    in the bench slice, exactly as the per-doc form behaved."""
+    h = F.md5("text").alias("h")
+    keyed = docs.select("doc_id", "lang", h)
+    reps = (
+        docs.select(h, "text").groupBy("h").agg(F.min("text").alias("text"))
+    )
+    bench_h = (
+        keyed.filter(F.col("doc_id") < BENCHMARK_DOC_CUTOFF)
+        .select("h")
+        .distinct()
+    )
+    corpus_h = (
+        keyed.filter(F.col("doc_id") >= BENCHMARK_DOC_CUTOFF)
+        .select("h")
+        .distinct()
+    )
+    bench = (
+        _shingles(reps.join(bench_h, "h"), id_col="h")
+        .select("shingle")
+        .distinct()
+    )
+    corpus_sh = _shingles(reps.join(corpus_h, "h"), id_col="h")
+    hits = (
+        corpus_sh.join(F.broadcast(bench), "shingle")
+        .groupBy("h")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return keyed, hits
+
+
+
+
 @query(
     "contamination_ngram_check",
     oracle=f"""
@@ -632,22 +675,17 @@ def contamination_ngram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     the held-out set).
 
     Scale shape: the benchmark shingle set is small and bounded (eval
-    sets are ~1e4 docs), so it BROADCASTS; the corpus side streams
-    through one scan + shingle explode and a map-side-combined count —
-    no corpus shuffle keyed on text. At 100 TB this is the canonical
-    broadcast-semi-join-with-count."""
+    sets are ~1e4 docs), so it BROADCASTS; the corpus side shingles
+    each DISTINCT text once (`_contamination_hits` — r8 copy-collapse)
+    and streams through the broadcast-semi-join-with-count; the per-doc
+    answer is one digest join. At 100 TB no full text and no per-copy
+    explode crosses any exchange."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs)  # distinct (set semantics for hit counting)
-    bench = (
-        sh.filter(F.col("doc_id") < BENCHMARK_DOC_CUTOFF)
-        .select("shingle")
-        .distinct()
-    )
-    corpus = sh.filter(F.col("doc_id") >= BENCHMARK_DOC_CUTOFF)
+    keyed, hits = _contamination_hits(docs)
     return (
-        corpus.join(F.broadcast(bench), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
+        keyed.filter(F.col("doc_id") >= BENCHMARK_DOC_CUTOFF)
+        .join(hits, "h")
+        .select("doc_id", "n_hits")
     )
 
 
@@ -688,30 +726,22 @@ def decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     texts).
 
     Scale shape: the hit counting is contamination_ngram_check's
-    broadcast-semi-join-with-count; the rule + rollup add one
-    doc-keyed left join against the (contaminated-docs-bounded) hits
-    frame and a lang-bounded aggregate."""
+    copy-collapsed broadcast-semi-join-with-count
+    (`_contamination_hits` — r8: the 1000× exact-duplicate-heavy probe
+    measured the per-copy shingle explode at 592.8 s; per-distinct-text
+    shingling with a digest join back runs it at the distinct-text
+    budget); the rule + rollup add one digest-keyed left join and a
+    lang-bounded aggregate."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs)
-    bench = (
-        sh.filter(F.col("doc_id") < BENCHMARK_DOC_CUTOFF)
-        .select("shingle")
-        .distinct()
-    )
-    corpus = sh.filter(F.col("doc_id") >= BENCHMARK_DOC_CUTOFF)
-    hits = (
-        corpus.join(F.broadcast(bench), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
+    keyed, hits = _contamination_hits(docs)
     from ..catalog import round4f
 
     dropped = (
         F.coalesce(F.col("n_hits"), F.lit(0)) >= CONTAM_DROP_HITS
     ).cast("int")
     return (
-        docs.filter(F.col("doc_id") >= BENCHMARK_DOC_CUTOFF)
-        .join(hits, "doc_id", "left")
+        keyed.filter(F.col("doc_id") >= BENCHMARK_DOC_CUTOFF)
+        .join(hits, "h", "left")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),

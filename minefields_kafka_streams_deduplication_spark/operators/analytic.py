@@ -1462,3 +1462,228 @@ def inter_event_gap_stats_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "streak_longest_daily",
+    oracle="""
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+isl AS (
+  SELECT user_id,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS anchor
+  FROM days
+),
+s AS (SELECT user_id, anchor, count(*) AS len FROM isl GROUP BY 1, 2)
+SELECT user_id,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(sum(len) AS BIGINT) AS n_active_days
+FROM s GROUP BY user_id ORDER BY user_id
+""",
+)
+def streak_longest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern [R the KS equivalent is a custom
+    stateful Processor over a per-key store]: subtracting each active
+    day's per-user row_number from the day itself collapses every
+    consecutive run onto one anchor date, so streaks become a plain
+    GROUP BY. Engagement/retention's standard companion metric.
+
+    Scale shape: the distinct day grid is one hash aggregate; the
+    row_number window partitions by user_id (key-cardinality
+    parallelism, never single-partition); streak and per-user rollups
+    are two more hash aggregates over user-day rows. All exact
+    integers — nothing to round."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").cast("long").alias("longest_streak"),
+            F.sum("len").cast("long").alias("n_active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "activity_gini_by_type",
+    oracle="""
+WITH counts AS (
+  SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, cnt,
+         row_number() OVER (PARTITION BY event_type ORDER BY cnt) AS i
+  FROM counts
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(cnt) AS BIGINT) AS total_events,
+       FLOOR((2.0 * sum(i * cnt) / (count(*) * sum(cnt))
+              - (count(*) + 1.0) / count(*)) * 10000 + 0.5) / 10000 AS gini
+FROM ranked GROUP BY event_type ORDER BY event_type
+""",
+)
+def activity_gini_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event counts within each event
+    type — the engagement-inequality measure (0 = everyone equally
+    active, →1 = all activity from one user). Formula: with per-user
+    counts x_(1..n) ascending, G = 2·Σi·x_i/(n·Σx) − (n+1)/n.
+
+    Scale shape: the rank-weighted sum needs a per-type ORDERED rank —
+    the Window.partitionBy(5-value type) trap. Instead the counts are
+    VALUE-COLLAPSED (distinct count value → #users at it) and run
+    through the shared `_grouped_value_cdf`; a run of c tied users
+    ending at cumulative position `cum` contributes
+    value·c·(2·cum−c+1)/2 to Σi·x_i exactly (ties commute), so every
+    term stays integer-exact and parallelism follows the value split.
+    Only the final division is floating — round4f'd; its operands are
+    exact sub-2^53 longs, so both engines divide identical doubles."""
+    from ..catalog import round4f
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    collapsed = counts.groupBy(
+        "event_type", F.col("cnt").alias("value")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cdf = _grouped_value_cdf(collapsed, "event_type", "value")
+    terms = cdf.select(
+        "event_type",
+        F.expr("value * c * (2 * cum - c + 1) DIV 2").alias("w"),
+        (F.col("value") * F.col("c")).alias("vx"),
+        "c",
+        "cum",
+    )
+    agg = terms.groupBy("event_type").agg(
+        F.sum("w").alias("_W"),
+        F.sum("vx").alias("_T"),
+        F.max("cum").alias("_n"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("_W") / (F.col("_n") * F.col("_T"))
+        - (F.col("_n") + F.lit(1.0)) / F.col("_n")
+    )
+    return agg.select(
+        "event_type",
+        F.col("_n").cast("long").alias("n_users"),
+        F.col("_T").cast("long").alias("total_events"),
+        round4f(gini).alias("gini"),
+    ).orderBy("event_type")
+
+
+@query(
+    "cohort_time_to_first_purchase",
+    oracle="""
+WITH u AS (
+  SELECT user_id, min(ts) AS first_ts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+  FROM events GROUP BY user_id
+)
+SELECT CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(fp) AS BIGINT) AS n_purchasers,
+       CAST(sum(date_diff('day', CAST(first_ts AS DATE), CAST(fp AS DATE)))
+            AS BIGINT) AS sum_days_to_first_purchase
+FROM u GROUP BY cohort_week ORDER BY cohort_week
+""",
+)
+def cohort_time_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation latency by signup cohort: users grouped by the ISO
+    week of their FIRST event, with how many ever purchased and the
+    total whole-day lag from first touch to first purchase — the
+    conversion-velocity readout next to cohort_weekly_retention's
+    did-they-return one.
+
+    Scale shape: ONE per-user hash aggregate (min + conditional min —
+    map-side combinable), then a calendar-bounded cohort rollup. The
+    lag is kept as an exact integer SUM (with the purchaser count
+    alongside, the mean is one client-side division away) so nothing
+    floats."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("fp"),
+    )
+    return (
+        per_user.groupBy(
+            F.date_trunc("week", "first_ts").cast("date").alias("cohort_week")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.count("fp").cast("long").alias("n_purchasers"),
+            F.sum(
+                F.datediff(F.to_date("fp"), F.to_date("first_ts"))
+            ).cast("long").alias("sum_days_to_first_purchase"),
+        )
+        .orderBy("cohort_week")
+    )
+
+
+@query(
+    "power_user_concentration",
+    oracle="""
+WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+r AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt DESC, user_id) AS rn,
+         count(*) OVER () AS n
+  FROM c
+)
+SELECT CAST(max(n) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN rn <= ceil(n / 100.0) THEN 1 ELSE 0 END)
+            AS BIGINT) AS top1pct_users,
+       CAST(sum(CASE WHEN rn <= ceil(n / 100.0) THEN cnt ELSE 0 END)
+            AS BIGINT) AS top1pct_events,
+       CAST(sum(cnt) AS BIGINT) AS total_events,
+       FLOOR(CAST(sum(CASE WHEN rn <= ceil(n / 100.0) THEN cnt ELSE 0 END)
+                  AS DOUBLE) / sum(cnt) * 10000 + 0.5) / 10000
+         AS events_share
+FROM r
+""",
+)
+def power_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated is activity in the top 1% of users — the
+    whale-share number next to revenue_pareto_point's 80/20 answer
+    (that one asks 'how many users make 80%'; this asks 'how much do
+    the top ceil(n/100) make').
+
+    Scale shape: per-user counts (one hash aggregate), then the
+    two-phase `_global_row_number` rank by (count desc, user_id) — no
+    single-partition window — and one bounded final aggregate. Counts
+    and sums stay integer-exact; only the published share divides,
+    through round4f on identical sub-2^53 operands."""
+    from ..catalog import round4f
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = _global_row_number(counts, [F.desc("cnt"), F.asc("user_id")])
+    cond = F.col("_rn") <= F.ceil(F.col("_n") / 100.0)
+    agg = ranked.agg(
+        F.max("_n").cast("long").alias("n_users"),
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias("top1pct_users"),
+        F.sum(F.when(cond, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("top1pct_events"),
+        F.sum("cnt").cast("long").alias("total_events"),
+    )
+    return agg.select(
+        "n_users",
+        "top1pct_users",
+        "top1pct_events",
+        "total_events",
+        round4f(
+            F.col("top1pct_events").cast("double") / F.col("total_events")
+        ).alias("events_share"),
+    )

@@ -500,3 +500,40 @@ def dedup_keep_by_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame
         # and a doc-level orderBy is a data-sized range exchange
         # (measured 10.4 s vs dedup_text_exact's 1.8 s at the 10x probe)
     )
+
+
+@query(
+    "dup_cluster_size_histogram",
+    oracle="""
+WITH c AS (SELECT md5(text) AS h, count(*) AS sz FROM documents GROUP BY h)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sz * count(*) AS BIGINT) AS n_docs
+FROM c GROUP BY sz ORDER BY sz
+""",
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size distribution of exact-duplicate clusters — the curation
+    dashboard's 'how duplicated is this corpus, and in what shape'
+    readout (many pairs vs a few megaclusters demand different scrub
+    strategies; dup_rate_by_source gives the per-source rate, this
+    gives the global structure).
+
+    Scale shape: both exchanges move an md5 DIGEST, never document
+    text (the dedup_text_exact / dup_rate_by_source copy-flood
+    discipline); the histogram itself is bounded by the distinct
+    cluster-size count (≈ log-many values). All exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        clusters.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("sz").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("sz") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

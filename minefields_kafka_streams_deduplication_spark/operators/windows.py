@@ -295,3 +295,86 @@ def window_incremental_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("sum_dec"), 4).cast("double").alias("total_value"),
         )
     )
+
+
+@query(
+    "session_path_topk",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM e
+),
+r AS (
+  SELECT user_id, sess_id, event_type,
+         row_number() OVER (PARTITION BY user_id, sess_id
+                            ORDER BY ts, event_id) AS rn
+  FROM s
+),
+p AS (
+  SELECT user_id, sess_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3 GROUP BY user_id, sess_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20
+""",
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session-opening paths: 30-minute-gap sessionization, the
+    first three event types per session joined into a '>' path, ranked
+    by session count — the navigation-pattern / funnel-discovery
+    primitive (funnel_view_click_purchase checks ONE hypothesized
+    path; this mines which paths actually open sessions).
+
+    Scale shape: the gap flag, session id and per-session rank are
+    three per-user windows (key-cardinality parallelism; the lag/gap
+    compares unix_micros, exact on both engines); the path assembly is
+    an array_sort over ≤3 collected structs per session; the final
+    rollup is bounded by the path vocabulary (≤ |types|³ + shorter
+    prefixes), so the top-k sort is trivially small."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(
+        F.unix_micros(F.col("ts"))
+    ).over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap_us > 1_800_000_000, 1).otherwise(0).alias("new_sess"),
+    )
+    sess = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ranked = sess.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+        ),
+    ).where(F.col("rn") <= 3)
+    paths = ranked.groupBy("user_id", "sess_id").agg(
+        F.concat_ws(
+            ">",
+            F.expr(
+                "transform(array_sort(collect_list(struct(rn, event_type))),"
+                " x -> x.event_type)"
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )

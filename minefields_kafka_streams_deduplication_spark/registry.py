@@ -243,6 +243,9 @@ _R8_REVERIFY: tuple[str, ...] = (
     # snapshot commit path reworked for concurrent-writer CAS
     "store_snapshot_diff",
     "store_snapshot_stream_eos",
+    # contamination family copy-collapsed (1000x probe: 592.8 -> 12.3 s)
+    "contamination_ngram_check",
+    "decontaminate_report",
 )
 
 

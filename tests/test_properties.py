@@ -701,3 +701,149 @@ def test_grouped_value_cdf_matches_model(spark, rows):
             run += agg[(g, v)]
             model[(g, v)] = run
     assert got == model
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=typed_events_strategy)
+def test_streak_matches_reference(spark, rows):
+    """Gaps-and-islands property (r8): per-user longest consecutive-day
+    streak and active-day count equal the brute-force day-set walk."""
+    from minefields_kafka_streams_deduplication_spark.operators import analytic
+
+    df = mk_typed(spark, rows)
+    orig = analytic.load_table
+    analytic.load_table = lambda s, d, n: df
+    try:
+        got = {
+            r.user_id: (r.longest_streak, r.n_active_days)
+            for r in analytic.streak_longest_daily(spark, "x").collect()
+        }
+    finally:
+        analytic.load_table = orig
+
+    t0 = dt.datetime(2024, 1, 1)
+    days_by_user: dict = {}
+    for m, u, _ty in rows:
+        days_by_user.setdefault(u, set()).add(
+            (t0 + dt.timedelta(minutes=m)).date()
+        )
+    want = {}
+    for u, days in days_by_user.items():
+        best = run = 0
+        prev = None
+        for d in sorted(days):
+            run = run + 1 if prev is not None and (d - prev).days == 1 else 1
+            best = max(best, run)
+            prev = d
+        want[u] = (best, len(days))
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=typed_events_strategy)
+def test_gini_matches_reference(spark, rows):
+    """The CDF-run Gini (r8) equals the textbook sorted-rank formula
+    computed in pure Python per event type (round4f'd identically)."""
+    import math
+
+    from minefields_kafka_streams_deduplication_spark.operators import analytic
+
+    df = mk_typed(spark, rows)
+    orig = analytic.load_table
+    analytic.load_table = lambda s, d, n: df
+    try:
+        got = {
+            r.event_type: (r.n_users, r.total_events, r.gini)
+            for r in analytic.activity_gini_by_type(spark, "x").collect()
+        }
+    finally:
+        analytic.load_table = orig
+
+    counts: dict = {}
+    for _m, u, ty in rows:
+        counts.setdefault(ty, {}).setdefault(u, 0)
+        counts[ty][u] += 1
+    want = {}
+    for ty, per_user in counts.items():
+        xs = sorted(per_user.values())
+        n, tot = len(xs), sum(xs)
+        g = 2.0 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * tot) - (
+            n + 1.0
+        ) / n
+        want[ty] = (n, tot, math.floor(g * 10000 + 0.5) / 10000.0)
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=typed_events_strategy)
+def test_session_paths_match_reference(spark, rows):
+    """Session-path mining (r8): the path multiset equals a brute-force
+    30-minute-gap sessionizer taking each session's first 3 types."""
+    from minefields_kafka_streams_deduplication_spark.operators import windows
+
+    df = mk_typed(spark, rows)
+    orig = windows.load_table
+    windows.load_table = lambda s, d, n: df
+    try:
+        got = {
+            (r.path, r.n_sessions)
+            for r in windows.session_path_topk(spark, "x").collect()
+        }
+    finally:
+        windows.load_table = orig
+
+    t0 = dt.datetime(2024, 1, 1)
+    by_user: dict = {}
+    for i, (m, u, ty) in enumerate(rows):
+        by_user.setdefault(u, []).append((t0 + dt.timedelta(minutes=m), i, ty))
+    paths: dict = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        sessions: list = []
+        prev = None
+        for t, _i, ty in evs:
+            if prev is None or (t - prev).total_seconds() > 1800:
+                sessions.append([])
+            sessions[-1].append(ty)
+            prev = t
+        for s in sessions:
+            p = ">".join(s[:3])
+            paths[p] = paths.get(p, 0) + 1
+    top = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    # ties at the cut can differ only if the model's 20th and 21st
+    # counts tie on count AND the engine picked the other; both sort
+    # (count desc, path asc) so the sets must match exactly
+    assert got == set(top)
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=typed_events_strategy)
+def test_power_user_concentration_matches_reference(spark, rows):
+    """Top-1% concentration (r8) equals the brute-force sort-and-slice
+    (ceil(n/100) users by count desc, user_id asc)."""
+    import math
+
+    from minefields_kafka_streams_deduplication_spark.operators import analytic
+
+    if not rows:
+        return  # empty corpus: the aggregate row is all-null, not graded
+    df = mk_typed(spark, rows)
+    orig = analytic.load_table
+    analytic.load_table = lambda s, d, n: df
+    try:
+        r = analytic.power_user_concentration(spark, "x").collect()[0]
+    finally:
+        analytic.load_table = orig
+
+    counts: dict = {}
+    for _m, u, _ty in rows:
+        counts[u] = counts.get(u, 0) + 1
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    k = math.ceil(len(ordered) / 100.0)
+    top = ordered[:k]
+    tot = sum(counts.values())
+    te = sum(c for _u, c in top)
+    assert (r.n_users, r.top1pct_users, r.top1pct_events, r.total_events) == (
+        len(ordered), k, te, tot
+    )
+    assert r.events_share == math.floor(te / tot * 10000 + 0.5) / 10000.0
