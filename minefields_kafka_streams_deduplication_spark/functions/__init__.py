@@ -9,3 +9,4 @@ from . import vectors  # noqa: F401
 from . import neardup  # noqa: F401
 from . import pipeline  # noqa: F401
 from . import unigram_lm  # noqa: F401
+from . import ann_index  # noqa: F401  (registers ann_ivf_pq_index_roundtrip)

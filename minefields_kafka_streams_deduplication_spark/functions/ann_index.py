@@ -1,0 +1,280 @@
+"""Persisted ANN index lifecycle — build the IVF-PQ(+OPQ) index ONCE as
+a cell-partitioned parquet table, query it many times.
+
+The in-memory forms (functions/vectors.py `ivf_pq_topk`) train, encode
+and scan inside one query — the right shape for a one-shot analytical
+pass, the wrong one for a serving corpus queried repeatedly. This
+module splits the lifecycle the way FAISS does on disk
+(`faiss.write_index` / `read_index`; reconstructed public surface —
+SURVEY.md §0):
+
+- :func:`build_ivf_pq_index` trains the coarse quantizer, the OPQ
+  rotation and the PQ codebooks on the bounded sample, encodes the
+  corpus (one Arrow kernel pass), and writes ``index/`` parquet
+  PARTITIONED BY the coarse cell, plus ``model.json`` (the
+  centroids/rotation/codebooks — m·k·(d/m) + d² + K·d floats, bounded
+  by construction).
+- :func:`ivf_pq_index_topk` loads the model (driver-side, bounded),
+  resolves each query's nprobe cells, and scans ONLY those cells'
+  files: the cell partitioning turns IVF's candidate pruning into
+  PARQUET PARTITION PRUNING — at 100 TB a query touches nprobe/K of
+  the index's FILES, with no job-side filtering of unprobed rows at
+  all (the plan's PartitionFilters carry the cell set; pinned in
+  tests/test_ann_index.py). The scan kernel and the two-phase
+  shortlist/rerank are the in-memory form's, so results are
+  bit-identical to `ivf_pq_topk(opq=True)` at the same seeds — the
+  parity pin.
+
+Index size: cell INT + m int8 codes per vector (m + 4 bytes vs 4·d
+raw — 32× smaller at d=64, m=8); the raw embeddings stay in the source
+table and are touched only by the optional exact re-rank on the
+shortlist (query-count-bounded).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import fingerprint_dir, load_table, mark_ready
+from ..registry import query
+from .vectors import (
+    IVF_K,
+    PQ_CENTROIDS,
+    SIM_N_QUERIES,
+    SIM_TOPK,
+    dot,
+    l2_norm,
+    pq_train_residual_opq,
+)
+
+
+def build_ivf_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    nlist: int = IVF_K,
+    k: int = PQ_CENTROIDS,
+) -> str:
+    """Train (sample-bounded) + encode (one kernel pass) + write the
+    cell-partitioned index and the model sidecar. Returns ``root``.
+    Layout: ``root/model.json`` + ``root/index/cell=<c>/*.parquet``."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse, R, C = pq_train_residual_opq(emb, coarse_k=nlist, k=k)
+    m, _k, sub = C.shape
+
+    def encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            cell = (
+                -2.0 * Xn @ coarse.T + (coarse**2).sum(axis=1)[None, :]
+            ).argmin(axis=1).astype(np.int32)
+            E = (Xn - coarse[cell]) @ R
+            codes = np.empty((len(X), m), dtype=np.int8)
+            for i in range(m):
+                blk = E[:, i * sub : (i + 1) * sub]
+                dist = -2.0 * blk @ C[i].T + (C[i] ** 2).sum(axis=1)[None, :]
+                codes[:, i] = dist.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": cell, "codes": list(codes)}
+            )
+
+    index = emb.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id LONG, cell INT, codes ARRAY<TINYINT>"
+    )
+    (
+        index.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(root, "index"))
+    )
+    model = {
+        "coarse": coarse.tolist(),
+        "rotation": R.tolist(),
+        "codebooks": C.tolist(),
+        "nlist": nlist,
+        "m": int(m),
+        "k": int(_k),
+    }
+    with open(os.path.join(root, "model.json"), "w") as fh:
+        json.dump(model, fh)
+    return root
+
+
+def _load_model(root: str):
+    import numpy as np
+
+    with open(os.path.join(root, "model.json")) as fh:
+        raw = json.load(fh)
+    return (
+        np.array(raw["coarse"]),
+        np.array(raw["rotation"]),
+        np.array(raw["codebooks"]),
+    )
+
+
+def ivf_pq_index_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    nprobe: int = 8,
+    rerank: int = 0,
+) -> DataFrame:
+    """Query the persisted index: per-query probed cells + rotated
+    residual LUTs resolve driver-side (query-count × nprobe bounded),
+    the index scan reads ONLY the probed cells' partitions
+    (``cell IN (...)`` → parquet partition pruning), and the ADC scan /
+    two-phase shortlist / optional exact re-rank are the in-memory
+    form's kernels — results identical to `ivf_pq_topk(opq=True)` at
+    the same seeds (pinned)."""
+    import numpy as np
+    import pandas as pd
+
+    coarse, R, C = _load_model(root)
+    m, kk, sub = C.shape
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_rows = (
+        emb.filter(F.col("vec_id") < SIM_N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qids = [int(r.vec_id) for r in q_rows]
+    nprobe = min(nprobe, coarse.shape[0])
+    probed = np.argsort(
+        -2.0 * Qn @ coarse.T + (coarse**2).sum(axis=1)[None, :], axis=1
+    )[:, :nprobe]
+
+    cell_qids: dict[int, list[int]] = {}
+    luts = {}
+    for qi, qid in enumerate(qids):
+        for c in probed[qi]:
+            c = int(c)
+            cell_qids.setdefault(c, []).append(qid)
+            qr = (Qn[qi] - coarse[c]) @ R
+            luts[(qid, c)] = np.stack(
+                [
+                    ((qr[i * sub : (i + 1) * sub][None, :] - C[i]) ** 2).sum(
+                        axis=1
+                    )
+                    for i in range(m)
+                ]
+            )
+    cell_luts = {
+        cell: (np.array(qs_), np.stack([luts[(q, cell)] for q in qs_]))
+        for cell, qs_ in cell_qids.items()
+    }
+
+    # partition-pruned scan: only probed cells' FILES are read
+    index = spark.read.parquet(os.path.join(root, "index")).where(
+        F.col("cell").isin(sorted(cell_qids))
+    )
+
+    topk = SIM_TOPK
+    shortlist_k = topk * rerank if rerank else topk
+
+    def adc_scan(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for cell, grp in pdf.groupby("cell"):
+                entry = cell_luts.get(int(cell))
+                if entry is None:
+                    continue
+                q_arr, lut = entry
+                codes_arr = np.array(list(grp["codes"]), dtype=np.int64)
+                vec_ids = grp["vec_id"].to_numpy()
+                d = np.zeros((len(q_arr), len(codes_arr)))
+                for i in range(m):
+                    d += lut[:, i, :][:, codes_arr[:, i]]
+                for qi in range(len(q_arr)):
+                    mask = vec_ids != q_arr[qi]
+                    order = np.lexsort((vec_ids[mask], d[qi][mask]))[:shortlist_k]
+                    sel = np.flatnonzero(mask)[order]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(
+                                    len(sel), q_arr[qi], dtype=np.int64
+                                ),
+                                "neighbor_id": vec_ids[sel],
+                                "adc": d[qi][sel],
+                            }
+                        )
+                    )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "adc": []}
+            )
+
+    partial = index.mapInPandas(
+        adc_scan, "query_id LONG, neighbor_id LONG, adc DOUBLE"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    shortlist = partial.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= shortlist_k
+    )
+    if not rerank:
+        return shortlist.select(
+            "query_id", "neighbor_id", F.col("rn").cast("int").alias("adc_rank")
+        )
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ne = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+    )
+    cos = dot(F.col("q_emb"), F.col("n_emb")) / (
+        l2_norm(F.col("q_emb")) * l2_norm(F.col("n_emb"))
+    )
+    scored = (
+        shortlist.select("query_id", "neighbor_id")
+        .join(qe, "query_id")
+        .join(ne, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.round("cosine", 9).desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= topk)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def _index_root(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint-keyed shared index per fixture (built once, queried
+    by every caller — the serving lifecycle under test)."""
+    root, ready = fingerprint_dir(
+        "annindex", os.path.join(sf_dir, "embeddings.parquet")
+    )
+    if not ready:
+        build_ivf_pq_index(spark, sf_dir, root)
+        mark_ready(root)
+    return root
+
+
+@query("ann_ivf_pq_index_roundtrip")  # rows-only: learned model is
+# seed-specific; bit-parity with the in-memory opq form is pinned in
+# tests/test_ann_index.py
+def ann_ivf_pq_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once-query-many IVF-PQ: the persisted, cell-partitioned
+    index queried at the standard nprobe with exact re-rank. Same
+    seeds as `ann_ivf_pq_opq`, so the results are identical — what
+    changes is WHERE the work happens: train+encode amortize across
+    queries, and each query's scan is partition-pruned to its probed
+    cells."""
+    root = _index_root(spark, sf_dir)
+    return ivf_pq_index_topk(spark, sf_dir, root, nprobe=8, rerank=10)

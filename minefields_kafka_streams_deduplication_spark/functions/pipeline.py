@@ -479,21 +479,31 @@ def corpus_dedup_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
 
-    exact_survivors = dedup_text_exact(spark, sf_dir).select("doc_id")
-    n1 = exact_survivors.count()
-
+    # Each survivor frame feeds BOTH a count and a downstream join —
+    # persist them or the exact/minhash stages re-execute per action
+    # (the snapshot-commit persist lesson). At the 10× probe the scrub
+    # stage dominates and the saving sits inside run variance (38-68 s
+    # both forms, r8); the persist is kept for the plan shape — LSH
+    # banding runs once, not three times, which is what matters when
+    # the corpus (not the scrub span table) is the big side.
+    exact_survivors = dedup_text_exact(spark, sf_dir).select("doc_id").persist()
     near_survivors = (
         dedup_text_minhash(spark, sf_dir)
         .select("doc_id")
         .join(exact_survivors, "doc_id", "left_semi")
-    )
-    n2 = near_survivors.count()
+    ).persist()
+    try:
+        n1 = exact_survivors.count()
+        n2 = near_survivors.count()
 
-    remaining = docs.join(near_survivors, "doc_id", "left_semi")
-    scrubbed = scrub_repeated_spans_df(remaining)
-    tokens_removed = scrubbed.agg(
-        F.coalesce(F.sum("n_removed_tokens"), F.lit(0)).alias("t")
-    ).collect()[0].t
+        remaining = docs.join(near_survivors, "doc_id", "left_semi")
+        scrubbed = scrub_repeated_spans_df(remaining)
+        tokens_removed = scrubbed.agg(
+            F.coalesce(F.sum("n_removed_tokens"), F.lit(0)).alias("t")
+        ).collect()[0].t
+    finally:
+        near_survivors.unpersist()
+        exact_survivors.unpersist()
 
     report = [
         ("1_exact_dedup", n0, n1, n0 - n1, 0),

@@ -224,6 +224,34 @@ class SnapshotStateTable:
     def bucket_paths(self, version: int) -> dict[str, str]:
         return dict(self._load_manifest(version)["buckets"])
 
+    def get(self, key, version: int | None = None) -> DataFrame:
+        """Point lookup at a snapshot version [R ReadOnlyKeyValueStore#
+        get, time-travel-able]: the key's bucket resolves DRIVER-SIDE
+        (same pmod(xxhash64) the writer used), so the scan touches ONE
+        bucket directory of the manifest — O(1/buckets) of the table —
+        and parquet row-group stats prune within it. Returns an empty
+        (correctly-typed) frame when the key was never written."""
+        v = self.latest_version() if version is None else version
+        whole = self.read(v)  # raises the empty-store conditions
+        # hash the literal AT THE COLUMN'S TYPE: xxhash64 is
+        # physical-type-sensitive (an INT literal hashes differently
+        # from the LONG column the writer bucketed on)
+        key_t = whole.schema[self.key_col].dataType
+        b = (
+            self.spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(key).cast(key_t)), F.lit(UPSERT_BUCKETS))
+            )
+            .first()[0]
+        )
+        path = self._load_manifest(v)["buckets"].get(str(b))
+        if path is None:
+            return whole.where(F.lit(False))  # bucket never written
+        return (
+            self.spark.read.schema(whole.schema).parquet(path)
+            .where(F.col(self.key_col) == key)
+        )
+
     # -- maintenance --------------------------------------------------------
 
     def expire(self, keep_last: int) -> list[str]:

@@ -122,6 +122,121 @@ def read_live_state(
     return reader.load()
 
 
+def window_state_checkpoint(spark: SparkSession, sf_dir: str) -> str:
+    """Run a streaming tumbling-window count (1-day windows × event
+    type, NO watermark — infinite retention, the KS persistent
+    WindowStore shape) over the fixture once per fixture identity,
+    RETAINING the checkpoint, and return its location. The state rows
+    are the live window aggregates :func:`read_live_state` serves —
+    [R KafkaStreams#store(... windowStore()).fetchAll]."""
+    root, ready = fingerprint_dir(
+        "livewindow", os.path.join(sf_dir, "events.parquet")
+    )
+    ckpt = os.path.join(root, "ckpt")
+    if ready:
+        return ckpt
+    stage = os.path.join(root, "stage")
+    out = os.path.join(root, "out")
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    stage_events_ordered(ev, stage, n_slices=LIVE_STATE_CHUNKS)
+    schema = "ts TIMESTAMP, event_type STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    counts = stream.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            counts.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    del out  # the noop sink writes nothing; state IS the product
+    mark_ready(root)
+    return ckpt
+
+
+@query("store_live_window_counts")  # rows-only: reads a checkpoint's
+# window-store state; parity vs the batch tumbling counts is pinned in
+# tests/test_live_state.py
+def store_live_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[R windowStore().fetchAll] against LIVE state: every (day,
+    event_type) window's running aggregate read straight out of the
+    streaming query's state store. With no watermark the store retains
+    every window (the KS persistent WindowStore), so after the full
+    replay the state equals the batch tumbling counts — the parity
+    pin. Ordered for determinism."""
+    ckpt = window_state_checkpoint(spark, sf_dir)
+    state = read_live_state(spark, ckpt)
+    # state layout (inspected): key = (window struct(start,end),
+    # event_type), value = the agg buffer (count LONG)
+    return (
+        state.select(
+            F.col("key.window.start").cast("date").alias("day"),
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").cast("long").alias("n_events"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def read_state_change_feed(
+    spark: SparkSession,
+    checkpoint: str,
+    start_batch_id: int = 0,
+    end_batch_id: int | None = None,
+) -> DataFrame:
+    """The state store's CHANGE FEED — the analog of [R the KS
+    changelog topic backing every state store]: one row per state
+    mutation with its ``batch_id``, ``change_type`` and shard, read
+    with the State Data Source's CDC options (``readChangeFeed`` +
+    ``changeStartBatchId``/``changeEndBatchId``). Where
+    :func:`read_live_state` answers "what is the state at version N",
+    this answers "what changed, when" — restore-by-replay, audit, and
+    downstream-refresh feeds. Distributed exactly like the snapshot
+    read (per-shard tasks, no driver materialization); cost is the
+    delta files of the addressed batch range, independent of total
+    state size."""
+    _ensure_state_coordinator(spark)
+    reader = (
+        spark.read.format("statestore")
+        .option("path", checkpoint)
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", start_batch_id)
+    )
+    if end_batch_id is not None:
+        reader = reader.option("changeEndBatchId", end_batch_id)
+    return reader.load()
+
+
+@query("store_live_state_change_feed")  # rows-only: reads a checkpoint's
+# change feed; fold-to-snapshot parity + per-batch insert attribution are
+# pinned in tests/test_live_state.py
+def store_live_state_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[R the changelog topic of the dedup store], as a query: every
+    state mutation the streaming dedup committed, attributed to its
+    micro-batch — for infinite-retention dedup each user appears
+    exactly once, in the chunk that first saw it. Ordered for
+    determinism."""
+    ckpt = dedup_state_checkpoint(spark, sf_dir)
+    feed = read_state_change_feed(spark, ckpt)
+    return feed.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("change_type").cast("string").alias("change_type"),
+        F.col("batch_id").cast("long").alias("batch_id"),
+    ).orderBy("user_id", "batch_id")
+
+
 @query("store_live_streaming_state")  # rows-only: reads a checkpoint's state,
 # not a SQL-derivable table (parity vs batch distinct keys + the
 # bucketed-layout store is pinned in tests/test_live_state.py)

@@ -1,0 +1,68 @@
+"""Persisted ANN index lifecycle (functions/ann_index): build once as a
+cell-partitioned parquet table, query many — parity with the in-memory
+OPQ form, partition pruning in the physical plan, model round-trip."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import minefields_kafka_streams_deduplication_spark as engine
+from minefields_kafka_streams_deduplication_spark.functions import ann_index
+from minefields_kafka_streams_deduplication_spark.functions.vectors import IVF_K, ivf_pq_topk
+
+
+def test_index_query_matches_in_memory_opq(spark, sf_dir, tmp_path):
+    """Same seeds → the persisted-index query returns EXACTLY the
+    in-memory `ivf_pq_topk(opq=True)` results (the lifecycle split
+    changes where work happens, never the answer), at both the pure
+    ADC and the reranked settings."""
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    ann_index.build_ivf_pq_index(spark, sf_dir, root)
+    for kw in ({"nprobe": 8, "rerank": 10}, {"nprobe": 4}):
+        cols = (
+            (lambda r: (r.query_id, r.neighbor_id, r.cosine))
+            if kw.get("rerank")
+            else (lambda r: (r.query_id, r.neighbor_id, r.adc_rank))
+        )
+        got = {
+            cols(r)
+            for r in ann_index.ivf_pq_index_topk(spark, sf_dir, root, **kw).collect()
+        }
+        want = {
+            cols(r) for r in ivf_pq_topk(spark, sf_dir, opq=True, **kw).collect()
+        }
+        assert got == want, kw
+
+
+def test_index_layout_and_partition_pruning(spark, sf_dir, tmp_path):
+    """The index directory is partitioned by coarse cell; a query's
+    scan carries the probed-cell filter as a parquet PartitionFilter
+    (IVF pruning == file pruning), and the codes are m int8 per
+    vector."""
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    ann_index.build_ivf_pq_index(spark, sf_dir, root)
+    cell_dirs = glob.glob(os.path.join(root, "index", "cell=*"))
+    assert 1 <= len(cell_dirs) <= IVF_K
+    # every corpus vector is indexed exactly once, codes are m bytes
+    idx = spark.read.parquet(os.path.join(root, "index"))
+    n_emb = engine.load_table(spark, sf_dir, "embeddings").count()
+    assert idx.count() == n_emb
+    row = idx.first()
+    assert len(row.codes) == 8
+
+    plan = ann_index.ivf_pq_index_topk(
+        spark, sf_dir, root, nprobe=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_registered_roundtrip_query_caches_index(spark, sf_dir):
+    """The registered query builds the fingerprint-keyed index once and
+    reuses it; results stay identical across invocations."""
+    q = engine.get_queries()["ann_ivf_pq_index_roundtrip"]
+    first = {(r.query_id, r.neighbor_id, r.cosine) for r in q(spark, sf_dir).collect()}
+    again = {(r.query_id, r.neighbor_id, r.cosine) for r in q(spark, sf_dir).collect()}
+    assert first == again and len(first) > 0

@@ -105,3 +105,83 @@ def test_live_state_unknown_version_is_loud(spark, sf_dir):
         live_state.read_live_state(
             spark, ckpt, batch_id=live_state.LIVE_STATE_CHUNKS + 50
         ).collect()
+
+
+def test_change_feed_folds_to_snapshot_and_attributes_batches(spark, sf_dir):
+    """The change feed (r8 — the KS changelog-topic analog): (a) the
+    last change per key reproduces the final snapshot read exactly;
+    (b) for infinite-retention dedup every key mutates exactly ONCE,
+    in the chunk that first saw it (the same cumulative expectation
+    the point-in-time test pins); (c) a bounded
+    [changeStartBatchId, changeEndBatchId] range returns exactly the
+    batches asked for."""
+    ckpt = live_state.dedup_state_checkpoint(spark, sf_dir)
+    feed = engine.get_queries()["store_live_state_change_feed"](
+        spark, sf_dir
+    ).collect()
+
+    # (b) one mutation per key, non-delete
+    assert len({r.user_id for r in feed}) == len(feed)
+    assert all(r.change_type != "delete" for r in feed)
+
+    snapshot_keys = {
+        r["key"]["user_id"]
+        for r in live_state.read_live_state(spark, ckpt).collect()
+    }
+    assert {r.user_id for r in feed} == snapshot_keys  # (a)
+
+    # (b) insert batch == first chunk containing the user
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo).total_seconds() or 1.0
+    last = live_state.LIVE_STATE_CHUNKS - 1
+    seen: set = set()
+    for b in range(last + 1):
+        bound = lo + dt.timedelta(
+            seconds=span * (b + 1) / live_state.LIVE_STATE_CHUNKS
+        )
+        cum = ev.where(F.col("ts") < F.lit(bound)) if b < last else ev
+        cum_keys = {
+            r.user_id for r in cum.select("user_id").distinct().collect()
+        }
+        expect_new = cum_keys - seen
+        got_new = {r.user_id for r in feed if r.batch_id == b}
+        assert got_new == expect_new, f"batch {b}"
+        seen = cum_keys
+
+    # (c) bounded range
+    ranged = live_state.read_state_change_feed(
+        spark, ckpt, start_batch_id=1, end_batch_id=1
+    ).collect()
+    assert {r["batch_id"] for r in ranged} <= {1}
+    assert {r["key"]["user_id"] for r in ranged} == {
+        r.user_id for r in feed if r.batch_id == 1
+    }
+
+
+def test_live_window_store_matches_batch_tumbling(spark, sf_dir):
+    """Live WindowStore reads (r8): the streaming tumbling count's
+    state — read via the State Data Source — equals the batch
+    (day × event_type) counts exactly (no watermark → every window
+    retained, the KS persistent WindowStore shape)."""
+    got = {
+        (r.day, r.event_type): r.n_events
+        for r in engine.get_queries()["store_live_window_counts"](
+            spark, sf_dir
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r.day, r.event_type): r.n_events
+        for r in ev.groupBy(
+            F.window("ts", "1 day").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type",
+            "n_events",
+        )
+        .collect()
+    }
+    assert got == want

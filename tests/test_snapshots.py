@@ -460,3 +460,29 @@ def test_stream_eos_snapshot_query_parity_and_versions(spark, sf_dir, tmp_path):
     }
     got = {r.user_id: r.event_id for r in t.read().collect()}
     assert got == direct
+
+
+def test_point_lookup_routes_to_one_bucket(spark, tmp_path):
+    """get(key[, version]) — the time-travel point read: correct value
+    at every version, empty typed frame for an absent key, and the
+    scan's input is ONE bucket directory (driver-side hash routing),
+    not the manifest's full path set."""
+    t = SnapshotStateTable(spark, str(tmp_path / "s"))
+    t.commit(ev(spark, [(1, 10, 0, 1.0), (2, 20, 0, 2.0)]))
+    t.commit(ev(spark, [(1, 11, 5, 1.5)]))
+
+    assert [(r.event_id, r.value) for r in t.get(1).collect()] == [(11, 1.5)]
+    assert [(r.event_id, r.value) for r in t.get(1, version=1).collect()] == [
+        (10, 1.0)
+    ]
+    assert [(r.event_id, r.value) for r in t.get(2).collect()] == [(20, 2.0)]
+    missing = t.get(999)
+    assert missing.count() == 0
+    assert missing.schema == t.read().schema
+
+    # physical routing: the lookup plan reads a single bucket path
+    plan = t.get(1)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    paths = set(re.findall(r"bucket=\d+", plan))
+    assert len(paths) == 1
