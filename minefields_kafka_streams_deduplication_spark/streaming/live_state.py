@@ -136,7 +136,6 @@ def window_state_checkpoint(spark: SparkSession, sf_dir: str) -> str:
     if ready:
         return ckpt
     stage = os.path.join(root, "stage")
-    out = os.path.join(root, "out")
     ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
     stage_events_ordered(ev, stage, n_slices=LIVE_STATE_CHUNKS)
     schema = "ts TIMESTAMP, event_type STRING"
@@ -161,8 +160,7 @@ def window_state_checkpoint(spark: SparkSession, sf_dir: str) -> str:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    del out  # the noop sink writes nothing; state IS the product
-    mark_ready(root)
+    mark_ready(root)  # the noop sink writes nothing; state IS the product
     return ckpt
 
 
