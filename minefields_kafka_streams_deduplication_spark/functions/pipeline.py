@@ -2076,3 +2076,62 @@ def tokens_per_doc_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "lang_source_chi2_cells",
+    oracle="""
+WITH o AS (SELECT lang, source, count(*) AS observed FROM documents GROUP BY 1, 2),
+r AS (SELECT lang, sum(observed) AS rt FROM o GROUP BY lang),
+c AS (SELECT source, sum(observed) AS ct FROM o GROUP BY source),
+n AS (SELECT sum(observed) AS n FROM o)
+SELECT o.lang, o.source,
+       CAST(o.observed AS BIGINT) AS observed,
+       FLOOR(CAST(r.rt * c.ct AS DOUBLE) / n.n * 10000 + 0.5) / 10000
+         AS expected,
+       FLOOR(
+         (o.observed - CAST(r.rt * c.ct AS DOUBLE) / n.n)
+         * (o.observed - CAST(r.rt * c.ct AS DOUBLE) / n.n)
+         / (CAST(r.rt * c.ct AS DOUBLE) / n.n) * 10000 + 0.5
+       ) / 10000 AS chi2_contrib
+FROM o, r, c, n
+WHERE o.lang = r.lang AND o.source = c.source
+ORDER BY o.lang, o.source
+""",
+)
+def lang_source_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence grid for (lang × source) — is the
+    language mix the same across sources? The statistical companion to
+    PSI/KS drift (those compare value DISTRIBUTIONS over time; this
+    tests independence of two categorical axes of the corpus). Emitted
+    PER CELL (observed, expected, (O−E)²/E) rather than as one summed
+    statistic: each cell's floats derive from ONE division of exact
+    integer counts, so every row is engine-deterministic under
+    round4f — a 15-double cross-engine summation-order hazard never
+    exists. Clients sum chi2_contrib for the statistic (dof =
+    (L−1)(S−1) is implied by the grid shape).
+
+    Scale shape: one (lang, source) hash aggregate over the corpus;
+    row/column/grand totals are grid-bounded re-aggregations of the
+    ≤|L|·|S| cell frame; the three joins are broadcast-trivial."""
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("observed"))
+    r = o.groupBy("lang").agg(F.sum("observed").alias("rt"))
+    c = o.groupBy("source").agg(F.sum("observed").alias("ct"))
+    n = o.agg(F.sum("observed").alias("n"))
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    return (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            F.col("observed").cast("long").alias("observed"),
+            round4f(e).alias("expected"),
+            round4f(
+                (F.col("observed") - e) * (F.col("observed") - e) / e
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("lang", "source")
+    )

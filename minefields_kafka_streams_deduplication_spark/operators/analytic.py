@@ -1687,3 +1687,66 @@ def power_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("top1pct_events").cast("double") / F.col("total_events")
         ).alias("events_share"),
     )
+
+
+@query(
+    "event_type_user_jaccard",
+    oracle="""
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+tc AS (SELECT event_type, count(*) AS n_users FROM tu GROUP BY event_type),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_both
+  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b,
+       CAST(i.n_both AS BIGINT) AS n_both,
+       CAST(ta.n_users + tb.n_users - i.n_both AS BIGINT) AS n_union,
+       FLOOR(CAST(i.n_both AS DOUBLE) / (ta.n_users + tb.n_users - i.n_both)
+             * 10000 + 0.5) / 10000 AS jaccard
+FROM inter i
+JOIN tc ta ON ta.event_type = i.type_a
+JOIN tc tb ON tb.event_type = i.type_b
+ORDER BY i.type_a, i.type_b
+""",
+)
+def event_type_user_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types as a Jaccard matrix (upper
+    triangle): |users doing A ∩ users doing B| / |union| — the
+    set-similarity rollup behind "do purchasers also error?" questions
+    (set_intersect_buyers_viewers answers ONE pair as a row set; this
+    scores every pair).
+
+    Scale shape: the distinct (type, user) grid is one hash aggregate;
+    the intersection is a USER-keyed self-join of that grid (each user
+    contributes ≤|types|² pair rows — bounded fan-out, never a global
+    pair join); totals re-aggregate the grid and broadcast. Counts
+    exact; the single division is floor-form round4f over exact
+    longs."""
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    tc = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = tc.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("na"))
+    tb = tc.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("nb"))
+    union = F.col("na") + F.col("nb") - F.col("n_both")
+    return (
+        inter.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            union.cast("long").alias("n_union"),
+            round4f(F.col("n_both").cast("double") / union).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -378,3 +378,94 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+@query(
+    "median_session_length_by_day",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM e
+),
+ps AS (
+  SELECT user_id, sess_id, CAST(min(ts) AS DATE) AS day,
+         count(*) AS n_events
+  FROM s GROUP BY user_id, sess_id
+),
+r AS (
+  SELECT day, n_events,
+         row_number() OVER (PARTITION BY day ORDER BY n_events) AS rn,
+         count(*) OVER (PARTITION BY day) AS n
+  FROM ps
+)
+SELECT day,
+       CAST(max(n) AS BIGINT) AS n_sessions,
+       CAST(min(CASE WHEN rn >= (n + 1) // 2 THEN n_events END) AS BIGINT)
+         AS median_session_events
+FROM r GROUP BY day ORDER BY day
+""",
+)
+def median_session_length_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete per-day median session length (events per 30-min-gap
+    session) — engagement DEPTH next to bounce_rate_daily's
+    single-event rate. The median is the smallest length whose
+    cumulative session count reaches ceil(n/2): discrete, so nothing
+    interpolates across engines.
+
+    Scale shape: sessionization is the shared one-exchange lag-flag +
+    running-sum pipeline; session lengths VALUE-COLLAPSE per (day,
+    length) and the median comes from the shared `_grouped_value_cdf`
+    (range-partitioned on the length split — never a per-day rank
+    window, the low-cardinality-partition trap at calendar group
+    counts)."""
+    from .analytic import _grouped_value_cdf
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(
+        F.unix_micros(F.col("ts"))
+    ).over(w)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_us > 1_800_000_000, 1).otherwise(0).alias("new_sess"),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.min("ts").cast("date").alias("day"),
+        F.count(F.lit(1)).alias("value"),
+    )
+    collapsed = per_sess.groupBy("day", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cdf = _grouped_value_cdf(collapsed, "day", "value")
+    totals = cdf.groupBy("day").agg(F.max("cum").alias("n"))
+    med = (
+        cdf.join(F.broadcast(totals), "day")
+        .where(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("day")
+        .agg(F.min("value").alias("median_session_events"))
+    )
+    return (
+        totals.join(med, "day")
+        .select(
+            "day",
+            F.col("n").cast("long").alias("n_sessions"),
+            F.col("median_session_events").cast("long").alias(
+                "median_session_events"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -847,3 +847,80 @@ def test_power_user_concentration_matches_reference(spark, rows):
         len(ordered), k, te, tot
     )
     assert r.events_share == math.floor(te / tot * 10000 + 0.5) / 10000.0
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=typed_events_strategy)
+def test_type_user_jaccard_matches_reference(spark, rows):
+    """Audience-overlap Jaccard (r8) equals brute-force set arithmetic
+    per ordered type pair."""
+    import math
+
+    from minefields_kafka_streams_deduplication_spark.operators import analytic
+
+    df = mk_typed(spark, rows)
+    orig = analytic.load_table
+    analytic.load_table = lambda s, d, n: df
+    try:
+        got = {
+            (r.type_a, r.type_b): (r.n_both, r.n_union, r.jaccard)
+            for r in analytic.event_type_user_jaccard(spark, "x").collect()
+        }
+    finally:
+        analytic.load_table = orig
+
+    sets: dict = {}
+    for _m, u, ty in rows:
+        sets.setdefault(ty, set()).add(u)
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] & sets[b]:
+                i = len(sets[a] & sets[b])
+                un = len(sets[a] | sets[b])
+                want[(a, b)] = (i, un, math.floor(i / un * 10000 + 0.5) / 10000.0)
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=typed_events_strategy)
+def test_median_session_length_matches_reference(spark, rows):
+    """Per-day discrete session-length median (r8) equals the
+    brute-force sessionizer + sorted-middle pick."""
+    from minefields_kafka_streams_deduplication_spark.operators import windows
+
+    df = mk_typed(spark, rows)
+    orig = windows.load_table
+    windows.load_table = lambda s, d, n: df
+    try:
+        got = {
+            r.day: (r.n_sessions, r.median_session_events)
+            for r in windows.median_session_length_by_day(spark, "x").collect()
+        }
+    finally:
+        windows.load_table = orig
+
+    t0 = dt.datetime(2024, 1, 1)
+    by_user: dict = {}
+    for i, (m, u, _ty) in enumerate(rows):
+        by_user.setdefault(u, []).append((t0 + dt.timedelta(minutes=m), i))
+    lengths_by_day: dict = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        cur: list = []
+        prev = None
+        sessions = []
+        for t, _i in evs:
+            if prev is None or (t - prev).total_seconds() > 1800:
+                cur = []
+                sessions.append(cur)
+            cur.append(t)
+            prev = t
+        for s in sessions:
+            lengths_by_day.setdefault(min(s).date(), []).append(len(s))
+    want = {}
+    for day, ls in lengths_by_day.items():
+        ls.sort()
+        n = len(ls)
+        want[day] = (n, ls[(n + 1) // 2 - 1])
+    assert got == want
