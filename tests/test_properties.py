@@ -924,3 +924,56 @@ def test_median_session_length_matches_reference(spark, rows):
         n = len(ls)
         want[day] = (n, ls[(n + 1) // 2 - 1])
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "fr"]),
+            st.sampled_from(["web", "wiki"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_chi2_cells_match_reference(spark, cells):
+    """The per-cell chi-square grid (r8) equals the textbook
+    O/E/(O−E)²/E computation in pure Python, including the floor-form
+    rounding, on random (lang, source) corpora."""
+    import math
+
+    from minefields_kafka_streams_deduplication_spark.functions import pipeline as pl
+
+    df = spark.createDataFrame(
+        [(i, "t", lang, src, 1) for i, (lang, src) in enumerate(cells)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars INT",
+    )
+    orig = pl.load_table
+    pl.load_table = lambda s, d, n: df
+    try:
+        got = {
+            (r.lang, r.source): (r.observed, r.expected, r.chi2_contrib)
+            for r in pl.lang_source_chi2_cells(spark, "x").collect()
+        }
+    finally:
+        pl.load_table = orig
+
+    obs: dict = {}
+    for lang, src in cells:
+        obs[(lang, src)] = obs.get((lang, src), 0) + 1
+    n = len(cells)
+    rt: dict = {}
+    ct: dict = {}
+    for (lang, src), o in obs.items():
+        rt[lang] = rt.get(lang, 0) + o
+        ct[src] = ct.get(src, 0) + o
+
+    def r4(x):
+        return math.floor(x * 10000 + 0.5) / 10000.0
+
+    want = {}
+    for (lang, src), o in obs.items():
+        e = rt[lang] * ct[src] / n
+        want[(lang, src)] = (o, r4(e), r4((o - e) * (o - e) / e))
+    assert got == want
