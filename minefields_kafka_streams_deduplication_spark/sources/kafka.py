@@ -72,6 +72,148 @@ def parse_event_payload(raw: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def parse_event_payload_routed(
+    raw: DataFrame, value_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """Deserialization with DEAD-LETTER routing — the
+    [R DeserializationExceptionHandler, LogAndContinueExceptionHandler]
+    analog (r8): split a Kafka-shaped frame into (good, dead) where
+    `good` is `parse_event_payload`'s typed rows and `dead` keeps the
+    ORIGINAL key/value bytes untouched (the DLQ contract — a corrupt
+    record must survive for replay/forensics, never be coerced) plus a
+    `reason`:
+
+    - ``malformed_json``: from_json could not parse the value bytes
+      (Spark's PERMISSIVE null-struct, surfaced instead of silently
+      becoming an all-NULL event);
+    - ``missing_required_field``: valid JSON but event_id / ts_us /
+      user_id absent — typed downstream operators would NPE-class on
+      these in KS, so they route out here.
+
+    Both sides come off ONE parse (the struct column is computed once;
+    Catalyst reuses it across the two filters), all codegen, zero
+    Python. PERMISSIVE from_json does NOT null the struct on malformed
+    input — it nulls every field, indistinguishable from valid JSON
+    with absent keys — so malformed detection rides the
+    `columnNameOfCorruptRecord` channel (the raw text lands in a
+    sentinel field only when parsing failed). Conservation (good +
+    dead == input, bit-exact halves) is pinned in tests and by the
+    oracle-backed `kafka_wire_dlq_routing`.
+    """
+    e = F.from_json(
+        F.col(value_col).cast("string"),
+        EVENT_PAYLOAD_SCHEMA + ", _corrupt STRING",
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+    reason = (
+        F.when(e["_corrupt"].isNotNull(), F.lit("malformed_json"))
+        .when(
+            e["event_id"].isNull() | e["ts_us"].isNull() | e["user_id"].isNull(),
+            F.lit("missing_required_field"),
+        )
+    )
+    tagged = raw.withColumn("_dlq_reason", reason)
+    good = parse_event_payload(
+        tagged.where(F.col("_dlq_reason").isNull()).drop("_dlq_reason"),
+        value_col,
+    )
+    dead = tagged.where(F.col("_dlq_reason").isNotNull()).select(
+        *[c for c in raw.columns],
+        F.col("_dlq_reason").alias("reason"),
+    )
+    return good, dead
+
+
+def parse_event_payload_strict(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """The [R LogAndFailExceptionHandler] mode (KS's default): any
+    corrupt record FAILS the job loudly (raise_error carries the
+    offending bytes' reason), instead of continuing past it. Use when
+    the topic is contractually clean and silence would hide a producer
+    bug."""
+    e = F.from_json(
+        F.col(value_col).cast("string"),
+        EVENT_PAYLOAD_SCHEMA + ", _corrupt STRING",
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+    bad = (
+        e["_corrupt"].isNotNull()
+        | e["event_id"].isNull()
+        | e["ts_us"].isNull()
+        | e["user_id"].isNull()
+    )
+    # The check is WOVEN INTO the value column (not a droppable side
+    # column — Catalyst would prune an unreferenced raise_error
+    # projection and the job would sail past the corruption).
+    checked = raw.withColumn(
+        value_col,
+        F.when(
+            bad,
+            F.raise_error(
+                F.concat(
+                    F.lit("deserialization failed (LogAndFail): "),
+                    F.coalesce(
+                        F.col(value_col).cast("string"), F.lit("<null value>")
+                    ),
+                )
+            ).cast("binary"),
+        ).otherwise(F.col(value_col)),
+    )
+    return parse_event_payload(checked, value_col)
+
+
+@query(
+    "kafka_wire_dlq_routing",
+    oracle="""
+SELECT 'malformed_json' AS reason,
+       CAST(count(*) AS BIGINT) AS n_records
+FROM events WHERE event_id % 97 = 0
+UNION ALL
+SELECT 'missing_required_field',
+       CAST(count(*) AS BIGINT)
+FROM events WHERE event_id % 97 <> 0 AND event_id % 101 = 0
+UNION ALL
+SELECT 'ok', CAST(count(*) AS BIGINT)
+FROM events WHERE event_id % 97 <> 0 AND event_id % 101 <> 0
+ORDER BY reason
+""",
+)
+def kafka_wire_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dead-letter proof without a broker: serialize the
+    fixture onto the wire, deterministically corrupt two slices
+    (event_id % 97 == 0 → truncated bytes = malformed JSON;
+    event_id % 101 == 0 → valid JSON missing every required field),
+    route through `parse_event_payload_routed`, and report record
+    counts per routing outcome. The oracle recomputes the slice sizes
+    straight from the events table, so a swallowed corrupt record, a
+    mis-tagged reason, or a good row lost to the DLQ breaks the hash.
+    (Byte-preservation of dead records and the strict LogAndFail mode
+    are pinned in tests/test_sources.py.)"""
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    wire = serialize_event_payload(ev)
+    wire_id = F.get_json_object(F.col("value").cast("string"), "$.event_id").cast(
+        "long"
+    )
+    corrupted = wire.withColumn(
+        "value",
+        F.when(wire_id % 97 == 0, F.lit('{"event_id": 12,').cast("binary"))
+        .when(
+            wire_id % 101 == 0,
+            F.to_json(F.struct(F.lit("orphan").alias("event_type"))).cast("binary"),
+        )
+        .otherwise(F.col("value")),
+    )
+    good, dead = parse_event_payload_routed(corrupted)
+    ok = good.agg(F.count(F.lit(1)).alias("n_records")).select(
+        F.lit("ok").alias("reason"), F.col("n_records").cast("long")
+    )
+    dlq = dead.groupBy("reason").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records")
+    )
+    return dlq.unionByName(ok).orderBy("reason")
+
+
 def events_from_kafka(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -744,3 +744,75 @@ def test_kafka_live_roundtrip_env_gated(spark, sf_dir, tmp_path):
     want = {tuple(r) for r in ev.collect()}
     got = {tuple(r) for r in back.select(*ev.columns).collect()}
     assert got == want
+
+
+def test_dlq_routing_conserves_and_preserves_bytes(spark):
+    """DeserializationExceptionHandler analog (r8): good + dead == input,
+    good rows parse bit-exactly, dead rows keep the ORIGINAL value
+    bytes untouched with the right reason."""
+    from pyspark.sql import functions as F
+
+    from minefields_kafka_streams_deduplication_spark.sources.kafka import (
+        parse_event_payload_routed,
+        serialize_event_payload,
+    )
+
+    clean = [
+        (1, 1704067200000000, 7, "view", 1.5, "{}"),
+        (2, 1704067260000000, 8, "purchase", 2.5, None),
+    ]
+    ev = spark.createDataFrame(
+        [(e, None, u, t, v, p) for e, _ts, u, t, v, p in clean],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    ).withColumn("ts", F.timestamp_micros(F.lit(1704067200000000)))
+    wire = serialize_event_payload(ev)
+    junk = spark.createDataFrame(
+        [
+            (bytearray(b"9"), bytearray(b'{"event_id": 3,'), "x"),       # malformed
+            (bytearray(b"9"), bytearray(b'{"event_type": "view"}'), "x"),  # missing req
+        ],
+        "key BINARY, value BINARY, tag STRING",
+    ).select("key", "value", F.array().cast(
+        "array<struct<key:string,value:binary>>"
+    ).alias("headers"), F.timestamp_micros(F.lit(0)).alias("timestamp"))
+    frame = wire.unionByName(junk)
+
+    good, dead = parse_event_payload_routed(frame)
+    g = good.collect()
+    d = dead.collect()
+    assert len(g) + len(d) == frame.count() == 4
+    assert sorted(r.event_id for r in g) == [1, 2]
+    by_reason = {r.reason: bytes(r.value) for r in d}
+    assert by_reason == {
+        "malformed_json": b'{"event_id": 3,',
+        "missing_required_field": b'{"event_type": "view"}',
+    }
+    # dead keeps every original wire column
+    assert set(dead.columns) == set(frame.columns) | {"reason"}
+
+
+def test_strict_parse_fails_loudly_on_corrupt_record(spark):
+    """LogAndFail mode (KS default): a corrupt record raises instead of
+    silently continuing; a clean frame parses identically to the
+    permissive parser."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from minefields_kafka_streams_deduplication_spark.sources.kafka import (
+        parse_event_payload,
+        parse_event_payload_strict,
+        serialize_event_payload,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 7, "view", 1.5, "{}")],
+        "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    ).withColumn("ts", F.timestamp_micros(F.lit(1704067200000000)))
+    wire = serialize_event_payload(ev)
+    assert sorted(parse_event_payload_strict(wire).collect()) == sorted(
+        parse_event_payload(wire).collect()
+    )
+
+    bad = wire.withColumn("value", F.lit(b'{"event_id": 3,'))
+    with pytest.raises(Exception, match="LogAndFail"):
+        parse_event_payload_strict(bad).collect()
