@@ -1750,3 +1750,88 @@ def event_type_user_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "customer_spend_percentile_by_nation",
+    oracle="""
+WITH s AS (
+  SELECT c.c_custkey AS custkey, n.n_name AS nation,
+         sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS spend
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT custkey, nation, CAST(spend AS DOUBLE) AS spend,
+       FLOOR(percent_rank() OVER (PARTITION BY nation ORDER BY spend)
+             * 10000 + 0.5) / 10000 AS spend_percentile
+FROM s ORDER BY nation, custkey
+""",
+)
+def customer_spend_percentile_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Each customer's spend percentile WITHIN their nation — the
+    per-group percent_rank the oracle writes as a window. 25 nations is
+    exactly the Window.partitionBy(low-cardinality) trap (25 tasks
+    regardless of customer count), so the rank comes from the shared
+    `_grouped_value_cdf` instead: percent_rank = (rank−1)/(n−1) with
+    rank() ties-share-min semantics, and for a value run of c customers
+    ending at cumulative position cum, rank−1 = cum−c exactly — the
+    percentile joins back to customers BY VALUE, windows never appear,
+    and parallelism follows the spend-value split.
+
+    Scale shape: the spend rollup is the orders⋈customer FK join (dim
+    nation broadcasts); the CDF runs over distinct (nation, spend)
+    values; the percentile rejoin is value-keyed. All counts exact;
+    the one division is floor-form round4f (percent_rank of a 1-row
+    group is 0 by SQL convention, guarded)."""
+    from ..catalog import dec6, round4f
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    spend = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(dec6(F.col("o_totalprice"))).alias("spend_dec"))
+    )
+    collapsed = spend.groupBy(
+        "nation", F.col("spend_dec").alias("value")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cdf = _grouped_value_cdf(collapsed, "nation", "value")
+    totals = cdf.groupBy("nation").agg(F.max("cum").alias("n"))
+    pct = (
+        cdf.join(F.broadcast(totals), "nation")
+        .select(
+            F.col("nation").alias("p_nation"),
+            F.col("value").alias("p_value"),
+            F.when(
+                F.col("n") > 1,
+                round4f(
+                    (F.col("cum") - F.col("c")).cast("double")
+                    / (F.col("n") - 1)
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("spend_percentile"),
+        )
+    )
+    return (
+        spend.join(
+            pct,
+            (F.col("nation") == F.col("p_nation"))
+            & (F.col("spend_dec") == F.col("p_value")),
+        )
+        .select(
+            "custkey",
+            "nation",
+            F.col("spend_dec").cast("double").alias("spend"),
+            "spend_percentile",
+        )
+        .orderBy("nation", "custkey")
+    )

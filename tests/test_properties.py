@@ -977,3 +977,72 @@ def test_chi2_cells_match_reference(spark, cells):
         e = rt[lang] * ct[src] / n
         want[(lang, src)] = (o, r4(e), r4((o - e) * (o - e) / e))
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 12),          # custkey
+            st.sampled_from(["A", "B", "C"]),  # nation
+            st.integers(1, 5),           # per-order price (ties likely)
+            st.integers(1, 3),           # orders per customer
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda r: r[0],
+    )
+)
+def test_spend_percentile_matches_reference(spark, rows):
+    """Grouped percent_rank from the value CDF (r8) equals the textbook
+    (rank−1)/(n−1) with ties-share-min — including single-customer
+    nations (percentile 0) and tied spends."""
+    import math
+
+    from minefields_kafka_streams_deduplication_spark.operators import analytic
+
+    orders = spark.createDataFrame(
+        [
+            (1000 * ck + i, ck, float(price), "1996-01-01", "O", "1-URGENT")
+            for ck, _n, price, cnt in rows
+            for i in range(cnt)
+        ],
+        "o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE, o_orderdate STRING, o_orderstatus STRING, o_orderpriority STRING",
+    )
+    customer = spark.createDataFrame(
+        [(ck, f"c{ck}", {"A": 0, "B": 1, "C": 2}[n], 0.0, "m") for ck, n, _p, _c in rows],
+        "c_custkey LONG, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING",
+    )
+    nation = spark.createDataFrame(
+        [(0, "A", 0), (1, "B", 1), (2, "C", 2)],
+        "n_nationkey INT, n_name STRING, n_regionkey INT",
+    )
+    tables = {"orders": orders, "customer": customer, "nation": nation}
+    orig = analytic.load_table
+    analytic.load_table = lambda s, d, n: tables[n]
+    try:
+        got = {
+            r.custkey: (r.nation, r.spend, r.spend_percentile)
+            for r in analytic.customer_spend_percentile_by_nation(
+                spark, "x"
+            ).collect()
+        }
+    finally:
+        analytic.load_table = orig
+
+    spend = {ck: (n, float(price * cnt)) for ck, n, price, cnt in rows}
+    by_nation: dict = {}
+    for ck, (n, s) in spend.items():
+        by_nation.setdefault(n, []).append((ck, s))
+    want = {}
+    for n, members in by_nation.items():
+        vals = sorted(s for _ck, s in members)
+        total = len(members)
+        for ck, s in members:
+            if total == 1:
+                p = 0.0
+            else:
+                rank = vals.index(s) + 1  # ties share the MIN rank
+                p = math.floor((rank - 1) / (total - 1) * 10000 + 0.5) / 10000.0
+            want[ck] = (n, s, p)
+    assert got == want
