@@ -1082,3 +1082,179 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TEXTRANK_TOPK)
         .select(F.col("node").alias("token"), F.round("rank", 8).alias("rank"))
     )
+
+
+PMI_MIN_COUNT = 10  # support floor: pairs below it are noise, pruned early
+PMI_TOP_K = 50
+
+
+@query(
+    "bigram_pmi_top",
+    oracle=f"""
+WITH toks AS (SELECT string_split(lower(text), ' ') AS tk FROM documents),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(tk)),
+                i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS b
+  FROM toks WHERE len(tk) >= 2
+),
+cbg AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c FROM bg GROUP BY 1, 2),
+uni AS (
+  SELECT t, count(*) AS cu
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)
+  GROUP BY 1
+),
+tb AS (SELECT sum(c) AS nb FROM cbg),
+tu AS (SELECT sum(cu) AS nu FROM uni)
+SELECT g.w1, g.w2, CAST(g.c AS BIGINT) AS n_pair,
+       CAST(CAST(ln( (CAST(g.c AS DOUBLE) / b.nb)
+             / ((CAST(u1.cu AS DOUBLE) / t.nu)
+                * (CAST(u2.cu AS DOUBLE) / t.nu)) )
+           AS DECIMAL(18,6)) AS DOUBLE) AS pmi
+FROM cbg g
+JOIN uni u1 ON g.w1 = u1.t
+JOIN uni u2 ON g.w2 = u2.t
+CROSS JOIN tb b CROSS JOIN tu t
+WHERE g.c >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, g.w1, g.w2
+LIMIT {PMI_TOP_K}
+""",
+)
+def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top adjacent token pairs by pointwise mutual
+    information, PMI = ln(p(w1,w2) / (p(w1)·p(w2))), with a support
+    floor — the statistic behind multi-word-expression vocab entries
+    (Mikolov et al. 2013 §4 use exactly this score to merge phrases
+    before word2vec training).
+
+    Determinism: the probability ratio is built in the SAME IEEE op
+    order on both engines (each count cast to double, divide, multiply,
+    divide), the ln() snaps to DECIMAL(18,6) before ordering (the
+    doc_unigram_logprob discipline — a last-ulp libm divergence cannot
+    flip a 6-dp value off a tie), and rank ties break on (w1, w2).
+
+    Scale shape: exact-copy collapse first (identical texts contribute
+    identical bigram multisets — the r7 copy-flood discipline: explode
+    the DISTINCT-text table, weight counts by copy count); bigram and
+    unigram counts are map-side-combined and vocabulary-bounded; the
+    support floor prunes BEFORE the vocab joins; totals are 1-row
+    broadcasts; the top-k plans TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    reps = docs.groupBy(F.md5(F.lower("text")).alias("th")).agg(
+        F.count(F.lit(1)).alias("w"),
+        F.first(F.split(F.lower("text"), " ")).alias("tk"),
+    )
+    n = F.size("tk")
+    zipped = F.arrays_zip(
+        F.slice("tk", 1, n - 1),
+        F.expr("slice(tk, 2, size(tk) - 1)"),
+    )
+    pairs = (
+        reps.where(n >= 2)
+        .select("w", F.explode(zipped).alias("p"))
+        .select("w", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    )
+    cbg = pairs.groupBy("w1", "w2").agg(F.sum("w").alias("c"))
+    uni = (
+        reps.select(F.explode("tk").alias("t"), "w")
+        .groupBy("t")
+        .agg(F.sum("w").alias("cu"))
+    )
+    nb = cbg.agg(F.sum("c").alias("nb"))
+    nu = uni.agg(F.sum("cu").alias("nu"))
+    u1 = uni.select(F.col("t").alias("w1"), F.col("cu").alias("cu1"))
+    u2 = uni.select(F.col("t").alias("w2"), F.col("cu").alias("cu2"))
+    ratio = (F.col("c").cast("double") / F.col("nb")) / (
+        (F.col("cu1").cast("double") / F.col("nu"))
+        * (F.col("cu2").cast("double") / F.col("nu"))
+    )
+    return (
+        cbg.where(F.col("c") >= PMI_MIN_COUNT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("n_pair"),
+            F.log(ratio).cast("decimal(18,6)").cast("double").alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )
+
+
+@query(
+    "doc_length_token_corr",
+    oracle="""
+WITH xy AS (
+  SELECT lang, n_chars AS x,
+         len(string_split(lower(text), ' ')) AS y
+  FROM documents
+),
+s AS (
+  SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+  FROM xy GROUP BY 1
+)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                       * 10000 + 0.5) / 10000
+            ELSE 0.0 END AS chars_tokens_corr
+FROM s ORDER BY lang
+""",
+)
+def doc_length_token_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Pearson correlation between character length and
+    token count — the sanity check behind "chars ÷ 4 ≈ tokens" budget
+    heuristics (a language whose correlation drops is tokenizing
+    badly). Computed from the six sufficient statistics (n, Σx, Σy,
+    Σx², Σy², Σxy), NOT a built-in corr() — float corr aggregates are
+    summation-order-dependent across engines, while integer sums are
+    exact, so both engines divide identical doubles.
+
+    Scale shape: ONE language-keyed hash aggregate over per-doc integer
+    pairs (map-side combined); the correlation arithmetic runs on the
+    5-row rollup. The x·y products stay far inside int64 at any
+    realistic doc length; the final quotient is floor-form rounded
+    with a zero-variance guard."""
+    docs = load_table(spark, sf_dir, "documents")
+    xy = docs.select(
+        "lang",
+        F.col("n_chars").alias("x"),
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("y"),
+    )
+    s = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    varx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    vary = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    return s.select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        F.when(varx * vary > 0, round4f(num / F.sqrt(varx * vary)))
+        .otherwise(F.lit(0.0))
+        .alias("chars_tokens_corr"),
+    ).orderBy("lang")

@@ -1835,3 +1835,233 @@ def customer_spend_percentile_by_nation(
         )
         .orderBy("nation", "custkey")
     )
+
+
+def _global_running_sum(df: DataFrame, order_col: str, val_col: str) -> DataFrame:
+    """(order, val) -> same frame + ``run_sum`` (prefix sum of ``val``
+    in ``order_col`` order) — the two-phase range-partitioned cumsum,
+    SIGNED-VALUE variant of `_grouped_value_cdf`: per-partition totals
+    come from ``sum(val)`` rather than ``max`` of the local running sum
+    (a max-based total is only correct when every increment is
+    non-negative; interval +1/−1 deltas are not). Parallelism follows
+    the range split of ``order_col``; the localCheckpoint pins one
+    materialized partitioning for the local-cumsum and totals branches
+    (the r6 ReuseExchange-resampling hazard)."""
+    part = (
+        df.repartitionByRange(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part.withColumn("_lc", F.sum(val_col).over(w))
+    totals = part.groupBy("_pid").agg(F.sum(val_col).alias("_t"))
+    t2 = totals.select(F.col("_pid").alias("_pid2"), F.col("_t").alias("_tb"))
+    offsets = (
+        totals.join(t2, F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_tb"), F.lit(0)).alias("_o"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("run_sum", (F.col("_lc") + F.col("_o")).cast("long"))
+        .drop("_pid", "_lc", "_o")
+    )
+
+
+@query(
+    "new_vs_returning_daily",
+    oracle="""
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+fu AS (SELECT user_id, min(day) AS first_day FROM du GROUP BY 1)
+SELECT du.day,
+       CAST(sum(CASE WHEN du.day = fu.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_users,
+       CAST(sum(CASE WHEN du.day > fu.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS returning_users
+FROM du JOIN fu ON du.user_id = fu.user_id
+GROUP BY 1 ORDER BY 1
+""",
+)
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split — the acquisition-vs-retention
+    decomposition of DAU (a user is "new" exactly on their first active
+    day). [R the first-touch KTable a KS app keeps per key to classify
+    each event against its earliest-seen timestamp.]
+
+    Scale shape: the (day, user) grid is ONE distinct aggregate; the
+    first-active-day comes from a user-keyed window over the grid
+    (high-cardinality partition key — never the low-cardinality trap),
+    so the classification never rescans raw events; the day rollup is
+    calendar-bounded. All-integer output."""
+    ev = load_table(spark, sf_dir, "events")
+    grid = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    first = F.min("day").over(Window.partitionBy("user_id"))
+    flagged = grid.withColumn("first_day", first)
+    return (
+        flagged.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("returning_users"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "revenue_mom_growth",
+    oracle="""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT c.month,
+       CAST(round(c.rev, 4) AS DOUBLE) AS revenue,
+       CAST(round(p.rev, 4) AS DOUBLE) AS prev_revenue,
+       floor(CAST(c.rev - p.rev AS DOUBLE) / CAST(p.rev AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS mom_growth
+FROM m c JOIN m p ON c.month = CAST(p.month + INTERVAL 1 MONTH AS DATE)
+ORDER BY c.month
+""",
+)
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — weekly_active_growth's pattern
+    on the money stream: the previous month attaches via a month-
+    shifted SELF-JOIN over the calendar-bounded monthly frame, never a
+    lag() window (which would plan Exchange SinglePartition at any data
+    size). First month drops (no predecessor).
+
+    Determinism: monthly revenue is an exact DECIMAL(18,6) sum; the
+    growth ratio divides the two decimals cast to double in the same
+    order on both engines, then floor-form rounds."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(F.sum(dec6("o_totalprice")).alias("rev"))
+    )
+    prev = rev.select(
+        F.add_months("month", 1).alias("month"), F.col("rev").alias("prev")
+    )
+    return (
+        rev.join(prev, "month")
+        .select(
+            "month",
+            F.round("rev", 4).cast("double").alias("revenue"),
+            F.round("prev", 4).cast("double").alias("prev_revenue"),
+            round4f(
+                (F.col("rev") - F.col("prev")).cast("double")
+                / F.col("prev").cast("double")
+            ).alias("mom_growth"),
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "customer_lifespan_buckets",
+    oracle="""
+WITH u AS (
+  SELECT o_custkey,
+         datediff('day', min(CAST(o_orderdate AS DATE)),
+                  max(CAST(o_orderdate AS DATE))) AS span_days,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT CASE WHEN span_days < 365 THEN '0_lt_1y'
+            WHEN span_days < 730 THEN '1_1_2y'
+            WHEN span_days < 1460 THEN '2_2_4y'
+            ELSE '3_ge_4y' END AS lifespan_bucket,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(n_orders) AS BIGINT) AS n_orders
+FROM u GROUP BY 1 ORDER BY 1
+""",
+)
+def customer_lifespan_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-span histogram: days between first and last
+    order, bucketed into tenure bands — the lifecycle-stage rollup
+    behind churn/LTV segmentation (cohort_churn_rate slices ONE
+    boundary; this maps the whole tenure distribution).
+
+    Scale shape: ONE customer-keyed hash aggregate (min, max, count) —
+    the span is computed per customer inside the aggregate, then a
+    4-bucket bounded rollup. All-integer; bucket labels are shared
+    literals with the oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    u = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.max(F.col("o_orderdate").cast("date")),
+            F.min(F.col("o_orderdate").cast("date")),
+        ).alias("span_days"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    bucket = (
+        F.when(F.col("span_days") < 365, "0_lt_1y")
+        .when(F.col("span_days") < 730, "1_1_2y")
+        .when(F.col("span_days") < 1460, "2_2_4y")
+        .otherwise("3_ge_4y")
+    )
+    return (
+        u.groupBy(bucket.alias("lifespan_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("n_orders").cast("long").alias("n_orders"),
+        )
+        .orderBy("lifespan_bucket")
+    )
+
+
+BASKET_PAIRS_TOP_K = 20
+
+
+@query(
+    "basket_part_pairs_top",
+    oracle=f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, CAST(n_orders AS BIGINT) AS n_orders
+FROM pairs ORDER BY n_orders DESC, part_a, part_b
+LIMIT {BASKET_PAIRS_TOP_K}
+""",
+)
+def basket_part_pairs_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the part pairs most often ordered
+    together (the support counts feeding association rules). [R the
+    pair-count KTable a KS app builds by re-keying each basket to its
+    item pairs.]
+
+    Scale shape: the ONLY self-join is keyed on l_orderkey, and the
+    per-order distinct-part collapse runs first, so pair fan-out per
+    order is C(k,2) of its DISTINCT parts (k ≤ 7 in TPC-H-shaped data —
+    bounded, never a global pair grid); the pair count is map-side
+    combined on (part_a, part_b) and the final top-k plans
+    TakeOrderedAndProject, not a global sort."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(BASKET_PAIRS_TOP_K)
+    )

@@ -469,3 +469,73 @@ def median_session_length_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "concurrent_sessions_hourly",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+              > {SESSION_GAP_MINUTES} * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM e
+),
+ps AS (SELECT user_id, sess_id, min(ts) AS t0, max(ts) AS t1 FROM s GROUP BY 1, 2),
+d AS (
+  SELECT date_trunc('hour', t0) AS h, 1 AS delta FROM ps
+  UNION ALL
+  SELECT date_trunc('hour', t1) + INTERVAL 1 HOUR, -1 FROM ps
+),
+g AS (SELECT h, sum(delta) AS net FROM d GROUP BY 1)
+SELECT h AS hour,
+       CAST(sum(net) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_active
+FROM g ORDER BY hour
+""",
+)
+def concurrent_sessions_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session load curve: for every hour bucket, how many
+    sessions were live (a session spans its start hour through its end
+    hour inclusive) — the interval-stabbing rollup behind capacity
+    planning. The classic formulation sweeps a global sort of interval
+    endpoints; this one turns each session into a +1/−1 delta at its
+    boundary hours, aggregates deltas per hour, and prefix-sums the
+    hour grid.
+
+    Scale shape: sessionization is the shared one-exchange lag-flag
+    pipeline (`sessionize`); the delta frame is two projections of the
+    per-session frame unioned; the per-hour net is a calendar-bounded
+    hash aggregate; and the prefix sum is `_global_running_sum` — the
+    two-phase range-partitioned cumsum in its SIGNED variant (sum-based
+    partition totals; `_grouped_value_cdf`'s max-based totals are wrong
+    under negative deltas), so no single-partition window appears even
+    if the bucket grid were data-sized."""
+    from .analytic import _global_running_sum
+
+    ps = sessionize(load_table(spark, sf_dir, "events"))
+    d = ps.select(
+        F.date_trunc("hour", "session_start").alias("h"),
+        F.lit(1).alias("delta"),
+    ).unionAll(
+        ps.select(
+            (
+                F.date_trunc("hour", "session_end")
+                + F.expr("INTERVAL 1 HOUR")
+            ).alias("h"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    g = d.groupBy("h").agg(F.sum("delta").alias("net"))
+    return (
+        _global_running_sum(g, "h", "net")
+        .select(F.col("h").alias("hour"), F.col("run_sum").alias("n_active"))
+        .orderBy("hour")
+    )

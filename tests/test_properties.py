@@ -1046,3 +1046,329 @@ def test_spend_percentile_matches_reference(spark, rows):
                 p = math.floor((rank - 1) / (total - 1) * 10000 + 0.5) / 10000.0
             want[ck] = (n, s, p)
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(-5, 5)),  # (order key, signed val)
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_global_running_sum_matches_reference(spark, rows):
+    """`_global_running_sum` (r8, the SIGNED cumsum variant) equals the
+    plain Python prefix sum for arbitrary positive/negative values —
+    the case `_grouped_value_cdf`'s max-based partition totals would
+    get wrong."""
+    from minefields_kafka_streams_deduplication_spark.operators.analytic import (
+        _global_running_sum,
+    )
+
+    agg: dict = {}
+    for k, v in rows:
+        agg[k] = agg.get(k, 0) + v
+    df = spark.createDataFrame(list(agg.items()), "k LONG, v LONG")
+    got = {r.k: r.run_sum for r in _global_running_sum(df, "k", "v").collect()}
+    run = 0
+    want = {}
+    for k in sorted(agg):
+        run += agg[k]
+        want[k] = run
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=typed_events_strategy)
+def test_new_vs_returning_matches_reference(spark, rows):
+    """Daily new/returning split (r8) equals the brute-force first-day
+    classification over each user's active-day set."""
+    from minefields_kafka_streams_deduplication_spark.operators import analytic
+
+    df = mk_typed(spark, rows)
+    orig = analytic.load_table
+    analytic.load_table = lambda s, d, n: df
+    try:
+        got = {
+            r.day: (r.new_users, r.returning_users)
+            for r in analytic.new_vs_returning_daily(spark, "x").collect()
+        }
+    finally:
+        analytic.load_table = orig
+
+    t0 = dt.datetime(2024, 1, 1)
+    days_by_user: dict = {}
+    for m, u, _ty in rows:
+        days_by_user.setdefault(u, set()).add((t0 + dt.timedelta(minutes=m)).date())
+    want: dict = {}
+    for u, days in days_by_user.items():
+        first = min(days)
+        for d in days:
+            new, ret = want.get(d, (0, 0))
+            if d == first:
+                want[d] = (new + 1, ret)
+            else:
+                want[d] = (new, ret + 1)
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=typed_events_strategy)
+def test_concurrent_sessions_match_reference(spark, rows):
+    """The delta-cumsum interval-stabbing count (r8) equals brute force:
+    for every hour bucket, the number of 30-min-gap sessions whose
+    [start hour, end hour] range covers it — evaluated on the sparse
+    delta grid the query publishes."""
+    from minefields_kafka_streams_deduplication_spark.operators import windows
+
+    df = mk_typed(spark, rows)
+    orig = windows.load_table
+    windows.load_table = lambda s, d, n: df
+    try:
+        got = {
+            r.hour: r.n_active
+            for r in windows.concurrent_sessions_hourly(spark, "x").collect()
+        }
+    finally:
+        windows.load_table = orig
+
+    t0 = dt.datetime(2024, 1, 1)
+    by_user: dict = {}
+    for i, (m, u, _ty) in enumerate(rows):
+        by_user.setdefault(u, []).append((t0 + dt.timedelta(minutes=m), i))
+    sessions = []  # (start, end)
+    for u, evs in by_user.items():
+        evs.sort()
+        cur = None
+        for ts, _i in evs:
+            if cur is None or (ts - cur[1]).total_seconds() > 1800:
+                if cur:
+                    sessions.append(cur)
+                cur = (ts, ts)
+            else:
+                cur = (cur[0], ts)
+        if cur:
+            sessions.append(cur)
+
+    def hour(ts):
+        return ts.replace(minute=0, second=0, microsecond=0)
+
+    grid = set()
+    for s, e in sessions:
+        grid.add(hour(s))
+        grid.add(hour(e) + dt.timedelta(hours=1))
+    want = {
+        h: sum(1 for s, e in sessions if hour(s) <= h <= hour(e))
+        for h in grid
+    }
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 8),        # custkey
+            st.integers(0, 2000),     # order day offset
+            st.integers(1, 99),       # totalprice
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_customer_lifespan_buckets_matches_reference(spark, rows):
+    """Tenure-bucket histogram (r8) equals the brute-force span walk,
+    including the exact 365/730/1460-day boundaries."""
+    from minefields_kafka_streams_deduplication_spark.operators import analytic
+
+    t0 = dt.datetime(1995, 1, 1)
+    orders = spark.createDataFrame(
+        [
+            (i, ck, "O", float(p), t0 + dt.timedelta(days=d), "1-URGENT")
+            for i, (ck, d, p) in enumerate(rows)
+        ],
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    )
+    orig = analytic.load_table
+    analytic.load_table = lambda s, d, n: orders
+    try:
+        got = {
+            r.lifespan_bucket: (r.n_customers, r.n_orders)
+            for r in analytic.customer_lifespan_buckets(spark, "x").collect()
+        }
+    finally:
+        analytic.load_table = orig
+
+    per_cust: dict = {}
+    for ck, d, _p in rows:
+        lo, hi, n = per_cust.get(ck, (d, d, 0))
+        per_cust[ck] = (min(lo, d), max(hi, d), n + 1)
+    want: dict = {}
+    for ck, (lo, hi, n) in per_cust.items():
+        span = hi - lo
+        b = (
+            "0_lt_1y" if span < 365
+            else "1_1_2y" if span < 730
+            else "2_2_4y" if span < 1460
+            else "3_ge_4y"
+        )
+        c, o = want.get(b, (0, 0))
+        want[b] = (c + 1, o + n)
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 5)),  # (orderkey, partkey)
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_basket_pairs_match_reference(spark, rows):
+    """Market-basket pair supports (r8) equal the brute-force
+    distinct-parts-per-order pair count, with the (n desc, a, b)
+    tie-break and top-k cut."""
+    from minefields_kafka_streams_deduplication_spark.operators import analytic
+
+    li = spark.createDataFrame(
+        [
+            (ok, pk, 1, i + 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+             dt.datetime(1996, 1, 1))
+            for i, (ok, pk) in enumerate(rows)
+        ],
+        "l_orderkey LONG, l_partkey LONG, l_suppkey LONG, l_linenumber INT, "
+        "l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, "
+        "l_tax DOUBLE, l_returnflag STRING, l_linestatus STRING, "
+        "l_shipdate TIMESTAMP",
+    )
+    orig = analytic.load_table
+    analytic.load_table = lambda s, d, n: li
+    try:
+        got = [
+            (r.part_a, r.part_b, r.n_orders)
+            for r in analytic.basket_part_pairs_top(spark, "x").collect()
+        ]
+    finally:
+        analytic.load_table = orig
+
+    baskets: dict = {}
+    for ok, pk in rows:
+        baskets.setdefault(ok, set()).add(pk)
+    counts: dict = {}
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+    want = sorted(
+        ((a, b, n) for (a, b), n in counts.items()),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:20]
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(1, 99)),  # (month idx, price)
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_revenue_mom_growth_matches_reference(spark, rows):
+    """MoM growth via the month-shifted self-join (r8) equals the
+    brute-force consecutive-month walk (gap months produce NO row —
+    the join semantics, same as weekly_active_growth)."""
+    import math
+
+    from minefields_kafka_streams_deduplication_spark.operators import analytic
+
+    orders = spark.createDataFrame(
+        [
+            (i, 1, "O", float(p), dt.datetime(1995, 1 + m, 1), "1-URGENT")
+            for i, (m, p) in enumerate(rows)
+        ],
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    )
+    orig = analytic.load_table
+    analytic.load_table = lambda s, d, n: orders
+    try:
+        got = {
+            r.month: (r.revenue, r.prev_revenue, r.mom_growth)
+            for r in analytic.revenue_mom_growth(spark, "x").collect()
+        }
+    finally:
+        analytic.load_table = orig
+
+    rev: dict = {}
+    for m, p in rows:
+        rev[m] = rev.get(m, 0) + p  # integer prices: decimal sum is exact
+    want = {}
+    for m, r in rev.items():
+        if m - 1 in rev:
+            prev = rev[m - 1]
+            g = math.floor((r - prev) / prev * 10000 + 0.5) / 10000.0
+            want[dt.date(1995, 1 + m, 1)] = (float(r), float(prev), g)
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),
+            st.integers(1, 30),   # n_chars
+            st.integers(1, 6),    # n tokens
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_length_token_corr_matches_reference(spark, docs):
+    """Pearson-from-sufficient-statistics (r8) equals the textbook
+    two-pass formula, including the zero-variance guard (all-equal
+    lengths or token counts → 0.0)."""
+    import math
+
+    from minefields_kafka_streams_deduplication_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (i, " ".join("w" for _ in range(nt)), lang, "s", nc)
+            for i, (lang, nc, nt) in enumerate(docs)
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    orig = tx.load_table
+    tx.load_table = lambda s, d, n: df
+    try:
+        got = {
+            r.lang: (r.n_docs, r.chars_tokens_corr)
+            for r in tx.doc_length_token_corr(spark, "x").collect()
+        }
+    finally:
+        tx.load_table = orig
+
+    by_lang: dict = {}
+    for lang, nc, nt in docs:
+        by_lang.setdefault(lang, []).append((nc, nt))
+    want = {}
+    for lang, pts in by_lang.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        syy = sum(y * y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        if varx * vary > 0:
+            r = (n * sxy - sx * sy) / math.sqrt(varx * vary)
+            r = math.floor(r * 10000 + 0.5) / 10000.0
+        else:
+            r = 0.0
+        want[lang] = (n, r)
+    assert got == want

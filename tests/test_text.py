@@ -553,3 +553,58 @@ def test_jaccard_df_cap_drops_boilerplate_candidates(spark, sf_dir):
         .agg(F.countDistinct("doc_id").alias("df"))
     )
     assert idx_df.where("df > 5").count() > 0  # the flood is real
+
+
+def test_bigram_pmi_matches_python_reference(spark, monkeypatch):
+    """Crafted corpus replayed by a pure-Python PMI scorer: pair set,
+    supports and 6-dp-snapped PMI all match; the deliberately over-
+    represented collocation ranks first; copies of a doc contribute
+    their full bigram weight (the copy collapse changes execution,
+    never counts)."""
+    import math
+    from collections import Counter
+
+    from minefields_kafka_streams_deduplication_spark.functions import text as tx
+
+    # "fizz buzz" appears 12x via copies of doc A (collapse must weight
+    # them), "red blue" 10x inside one long doc, filler below threshold.
+    texts = (
+        ["fizz buzz end"] * 12
+        + [" ".join(["red blue"] * 10)]
+        + ["alpha beta gamma", "beta gamma alpha"] * 3
+    )
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    monkeypatch.setattr(tx, "load_table", lambda s, d, n: df)
+    got = [
+        (r.w1, r.w2, r.n_pair, r.pmi)
+        for r in tx.bigram_pmi_top(spark, "ignored").collect()
+    ]
+
+    toks = [t.split(" ") for t in texts]
+    bg = Counter((a, b) for tk in toks for a, b in zip(tk, tk[1:]))
+    uni = Counter(w for tk in toks for w in tk)
+    nb = sum(bg.values())
+    nu = sum(uni.values())
+    want = []
+    for (a, b), c in bg.items():
+        if c < tx.PMI_MIN_COUNT:
+            continue
+        pmi = math.log((c / nb) / ((uni[a] / nu) * (uni[b] / nu)))
+        want.append((a, b, c, round(pmi, 6)))
+    want.sort(key=lambda t: (-t[3], t[0], t[1]))
+    want = want[: tx.PMI_TOP_K]
+
+    assert [(a, b, c) for a, b, c, _ in got] == [
+        (a, b, c) for a, b, c, _ in want
+    ]
+    for (_, _, _, gp), (_, _, _, wp) in zip(got, want):
+        assert abs(gp - wp) < 2e-6, (gp, wp)
+    # the engineered collocations survive the support floor with their
+    # full copy-weighted counts ("buzz end" rides along in the copies)
+    supports = {(a, b): c for a, b, c, _ in got}
+    assert supports[("fizz", "buzz")] == 12
+    assert supports[("red", "blue")] == 10
+    assert supports[("buzz", "end")] == 12
