@@ -1148,7 +1148,12 @@ def test_cancellable_punctuator_reschedules_interval(spark, tmp_path):
     )
     stage = str(tmp_path / "stage")
     df.coalesce(1).write.parquet(stage)
-    fast, slow = 400, 3000
+    # Wide fast/slow separation: the lower bounds (gap >= interval) are
+    # guaranteed by the punctuator, but `fast gap < slow` is a wall-
+    # clock claim — under full-suite load a 3 s stall between two
+    # 400 ms firings was observed once (r8), so the slow interval sits
+    # 20x above fast to keep the cadence check meaningful AND robust.
+    fast, slow = 400, 8000
     out = sorted(
         run_cancellable(
             spark,
@@ -1159,7 +1164,7 @@ def test_cancellable_punctuator_reschedules_interval(spark, tmp_path):
             interval_ms=fast,
             slow_interval_ms=slow,
             reschedule_after=2,
-            timeout_s=60.0,
+            timeout_s=120.0,
         ).collect(),
         key=lambda r: r.firing,
     )
