@@ -1222,24 +1222,40 @@ def doc_length_token_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation-order-dependent across engines, while integer sums are
     exact, so both engines divide identical doubles.
 
-    Scale shape: ONE language-keyed hash aggregate over per-doc integer
-    pairs (map-side combined); the correlation arithmetic runs on the
+    Scale shape: exact-copy collapse first (identical texts have
+    identical (chars, tokens) pairs — the r7 copy-flood discipline:
+    tokenize the DISTINCT-(lang, text) table once, weight every
+    sufficient statistic by the copy count; the r8 1000× probe
+    measured 111 s naive vs the distinct-text cost collapsed), then
+    ONE language-keyed hash aggregate of the six weighted integer
+    sums (map-side combined); the correlation arithmetic runs on the
     5-row rollup. The x·y products stay far inside int64 at any
     realistic doc length; the final quotient is floor-form rounded
     with a zero-variance guard."""
     docs = load_table(spark, sf_dir, "documents")
-    xy = docs.select(
+    # n_chars joins the collapse KEY (not first()-projected): it is
+    # derived from text on real data, but the collapse must not ASSUME
+    # the functional dependency — a row with an anomalous n_chars
+    # keeps its own group and its own sufficient-statistic weight.
+    reps = docs.groupBy(
+        "lang", F.md5(F.lower("text")).alias("th"), F.col("n_chars").alias("x")
+    ).agg(
+        F.count(F.lit(1)).alias("w"),
+        F.first("text").alias("text"),
+    )
+    xy = reps.select(
         "lang",
-        F.col("n_chars").alias("x"),
+        "w",
+        "x",
         F.size(F.split(F.lower("text"), " ")).cast("long").alias("y"),
     )
     s = xy.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("w").alias("n"),
+        F.sum(F.col("w") * F.col("x")).alias("sx"),
+        F.sum(F.col("w") * F.col("y")).alias("sy"),
+        F.sum(F.col("w") * F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("w") * F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("w") * F.col("x") * F.col("y")).alias("sxy"),
     )
     nd = F.col("n").cast("double")
     varx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(

@@ -1045,6 +1045,10 @@ def weekly_active_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(F.date_trunc("week", "ts").cast("date").alias("week"), "user_id")
         .groupBy("week")
         .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+        # lazy checkpoint: without it the self-join's broadcast side
+        # re-executes the whole distinct-count pass (the r8 probe on
+        # revenue_mom_growth measured the identical shape at 2x cost)
+        .localCheckpoint(eager=False)
     )
     prev = wau.select(
         F.date_add("week", 7).alias("week"), F.col("wau").alias("prev_wau")
@@ -1941,13 +1945,20 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: monthly revenue is an exact DECIMAL(18,6) sum; the
     growth ratio divides the two decimals cast to double in the same
-    order on both engines, then floor-form rounds."""
+    order on both engines, then floor-form rounds.
+
+    The monthly frame is localCheckpoint-ed (lazy): the self-join's
+    broadcast side would otherwise RE-EXECUTE the full scan + decimal
+    rollup (BroadcastExchange does not reuse the probe side's shuffle)
+    — the r8 1000× probe measured the double pass at 53 s vs 14.5 s
+    checkpointed on 15M orders, and at 100 TB it doubles the scan."""
     orders = load_table(spark, sf_dir, "orders")
     rev = (
         orders.groupBy(
             F.date_trunc("month", "o_orderdate").cast("date").alias("month")
         )
         .agg(F.sum(dec6("o_totalprice")).alias("rev"))
+        .localCheckpoint(eager=False)
     )
     prev = rev.select(
         F.add_months("month", 1).alias("month"), F.col("rev").alias("prev")
@@ -2047,9 +2058,15 @@ def basket_part_pairs_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the ONLY self-join is keyed on l_orderkey, and the
     per-order distinct-part collapse runs first, so pair fan-out per
     order is C(k,2) of its DISTINCT parts (k ≤ 7 in TPC-H-shaped data —
-    bounded, never a global pair grid); the pair count is map-side
-    combined on (part_a, part_b) and the final top-k plans
-    TakeOrderedAndProject, not a global sort."""
+    bounded, never a global pair grid); the distinct's exchange is
+    REUSED by both join sides (one shuffle, two sorts); the pair count
+    is map-side combined on (part_a, part_b) and the final top-k plans
+    TakeOrderedAndProject, not a global sort. The tempting alternative
+    — `collect_set` baskets + a higher-order pair-expansion expression
+    (one aggregate, no join) — MEASURED WORSE at the r8 1000× probe
+    (164.7 s vs 68.5 s on 60M lineitem: per-group array allocation +
+    nested-lambda eval dominate), so the self-join form is the one
+    that ships."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")

@@ -246,6 +246,9 @@ _R8_REVERIFY: tuple[str, ...] = (
     # contamination family copy-collapsed (1000x probe: 592.8 -> 12.3 s)
     "contamination_ngram_check",
     "decontaminate_report",
+    # monthly/weekly frame localCheckpoint: the growth self-join's
+    # broadcast side no longer re-executes the full rollup pass
+    "weekly_active_growth",
 )
 
 

@@ -92,8 +92,35 @@ def stage_livestate() -> None:
     probe("store_live_streaming_state", P100)
 
 
+BATCH2 = (
+    "new_vs_returning_daily",
+    "revenue_mom_growth",
+    "customer_lifespan_buckets",
+    "basket_part_pairs_top",
+    "bigram_pmi_top",
+    "doc_length_token_corr",
+    "concurrent_sessions_hourly",
+)
+
+
+def stage_batch2_10() -> None:
+    """The late-r8 batch-2 queries at 10x."""
+    for q in BATCH2:
+        probe(q, P10)
+
+
+def stage_batch2_1000() -> None:
+    """Batch-2 at 1000x (100M events / 5M copy-heavy docs / 15M orders /
+    60M lineitem). concurrent_sessions_hourly is the 100M-row
+    sessionization sort class (bounce_rate_daily's cost) — run last."""
+    for q in BATCH2:
+        probe(q, P1000)
+
+
 STAGES = {
     "analytics1000": stage_analytics1000,
+    "batch2_10": stage_batch2_10,
+    "batch2_1000": stage_batch2_1000,
     "docs1000": stage_docs1000,
     "orders1000": stage_orders1000,
     "opq": stage_opq,
