@@ -1425,3 +1425,93 @@ def ivf_pq_topk(
         .filter(F.col("rn") <= topk)
         .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"))
     )
+
+
+CENTROID_SCALE = 1_000_000  # 6-dp fixed-point quantization of float32 inputs
+
+
+@query(
+    "label_centroid_distances",
+    oracle=f"""
+WITH cell AS (
+  SELECT label, g AS dim,
+         sum(CAST(floor(CAST(embedding[g] AS DOUBLE) * {CENTROID_SCALE} + 0.5)
+                  AS BIGINT)) AS s,
+         count(*) AS n
+  FROM embeddings, range(1, 65) r(g)
+  GROUP BY 1, 2
+),
+cent AS (
+  SELECT label, dim,
+         floor(CAST(s AS DOUBLE) / {CENTROID_SCALE} / n * 10000 + 0.5) / 10000
+           AS c
+  FROM cell
+),
+pair AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum(CAST((a.c - b.c) * (a.c - b.c) AS DECIMAL(18,6))) AS ss
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+       floor(sqrt(CAST(ss AS DOUBLE)) * 10000 + 0.5) / 10000 AS centroid_dist
+FROM pair ORDER BY label_a, label_b
+""",
+)
+def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separation audit of the embedding space: per-label
+    centroids and the Euclidean distance between every label pair —
+    the scalar summary behind "are these clusters collapsing?" drift
+    checks (drift_report_embedding_dims watches per-dim moments; this
+    watches BETWEEN-class geometry).
+
+    Determinism: raw float32 components are 6-dp fixed-point quantized
+    FIRST via the floor form (multiply/add/floor are bit-identical IEEE
+    on both engines) so the per-cell sums are EXACT longs — deliberately
+    NOT a DECIMAL cast of the float (a dyadic float like 1/128 lands
+    exactly on a .5 decimal tie where engines' rounding modes could
+    split). Centroids round4f; per-dim squared gaps snap to
+    DECIMAL(18,6) before the exact cross-dim sum so no float-summation
+    order exists anywhere.
+
+    100 TB shape: one posexplode (×dims) into a (label, dim)-keyed
+    hash aggregate — output is labels×dims cells regardless of row
+    count; the pair grid joins centroids on dim (labels² × dims rows,
+    model-bounded) and collapses to labels²/2 distances."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.floor(F.col("x").cast("double") * CENTROID_SCALE + F.lit(0.5)).cast(
+        "long"
+    )
+    cell = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .select("label", "dim", q.alias("qx"))
+        .groupBy("label", "dim")
+        .agg(F.sum("qx").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    from ..catalog import round4f
+
+    cent = cell.select(
+        "label",
+        "dim",
+        round4f(
+            F.col("s").cast("double") / CENTROID_SCALE / F.col("n")
+        ).alias("c"),
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("c").alias("cb")
+    )
+    gap = (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+    pair = (
+        a.join(b, "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(gap.cast("decimal(18,6)")).alias("ss"))
+    )
+    return pair.select(
+        "label_a",
+        "label_b",
+        round4f(F.sqrt(F.col("ss").cast("double"))).alias("centroid_dist"),
+    ).orderBy("label_a", "label_b")

@@ -32,6 +32,17 @@ def _global_row_number(
 
     The range exchange feeding both the ranked rows and the counts is
     deduplicated by ReuseExchange, so the input is shuffled once.
+
+    Deliberately NOT localCheckpoint-ed (r8 A/B probe): checkpointing
+    `part` here pins one materialization for the broadcast branches
+    (offsets/total re-execute their subplan otherwise), but it also
+    breaks whole-stage pipelines and materializes the FULL ranked
+    frame — rfm_segments at 1000× measured 202.4 s checkpointed vs
+    71.4 s not, same box. When the caller's UPSTREAM is the expensive
+    part (a 100M-row scan + aggregate), the caller should checkpoint
+    its own small input frame instead (spend_decile_migration does);
+    range-boundary determinism across in-job re-executions comes from
+    RangePartitioner's fixed-seed sketch over identical input.
     """
     part = df.repartitionByRange(*order_cols).withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy(*order_cols)
@@ -2081,4 +2092,87 @@ def basket_part_pairs_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(BASKET_PAIRS_TOP_K)
+    )
+
+
+def _ntile_from_rank(rn, n, k: int):
+    """SQL NTILE(k) computed arithmetically from a unique global rank
+    and the total row count (the rank_users_by_spend formula): the
+    first n mod k buckets get floor(n/k)+1 rows."""
+    base = F.floor(n / k).cast("long")
+    rem = (n % k).cast("long")
+    big = rem * (base + 1)
+    return F.when(rn <= big, F.ceil(rn / (base + 1))).otherwise(
+        rem + F.ceil((rn - big) / F.greatest(base, F.lit(1)))
+    )
+
+
+@query(
+    "spend_decile_migration",
+    oracle="""
+WITH h1 AS (
+  SELECT user_id, sum(CAST(value AS DECIMAL(18,6))) AS spend
+  FROM events WHERE event_type = 'purchase' AND day(ts) <= 15
+  GROUP BY 1
+),
+h2 AS (
+  SELECT user_id, sum(CAST(value AS DECIMAL(18,6))) AS spend
+  FROM events WHERE event_type = 'purchase' AND day(ts) > 15
+  GROUP BY 1
+),
+d1 AS (SELECT user_id, ntile(10) OVER (ORDER BY spend DESC, user_id) AS dec1 FROM h1),
+d2 AS (SELECT user_id, ntile(10) OVER (ORDER BY spend DESC, user_id) AS dec2 FROM h2)
+SELECT d1.dec1 AS decile_h1, d2.dec2 AS decile_h2,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d1 JOIN d2 ON d1.user_id = d2.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def spend_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-migration matrix: each purchaser's spend decile in the
+    first half of the month vs the second half — the churn-risk /
+    upsell grid behind "are my top-decile customers sliding?". Users
+    active in only one half drop (inner join), mirroring the retention
+    convention.
+
+    Scale shape: ONE scan — both halves' spends come from conditional
+    decimal sums in the SAME user-keyed aggregate (a per-half filter +
+    aggregate would read the events twice; the checkpointed two-column
+    frame feeds both rank pipelines). Then two two-phase global ranks
+    (`_global_row_number` — range exchange + broadcast offsets, never a
+    single-partition NTILE window), deciles derived arithmetically from
+    (rank, n), a user-keyed join of two user-sized frames and a
+    ≤100-row bounded rollup. Spend is an exact decimal sum; everything
+    published is integer."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    spend = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.dayofmonth("ts") <= 15, dec6("value"))).alias("s1"),
+            F.sum(F.when(F.dayofmonth("ts") > 15, dec6("value"))).alias("s2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    halves = []
+    for flag, col in (("h1", "s1"), ("h2", "s2")):
+        half = spend.where(F.col(col).isNotNull()).select(
+            "user_id", F.col(col).alias("spend")
+        )
+        ranked = _global_row_number(half, [F.desc("spend"), F.asc("user_id")])
+        halves.append(
+            ranked.select(
+                "user_id",
+                _ntile_from_rank(F.col("_rn"), F.col("_n"), 10)
+                .cast("int")
+                .alias(f"decile_{flag}"),
+            )
+        )
+    return (
+        halves[0]
+        .join(halves[1], "user_id")
+        .groupBy("decile_h1", "decile_h2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("decile_h1", "decile_h2")
     )

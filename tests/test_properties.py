@@ -1372,3 +1372,178 @@ def test_length_token_corr_matches_reference(spark, docs):
             r = 0.0
         want[lang] = (n, r)
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(0, 2),  # label
+            st.lists(
+                st.floats(-1, 1, allow_nan=False, width=32),
+                min_size=3,
+                max_size=3,
+            ),
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_centroid_distances_match_reference(spark, vecs):
+    """Label-centroid pair distances (r8) equal the pure-Python walk:
+    6-dp floor-form quantization of each float32 component, exact
+    integer cell sums, round4f centroids, 6-dp HALF_UP snap of each
+    squared gap, exact decimal sum, floor-form sqrt rounding."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from minefields_kafka_streams_deduplication_spark.functions import vectors as vx
+
+    df = spark.createDataFrame(
+        [(i, v, lab) for i, (lab, v) in enumerate(vecs)],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+    )
+    orig = vx.load_table
+    vx.load_table = lambda s, d, n: df
+    try:
+        got = {
+            (r.label_a, r.label_b): r.centroid_dist
+            for r in vx.label_centroid_distances(spark, "x").collect()
+        }
+    finally:
+        vx.load_table = orig
+
+    def f32(x):
+        import struct
+
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    def r4(x):
+        return math.floor(x * 10000 + 0.5) / 10000.0
+
+    cells: dict = {}
+    for lab, v in vecs:
+        for d, x in enumerate(v):
+            s, n = cells.get((lab, d), (0, 0))
+            cells[(lab, d)] = (s + math.floor(f32(x) * 1_000_000 + 0.5), n + 1)
+    cent = {k: r4(s / 1_000_000 / n) for k, (s, n) in cells.items()}
+    labels = sorted({lab for lab, _ in vecs})
+    want = {}
+    for i, a in enumerate(labels):
+        for b in labels[i + 1:]:
+            ss = Decimal(0)
+            for d in range(3):
+                gap = (cent[(a, d)] - cent[(b, d)]) ** 2
+                ss += Decimal(gap).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            want[(a, b)] = r4(math.sqrt(float(ss)))
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(token_lists=docs_strategy)
+def test_tokens_mad_matches_reference(spark, token_lists):
+    """Tokens-per-doc MAD (r8) equals the brute-force double lower
+    median, with duplicate texts carrying their full weight through
+    the copy collapse."""
+    from minefields_kafka_streams_deduplication_spark.functions import text as tx
+
+    # duplicate every other doc so the collapse path is exercised
+    texts = []
+    for i, toks in enumerate(token_lists):
+        t = " ".join(toks)
+        texts.append(t)
+        if i % 2 == 0:
+            texts.append(t)
+    df = spark.createDataFrame(
+        [(i, t, "en" if i % 3 else "de", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    orig = tx.load_table
+    tx.load_table = lambda s, d, n: df
+    try:
+        got = {
+            r.lang: (r.n_docs, r.median_tokens, r.mad_tokens)
+            for r in tx.tokens_mad_by_lang(spark, "x").collect()
+        }
+    finally:
+        tx.load_table = orig
+
+    def lower_median(xs):
+        xs = sorted(xs)
+        return xs[(len(xs) + 1) // 2 - 1]
+
+    by_lang: dict = {}
+    for i, t in enumerate(texts):
+        # split(" ") semantics: "" -> [""] -> 1 token, same as the engine
+        by_lang.setdefault("en" if i % 3 else "de", []).append(
+            len(t.split(" "))
+        )
+    want = {}
+    for lang, vs in by_lang.items():
+        med = lower_median(vs)
+        want[lang] = (len(vs), med, lower_median([abs(v - med) for v in vs]))
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 28),   # day of month
+            st.integers(0, 9),    # user
+            st.integers(1, 5),    # purchase value
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_spend_decile_migration_matches_reference(spark, rows):
+    """Decile-migration matrix (r8): the two-phase-rank NTILE(10)
+    equals SQL ntile on each half, and the matrix equals the
+    brute-force join of the two decile maps."""
+    from minefields_kafka_streams_deduplication_spark.operators import analytic
+
+    df = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, d, 12, 0), u, "purchase", float(v), "{}")
+            for i, (d, u, v) in enumerate(rows)
+        ],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    orig = analytic.load_table
+    analytic.load_table = lambda s, d, n: df
+    try:
+        got = {
+            (r.decile_h1, r.decile_h2): r.n_users
+            for r in analytic.spend_decile_migration(spark, "x").collect()
+        }
+    finally:
+        analytic.load_table = orig
+
+    def deciles(spend: dict) -> dict:
+        order = sorted(spend, key=lambda u: (-spend[u], u))
+        n = len(order)
+        base, rem = divmod(n, 10)
+        out = {}
+        for rank, u in enumerate(order, start=1):
+            big = rem * (base + 1)
+            if rank <= big:
+                out[u] = -(-rank // (base + 1))
+            else:
+                out[u] = rem + (-(-(rank - big) // max(base, 1)))
+        return out
+
+    h1: dict = {}
+    h2: dict = {}
+    for d, u, v in rows:
+        tgt = h1 if d <= 15 else h2
+        tgt[u] = tgt.get(u, 0) + v
+    d1, d2 = deciles(h1), deciles(h2)
+    want: dict = {}
+    for u in set(d1) & set(d2):
+        k = (d1[u], d2[u])
+        want[k] = want.get(k, 0) + 1
+    assert got == want
