@@ -1004,14 +1004,21 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE per-user window (partitioned on the natural key,
     never global), then two type-cardinality-bounded aggregates; the
-    probability denominator joins back on the tiny per-type frame."""
+    probability denominator joins back on the tiny per-type frame.
+    The ≤|types|²-row transition frame is localCheckpoint-ed (r8 probe
+    sweep for the revenue_mom_growth shape): the denominator rides to
+    the join as a BROADCAST, and a BroadcastExchange subplan re-executes
+    its whole child otherwise — un-pinned, the 100M-row lag-window
+    pipeline ran TWICE (1000×: 202.0 → 139.6 s, same loaded box)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
     ).where(F.col("prev_type").isNotNull())
-    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
-        F.count(F.lit(1)).alias("n")
+    trans = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     outs = trans.groupBy("prev_type").agg(F.sum("n").alias("n_out"))
     return (
@@ -1741,7 +1748,17 @@ def event_type_user_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     longs."""
     ev = load_table(spark, sf_dir, "events")
     tu = ev.select("event_type", "user_id").distinct()
-    tc = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    # The per-type totals ride to the pair frame as BROADCASTS; without
+    # the checkpoint each broadcast subplan re-executed the full
+    # distinct-grid aggregate over raw events (r8 probe: 133.1 → 94.2 s
+    # at 1000× on the same loaded box — the a/b join sides already
+    # share the grid's exchange via ReuseExchange, only the totals
+    # branch re-scanned).
+    tc = (
+        tu.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .localCheckpoint(eager=False)
+    )
     a = tu.select(F.col("event_type").alias("type_a"), "user_id")
     b = tu.select(F.col("event_type").alias("type_b"), "user_id")
     inter = (

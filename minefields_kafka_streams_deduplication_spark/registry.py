@@ -249,6 +249,9 @@ _R8_REVERIFY: tuple[str, ...] = (
     # monthly/weekly frame localCheckpoint: the growth self-join's
     # broadcast side no longer re-executes the full rollup pass
     "weekly_active_growth",
+    # transition-frame localCheckpoint: the denominator broadcast no
+    # longer re-executes the 100M-row lag-window pipeline
+    "event_transition_matrix",
 )
 
 
