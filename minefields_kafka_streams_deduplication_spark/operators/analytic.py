@@ -1315,10 +1315,21 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
-    base = ev.groupBy("user_id").agg(
-        F.max(F.to_date("ts")).alias("last_day"),
-        F.count(F.lit(1)).alias("freq"),
-        F.sum(dec6("value")).alias("money"),
+    # The per-user frame is consumed ~10x: the max-recency broadcast,
+    # the crossJoin, and THREE rank pipelines each with two broadcast
+    # offset/total branches — every broadcast subplan re-executes its
+    # child, so un-pinned this re-ran the 100M-event scan + aggregate
+    # per consumer (r8 probe: 95.6 → 35.1 s at 1000× on the same loaded box; the r7
+    # quiet-box row was 33.7 s un-pinned — the caller-level checkpoint rule:
+    # pin the small expensive frame, not the helper's full ranked frame).
+    base = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(dec6("value")).alias("money"),
+        )
+        .localCheckpoint(eager=False)
     )
     mx = F.broadcast(base.agg(F.max("last_day").alias("_maxd")))
     base = base.crossJoin(mx).withColumn(

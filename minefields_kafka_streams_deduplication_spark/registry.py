@@ -252,6 +252,9 @@ _R8_REVERIFY: tuple[str, ...] = (
     # transition-frame localCheckpoint: the denominator broadcast no
     # longer re-executes the 100M-row lag-window pipeline
     "event_transition_matrix",
+    # per-user base frame localCheckpoint: ~10 broadcast/rank consumers
+    # no longer each re-run the events scan + aggregate
+    "rfm_segments",
 )
 
 
