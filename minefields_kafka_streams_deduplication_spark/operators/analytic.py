@@ -1700,7 +1700,14 @@ def power_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import round4f
 
     ev = load_table(spark, sf_dir, "events")
-    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    # caller-level pin (r8 broadcast-reexecution sweep): the rank's
+    # offset/total broadcast branches would each re-run the full
+    # events scan + aggregate otherwise
+    counts = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     ranked = _global_row_number(counts, [F.desc("cnt"), F.asc("user_id")])
     cond = F.col("_rn") <= F.ceil(F.col("_n") / 100.0)
     agg = ranked.agg(
