@@ -414,23 +414,49 @@ def importance_weight_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes no other line of the plan.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    # Exact-copy collapse (r8, the r7 doc_*_logprob discipline extended
+    # to DSIR): identical texts carry identical token multisets AND
+    # identical scores, so the token explode runs ONCE over the
+    # DISTINCT-text table — LM counts re-weight by copy count per
+    # language (the target LM is lang-conditioned, so per-(text, lang)
+    # copy weights join back by text hash), and per-doc scores attach
+    # by hash. Un-collapsed + un-pinned this ran the per-copy explode
+    # ~5x (r8 probe: 33.5 → 11.7 s at 1000× on the copy-flood fixture;
+    # the residual cost is the per-copy doc_id hash join — inherent to
+    # a per-doc output).
+    doc_map = docs.select("doc_id", F.md5(F.lower("text")).alias("th"))
+    reps = docs.groupBy(F.md5(F.lower("text")).alias("th")).agg(
+        F.count(F.lit(1)).alias("w"),
+        F.first(F.split(F.lower("text"), " ")).alias("tk"),
     )
-    raw_c = tok.groupBy("token").agg(F.count("*").alias("raw_c"))
-    tgt_c = (
-        tok.filter(F.col("lang") == DSIR_TARGET_LANG)
+    lang_w = (
+        docs.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy(F.md5(F.lower("text")).alias("th"))
+        .agg(F.count(F.lit(1)).alias("wl"))
+    )
+    # (th, token, c): pinned — feeds the LM counts AND the score join
+    th_tf = (
+        reps.select("th", "w", F.explode("tk").alias("token"))
+        .groupBy("th", "token")
+        .agg(F.count(F.lit(1)).alias("c"), F.max("w").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    counts = (
+        th_tf.join(lang_w, "th", "left")
         .groupBy("token")
-        .agg(F.count("*").alias("tgt_c"))
+        .agg(
+            F.sum(F.col("c") * F.col("w")).alias("raw_c"),
+            F.sum(F.col("c") * F.coalesce(F.col("wl"), F.lit(0))).alias("tgt_c"),
+        )
+        .localCheckpoint(eager=False)
     )
-    tot = raw_c.agg(
-        F.sum("raw_c").alias("t_raw"), F.count("*").alias("v")
-    ).crossJoin(
-        tgt_c.agg(F.coalesce(F.sum("tgt_c"), F.lit(0)).alias("t_tgt"))
+    tot = counts.agg(
+        F.sum("raw_c").alias("t_raw"),
+        F.count("*").alias("v"),
+        F.sum("tgt_c").alias("t_tgt"),
     )
     weights = (
-        raw_c.join(tgt_c, "token", "left")
-        .crossJoin(F.broadcast(tot))
+        counts.crossJoin(F.broadcast(tot))
         .select(
             "token",
             # Snap each per-token LLR to DECIMAL(18,6) before the per-doc
@@ -439,16 +465,17 @@ def importance_weight_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             # is exact and associative (same hardening as the window
             # family / doc_unigram_logprob).
             (
-                F.log((F.coalesce(F.col("tgt_c"), F.lit(0)) + 1.0) / (F.col("t_tgt") + F.col("v")))
+                F.log((F.col("tgt_c") + 1.0) / (F.col("t_tgt") + F.col("v")))
                 - F.log((F.col("raw_c") + 1.0) / (F.col("t_raw") + F.col("v")))
-            ).cast("decimal(18,6)").alias("w"),
+            ).cast("decimal(18,6)").alias("lw"),
         )
     )
-    return (
-        tok.join(F.broadcast(weights), "token")
-        .groupBy("doc_id")
-        .agg(F.sum("w").cast("double").alias("dsir_weight"))
+    per_rep = (
+        th_tf.join(F.broadcast(weights), "token")
+        .groupBy("th")
+        .agg(F.sum(F.col("c") * F.col("lw")).cast("double").alias("dsir_weight"))
     )
+    return doc_map.join(per_rep, "th").select("doc_id", "dsir_weight")
 
 
 # ---------------------------------------------------------------------------
@@ -583,9 +610,13 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first(F.split(F.lower("text"), " ")).alias("tk"),
     )
     tok = reps.select("th", "w", F.explode("tk").alias("t"))
+    # Pinned (r8 broadcast-reexecution sweep): doc_tf feeds the vocab
+    # aggregate (whose totals ride as a broadcast) AND the per-rep
+    # score join — un-checkpointed, the collapse + explode pipeline
+    # executed ~3x (1000×: 186.2 → 13.4 s, quiet box).
     doc_tf = tok.groupBy("th", "t").agg(
         F.count(F.lit(1)).alias("c"), F.max("w").alias("w")
-    )
+    ).localCheckpoint(eager=False)
     vocab = doc_tf.groupBy("t").agg(
         F.sum(F.col("c") * F.col("w")).alias("cnt")
     ).select(
@@ -700,9 +731,13 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("th", "w", F.explode(zipped).alias("p"))
         .select("th", "w", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
     )
+    # Pinned (r8 broadcast-reexecution sweep, same as doc_unigram):
+    # doc_bg feeds corpus_bg -> lefts AND the terms join (3 executions
+    # of the pair explode un-checkpointed); uni feeds the tot broadcast
+    # AND the terms join (2 executions of the token explode).
     doc_bg = pairs.groupBy("th", "w1", "w2").agg(
         F.count(F.lit(1)).alias("c"), F.max("w").alias("w")
-    )
+    ).localCheckpoint(eager=False)
     corpus_bg = doc_bg.groupBy("w1", "w2").agg(
         F.sum(F.col("c") * F.col("w")).alias("cbg")
     )
@@ -711,6 +746,7 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         reps.select(F.explode("tk").alias("t"), "w")
         .groupBy("t")
         .agg(F.sum("w").alias("cu"))
+        .localCheckpoint(eager=False)
     )
     tot = uni.agg(F.sum("cu").alias("tu"))
     p_interp = F.lit(BIGRAM_LAMBDA) * (
@@ -946,7 +982,12 @@ def diagnose_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns engine-exact (round4f rationale in catalog.py).
     """
     ev = load_table(spark, sf_dir, "events")
-    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    # pinned: the totals broadcast re-executed the scan + count agg
+    counts = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     totals = counts.agg(
         F.sum("n").alias("tot"), F.count(F.lit(1)).alias("n_keys")
     )

@@ -255,6 +255,12 @@ _R8_REVERIFY: tuple[str, ...] = (
     # per-user base frame localCheckpoint: ~10 broadcast/rank consumers
     # no longer each re-run the events scan + aggregate
     "rfm_segments",
+    # broadcast-reexecution pins + DSIR exact-copy collapse (r8 sweep):
+    # outputs pinned identical by the strict two-scale gate
+    "importance_weight_dsir",
+    "doc_unigram_logprob",
+    "doc_bigram_logprob",
+    "diagnose_key_skew",
 )
 
 
