@@ -338,25 +338,41 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ulp differences cannot flip the top-k (same policy as cosine)."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
-    tokens = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    # Exact-copy collapse (r8): identical texts have identical tf
+    # vectors AND identical top terms, so scoring runs on the
+    # DISTINCT-text table; df counts every copy as a distinct document
+    # (sum of copy weights per text containing the token — exactly
+    # countDistinct(doc_id) on the un-collapsed frame) and the ranked
+    # terms re-attach per doc_id by text hash. th_tf is pinned: it
+    # feeds the df aggregate (a broadcast subplan, which re-executes
+    # its child) and the scoring join.
+    doc_map = docs.select("doc_id", F.md5(F.lower("text")).alias("th"))
+    reps = docs.groupBy(F.md5(F.lower("text")).alias("th")).agg(
+        F.count(F.lit(1)).alias("w"),
+        F.first(F.split(F.lower("text"), " ")).alias("tk"),
     )
-    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df_), "token").select(
-        "doc_id",
+    th_tf = (
+        reps.select("th", "w", F.explode("tk").alias("token"))
+        .groupBy("th", "token")
+        .agg(F.count("*").alias("tf"), F.max("w").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    df_ = th_tf.groupBy("token").agg(F.sum("w").alias("df"))
+    scored = th_tf.join(F.broadcast(df_), "token").select(
+        "th",
         "token",
         (F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0))).alias("tfidf"),
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("doc_id").orderBy(
+    w = Window.partitionBy("th").orderBy(
         F.round(F.col("tfidf"), 9).desc(), F.col("token").asc()
     )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TFIDF_TOP_TERMS)
-        .select("doc_id", "token", F.round("tfidf", 4).alias("tfidf"))
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= TFIDF_TOP_TERMS
+    )
+    return doc_map.join(top, "th").select(
+        "doc_id", "token", F.round("tfidf", 4).alias("tfidf")
     )
 
 
@@ -553,26 +569,43 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python anywhere.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    # Exact-copy collapse (r8): identical texts have identical dl, tf
+    # and BM25 scores, so the whole scorer runs per DISTINCT text —
+    # corpus stats weight by copy count (n = Σw; avgdl = Σw·dl / Σw
+    # divides the same two exact longs as avg(dl) un-collapsed; df =
+    # Σw per text containing the term == countDistinct(doc_id)), and
+    # scores re-attach by text hash. reps is pinned: the dl, tf and
+    # doc-map branches would each re-run the collapse otherwise.
+    doc_map = docs.select("doc_id", F.md5(F.lower("text")).alias("th"))
+    reps = (
+        docs.groupBy(F.md5(F.lower("text")).alias("th"))
+        .agg(
+            F.count(F.lit(1)).alias("w"),
+            F.first(F.split(F.lower("text"), " ")).alias("tk"),
+        )
+        .localCheckpoint(eager=False)
     )
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    dl = reps.select("th", "w", F.size("tk").alias("dl"))
+    stats = dl.agg(
+        F.sum("w").alias("n"),
+        (F.sum(F.col("w") * F.col("dl")) / F.sum("w")).alias("avgdl"),
+    )
     tf = (
-        tok.filter(F.col("token").isin(BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
+        reps.select("th", "w", F.explode("tk").alias("token"))
+        .filter(F.col("token").isin(BM25_TERMS))
+        .groupBy("th", "token")
+        .agg(F.count("*").alias("tf"), F.max("w").alias("w"))
     )
-    df_t = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    df_t = tf.groupBy("token").agg(F.sum("w").alias("df"))
     idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     denom = F.col("tf") + BM25_K1 * (
         1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
     )
-    return (
-        tf.join(dl, "doc_id")
+    per_th = (
+        tf.join(dl.select("th", "dl"), "th")
         .join(F.broadcast(df_t), "token")
         .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
+        .groupBy("th")
         .agg(
             # Per-term scores snap to DECIMAL(18,6) before the per-doc
             # sum (ln is 1-ulp engine-divergent and sum order is not):
@@ -584,6 +617,7 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bm25")
         )
     )
+    return doc_map.join(per_th, "th").select("doc_id", "bm25")
 
 
 @query(

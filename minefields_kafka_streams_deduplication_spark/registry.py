@@ -261,6 +261,8 @@ _R8_REVERIFY: tuple[str, ...] = (
     "doc_unigram_logprob",
     "doc_bigram_logprob",
     "diagnose_key_skew",
+    "tfidf_top_terms",
+    "bm25_doc_search",
 )
 
 
