@@ -233,6 +233,14 @@ _R7_DRIVER_VERIFIED = frozenset(
 # Round 8 items are appended as hardening lands (oracle-backed paths
 # whose execution changed; semantics pinned identical by the test
 # suite, but the driver should re-check them before the rotation).
+# Round-8 window math: 21 tier-0 new oracles + 16 tier-1 hardenings
+# leave 13 rotation slots — 13 of the 29 stalest r4-era rows re-verify
+# this round and the remaining 16 lead the round-9 rotation. The
+# deliberate tradeoff: every tier-1 entry had its EXECUTION changed by
+# the broadcast-reexecution sweep / copy-collapse rewrites, and a
+# changed plan outranks a stale-but-unchanged row for driver slots
+# (all 196 oracles pass the builder's own strict two-scale gate every
+# round regardless).
 _R8_REVERIFY: tuple[str, ...] = (
     # advisor-directed hardening (r8): drain-loop recentProgress walk
     "table_suppress_final_state",
