@@ -546,7 +546,16 @@ def make_cancellable_fn(
 
     Emits (key, delta_n, firing#, emit_wall) per punctuation; the delta
     resets each firing so sum(n) over emissions = rows seen up to the
-    last firing."""
+    last firing. ``emit_wall_us`` is the BATCH processing time
+    (``GroupState.getCurrentProcessingTimeMs``), not the Python
+    worker's clock: the timeout contract is defined on the batch clock
+    (a timer armed for +interval fires in the first batch whose
+    processing time passes the deadline, so successive firings are
+    ≥ interval apart in THIS clock by engine guarantee), while the
+    worker clock adds a scheduling+spawn delay that varies per firing
+    and can compress observed gaps below the interval on a loaded box
+    (r8 flake: two metronome tests each tripped once under a full-suite
+    run on the worker-clock basis)."""
 
     def _next_interval(firings_done: int) -> int:
         return (
@@ -558,6 +567,7 @@ def make_cancellable_fn(
     ) -> Iterator[pd.DataFrame]:
         now_us = int(time.time() * 1_000_000)
         if state.hasTimedOut:
+            proc_us = state.getCurrentProcessingTimeMs() * 1000
             n, firings, _last = state.get
             firing = firings + 1
             state.update((0, firing, now_us))
@@ -565,7 +575,7 @@ def make_cancellable_fn(
                 state.setTimeoutDuration(_next_interval(firing))
             # else: CANCELLED — never re-armed again for this key
             yield pd.DataFrame(
-                [[key[0], n, firing, now_us]],
+                [[key[0], n, firing, proc_us]],
                 columns=["event_type", "n", "firing", "emit_wall_us"],
             )
             return
