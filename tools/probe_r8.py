@@ -117,10 +117,40 @@ def stage_batch2_1000() -> None:
         probe(q, P1000)
 
 
+BATCH3 = (
+    "label_centroid_distances",
+    "tokens_mad_by_lang",
+    "spend_decile_migration",
+)
+# Broadcast-reexecution sweep + copy-collapse rewrites (late r8): the
+# queries whose 1000x rows changed; re-run one per fresh session for
+# clean numbers (SCALING.md r7 contention lesson).
+SWEEP_FIXED = (
+    "revenue_mom_growth", "weekly_active_growth", "event_transition_matrix",
+    "event_type_user_jaccard", "rfm_segments", "power_user_concentration",
+    "importance_weight_dsir", "doc_unigram_logprob", "doc_bigram_logprob",
+    "diagnose_key_skew", "tfidf_top_terms", "bm25_doc_search",
+)
+
+
+def stage_batch3() -> None:
+    for q in BATCH3:
+        probe(q, P10)
+    for q in BATCH3:
+        probe(q, P1000)
+
+
+def stage_sweep_fixed() -> None:
+    for q in SWEEP_FIXED:
+        probe(q, P1000)
+
+
 STAGES = {
     "analytics1000": stage_analytics1000,
     "batch2_10": stage_batch2_10,
     "batch2_1000": stage_batch2_1000,
+    "batch3": stage_batch3,
+    "sweep_fixed": stage_sweep_fixed,
     "docs1000": stage_docs1000,
     "orders1000": stage_orders1000,
     "opq": stage_opq,
