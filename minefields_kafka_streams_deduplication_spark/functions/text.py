@@ -568,7 +568,10 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     N/avgdl is a 1-row broadcast crossJoin. One shuffle on doc_id, no
     Python anywhere.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL text would reach size(tk) as size(NULL) = -1 (legacy
+    # default) and silently shift n/avgdl; the oracle's explode drops
+    # such rows, so drop them before the collapse.
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     # Exact-copy collapse (r8): identical texts have identical dl, tf
     # and BM25 scores, so the whole scorer runs per DISTINCT text —
     # corpus stats weight by copy count (n = Σw; avgdl = Σw·dl / Σw
@@ -1266,7 +1269,9 @@ def doc_length_token_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-row rollup. The x·y products stay far inside int64 at any
     realistic doc length; the final quotient is floor-form rounded
     with a zero-variance guard."""
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL text → size(split(NULL)) = -1 under the legacy default
+    # would poison the y sums; drop such rows like the SQL oracle does.
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     # n_chars joins the collapse KEY (not first()-projected): it is
     # derived from text on real data, but the collapse must not ASSUME
     # the functional dependency — a row with an anomalous n_chars
@@ -1361,7 +1366,9 @@ def tokens_mad_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale."""
     from ..operators.analytic import _grouped_value_cdf
 
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL text → size(split(NULL)) = -1 under the legacy default
+    # would enter the value CDF as a phantom count; drop such rows.
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     collapsed = (
         docs.groupBy(
             "lang",

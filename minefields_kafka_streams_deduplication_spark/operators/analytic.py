@@ -1893,7 +1893,17 @@ def _global_running_sum(df: DataFrame, order_col: str, val_col: str) -> DataFram
     SIGNED-VALUE variant of `_grouped_value_cdf`: per-partition totals
     come from ``sum(val)`` rather than ``max`` of the local running sum
     (a max-based total is only correct when every increment is
-    non-negative; interval +1/−1 deltas are not). Parallelism follows
+    non-negative; interval +1/−1 deltas are not).
+
+    PRECONDITION: ``order_col`` values must be UNIQUE (one row per
+    key). With duplicate keys the per-partition window orders ties
+    arbitrarily, so each tied row's intermediate prefix sum is
+    nondeterministic (only the last row of a tie-group is stable).
+    Pre-aggregate to unique keys first — mirroring
+    `_grouped_value_cdf`'s (group, value, c) contract — as
+    `concurrent_sessions_hourly` does with its per-hour rollup.
+
+    Parallelism follows
     the range split of ``order_col``; the localCheckpoint pins one
     materialized partitioning for the local-cumsum and totals branches
     (the r6 ReuseExchange-resampling hazard)."""

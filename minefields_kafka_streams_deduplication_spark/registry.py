@@ -229,58 +229,48 @@ _R7_DRIVER_VERIFIED = frozenset(
     }
 )
 
+# Oracle queries that landed a green row in CORRECTNESS_r08.json (50/50
+# green — the 21 round-8 oracle additions, 16 tier-1 execution-changed
+# re-verifies, and 13 of the stalest r4-era rotation rows).
+_R8_DRIVER_VERIFIED = frozenset(
+    {
+        "activity_gini_by_type", "agg_collect_event_types", "agg_cube_status_priority",
+        "agg_grouping_sets", "agg_value_distribution", "basket_part_pairs_top",
+        "bigram_pmi_top", "bm25_doc_search", "cohort_time_to_first_purchase",
+        "concurrent_sessions_hourly", "contamination_ngram_check", "customer_lifespan_buckets",
+        "customer_spend_percentile_by_nation", "decontaminate_report", "dedup_embedding_cosine",
+        "diagnose_key_skew", "doc_bigram_logprob", "doc_length_token_corr",
+        "doc_unigram_logprob", "dup_cluster_size_histogram", "event_transition_matrix",
+        "event_type_user_jaccard", "importance_weight_dsir", "kafka_wire_dlq_routing",
+        "label_centroid_distances", "lang_source_chi2_cells", "median_session_length_by_day",
+        "new_vs_returning_daily", "pivot_user_event_matrix", "power_user_concentration",
+        "q10_returned_item_customers", "q14_promo_effect", "q18_large_volume_orders",
+        "q19_disjunctive_predicates", "q3_shipping_priority", "q4_late_shipment_priority",
+        "q5_local_supplier_volume", "q6_forecast_revenue", "revenue_mom_growth",
+        "rfm_segments", "session_path_topk", "spend_decile_migration",
+        "store_snapshot_diff", "store_snapshot_stream_eos", "streak_longest_daily",
+        "table_suppress_final_state", "tfidf_top_terms", "tokens_mad_by_lang",
+        "tokens_per_doc_percentiles", "weekly_active_growth",
+    }
+)
+
 # Tier 1: failed-or-hardened this round — re-verify ahead of rotation.
-# Round 8 items are appended as hardening lands (oracle-backed paths
+# Round 9 items are appended as hardening lands (oracle-backed paths
 # whose execution changed; semantics pinned identical by the test
 # suite, but the driver should re-check them before the rotation).
-# Round-8 window math: 21 tier-0 new oracles + 16 tier-1 hardenings
-# leave 13 rotation slots — 13 of the 29 stalest r4-era rows re-verify
-# this round and the remaining 16 lead the round-9 rotation. The
-# deliberate tradeoff: every tier-1 entry had its EXECUTION changed by
-# the broadcast-reexecution sweep / copy-collapse rewrites, and a
-# changed plan outranks a stale-but-unchanged row for driver slots
-# (all 196 oracles pass the builder's own strict two-scale gate every
-# round regardless).
-_R8_REVERIFY: tuple[str, ...] = (
-    # advisor-directed hardening (r8): drain-loop recentProgress walk
-    "table_suppress_final_state",
-    # totals now derive from the checkpointed CDF frame
-    "tokens_per_doc_percentiles",
-    # zero-norm guard + zero-vector copies excluded from the dup union
-    "dedup_embedding_cosine",
-    # snapshot commit path reworked for concurrent-writer CAS
-    "store_snapshot_diff",
-    "store_snapshot_stream_eos",
-    # contamination family copy-collapsed (1000x probe: 592.8 -> 12.3 s)
-    "contamination_ngram_check",
-    "decontaminate_report",
-    # monthly/weekly frame localCheckpoint: the growth self-join's
-    # broadcast side no longer re-executes the full rollup pass
-    "weekly_active_growth",
-    # transition-frame localCheckpoint: the denominator broadcast no
-    # longer re-executes the 100M-row lag-window pipeline
-    "event_transition_matrix",
-    # per-user base frame localCheckpoint: ~10 broadcast/rank consumers
-    # no longer each re-run the events scan + aggregate
-    "rfm_segments",
-    # broadcast-reexecution pins + DSIR exact-copy collapse (r8 sweep):
-    # outputs pinned identical by the strict two-scale gate
-    "importance_weight_dsir",
-    "doc_unigram_logprob",
-    "doc_bigram_logprob",
-    "diagnose_key_skew",
-    "tfidf_top_terms",
-    "bm25_doc_search",
-)
+# Round-9 window: new r9 oracles take tier 0, these tier-1 rows come
+# next, and the remaining slots go to the stalest rotation rows — the
+# 16 r4-era rows that missed the r8 window lead, then r5-era rows.
+_R9_REVERIFY: tuple[str, ...] = ()
 
 
 def _driver_order(names: list[str]) -> list[str]:
     driver_seen = (
         _R1_DRIVER_VERIFIED | _R2_DRIVER_VERIFIED | _R3_DRIVER_VERIFIED
         | _R4_DRIVER_VERIFIED | _R5_DRIVER_VERIFIED | _R6_DRIVER_VERIFIED
-        | _R7_DRIVER_VERIFIED
+        | _R7_DRIVER_VERIFIED | _R8_DRIVER_VERIFIED
     )
-    reverify = {n: i for i, n in enumerate(_R8_REVERIFY)}
+    reverify = {n: i for i, n in enumerate(_R9_REVERIFY)}
     never_checked = [
         n for n in names if n in ORACLES and n not in driver_seen and n not in reverify
     ]
@@ -294,6 +284,8 @@ def _driver_order(names: list[str]) -> list[str]:
     # Oldest driver rows re-verify first: sort by the LATEST round in which
     # the driver checked the query (r1-only rows are the stalest).
     def last_verified(n: str) -> int:
+        if n in _R8_DRIVER_VERIFIED:
+            return 8
         if n in _R7_DRIVER_VERIFIED:
             return 7
         if n in _R6_DRIVER_VERIFIED:
