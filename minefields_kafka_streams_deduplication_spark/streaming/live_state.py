@@ -235,6 +235,115 @@ def store_live_state_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "batch_id")
 
 
+SESSION_STATE_GAP_MINUTES = 30  # same inactivity gap as the batch store
+
+
+def session_state_checkpoint(spark: SparkSession, sf_dir: str) -> str:
+    """Run a streaming SESSION-WINDOW aggregation (30-min inactivity
+    gap × user, per-session count + value sum) over the fixture once
+    per fixture identity, RETAINING the checkpoint, and return its
+    location — the live SessionStore completing the store quartet
+    [R o.a.k.streams.state.ReadOnlySessionStore served from a RUNNING
+    topology via KafkaStreams#store].
+
+    The watermark is set to ~100 years: Spark's append-mode session
+    aggregation EVICTS a session from state once the watermark passes
+    its close (that is emission, the KS suppress analog) — an
+    effectively-infinite delay keeps every merged session live, which
+    is exactly the KS persistent SessionStore (infinite retention is a
+    valid KS config, mirroring the batch layouts in
+    sources/state_store.py). Sessions MERGE in state across
+    micro-batches: the time-ordered chunk replay makes boundary
+    sessions span commits, so the final state proves cross-batch
+    session merge, not just per-batch aggregation.
+
+    State layout (inspected, pinned in tests/test_live_state.py):
+    key = (user_id, sessionStartTime); value = (session_window
+    struct(start, end), user_id, count, sum) where end = last event ts
+    + gap — the same half-open [start, last+gap) contract as batch
+    ``F.session_window``."""
+    root, ready = fingerprint_dir(
+        "livesession", os.path.join(sf_dir, "events.parquet")
+    )
+    ckpt = os.path.join(root, "ckpt")
+    if ready:
+        return ckpt
+    stage = os.path.join(root, "stage")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    stage_events_ordered(ev, stage, n_slices=LIVE_STATE_CHUNKS)
+    schema = "user_id LONG, ts TIMESTAMP, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    sessions = (
+        stream.withWatermark("ts", "36500 days")
+        .groupBy(
+            F.session_window("ts", f"{SESSION_STATE_GAP_MINUTES} minutes").alias(
+                "session_window"
+            ),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("count"), F.sum("value").alias("sum"))
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            sessions.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    mark_ready(root)  # the noop sink writes nothing; state IS the product
+    return ckpt
+
+
+def session_state_fetch(
+    spark: SparkSession,
+    checkpoint: str,
+    key: int | None = None,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """[R ReadOnlySessionStore#fetch(key)] (``key=None`` →
+    [R #fetchAll]) against LIVE state: every merged session the
+    running session-window aggregation holds for the key, read
+    straight out of its state store — distributed per-shard, with
+    point-in-time addressing via ``batch_id`` (KS standby reads)."""
+    state = read_live_state(spark, checkpoint, batch_id=batch_id)
+    out = state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.session_window.start").alias("session_start"),
+        F.col("value.session_window.end").alias("session_end"),
+        F.col("value.count").cast("long").alias("n_events"),
+        F.col("value.sum").cast("double").alias("total_value"),
+    )
+    if key is not None:
+        out = out.where(F.col("user_id") == int(key))
+    return out.orderBy("user_id", "session_start")
+
+
+@query("store_live_session_fetch")  # rows-only: reads a running
+# session-window aggregation's own SessionStore state; parity vs the
+# batch-materialized bucketed session store (state_store.py) and vs
+# batch sessionize() is pinned in tests/test_live_state.py, along with
+# a batchId point-in-time read and a cross-batch session-merge pin.
+def store_live_session_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[R ReadOnlySessionStore#fetch(7)] against LIVE state: key 7's
+    sessions served from the streaming session-window aggregation's
+    state store — the fourth live store verb, completing the quartet
+    (KV all / window fetchAll / change feed / session fetch). Ordered
+    for determinism; total_value snaps to 4dp for a stable hash."""
+    ckpt = session_state_checkpoint(spark, sf_dir)
+    out = session_state_fetch(spark, ckpt, key=7)
+    return out.withColumn("total_value", F.round("total_value", 4))
+
+
 @query("store_live_streaming_state")  # rows-only: reads a checkpoint's state,
 # not a SQL-derivable table (parity vs batch distinct keys + the
 # bucketed-layout store is pinned in tests/test_live_state.py)

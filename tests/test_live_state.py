@@ -185,3 +185,106 @@ def test_live_window_store_matches_batch_tumbling(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def _batch_session_agg(ev):
+    return (
+        ev.groupBy(
+            F.session_window(
+                "ts", f"{live_state.SESSION_STATE_GAP_MINUTES} minutes"
+            ).alias("sw"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def test_live_session_store_matches_batch_session_window(spark, sf_dir):
+    """Live SessionStore fetchAll (r9): the streaming session-window
+    aggregation's state — read via the State Data Source — equals the
+    batch F.session_window aggregation exactly on (key, start, end,
+    count); the float sum agrees to 1e-6 (state buffer sums in arrival
+    order, batch in scan order)."""
+    ckpt = live_state.session_state_checkpoint(spark, sf_dir)
+    live = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in live_state.session_state_fetch(spark, ckpt).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    want = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in _batch_session_agg(ev).collect()
+    }
+    assert live.keys() == want.keys()
+    for k, (n, v) in want.items():
+        ln, lv = live[k]
+        assert ln == n
+        assert lv == pytest.approx(v, abs=1e-6)
+
+
+def test_live_session_fetch_matches_bucketed_store(spark, sf_dir):
+    """[R ReadOnlySessionStore#fetch(7)] live vs the batch-materialized
+    bucketed session store (LAG sessionization): same sessions for the
+    key, with the live end == LAG end + gap (session_window's half-open
+    [start, last_event + gap) contract vs the LAG form's last-event
+    end)."""
+    from minefields_kafka_streams_deduplication_spark.sources.state_store import (
+        materialize_session_store,
+        session_store_fetch,
+    )
+
+    out = engine.get_queries()["store_live_session_fetch"](spark, sf_dir)
+    live = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in out.collect()
+    }
+    gap = dt.timedelta(minutes=live_state.SESSION_STATE_GAP_MINUTES)
+    store = materialize_session_store(spark, sf_dir)
+    bucketed = {
+        (r.user_id, r.session_start, r.session_end + gap): r.n_events
+        for r in session_store_fetch(spark, store, 7).collect()
+    }
+    assert live == bucketed and len(live) > 0
+
+
+def test_live_session_point_in_time_and_cross_batch_merge(spark, sf_dir):
+    """Version 0 of the session state == the batch session aggregation
+    over replay chunk 0 alone (point-in-time read), and the final
+    version is NOT the disjoint union of per-chunk sessionizations
+    whenever any session spans a chunk boundary — sessions MERGE in
+    state across commits."""
+    ckpt = live_state.session_state_checkpoint(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo).total_seconds() or 1.0
+    cut1 = lo + dt.timedelta(seconds=span / live_state.LIVE_STATE_CHUNKS)
+
+    v0 = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in live_state.session_state_fetch(spark, ckpt, batch_id=0).collect()
+    }
+    want0 = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in _batch_session_agg(ev.where(F.col("ts") < F.lit(cut1))).collect()
+    }
+    assert v0 == want0
+
+    final = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in live_state.session_state_fetch(spark, ckpt).collect()
+    }
+    # Any chunk-0 session extended by a later chunk keeps its key's
+    # start but grows its end/count — pin that the merge semantics
+    # (not an append) applied wherever a boundary session exists.
+    extended = {
+        (u, s) for (u, s, e) in v0 if (u, s, e) not in final
+    }
+    for u, s in extended:
+        assert any(u2 == u and s2 == s for (u2, s2, _) in final)
