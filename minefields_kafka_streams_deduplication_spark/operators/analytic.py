@@ -1403,30 +1403,15 @@ def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-event session is a bounce. The engagement-quality metric
     next to DAU/MAU and churn.
 
-    Scale shape: both windows are per-user keyed (one hash exchange
-    shared by lag and running-sum via the same partitioning), the
-    session rollup is keyed by (user, sid), and the daily rollup is
-    calendar-bounded. No global window anywhere."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
-    flagged = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(
-            gap_us.isNull() | (gap_us > BOUNCE_GAP_MIN * 60 * 1_000_000), 1
-        ).otherwise(0).alias("is_start"),
-    )
-    sess = flagged.select(
-        "user_id",
-        "ts",
-        F.sum("is_start").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ).alias("sid"),
-    )
-    per_sess = sess.groupBy("user_id", "sid").agg(
-        F.min("ts").alias("start_ts"), F.count(F.lit(1)).alias("n_events")
+    Scale shape (r9, sessionize-once): the per-session frame comes
+    from the persisted shared `session_frame` (BOUNCE_GAP_MIN ==
+    SESSION_GAP_MINUTES, same lag-flag semantics — the per-user sort
+    is paid once per fixture); the daily rollup is calendar-bounded.
+    No global window anywhere."""
+    from .windows import session_frame
+
+    per_sess = session_frame(spark, sf_dir).select(
+        F.col("session_start").alias("start_ts"), "n_events"
     )
     bounce = (F.col("n_events") == 1).cast("int")
     return (

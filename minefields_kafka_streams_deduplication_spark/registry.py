@@ -261,7 +261,17 @@ _R8_DRIVER_VERIFIED = frozenset(
 # Round-9 window: new r9 oracles take tier 0, these tier-1 rows come
 # next, and the remaining slots go to the stalest rotation rows — the
 # 16 r4-era rows that missed the r8 window lead, then r5-era rows.
-_R9_REVERIFY: tuple[str, ...] = ()
+_R9_REVERIFY: tuple[str, ...] = (
+    # sessionize-once (r9): these now consume the persisted shared
+    # session frame instead of re-running the per-user event sort;
+    # outputs pinned identical by the strict two-scale gate
+    "session_path_topk",
+    "median_session_length_by_day",
+    "concurrent_sessions_hourly",
+    "bounce_rate_daily",
+    "window_session_sql",
+    "store_session_fetch",
+)
 
 
 def _driver_order(names: list[str]) -> list[str]:

@@ -358,12 +358,18 @@ def materialize_session_store(spark: SparkSession, sf_dir: str) -> str:
     [R o.a.k.streams.state.ReadOnlySessionStore]. Completes the KS
     store triad (KeyValueStore / WindowStore / SessionStore) on the
     same bucket scheme."""
-    from ..operators.windows import sessionize
+    from ..operators.windows import session_frame
 
     root, ready = fingerprint_dir("iq_sstore", os.path.join(sf_dir, "events.parquet"))
     if ready:
         return root
-    sessions = sessionize(load_table(spark, sf_dir, "events")).withColumn(
+    # r9 sessionize-once: derive from the shared persisted session
+    # frame — re-bucketing shuffles the compact per-session frame, the
+    # 100M-row per-user event sort is not re-paid here.
+    sessions = session_frame(spark, sf_dir).select(
+        "user_id", "session_id", "n_events",
+        "session_start", "session_end", "total_value",
+    ).withColumn(
         "bucket", F.pmod(F.xxhash64("user_id"), F.lit(UPSERT_BUCKETS))
     )
     (

@@ -90,18 +90,23 @@ def test_session_window_gap_boundary(spark, monkeypatch):
     us = dt.timedelta(microseconds=1)
     events = spark.createDataFrame(
         [
-            (1, 7, base, 1.0),
-            (2, 7, base + gap, 1.0),              # gap == 30min → same session
-            (3, 7, base + gap + gap + us, 1.0),   # gap 30min+1µs → new session
+            (1, 7, base, 1.0, "a"),
+            (2, 7, base + gap, 1.0, "b"),            # gap == 30min → same session
+            (3, 7, base + gap + gap + us, 1.0, "c"), # gap 30min+1µs → new session
         ],
-        "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE",
+        "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE, event_type STRING",
     )
-    monkeypatch.setattr(windows, "load_table", lambda s, d, n: events)
+    # window_session_sql now serves from the persisted shared frame;
+    # the boundary semantics live in build_session_frame — test it
+    # directly (and sessionize(), the reusable ad-hoc form, with it).
     out = sorted(
         (r.session_id, r.n_events)
-        for r in windows.window_session_sql(spark, "x").collect()
+        for r in windows.build_session_frame(events).collect()
     )
     assert out == [(1, 2), (2, 1)]
+    assert out == sorted(
+        (r.session_id, r.n_events) for r in windows.sessionize(events).collect()
+    )
 
 
 def test_rollup_levels(spark, monkeypatch):
@@ -452,3 +457,30 @@ def test_gap_stats_bucketed_matches_exact_within_bucket(spark, sf_dir):
         assert abs(a.median_gap_us_approx - e.median_gap_us) <= 1_000_000, (
             t, a.median_gap_us_approx, e.median_gap_us,
         )
+
+
+def test_session_frame_built_once_and_consumers_scan_only(spark, sf_dir):
+    """Sessionize-once (r9): the shared session frame is persisted and
+    fingerprint-cached (second call hits _READY, no rebuild), and a
+    consumer's plan reads the persisted parquet with NO per-user
+    window — the 100M-row event sort is not re-paid per consumer."""
+    import os
+
+    from minefields_kafka_streams_deduplication_spark.catalog import fingerprint_dir
+    from minefields_kafka_streams_deduplication_spark.operators import windows
+
+    windows.session_frame(spark, sf_dir)
+    root, ready = fingerprint_dir(
+        "sessions", os.path.join(sf_dir, "events.parquet")
+    )
+    assert ready and os.path.exists(os.path.join(root, "_READY"))
+
+    plan = (
+        windows.session_path_topk(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "sessions_" in plan          # scans the persisted frame
+    assert "Window" not in plan         # no re-sessionization window
+    assert "events.parquet" not in plan # events are not re-scanned

@@ -159,7 +159,13 @@ def test_sessionization_both_forms_match_reference(spark, rows):
 
     df = mk(spark, rows)
     orig = windows.load_table
+    orig_frame = windows.session_frame
     windows.load_table = lambda s, d, n: df
+    # the sql form serves from the persisted shared frame (r9) —
+    # inject an in-memory build over the generated events instead
+    windows.session_frame = lambda s, d: windows.build_session_frame(
+        df.withColumn("event_type", F.lit("x"))
+    )
     try:
         native = {
             (r.user_id, r.session_start, r.n_events, round(r.total_value, 4))
@@ -173,6 +179,7 @@ def test_sessionization_both_forms_match_reference(spark, rows):
         }
     finally:
         windows.load_table = orig
+        windows.session_frame = orig_frame
     assert native == _reference_sessions(rows, new_session_at_exact_gap=False)
     assert sql_form == _reference_sessions(rows, new_session_at_exact_gap=False)
 
@@ -782,15 +789,15 @@ def test_session_paths_match_reference(spark, rows):
     from minefields_kafka_streams_deduplication_spark.operators import windows
 
     df = mk_typed(spark, rows)
-    orig = windows.load_table
-    windows.load_table = lambda s, d, n: df
+    orig_frame = windows.session_frame
+    windows.session_frame = lambda s, d: windows.build_session_frame(df)
     try:
         got = {
             (r.path, r.n_sessions)
             for r in windows.session_path_topk(spark, "x").collect()
         }
     finally:
-        windows.load_table = orig
+        windows.session_frame = orig_frame
 
     t0 = dt.datetime(2024, 1, 1)
     by_user: dict = {}
@@ -890,15 +897,15 @@ def test_median_session_length_matches_reference(spark, rows):
     from minefields_kafka_streams_deduplication_spark.operators import windows
 
     df = mk_typed(spark, rows)
-    orig = windows.load_table
-    windows.load_table = lambda s, d, n: df
+    orig_frame = windows.session_frame
+    windows.session_frame = lambda s, d: windows.build_session_frame(df)
     try:
         got = {
             r.day: (r.n_sessions, r.median_session_events)
             for r in windows.median_session_length_by_day(spark, "x").collect()
         }
     finally:
-        windows.load_table = orig
+        windows.session_frame = orig_frame
 
     t0 = dt.datetime(2024, 1, 1)
     by_user: dict = {}
@@ -1122,15 +1129,15 @@ def test_concurrent_sessions_match_reference(spark, rows):
     from minefields_kafka_streams_deduplication_spark.operators import windows
 
     df = mk_typed(spark, rows)
-    orig = windows.load_table
-    windows.load_table = lambda s, d, n: df
+    orig_frame = windows.session_frame
+    windows.session_frame = lambda s, d: windows.build_session_frame(df)
     try:
         got = {
             r.hour: r.n_active
             for r in windows.concurrent_sessions_hourly(spark, "x").collect()
         }
     finally:
-        windows.load_table = orig
+        windows.session_frame = orig_frame
 
     t0 = dt.datetime(2024, 1, 1)
     by_user: dict = {}
