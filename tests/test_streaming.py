@@ -1219,3 +1219,58 @@ def test_expectations_gate_replay_idempotent(spark, tmp_path):
     assert r1 == r2  # same batches, same routing, no duplicate entries
     assert spark.read.parquet(promoted).count() == 20
     assert spark.read.parquet(quarantine).count() == 20
+
+
+def test_stream_dlq_two_sinks_conserve_preserve_and_replay(spark, sf_dir, tmp_path):
+    """Streaming DLQ (r9): the two-sink foreachBatch router conserves
+    records (good + dead == staged input, per batch and in total),
+    preserves dead records' ORIGINAL value bytes bit-exactly, and is
+    idempotent under full replay (fresh checkpoint, same sinks — the
+    batchId-addressed _SUCCESS gate skips committed halves)."""
+    import os
+
+    from minefields_kafka_streams_deduplication_spark.streaming.dlq import (
+        corrupted_wire,
+        run_dlq_stream,
+    )
+    from minefields_kafka_streams_deduplication_spark.streaming.punctuate import (
+        stage_events_ordered,
+    )
+
+    stage = str(tmp_path / "stage")
+    good_dir = str(tmp_path / "good")
+    dlq_dir = str(tmp_path / "dead")
+    wire = corrupted_wire(spark, sf_dir)
+    stage_events_ordered(wire, stage, n_slices=3)
+    run_dlq_stream(spark, stage, good_dir, dlq_dir, str(tmp_path / "ck1"))
+
+    staged = spark.read.parquet(stage)
+    good = spark.read.parquet(good_dir)
+    dead = spark.read.parquet(dlq_dir)
+
+    # conservation: total and per-batch (each batch dir holds the
+    # routed halves of exactly one staged file)
+    assert good.count() + dead.count() == staged.count()
+    per_batch_good = {r.batch_id: r.n for r in good.groupBy("batch_id").count().withColumnRenamed("count", "n").collect()}
+    per_batch_dead = {r.batch_id: r.n for r in dead.groupBy("batch_id").count().withColumnRenamed("count", "n").collect()}
+    assert set(per_batch_good) == {0, 1, 2}
+    for b in (0, 1, 2):
+        assert per_batch_good.get(b, 0) + per_batch_dead.get(b, 0) > 0
+
+    # byte preservation: every DLQ value is byte-identical to a staged
+    # wire value (the corrupt bytes survive verbatim), with a reason
+    staged_bytes = {bytes(r.value) for r in staged.collect()}
+    for r in dead.collect():
+        assert bytes(r.value) in staged_bytes
+        assert r.reason in ("malformed_json", "missing_required_field")
+
+    # replay idempotence: fresh checkpoint over the same stage + sinks
+    sig = {}
+    for root, _dirs, files in os.walk(good_dir):
+        for f in files:
+            p = os.path.join(root, f)
+            sig[p] = (os.path.getsize(p), os.path.getmtime(p))
+    run_dlq_stream(spark, stage, good_dir, dlq_dir, str(tmp_path / "ck2"))
+    for p, s in sig.items():
+        assert (os.path.getsize(p), os.path.getmtime(p)) == s, p  # untouched
+    assert good.count() + dead.count() == staged.count()  # no duplicates
