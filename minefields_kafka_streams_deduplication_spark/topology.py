@@ -326,6 +326,7 @@ class KStream(_Describable):
         this facade's documented deviation."""
         if not eos:
             self.df.write.format(fmt).mode("overwrite").save(path)
+            self._lineage = self._lineage + (f"Sink: to[{path}, {fmt}]",)
             return None
         import shutil
 

@@ -586,3 +586,24 @@ def test_facade_eos_sink_parity_and_versions(spark, sf_dir, tmp_path):
     out = str(tmp_path / "plain")
     assert b.stream("nation").to(out) is None
     assert spark.read.parquet(out).count() == 25
+
+
+def test_describe_golden_full_rendering(spark, sf_dir, tmp_path):
+    """Golden describe(): a ported topology's lineage prints
+    COMPLETELY — source, processors, and both sink forms (plain to()
+    now records its node too, r9) — as the exact KS-style block."""
+    b = StreamsBuilder(spark, sf_dir)
+    s = b.stream("events").filter(F.col("event_type") == "view").select_key(
+        "user_id"
+    )
+    out = str(tmp_path / "golden_out")
+    assert s.to(out) is None
+    assert s.describe() == "\n".join(
+        [
+            "Topology:",
+            "    0: Source: events (topic: events)",
+            "    1: Processor: filter",
+            "    2: Processor: selectKey(user_id)",
+            f"    3: Sink: to[{out}, parquet]",
+        ]
+    )
