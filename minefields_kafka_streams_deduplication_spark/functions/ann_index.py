@@ -22,13 +22,15 @@ SURVEY.md §0):
   all (the plan's PartitionFilters carry the cell set; pinned in
   tests/test_ann_index.py). The scan kernel and the two-phase
   shortlist/rerank are the in-memory form's, so results are
-  bit-identical to `ivf_pq_topk(opq=True)` at the same seeds — the
-  parity pin.
+  bit-identical to `ivf_pq_topk(opq=True, m=INDEX_M, k=INDEX_K)` at
+  the same seeds — the parity pin.
 
-Index size: cell INT + m int8 codes per vector (m + 4 bytes vs 4·d
-raw — 32× smaller at d=64, m=8); the raw embeddings stay in the source
-table and are touched only by the optional exact re-rank on the
-shortlist (query-count-bounded).
+Index size: cell INT + the PQ codes per vector (8 code bytes + 4 vs
+4·d raw — 32× smaller at d=64; INDEX_M=4 × int16 and r8's 8 × int8
+are the SAME 8 bytes, and the r9 codebook carries +0.16 recall at that
+equal budget — see the INDEX_M/INDEX_K note below); the raw embeddings
+stay in the source table and are touched only by the exact re-rank on
+the shortlist (query-count-bounded, ON by default as of r9).
 """
 
 from __future__ import annotations
@@ -43,13 +45,26 @@ from ..catalog import fingerprint_dir, load_table, mark_ready
 from ..registry import query
 from .vectors import (
     IVF_K,
-    PQ_CENTROIDS,
     SIM_N_QUERIES,
     SIM_TOPK,
+    _code_dtype,
     dot,
     l2_norm,
     pq_train_residual_opq,
 )
+
+# Persisted-index code budget (r9): the equal-bytes sweep measured
+# full-probe compressed recall 0.541 (m=4 × k=256) vs 0.376
+# (r8's m=8 × k=16) at sf0.01 and 0.297 vs 0.228 at sf0.1 — SAME
+# 32 logical bits AND same 8 physical bytes per vector (4 int16 codes
+# vs 8 int8); runner-ups at 32 bits: m=16 × k=4 read 0.348/0.188.
+# Dominance is pinned in tests/test_vectors.py; the losing configs are
+# documented here, not shipped. Re-rank defaults ON: the compressed
+# scan shortlists, the bounded exact pass finishes (the FAISS serving
+# default) — rerank=0 remains available for the pure compressed scan.
+INDEX_M = 4
+INDEX_K = 256
+RERANK_DEFAULT = 10
 
 
 def build_ivf_pq_index(
@@ -57,7 +72,8 @@ def build_ivf_pq_index(
     sf_dir: str,
     root: str,
     nlist: int = IVF_K,
-    k: int = PQ_CENTROIDS,
+    m: int = INDEX_M,
+    k: int = INDEX_K,
 ) -> str:
     """Train (sample-bounded) + encode (one kernel pass) + write the
     cell-partitioned index and the model sidecar. Returns ``root``.
@@ -66,8 +82,9 @@ def build_ivf_pq_index(
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    coarse, R, C = pq_train_residual_opq(emb, coarse_k=nlist, k=k)
+    coarse, R, C = pq_train_residual_opq(emb, coarse_k=nlist, m=m, k=k)
     m, _k, sub = C.shape
+    np_t, sql_t = _code_dtype(_k)
 
     def encode(batches):
         for pdf in batches:
@@ -79,7 +96,7 @@ def build_ivf_pq_index(
                 -2.0 * Xn @ coarse.T + (coarse**2).sum(axis=1)[None, :]
             ).argmin(axis=1).astype(np.int32)
             E = (Xn - coarse[cell]) @ R
-            codes = np.empty((len(X), m), dtype=np.int8)
+            codes = np.empty((len(X), m), dtype=np_t)
             for i in range(m):
                 blk = E[:, i * sub : (i + 1) * sub]
                 dist = -2.0 * blk @ C[i].T + (C[i] ** 2).sum(axis=1)[None, :]
@@ -89,7 +106,7 @@ def build_ivf_pq_index(
             )
 
     index = emb.select("vec_id", "embedding").mapInPandas(
-        encode, "vec_id LONG, cell INT, codes ARRAY<TINYINT>"
+        encode, f"vec_id LONG, cell INT, codes ARRAY<{sql_t}>"
     )
     (
         index.write.mode("overwrite")
@@ -126,7 +143,7 @@ def ivf_pq_index_topk(
     sf_dir: str,
     root: str,
     nprobe: int = 8,
-    rerank: int = 0,
+    rerank: int = RERANK_DEFAULT,
 ) -> DataFrame:
     """Query the persisted index: per-query probed cells + rotated
     residual LUTs resolve driver-side (query-count × nprobe bounded),
@@ -257,8 +274,12 @@ def ivf_pq_index_topk(
 def _index_root(spark: SparkSession, sf_dir: str) -> str:
     """Fingerprint-keyed shared index per fixture (built once, queried
     by every caller — the serving lifecycle under test)."""
+    # the suffix keys the cache on the code budget too — a config
+    # change must rebuild, not serve a stale model.json
     root, ready = fingerprint_dir(
-        "annindex", os.path.join(sf_dir, "embeddings.parquet")
+        "annindex",
+        os.path.join(sf_dir, "embeddings.parquet"),
+        suffix=f"_m{INDEX_M}k{INDEX_K}",
     )
     if not ready:
         build_ivf_pq_index(spark, sf_dir, root)
@@ -271,10 +292,12 @@ def _index_root(spark: SparkSession, sf_dir: str) -> str:
 # tests/test_ann_index.py
 def ann_ivf_pq_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build-once-query-many IVF-PQ: the persisted, cell-partitioned
-    index queried at the standard nprobe with exact re-rank. Same
-    seeds as `ann_ivf_pq_opq`, so the results are identical — what
-    changes is WHERE the work happens: train+encode amortize across
-    queries, and each query's scan is partition-pruned to its probed
-    cells."""
+    index queried at the standard nprobe with exact re-rank. Bit-parity
+    with the in-memory `ivf_pq_topk(opq=True, m=INDEX_M, k=INDEX_K)`
+    at the same seeds is pinned — what changes is WHERE the work
+    happens: train+encode amortize across queries, and each query's
+    scan is partition-pruned to its probed cells. As of r9 the index
+    ships the equal-bytes sweep winner (m=4 × k=256; recall pinned to
+    dominate r8's m=8 × k=16 in tests/test_vectors.py)."""
     root = _index_root(spark, sf_dir)
     return ivf_pq_index_topk(spark, sf_dir, root, nprobe=8, rerank=10)

@@ -826,6 +826,20 @@ PQ_TRAIN_SAMPLE = 4096
 PQ_KMEANS_ITERS = 12
 
 
+def _code_dtype(k: int):
+    """(numpy dtype, Spark element type) for PQ codes: int8 holds
+    codewords 0..127; a k=256 codebook (the equal-bytes winner at
+    m=4 — see tests' dominance pin) needs int16. Physical budget
+    stays equal: 4 x int16 == 8 x int8 == 8 bytes/vector."""
+    import numpy as np
+
+    if k <= 128:
+        return np.int8, "TINYINT"
+    if k <= 256:
+        return np.int16, "SMALLINT"
+    raise ValueError(f"k={k} > 256 codewords per sub-block unsupported")
+
+
 def _pq_seeded_kmeans(X, k: int, iters: int, seed: int):
     """Deterministic Lloyd's KMeans on a driver-side sample (numpy).
     Seeded spread init (first center = seed row, then farthest-point);
@@ -860,7 +874,7 @@ def pq_train(emb: DataFrame, m: int = PQ_SUBSPACES, k: int = PQ_CENTROIDS,
     2 - 2·cos). Returns an (m, k, d/m) numpy array."""
     import numpy as np
 
-    assert k <= 128, "codes are int8 — k above 128 would wrap silently"
+    _code_dtype(k)  # validate the codeword budget up front
     rows = (
         emb.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE).select("embedding").collect()
     )
@@ -887,6 +901,7 @@ def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
 
     C = codebooks  # (m, k, sub)
     m, _k, sub = C.shape
+    np_t, sql_t = _code_dtype(_k)
 
     def kernel(batches):
         for pdf in batches:
@@ -894,7 +909,7 @@ def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
                 continue
             X = np.array(list(pdf["embedding"]), dtype=np.float64)
             X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-            codes = np.empty((len(X), m), dtype=np.int8)
+            codes = np.empty((len(X), m), dtype=np_t)
             for i in range(m):
                 blk = X[:, i * sub : (i + 1) * sub]
                 # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
@@ -905,7 +920,7 @@ def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
             )
 
     return emb.select("vec_id", "embedding").mapInPandas(
-        kernel, "vec_id LONG, codes ARRAY<TINYINT>"
+        kernel, f"vec_id LONG, codes ARRAY<{sql_t}>"
     )
 
 
@@ -929,7 +944,7 @@ def pq_train_residual(
     (coarse (K, d), codebooks (m, k, d/m))."""
     import numpy as np
 
-    assert k <= 128, "codes are int8 — k above 128 would wrap silently"
+    _code_dtype(k)  # validate the codeword budget up front
     rows = (
         emb.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE).select("embedding").collect()
     )
@@ -1031,7 +1046,7 @@ def pq_train_residual_opq(
     residual form. Returns (coarse (K, d), R (d, d), codebooks)."""
     import numpy as np
 
-    assert k <= 128, "codes are int8 — k above 128 would wrap silently"
+    _code_dtype(k)  # validate the codeword budget up front
     rows = (
         emb.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE).select("embedding").collect()
     )
@@ -1201,6 +1216,7 @@ def ivf_pq_topk(
     spark: SparkSession,
     sf_dir: str,
     nprobe: int = IVF_NPROBE,
+    m: int = PQ_SUBSPACES,
     k: int = PQ_CENTROIDS,
     rerank: int = 0,
     residual: bool = False,
@@ -1238,11 +1254,11 @@ def ivf_pq_topk(
         # residual + learned orthogonal rotation (OPQ); same scan
         # shape, codes spend their bits in variance-balanced blocks
         residual = True
-        coarse, Ropq, C = pq_train_residual_opq(emb, coarse_k=IVF_K, k=k)
+        coarse, Ropq, C = pq_train_residual_opq(emb, coarse_k=IVF_K, m=m, k=k)
     elif residual:
         # coarse = sample-trained L2 quantizer with MEAN centroids (the
         # residual must be small; see pq_train_residual's docstring)
-        coarse, C = pq_train_residual(emb, coarse_k=IVF_K, k=k)
+        coarse, C = pq_train_residual(emb, coarse_k=IVF_K, m=m, k=k)
     else:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -1254,8 +1270,9 @@ def ivf_pq_topk(
         cn = centers / np.maximum(
             np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
         )
-        C = pq_train(emb, k=k)
+        C = pq_train(emb, m=m, k=k)
     m, kk, sub = C.shape
+    np_t, sql_t = _code_dtype(kk)
 
     def encode_with_cell(batches):
         for pdf in batches:
@@ -1273,7 +1290,7 @@ def ivf_pq_topk(
             else:
                 cell = (Xn @ cn.T).argmax(axis=1).astype(np.int32)
                 E = Xn
-            codes = np.empty((len(X), m), dtype=np.int8)
+            codes = np.empty((len(X), m), dtype=np_t)
             for i in range(m):
                 blk = E[:, i * sub : (i + 1) * sub]
                 dist = -2.0 * blk @ C[i].T + (C[i] ** 2).sum(axis=1)[None, :]
@@ -1283,7 +1300,7 @@ def ivf_pq_topk(
             )
 
     index = emb.select("vec_id", "embedding").mapInPandas(
-        encode_with_cell, "vec_id LONG, cell INT, codes ARRAY<TINYINT>"
+        encode_with_cell, f"vec_id LONG, cell INT, codes ARRAY<{sql_t}>"
     )
 
     # query side: probed cells + LUTs (both SIM_N_QUERIES-bounded;

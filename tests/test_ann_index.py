@@ -20,7 +20,7 @@ def test_index_query_matches_in_memory_opq(spark, sf_dir, tmp_path):
     root = str(tmp_path / "idx")
     os.makedirs(root)
     ann_index.build_ivf_pq_index(spark, sf_dir, root)
-    for kw in ({"nprobe": 8, "rerank": 10}, {"nprobe": 4}):
+    for kw in ({"nprobe": 8, "rerank": 10}, {"nprobe": 4, "rerank": 0}):
         cols = (
             (lambda r: (r.query_id, r.neighbor_id, r.cosine))
             if kw.get("rerank")
@@ -31,7 +31,11 @@ def test_index_query_matches_in_memory_opq(spark, sf_dir, tmp_path):
             for r in ann_index.ivf_pq_index_topk(spark, sf_dir, root, **kw).collect()
         }
         want = {
-            cols(r) for r in ivf_pq_topk(spark, sf_dir, opq=True, **kw).collect()
+            cols(r)
+            for r in ivf_pq_topk(
+                spark, sf_dir, opq=True,
+                m=ann_index.INDEX_M, k=ann_index.INDEX_K, **kw,
+            ).collect()
         }
         assert got == want, kw
 
@@ -39,8 +43,8 @@ def test_index_query_matches_in_memory_opq(spark, sf_dir, tmp_path):
 def test_index_layout_and_partition_pruning(spark, sf_dir, tmp_path):
     """The index directory is partitioned by coarse cell; a query's
     scan carries the probed-cell filter as a parquet PartitionFilter
-    (IVF pruning == file pruning), and the codes are m int8 per
-    vector."""
+    (IVF pruning == file pruning), and the codes are INDEX_M int16
+    per vector (the r9 equal-bytes winner: 4 × int16 == 8 bytes)."""
     root = str(tmp_path / "idx")
     os.makedirs(root)
     ann_index.build_ivf_pq_index(spark, sf_dir, root)
@@ -51,7 +55,7 @@ def test_index_layout_and_partition_pruning(spark, sf_dir, tmp_path):
     n_emb = engine.load_table(spark, sf_dir, "embeddings").count()
     assert idx.count() == n_emb
     row = idx.first()
-    assert len(row.codes) == 8
+    assert len(row.codes) == ann_index.INDEX_M
 
     plan = ann_index.ivf_pq_index_topk(
         spark, sf_dir, root, nprobe=2
