@@ -1411,3 +1411,164 @@ def tokens_mad_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "token_length_histogram",
+    oracle="""
+SELECT lang, CAST(length(token) AS INTEGER) AS token_len,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents WHERE text IS NOT NULL) t
+WHERE token <> ''
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution per language — the tokenizer-budget
+    fingerprint (a language whose mass shifts long signals
+    agglutination or bad segmentation; the BPE trainer reads this
+    before picking merges). Canonical whitespace tokenization
+    (lower + split on ' ', empties dropped — token_frequency's
+    contract).
+
+    Scale shape: the explode is per-row JVM codegen; the aggregate
+    collapses map-side to the (lang, length) grid (length is
+    word-length-bounded), so the exchange carries grid cells, never
+    tokens. Exact-copy collapse is deliberately NOT used here: the
+    grid aggregate is already cheaper than a distinct-text pass."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return (
+        docs.select(
+            "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
+        )
+        .where(F.col("token") != "")
+        .groupBy("lang", F.length("token").cast("int").alias("token_len"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+        .orderBy("lang", "token_len")
+    )
+
+
+def _stopword_density_oracle() -> str:
+    words = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    return f"""
+WITH tk AS (
+  SELECT doc_id, lang,
+         string_split(lower(text), ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+d AS (
+  SELECT lang,
+         len(list_filter(toks, t -> t IN ({words}))) AS stop_n,
+         len(toks) AS tok_n
+  FROM tk
+)
+SELECT lang,
+       CAST((10 * stop_n) // tok_n AS INTEGER) AS density_decile,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM d WHERE tok_n > 0
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("stopword_density_histogram", oracle=_stopword_density_oracle())
+def stopword_density_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents bucketed by English-stopword density decile per
+    language — the Gopher-style quality prior as a distribution (the
+    rules engine thresholds it; this shows WHERE the corpus mass sits
+    before picking the threshold). The decile is INTEGER-EXACT:
+    (10·stopwords) div tokens — no ratio is ever materialized, so no
+    float can decide a bucket boundary.
+
+    Scale shape: counts are computed map-side per row (size of a
+    filtered token array — text never enters an exchange); one hash
+    aggregate to the (lang, decile) grid."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = F.split(F.lower("text"), " ")
+    d = docs.select(
+        "lang",
+        _stopword_hits(toks, QUALITY_STOPWORDS).cast("long").alias("stop_n"),
+        F.size(toks).cast("long").alias("tok_n"),
+    ).where(F.col("tok_n") > 0)
+    return (
+        d.groupBy(
+            "lang",
+            F.expr("CAST((10 * stop_n) div tok_n AS INT)").alias(
+                "density_decile"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("lang", "density_decile")
+    )
+
+
+@query(
+    "char_class_profile_by_lang",
+    oracle="""
+WITH d AS (
+  SELECT lang,
+         length(text) AS chars,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+           AS digits,
+         length(text) - length(regexp_replace(text, ' ', '', 'g')) AS spaces,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+           AS puncts
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(chars) AS BIGINT) AS total_chars,
+       floor(CAST(sum(digits) AS DOUBLE) / sum(chars) * 10000 + 0.5) / 10000
+         AS digit_ratio,
+       floor(CAST(sum(spaces) AS DOUBLE) / sum(chars) * 10000 + 0.5) / 10000
+         AS space_ratio,
+       floor(CAST(sum(puncts) AS DOUBLE) / sum(chars) * 10000 + 0.5) / 10000
+         AS punct_ratio
+FROM d GROUP BY 1 ORDER BY 1
+""",
+)
+def char_class_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per language (digit / space /
+    punctuation mass) — the OCR-noise and boilerplate detector beside
+    doc_quality_score's per-doc rules. Class counts are exact integer
+    length differences summed per language; each ratio divides two
+    exact longs ONCE (floor-form 4dp), so no summation-order hazard
+    exists.
+
+    Scale shape: all counts are map-side per-row expressions (text
+    never enters an exchange); one hash aggregate to the 5-language
+    rollup."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    chars = F.length("text")
+    digits = chars - F.length(F.regexp_replace("text", "[0-9]", ""))
+    spaces = chars - F.length(F.regexp_replace("text", " ", ""))
+    puncts = chars - F.length(F.regexp_replace("text", "[.,!?;:]", ""))
+    d = docs.select(
+        "lang",
+        chars.cast("long").alias("chars"),
+        digits.cast("long").alias("digits"),
+        spaces.cast("long").alias("spaces"),
+        puncts.cast("long").alias("puncts"),
+    )
+    s = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("chars").alias("tc"),
+        F.sum("digits").alias("td"),
+        F.sum("spaces").alias("tsp"),
+        F.sum("puncts").alias("tp"),
+    )
+    def ratio(num):
+        # a language whose every text is empty has tc == 0: DuckDB's
+        # 0/0 path yields NULL while ANSI Spark throws — try_divide
+        # matches the oracle's NULL (latent on the fixture, which
+        # always has text; pinned by the all-empty model test)
+        return round4f(F.try_divide(F.col(num).cast("double"), F.col("tc")))
+
+    return s.select(
+        "lang",
+        "n_docs",
+        F.col("tc").cast("long").alias("total_chars"),
+        ratio("td").alias("digit_ratio"),
+        ratio("tsp").alias("space_ratio"),
+        ratio("tp").alias("punct_ratio"),
+    ).orderBy("lang")

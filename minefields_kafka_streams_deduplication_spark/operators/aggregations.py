@@ -1719,3 +1719,162 @@ def order_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "order_value_buckets",
+    oracle="""
+SELECT CAST(floor(o_totalprice) AS BIGINT) // 25000 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+         AS total_value
+FROM orders
+GROUP BY 1 ORDER BY 1
+""",
+)
+def order_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value histogram in 25k-wide buckets — the monetization
+    distribution beside histogram_event_values. Bucketing floors the
+    double FIRST (floor is exact IEEE on both engines) and then
+    integer-divides, so no quotient ever decides a bucket boundary;
+    the per-bucket value sum rides the DECIMAL(18,6) discipline.
+
+    Scale shape: ONE map-side-combined hash aggregate over orders;
+    shuffle volume = bucket count (price-range-bounded), never rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.expr("CAST(floor(o_totalprice) AS BIGINT) div 25000").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum(dec6("o_totalprice")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "shipping_delay_histogram",
+    oracle="""
+SELECT datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+         AS delay_days,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+""",
+)
+def shipping_delay_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship delay distribution in whole days — the SLA curve
+    whose rollup order_fulfillment_latency reports per priority; the
+    histogram shows the shape (tail latencies) that an average hides.
+    Exact integer day arithmetic on both engines.
+
+    Scale shape: the standard lineitem-orders FK shuffle join (AQE
+    skew-handled), then one hash aggregate whose group count is
+    calendar-gap-bounded (~a few hundred distinct delays)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("delay_days")
+        )
+        .groupBy("delay_days")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+        .orderBy("delay_days")
+    )
+
+
+@query(
+    "discount_revenue_curve",
+    oracle="""
+WITH per_discount AS (
+  SELECT l_discount,
+         CAST(count(*) AS BIGINT) AS n_items,
+         sum(CAST(l_extendedprice AS DECIMAL(18,6))
+             * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS rev
+  FROM lineitem GROUP BY 1
+)
+SELECT l_discount, n_items,
+       CAST(round(rev, 4) AS DOUBLE) AS revenue,
+       floor(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS revenue_share
+FROM per_discount ORDER BY l_discount
+""",
+)
+def discount_revenue_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by discount level with each level's share of total — the
+    pricing-elasticity table behind q19-style promo analysis. Per-level
+    revenue is an exact DECIMAL sum; the share divides the SAME two
+    exact decimals cast to double on both engines (floor-form 4dp).
+
+    Scale shape: one map-side-combined aggregate over lineitem (the
+    discount domain is ~11 values); the share join is a broadcast
+    crossJoin of the 1-row total — no window, no second scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_discount").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(dec6("l_extendedprice") * (F.lit(1) - dec6("l_discount"))).alias(
+            "rev"
+        ),
+    )
+    total = per.agg(F.sum("rev").alias("tot"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "l_discount",
+            "n_items",
+            F.round("rev", 4).cast("double").alias("revenue"),
+            round4f(F.col("rev").cast("double") / F.col("tot").cast("double")).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("l_discount")
+    )
+
+
+@query(
+    "monthly_order_status_mix",
+    oracle="""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT month, o_orderstatus, n_orders,
+       floor(CAST(n_orders AS DOUBLE)
+             / sum(n_orders) OVER (PARTITION BY month)
+             * 10000 + 0.5) / 10000 AS share
+FROM m ORDER BY month, o_orderstatus
+""",
+)
+def monthly_order_status_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month × order-status mix with within-month shares — the
+    order-book health trend (a rising fraction of status 'F' months
+    out is the backlog signal). Counts are exact; each share divides
+    two exact longs once (floor-form 4dp).
+
+    Scale shape: one hash aggregate to the calendar-bounded (month,
+    status) grid; monthly totals re-aggregate THAT grid and broadcast
+    back — no per-month window over data-sized rows anywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        "o_orderstatus",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    tot = m.groupBy("month").agg(F.sum("n_orders").alias("tot"))
+    return (
+        m.join(F.broadcast(tot), "month")
+        .select(
+            "month",
+            "o_orderstatus",
+            "n_orders",
+            round4f(F.col("n_orders").cast("double") / F.col("tot")).alias("share"),
+        )
+        .orderBy("month", "o_orderstatus")
+    )

@@ -2206,3 +2206,228 @@ def spend_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("decile_h1", "decile_h2")
     )
+
+
+@query(
+    "clv_quartiles_by_nation",
+    oracle="""
+WITH clv AS (
+  SELECT c_nationkey, c_custkey,
+         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS v
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT c_nationkey, v,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM clv
+)
+SELECT n_name AS nation,
+       CAST(max(n) AS BIGINT) AS n_customers,
+       CAST(min(CASE WHEN 4 * rn >= n THEN v END) AS DOUBLE) AS clv_q1,
+       CAST(min(CASE WHEN 2 * rn >= n THEN v END) AS DOUBLE) AS clv_median,
+       CAST(min(CASE WHEN 4 * rn >= 3 * n THEN v END) AS DOUBLE) AS clv_q3
+FROM r JOIN nation ON n_nationkey = c_nationkey
+GROUP BY 1 ORDER BY 1
+""",
+)
+def clv_quartiles_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value quartiles per nation — the
+    market-segmentation spread statistic beside
+    customer_spend_percentile_by_nation's per-customer ranks. CLV is
+    an exact DECIMAL(18,6) sum per customer (no float summation
+    order); the quartiles are DISCRETE lower statistics (smallest
+    value whose cumulative count reaches n/4, n/2, 3n/4 — integer
+    rational compares, nothing interpolates).
+
+    Scale shape: the customer-orders FK join and the per-customer
+    rollup are one shuffle each; quartiles come from the shared
+    `_grouped_value_cdf` (range-partitioned on the value split —
+    never a per-nation rank window at 25-group cardinality)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    clv = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum(dec6("o_totalprice")).alias("v"))
+    )
+    collapsed = clv.groupBy("c_nationkey", "v").agg(F.count(F.lit(1)).alias("c"))
+    cdf = _grouped_value_cdf(collapsed, "c_nationkey", "v")
+    tot = cdf.groupBy("c_nationkey").agg(F.max("cum").alias("n"))
+    q = (
+        cdf.join(F.broadcast(tot), "c_nationkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.min(F.when(4 * F.col("cum") >= F.col("n"), F.col("v"))).alias("q1"),
+            F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("v"))).alias("q2"),
+            F.min(F.when(4 * F.col("cum") >= 3 * F.col("n"), F.col("v"))).alias(
+                "q3"
+            ),
+        )
+        .join(tot, "c_nationkey")
+    )
+    return (
+        q.join(F.broadcast(nation), q.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n").cast("long").alias("n_customers"),
+            F.col("q1").cast("double").alias("clv_q1"),
+            F.col("q2").cast("double").alias("clv_median"),
+            F.col("q3").cast("double").alias("clv_q3"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "inter_purchase_days_median_by_nation",
+    oracle="""
+WITH gaps AS (
+  SELECT c_nationkey,
+         datediff('day',
+                  lag(CAST(o_orderdate AS DATE)) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey),
+                  CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+g AS (SELECT c_nationkey, gap_days FROM gaps WHERE gap_days IS NOT NULL),
+r AS (
+  SELECT c_nationkey, gap_days,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY gap_days) AS rn,
+         count(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM g
+)
+SELECT n_name AS nation,
+       CAST(max(n) AS BIGINT) AS n_gaps,
+       CAST(min(CASE WHEN 2 * rn >= n THEN gap_days END) AS BIGINT)
+         AS median_gap_days
+FROM r JOIN nation ON n_nationkey = c_nationkey
+GROUP BY 1 ORDER BY 1
+""",
+)
+def inter_purchase_days_median_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Median days between a customer's consecutive orders, per nation
+    — purchase-frequency geography (the orders-table sibling of
+    inter_event_gap_stats). Gaps are exact integer day differences;
+    the median is the discrete lower statistic from the shared CDF.
+
+    Scale shape: ONE customer-keyed window computes the lag (the
+    standard per-key sort); gaps VALUE-COLLAPSE to (nation, days)
+    before the CDF, so the cumulative pass runs over a
+    calendar-bounded value table, never the orders."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_nationkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ).alias("gap_days"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    collapsed = gaps.groupBy("c_nationkey", "gap_days").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cdf = _grouped_value_cdf(collapsed, "c_nationkey", "gap_days")
+    tot = cdf.groupBy("c_nationkey").agg(F.max("cum").alias("n"))
+    med = (
+        cdf.join(F.broadcast(tot), "c_nationkey")
+        .where(2 * F.col("cum") >= F.col("n"))
+        .groupBy("c_nationkey")
+        .agg(F.min("gap_days").alias("median_gap_days"))
+        .join(tot, "c_nationkey")
+    )
+    return (
+        med.join(F.broadcast(nation), med.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n").cast("long").alias("n_gaps"),
+            F.col("median_gap_days").cast("long").alias("median_gap_days"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "events_hourly_seasonality",
+    oracle="""
+SELECT CAST(EXTRACT(dow FROM ts) + 1 AS INTEGER) AS dow,
+       CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day traffic grid (events + distinct
+    users) — the load-seasonality heatmap behind capacity planning and
+    anomaly baselines (events_by_weekday's 7 rows become the 168-cell
+    grid). Spark's dayofweek (1=Sunday) mirrors DuckDB's dow+1.
+
+    Scale shape: one hash aggregate to the fixed 168-cell grid; the
+    distinct-user count is the standard two-level aggregate (partial
+    distinct per partition) — shuffle volume is grid × users-per-cell
+    digests, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+@query(
+    "weekday_hour_peak_load",
+    oracle="""
+WITH g AS (
+  SELECT CAST(EXTRACT(dow FROM ts) + 1 AS INTEGER) AS dow,
+         CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT dow, hour AS peak_hour, n_events AS peak_events
+FROM (SELECT g.*, row_number() OVER (PARTITION BY dow
+                                     ORDER BY n_events DESC, hour DESC) AS rn
+      FROM g) t
+WHERE rn = 1 ORDER BY dow
+""",
+)
+def weekday_hour_peak_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak hour per weekday — the argmax slice of the seasonality
+    grid (ties break to the LATEST hour via lexicographic struct max,
+    mirrored in the oracle's ORDER BY ... hour DESC).
+
+    Scale shape: the grid aggregate collapses events map-side to 168
+    rows; the per-dow argmax is a max(struct) hash aggregate over that
+    grid — no window over data-sized input anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    return (
+        g.groupBy("dow")
+        .agg(F.max(F.struct("n_events", "hour")).alias("p"))
+        .select(
+            "dow",
+            F.col("p.hour").alias("peak_hour"),
+            F.col("p.n_events").alias("peak_events"),
+        )
+        .orderBy("dow")
+    )

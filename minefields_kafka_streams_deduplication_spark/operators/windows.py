@@ -572,3 +572,87 @@ def concurrent_sessions_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("h").alias("hour"), F.col("run_sum").alias("n_active"))
         .orderBy("hour")
     )
+
+
+@query(
+    "session_duration_percentiles",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > {SESSION_GAP_MINUTES} * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+),
+ps AS (
+  SELECT CAST(min(ts) AS DATE) AS day,
+         (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dur_sec
+  FROM s GROUP BY user_id, sid
+),
+r AS (
+  SELECT day, dur_sec,
+         row_number() OVER (PARTITION BY day ORDER BY dur_sec) AS rn,
+         count(*) OVER (PARTITION BY day) AS n
+  FROM ps
+)
+SELECT day,
+       CAST(max(n) AS BIGINT) AS n_sessions,
+       CAST(min(CASE WHEN 2 * rn >= n THEN dur_sec END) AS BIGINT)
+         AS p50_duration_sec,
+       CAST(min(CASE WHEN 10 * rn >= 9 * n THEN dur_sec END) AS BIGINT)
+         AS p90_duration_sec
+FROM r GROUP BY day ORDER BY day
+""",
+)
+def session_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day p50/p90 session DURATION (whole seconds, first to last
+    event) — engagement length beside median_session_length_by_day's
+    event-count depth. Percentiles are discrete lower statistics
+    (smallest duration whose cumulative session count reaches n/2 and
+    9n/10 — integer rational compares), durations are exact integer
+    µs differences floored to seconds.
+
+    Scale shape (sessionize-once): another consumer of the persisted
+    shared `session_frame` — this query pays a scan of the compact
+    per-session frame; durations VALUE-COLLAPSE per (day, dur_sec) and
+    both percentiles read ONE `_grouped_value_cdf` pass (never a
+    per-day rank window)."""
+    from .analytic import _grouped_value_cdf
+
+    ps = session_frame(spark, sf_dir).select(
+        F.col("session_start").cast("date").alias("day"),
+        F.expr(
+            "(unix_micros(session_end) - unix_micros(session_start))"
+            " div 1000000"
+        ).alias("value"),
+    )
+    collapsed = ps.groupBy("day", "value").agg(F.count(F.lit(1)).alias("c"))
+    cdf = _grouped_value_cdf(collapsed, "day", "value")
+    tot = cdf.groupBy("day").agg(F.max("cum").alias("n"))
+    j = cdf.join(F.broadcast(tot), "day")
+    pct = j.groupBy("day").agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("value"))).alias(
+            "p50"
+        ),
+        F.min(
+            F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("value"))
+        ).alias("p90"),
+    )
+    return (
+        tot.join(pct, "day")
+        .select(
+            "day",
+            F.col("n").cast("long").alias("n_sessions"),
+            F.col("p50").cast("long").alias("p50_duration_sec"),
+            F.col("p90").cast("long").alias("p90_duration_sec"),
+        )
+        .orderBy("day")
+    )

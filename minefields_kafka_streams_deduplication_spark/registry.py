@@ -258,9 +258,10 @@ _R8_DRIVER_VERIFIED = frozenset(
 # Round 9 items are appended as hardening lands (oracle-backed paths
 # whose execution changed; semantics pinned identical by the test
 # suite, but the driver should re-check them before the rotation).
-# Round-9 window: new r9 oracles take tier 0, these tier-1 rows come
-# next, and the remaining slots go to the stalest rotation rows — the
-# 16 r4-era rows that missed the r8 window lead, then r5-era rows.
+# Round-9 window math: 12 tier-0 new oracles + 6 tier-1
+# sessionize-once re-verifies leave 32 rotation slots — the 16 r4-era
+# rows that missed the r8 window re-verify first, then the stalest
+# r5-era rows.
 _R9_REVERIFY: tuple[str, ...] = (
     # sessionize-once (r9): these now consume the persisted shared
     # session frame instead of re-running the per-user event sort;
