@@ -1572,3 +1572,28 @@ def char_class_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio("tsp").alias("space_ratio"),
         ratio("tp").alias("punct_ratio"),
     ).orderBy("lang")
+
+
+@query(
+    "lang_confusion_matrix",
+    oracle=f"""
+SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM ({_lang_id_oracle()}) t
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled-vs-predicted language confusion matrix — the quality
+    scorecard OF the language-ID heuristic itself (a curation pipeline
+    reads this before trusting lang_id to route documents). Composes
+    the registered scorer unchanged, so the matrix can never drift
+    from what lang_id_stopwords actually predicts.
+
+    Scale shape: the scorer's broadcast-vocab explode/pivot plus ONE
+    hash aggregate to the |langs|² grid."""
+    scored = lang_id_stopwords(spark, sf_dir)
+    return (
+        scored.groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("lang", "predicted_lang")
+    )

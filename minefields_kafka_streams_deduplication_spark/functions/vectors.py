@@ -855,8 +855,13 @@ def _pq_seeded_kmeans(X, k: int, iters: int, seed: int):
         ci.append(int(np.argmax(d2)))
         d2 = np.minimum(d2, ((X - X[ci[-1]]) ** 2).sum(axis=1))
     C = X[ci].copy()
+    # ||x-c||^2 via the matmul identity: one BLAS (n, k) product per
+    # iteration instead of the (n, k, d) broadcast temp — the r9 k=256
+    # codebooks made the broadcast form the training bottleneck
+    # (1000x index build 164 s -> the matmul form is bandwidth-free).
+    xx = (X**2).sum(axis=1)
     for _ in range(iters):
-        dist = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        dist = xx[:, None] - 2.0 * (X @ C.T) + (C**2).sum(axis=1)[None, :]
         assign = dist.argmin(axis=1)
         for j in range(k):
             members = X[assign == j]

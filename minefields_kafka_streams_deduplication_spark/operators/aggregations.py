@@ -1878,3 +1878,125 @@ def monthly_order_status_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month", "o_orderstatus")
     )
+
+
+@query(
+    "part_type_revenue_topk",
+    oracle="""
+SELECT p_type,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l_discount AS DECIMAL(18,6)))), 4) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,6))
+             * (1 - CAST(l_discount AS DECIMAL(18,6)))) DESC, p_type
+LIMIT 5
+""",
+)
+def part_type_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 part types by discounted revenue — the product-mix
+    leaderboard (q14's promo share generalized to the full type
+    vocabulary). Ordering compares the EXACT decimal sums (ties break
+    on type), so no float ever decides the cut.
+
+    Scale shape: lineitem joins the part dim BROADCAST (part is
+    dimension-sized); one hash aggregate to the type vocabulary; the
+    top-5 is a TakeOrdered over that bounded rollup."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.sum(dec6("l_extendedprice") * (F.lit(1) - dec6("l_discount")))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            rev.alias("rev_dec"),
+        )
+        .orderBy(F.desc("rev_dec"), "p_type")
+        .limit(5)
+        .select(
+            "p_type",
+            "n_items",
+            F.round("rev_dec", 4).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "basket_size_distribution",
+    oracle="""
+WITH b AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS basket_size
+  FROM lineitem GROUP BY 1
+)
+SELECT basket_size, CAST(count(*) AS BIGINT) AS n_orders
+FROM b GROUP BY 1 ORDER BY 1
+""",
+)
+def basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-items-per-order histogram — the basket-depth curve behind
+    basket_part_pairs_top's co-occurrence mining (its C(k,2) fan-out
+    is bounded by exactly this distribution's tail).
+
+    Scale shape: two chained hash aggregates, both map-side combined;
+    the second runs over the (order → size) rollup and its group count
+    is basket-size-bounded (~7 values on TPC-H-like data)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("basket_size")
+    )
+    return (
+        b.groupBy("basket_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy("basket_size")
+    )
+
+
+@query(
+    "returned_rate_by_month",
+    oracle="""
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
+       floor(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
+         AS return_rate
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+""",
+)
+def returned_rate_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly return rate — the merchandise-quality trend q10 slices
+    per customer, rolled to the calendar. Counts are exact; one
+    floor-form division per month.
+
+    Scale shape: the standard lineitem-orders FK join, then one hash
+    aggregate to the month grid with a conditional sum (no second
+    scan for the numerator)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    returned = F.sum(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            returned.alias("n_returned"),
+        )
+        .select(
+            "month",
+            "n_items",
+            "n_returned",
+            round4f(
+                F.col("n_returned").cast("double") / F.col("n_items")
+            ).alias("return_rate"),
+        )
+        .orderBy("month")
+    )

@@ -2431,3 +2431,109 @@ def weekday_hour_peak_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+@query(
+    "user_funnel_depth_distribution",
+    oracle="""
+WITH d AS (
+  SELECT user_id,
+         max(CASE event_type WHEN 'purchase' THEN 3 WHEN 'click' THEN 2
+             WHEN 'view' THEN 1 ELSE 0 END) AS depth
+  FROM events GROUP BY 1
+)
+SELECT depth, CAST(count(*) AS BIGINT) AS n_users
+FROM d GROUP BY 1 ORDER BY 1
+""",
+)
+def user_funnel_depth_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How deep each user ever got in the view → click → purchase
+    funnel, as a user-count histogram — the lifetime complement of
+    funnel_view_click_purchase's strictly-ordered single-pass funnel.
+    Depth is an exact integer max.
+
+    Scale shape: two chained map-side-combined hash aggregates (user
+    rollup, then the 4-bucket histogram); no window, no join."""
+    ev = load_table(spark, sf_dir, "events")
+    depth = F.max(
+        F.when(F.col("event_type") == "purchase", 3)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "view", 1)
+        .otherwise(0)
+    )
+    d = ev.groupBy("user_id").agg(depth.alias("depth"))
+    return (
+        d.groupBy("depth")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("depth")
+    )
+
+
+@query(
+    "first_day_conversion_by_cohort",
+    oracle="""
+WITH f AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT f.user_id, f.cohort_day,
+         max(CASE WHEN e.event_type = 'purchase'
+                   AND CAST(e.ts AS DATE) = f.cohort_day
+              THEN 1 ELSE 0 END) AS converted
+  FROM f JOIN events e ON e.user_id = f.user_id
+  GROUP BY 1, 2
+)
+SELECT cohort_day,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       floor(CAST(sum(converted) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
+         AS conversion_rate
+FROM c GROUP BY 1 ORDER BY 1
+""",
+)
+def first_day_conversion_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-0 activation: of each daily signup cohort (first-ever event
+    date), the share who purchased ON that first day — the activation
+    twin of cohort_time_to_first_purchase's latency curve. Flags are
+    exact integer maxes; one floor-form division per cohort.
+
+    Scale shape: ONE user-keyed aggregate computes first_ts AND the
+    earliest same-day purchase flag together (min(ts) and the
+    conditional min compare within one pass — no self-join back to
+    events: converted == min purchase ts falls on the min-ts date),
+    then a calendar-bounded cohort rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase_ts"),
+    )
+    # converted on day 0 <=> SOME purchase fell on the first day; with
+    # only min/max purchase timestamps that is: the earliest purchase
+    # is on day 0 (any later purchase can't precede it).
+    converted = F.when(
+        F.col("first_purchase_ts").cast("date") == F.col("first_ts").cast("date"),
+        1,
+    ).otherwise(0)
+    c = per_user.select(
+        F.col("first_ts").cast("date").alias("cohort_day"),
+        converted.alias("converted"),
+    )
+    return (
+        c.groupBy("cohort_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("converted").cast("long").alias("n_converted"),
+        )
+        .select(
+            "cohort_day",
+            "n_users",
+            "n_converted",
+            round4f(
+                F.col("n_converted").cast("double") / F.col("n_users")
+            ).alias("conversion_rate"),
+        )
+        .orderBy("cohort_day")
+    )

@@ -416,3 +416,114 @@ def test_shipping_delay_and_discount_curve_hand_fixture(spark, monkeypatch):
     assert curve[0.05][1] == 380.0 and curve[0.0][1] == 200.0
     assert curve[0.05][2] == math.floor(380 / 580 * 10000 + 0.5) / 10000
     assert curve[0.0][2] == math.floor(200 / 580 * 10000 + 0.5) / 10000
+
+
+# ---------------------------------------------------------------------------
+# batch 2: funnel depth, day-0 conversion, confusion matrix, baskets
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=5, deadline=None)
+@given(rows=typed_events)
+def test_funnel_depth_and_day0_conversion_match_reference(spark, rows):
+    from minefields_kafka_streams_deduplication_spark.operators import analytic
+
+    df = _mk_events(spark, rows)
+    orig = analytic.load_table
+    analytic.load_table = lambda s, d, n: df
+    try:
+        depths = {
+            r.depth: r.n_users
+            for r in analytic.user_funnel_depth_distribution(spark, "x").collect()
+        }
+        conv = {
+            r.cohort_day: (r.n_users, r.n_converted, r.conversion_rate)
+            for r in analytic.first_day_conversion_by_cohort(spark, "x").collect()
+        }
+    finally:
+        analytic.load_table = orig
+    t0 = dt.datetime(2024, 1, 1)
+    rank = {"purchase": 3, "click": 2, "view": 1}
+    by_user: dict = {}
+    for m, u, ty in rows:
+        by_user.setdefault(u, []).append((t0 + dt.timedelta(minutes=m), ty))
+    want_d: dict = {}
+    cohorts: dict = {}
+    for u, evs in by_user.items():
+        d = max(rank.get(ty, 0) for _t, ty in evs)
+        want_d[d] = want_d.get(d, 0) + 1
+        first = min(t for t, _ty in evs)
+        converted = any(
+            ty == "purchase" and t.date() == first.date() for t, ty in evs
+        )
+        n, c = cohorts.get(first.date(), (0, 0))
+        cohorts[first.date()] = (n + 1, c + converted)
+    assert depths == want_d
+    assert set(conv) == set(cohorts)
+    for day, (n, c) in cohorts.items():
+        assert conv[day][:2] == (n, c)
+        assert conv[day][2] == math.floor(c / n * 10000 + 0.5) / 10000
+
+
+def test_confusion_matrix_diagonal_consistency(spark, sf_dir):
+    """The confusion matrix is exactly the grouped scorer: cell sums
+    equal the per-doc scorer's counts, and every fixture doc appears
+    in exactly one cell."""
+    import minefields_kafka_streams_deduplication_spark as engine
+
+    qs = engine.get_queries()
+    matrix = {
+        (r.lang, r.predicted_lang): r.n_docs
+        for r in qs["lang_confusion_matrix"](spark, sf_dir).collect()
+    }
+    scored = qs["lang_id_stopwords"](spark, sf_dir).collect()
+    want: dict = {}
+    for r in scored:
+        k = (r.lang, r.predicted_lang)
+        want[k] = want.get(k, 0) + 1
+    assert matrix == want
+    assert sum(matrix.values()) == len(scored)
+
+
+def test_basket_and_part_type_hand_fixture(spark, monkeypatch):
+    from minefields_kafka_streams_deduplication_spark.operators import aggregations
+
+    li = spark.createDataFrame(
+        [
+            (1, 100, 100.0, 0.0, "N"),
+            (1, 101, 200.0, 0.5, "R"),
+            (2, 100, 50.0, 0.0, "N"),
+        ],
+        "l_orderkey LONG, l_partkey LONG, l_extendedprice DOUBLE, "
+        "l_discount DOUBLE, l_returnflag STRING",
+    )
+    part = spark.createDataFrame(
+        [(100, "A"), (101, "B")], "p_partkey LONG, p_type STRING"
+    )
+    t0 = dt.date(2024, 1, 15)
+    orders = spark.createDataFrame(
+        [(1, t0), (2, dt.date(2024, 2, 1))], "o_orderkey LONG, o_orderdate DATE"
+    )
+    tables = {"lineitem": li, "part": part, "orders": orders}
+    monkeypatch.setattr(aggregations, "load_table", lambda s, d, n: tables[n])
+
+    baskets = {
+        r.basket_size: r.n_orders
+        for r in aggregations.basket_size_distribution(spark, "x").collect()
+    }
+    assert baskets == {2: 1, 1: 1}
+
+    top = [
+        (r.p_type, r.n_items, r.revenue)
+        for r in aggregations.part_type_revenue_topk(spark, "x").collect()
+    ]
+    # A: 100 + 50 = 150; B: 200*0.5 = 100 -> A first
+    assert top == [("A", 2, 150.0), ("B", 1, 100.0)]
+
+    rates = {
+        str(r.month): (r.n_items, r.n_returned, r.return_rate)
+        for r in aggregations.returned_rate_by_month(spark, "x").collect()
+    }
+    assert rates == {
+        "2024-01-01": (2, 1, 0.5),
+        "2024-02-01": (1, 0, 0.0),
+    }
