@@ -1817,12 +1817,15 @@ def discount_revenue_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     discount domain is ~11 values); the share join is a broadcast
     crossJoin of the 1-row total — no window, no second scan."""
     li = load_table(spark, sf_dir, "lineitem")
+    # caller-pins-its-frame (r8 broadcast-reexecution rule): the
+    # broadcast total's subplan would otherwise re-run the lineitem
+    # scan + rollup that already feeds the probe side
     per = li.groupBy("l_discount").agg(
         F.count(F.lit(1)).cast("long").alias("n_items"),
         F.sum(dec6("l_extendedprice") * (F.lit(1) - dec6("l_discount"))).alias(
             "rev"
         ),
-    )
+    ).localCheckpoint(eager=False)
     total = per.agg(F.sum("rev").alias("tot"))
     return (
         per.crossJoin(F.broadcast(total))
@@ -1863,10 +1866,14 @@ def monthly_order_status_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     status) grid; monthly totals re-aggregate THAT grid and broadcast
     back — no per-month window over data-sized rows anywhere."""
     orders = load_table(spark, sf_dir, "orders")
+    # caller-pins-its-frame (r8 broadcast-reexecution rule): the
+    # broadcast monthly totals would otherwise re-run the orders scan
     m = orders.groupBy(
         F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
         "o_orderstatus",
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_orders")).localCheckpoint(
+        eager=False
+    )
     tot = m.groupBy("month").agg(F.sum("n_orders").alias("tot"))
     return (
         m.join(F.broadcast(tot), "month")
