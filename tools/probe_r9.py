@@ -45,6 +45,12 @@ def probe(name: str, sf: str, warm: bool = True, tag: str = "") -> float:
         except Exception as e:
             print(json.dumps({"probe": name, "warm_err": str(e)[:200]}), flush=True)
     spark.catalog.clearCache()
+    # r9 interference finding: a heavy query's lazily-localCheckpointed
+    # frames hold block-manager memory until ContextCleaner sees the
+    # RDD unreachable — which needs a driver JVM GC. Without this, the
+    # NEXT query runs memory-squeezed (measured 4.5 -> 19.7 s on
+    # attribution after the jaccard self-join; GC restores 2.6 s).
+    spark.sparkContext._jvm.System.gc()
     t0 = time.time()
     sink(QS[name](spark, sf))
     sec = round(time.time() - t0, 1)

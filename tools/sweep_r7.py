@@ -33,7 +33,12 @@ for name, fn in QS.items():
         continue
     # r1 sweep find: per-query caches accumulate across a long session
     # and skew later queries up to 7x — clear between queries.
+    # r9 find: localCheckpoint blocks additionally pin block-manager
+    # memory until a driver GC lets ContextCleaner release them —
+    # without the explicit gc a heavy query distorts its successors
+    # (4.5 -> 19.7 s measured; SCALING.md round-9 interference A/B).
     spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
     t0 = time.time()
     try:
         fn(spark, P10).write.format("noop").mode("overwrite").save()
