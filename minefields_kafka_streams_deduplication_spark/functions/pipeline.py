@@ -2176,3 +2176,108 @@ def lang_source_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "corpus_token_budget_by_source",
+    oracle="""
+WITH d AS (
+  SELECT source,
+         len(string_split(lower(text), ' ')) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+  FROM d GROUP BY 1
+)
+SELECT source, n_docs, total_tokens,
+       floor(CAST(total_tokens AS DOUBLE) / sum(total_tokens) OVER ()
+             * 10000 + 0.5) / 10000 AS token_share
+FROM s ORDER BY source
+""",
+)
+def corpus_token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget — THE input to mixture weighting
+    (mix_temperature_weights consumes shares like these): whitespace
+    tokens per source, exact, with each source's share of the corpus
+    budget. NULL text is dropped like the oracle's len(NULL) row.
+
+    Scale shape: token counts are map-side size(split) (text never
+    shuffles); one hash aggregate to the source vocabulary; the share
+    divides by a broadcast 1-row total of the PINNED rollup
+    (caller-pins-its-frame — the broadcast child must not re-run the
+    corpus scan)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    s = (
+        docs.select(
+            "source",
+            F.size(F.split(F.lower("text"), " ")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = s.agg(F.sum("total_tokens").alias("tot"))
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            round4f(
+                F.col("total_tokens").cast("double") / F.col("tot")
+            ).alias("token_share"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "dedup_savings_by_source",
+    oracle="""
+WITH g AS (
+  SELECT source, md5(lower(text)) AS th, n_chars,
+         CAST(count(*) AS BIGINT) AS w
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+SELECT source,
+       CAST(sum(w) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(w) - count(*) AS BIGINT) AS dup_docs,
+       CAST(sum((w - 1) * n_chars) AS BIGINT) AS chars_saved
+FROM g GROUP BY 1 ORDER BY 1
+""",
+)
+def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What exact dedup would save, per source: duplicate doc count
+    and the bytes the non-representative copies occupy — the
+    cost-benefit table a curation run reads BEFORE paying the dedup
+    (dup_rate_by_source's rate, monetized into storage). All exact
+    integer sums over the digest collapse.
+
+    Scale shape: ONE (source, md5, n_chars) hash aggregate — only
+    32-byte digests enter the exchange, never text (the r7 copy-flood
+    discipline); n_chars rides in the KEY so an anomalous copy keeps
+    its own group (the doc_length_token_corr rule); the per-source
+    rollup runs on the collapsed frame."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    g = docs.groupBy(
+        "source", F.md5(F.lower("text")).alias("th"), "n_chars"
+    ).agg(F.count(F.lit(1)).alias("w"))
+    return (
+        g.groupBy("source")
+        .agg(
+            F.sum("w").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            (F.sum("w") - F.count(F.lit(1))).cast("long").alias("dup_docs"),
+            F.sum((F.col("w") - 1) * F.col("n_chars")).cast("long").alias(
+                "chars_saved"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -72,6 +72,60 @@ class StreamsBuilder:
             lineage=(f"Source: {name} (topic: {name})",),
         )
 
+    def stream_wire(self, name: str, on_error: str = "fail"):
+        """[R StreamsBuilder#stream over raw topic bytes +
+        default.deserialization.exception.handler] — the config-level
+        serde error policy a KS porter sets once per app, as a source
+        verb. The topic replay is the fixture serialized onto the wire
+        (sources/kafka.serialize_event_payload); deserialization runs
+        the engine's parsers:
+
+        - ``on_error="fail"`` → [R LogAndFailExceptionHandler] (the KS
+          default): one KStream whose first corrupt record fails the
+          job loudly (`parse_event_payload_strict`).
+        - ``on_error="continue"`` → [R LogAndContinueExceptionHandler]:
+          one KStream of the good rows; corrupt records are skipped.
+        - ``on_error="route"`` → the DLQ pattern: returns (good
+          KStream, dead KStream) where dead keeps the ORIGINAL bytes +
+          a reason — wire `dead.to(path)` for the dead-letter topic
+          (the streaming form lives in streaming/dlq.py).
+        """
+        from .sources.kafka import (
+            parse_event_payload_routed,
+            parse_event_payload_strict,
+            serialize_event_payload,
+        )
+
+        wire = serialize_event_payload(
+            load_table(self.spark, self.sf_dir, name)
+        ).select("key", "value")
+        src = (f"Source: {name} (topic bytes, wire serde)",)
+        if on_error == "fail":
+            return KStream(
+                parse_event_payload_strict(wire),
+                lineage=src + ("Processor: deserialize[LogAndFail]",),
+            )
+        if on_error == "continue":
+            good, _dead = parse_event_payload_routed(wire)
+            return KStream(
+                good, lineage=src + ("Processor: deserialize[LogAndContinue]",)
+            )
+        if on_error == "route":
+            good, dead = parse_event_payload_routed(wire)
+            return (
+                KStream(
+                    good,
+                    lineage=src + ("Processor: deserialize[route→good]",),
+                ),
+                KStream(
+                    dead,
+                    lineage=src + ("Processor: deserialize[route→DLQ]",),
+                ),
+            )
+        raise ValueError(
+            f"on_error must be 'fail', 'continue' or 'route', got {on_error!r}"
+        )
+
     def table(self, name: str, key: str, ts: str) -> "KTable":
         """[R StreamsBuilder#table]: changelog → latest row per key.
         Delegates to KStream.to_table so the deterministic timestamp

@@ -527,3 +527,45 @@ def test_basket_and_part_type_hand_fixture(spark, monkeypatch):
         "2024-01-01": (2, 1, 0.5),
         "2024-02-01": (1, 0, 0.0),
     }
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=docs_strategy)
+def test_token_budget_and_dedup_savings_match_reference(spark, rows):
+    from minefields_kafka_streams_deduplication_spark.functions import (
+        pipeline as pipe,
+    )
+
+    df = _mk_docs(spark, rows)
+    orig = pipe.load_table
+    pipe.load_table = lambda s, d, n: df
+    try:
+        budget = {
+            r.source: (r.n_docs, r.total_tokens, r.token_share)
+            for r in pipe.corpus_token_budget_by_source(spark, "x").collect()
+        }
+        savings = {
+            r.source: (r.n_docs, r.n_distinct, r.dup_docs, r.chars_saved)
+            for r in pipe.dedup_savings_by_source(spark, "x").collect()
+        }
+    finally:
+        pipe.load_table = orig
+
+    toks: dict = {}
+    groups: dict = {}
+    for i, (lang, txt) in enumerate(rows):
+        src = f"src{i % 3}"
+        n, t = toks.get(src, (0, 0))
+        toks[src] = (n + 1, t + len(txt.lower().split(" ")))
+        k = (src, txt.lower(), len(txt))
+        groups[k] = groups.get(k, 0) + 1
+    total = sum(t for _n, t in toks.values())
+    assert set(budget) == set(toks)
+    for src, (n, t) in toks.items():
+        assert budget[src][:2] == (n, t)
+        assert budget[src][2] == math.floor(t / total * 10000 + 0.5) / 10000
+    want: dict = {}
+    for (src, _txt, nc), w in groups.items():
+        n, d, dup, saved = want.get(src, (0, 0, 0, 0))
+        want[src] = (n + w, d + 1, dup + w - 1, saved + (w - 1) * nc)
+    assert savings == want

@@ -607,3 +607,48 @@ def test_describe_golden_full_rendering(spark, sf_dir, tmp_path):
             f"    3: Sink: to[{out}, parquet]",
         ]
     )
+
+
+def test_stream_wire_deserialization_policies(spark, sf_dir):
+    """[R default.deserialization.exception.handler] as a facade source
+    verb: 'continue' equals the routed parser's good half on clean
+    wire; 'route' splits conservation-exactly; 'fail' raises on the
+    first corrupt record and passes on clean input; describe() names
+    the policy."""
+    import pytest
+    from pyspark.sql import functions as F
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+
+    b = StreamsBuilder(spark, sf_dir)
+    n_events = load_table(spark, sf_dir, "events").count()
+
+    s = b.stream_wire("events", on_error="fail")
+    assert s.to_df().count() == n_events  # clean wire: strict passes
+    assert "LogAndFail" in s.describe()
+
+    good = b.stream_wire("events", on_error="continue")
+    assert good.to_df().count() == n_events
+    assert "LogAndContinue" in good.describe()
+
+    g, d = b.stream_wire("events", on_error="route")
+    assert g.to_df().count() == n_events and d.to_df().count() == 0
+    assert "DLQ" in d.describe()
+
+    with pytest.raises(ValueError):
+        b.stream_wire("events", on_error="retry")
+
+    # corrupt wire: strict fails loudly, route conserves
+    from minefields_kafka_streams_deduplication_spark.sources.kafka import (
+        parse_event_payload_routed,
+        parse_event_payload_strict,
+    )
+
+    corrupt = spark.createDataFrame(
+        [(bytearray(b"1"), bytearray(b'{"event_id": 1,'))],
+        "key BINARY, value BINARY",
+    )
+    with pytest.raises(Exception, match="deserialization failed"):
+        # collect, not count: count() prunes the raise_error projection
+        parse_event_payload_strict(corrupt).collect()
+    g2, d2 = parse_event_payload_routed(corrupt)
+    assert g2.count() == 0 and d2.count() == 1

@@ -144,6 +144,7 @@ NEW_R9 = [
     "lang_confusion_matrix", "part_type_revenue_topk",
     "basket_size_distribution", "returned_rate_by_month",
     "user_funnel_depth_distribution", "first_day_conversion_by_cohort",
+    "corpus_token_budget_by_source", "dedup_savings_by_source",
 ]
 
 
