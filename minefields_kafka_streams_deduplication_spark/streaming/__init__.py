@@ -16,3 +16,4 @@ from . import global_table  # noqa: F401  (registers join_global_table_refresh)
 from . import expectations  # noqa: F401  (registers validate_stream_gate)
 from . import live_state  # noqa: F401  (registers store_live_streaming_state)
 from . import dlq  # noqa: F401  (registers kafka_stream_dlq_routing)
+from . import session_incremental  # noqa: F401  (registers session_frame_incremental)

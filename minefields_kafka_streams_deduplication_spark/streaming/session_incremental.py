@@ -1,0 +1,239 @@
+"""Incremental sessionization — maintain the persisted per-session
+frame (operators/windows.session_frame) from a STREAM, one micro-batch
+at a time, paying O(batch + touched buckets) per commit instead of the
+full per-user sort [R a SessionWindows aggregation's SessionStore:
+sessions MERGE in state as records arrive; reconstructed public
+surface — SURVEY.md §0].
+
+Algebra: a session row is an interval with additive payloads. Per
+batch, sessionize ONLY the batch (the usual gap-flag pipeline), then
+interval-merge the batch's sessions with the stored sessions of the
+touched users (two sessions merge iff start − prev_end ≤ gap). Counts,
+value sums (exact DECIMAL — decimal addition is associative, so the
+incremental total equals the one-shot batch total bit-for-bit) and
+boundaries are split-invariant: ANY partition of the event stream into
+batches folds to the same sessions. The first-3 ``opening`` tokens are
+exact under event-time-ordered replay (the staged-topic shape); an
+out-of-order split can interleave two pieces of one session, which
+reorders only the opening concatenation — documented precondition,
+pinned by the property test.
+
+Storage: the bucketed layout every keyed state table here uses
+(bucket = pmod(xxhash64(user), N) partition dirs); a batch reads ONLY
+its touched buckets and dynamic-partition-overwrites only those —
+sinks.merge_batch_into_state's discipline. Replay safety: interval
+merge is NOT an idempotent fold (re-adding a batch double-counts), so
+batch application is gated by batchId marker files — the
+expectations-sink discipline, pinned by the double-replay test.
+
+100 TB story: per commit the work is the batch's own sessionization
+(batch-sized) plus a scan/rewrite of touched bucket directories
+(key-locality bounded, independent of corpus history size) — the
+session frame stays query-ready between commits, so the ~6 session
+consumers never re-sort events.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import dec6, load_table
+from ..registry import query
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+SESSION_BUCKETS = 16
+
+__all__ = [
+    "build_session_rows",
+    "merge_session_rows",
+    "apply_session_batch",
+    "run_incremental_sessionization",
+]
+
+
+def build_session_rows(ev: DataFrame) -> DataFrame:
+    """Exact-decimal session rows of ONE event frame: (user_id,
+    session_start, session_end, n_events, total_value_dec
+    DECIMAL(18,6), opening ARRAY<STRING> ≤3). The same one-exchange
+    gap-flag pipeline as build_session_frame, with the payloads kept
+    in their ASSOCIATIVE forms (exact decimal, token array) so
+    incremental merges reproduce the one-shot build bit-for-bit."""
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(order))
+    new_session = F.when(gap_us.isNull() | (gap_us > SESSION_GAP_US), 1).otherwise(0)
+    sess = (
+        ev.withColumn("new_session", new_session)
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                order.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "session_id").orderBy(
+                    "ts", "event_id"
+                )
+            ),
+        )
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(dec6("value")).cast("decimal(18,6)").alias("total_value_dec"),
+        F.expr(
+            "transform(array_sort(collect_list("
+            "CASE WHEN rn <= 3 THEN struct(rn, event_type) END)),"
+            " x -> x.event_type)"
+        ).alias("opening"),
+    ).drop("session_id")
+
+
+def merge_session_rows(rows: DataFrame) -> DataFrame:
+    """Per-user interval merge: chain-merge session rows whose start is
+    within the gap of the running end (or overlapping), summing the
+    additive payloads and concatenating openings in start order. One
+    user-keyed window + one hash aggregate — the same scale shape as
+    sessionization itself, over session-count rows."""
+    w = Window.partitionBy("user_id").orderBy("session_start", "session_end")
+    # running maximum end guards pathological containment (a stored
+    # superset interval followed by a contained one)
+    run_end = F.max("session_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gap_us = F.unix_micros(F.col("session_start")) - F.unix_micros(run_end)
+    new_flag = F.when(gap_us.isNull() | (gap_us > SESSION_GAP_US), 1).otherwise(0)
+    grouped = rows.withColumn("_new", new_flag).withColumn(
+        "_grp",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        grouped.groupBy("user_id", "_grp")
+        .agg(
+            F.min("session_start").alias("session_start"),
+            F.max("session_end").alias("session_end"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("total_value_dec").cast("decimal(18,6)").alias(
+                "total_value_dec"
+            ),
+            F.expr(
+                "slice(flatten(transform("
+                "array_sort(collect_list(struct(session_start, opening))),"
+                " x -> x.opening)), 1, 3)"
+            ).alias("opening"),
+        )
+        .drop("_grp")
+    )
+
+
+def apply_session_batch(
+    spark: SparkSession, state_dir: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """Fold one micro-batch of events into the bucketed session-frame
+    state: sessionize the batch, read ONLY the touched bucket
+    directories, interval-merge, dynamic-overwrite those buckets.
+    Idempotent under redelivery via a batchId marker (interval merge
+    is not an idempotent fold — a marker, not algebra, carries the
+    exactly-once guarantee here)."""
+    marker = os.path.join(state_dir, "_applied", f"batch_{batch_id}")
+    if os.path.exists(marker):
+        return  # replayed batch: already folded in
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(SESSION_BUCKETS))
+    fresh = build_session_rows(batch_df).withColumn("bucket", bucket)
+    touched = [r.bucket for r in fresh.select("bucket").distinct().collect()]
+    existing = [
+        p
+        for t in touched
+        if os.path.exists(p := os.path.join(state_dir, f"bucket={t}"))
+    ]
+    if existing:
+        old = spark.read.parquet(*existing).withColumn("bucket", bucket)
+        fresh = fresh.unionByName(old)
+    merged = merge_session_rows(fresh).withColumn(
+        "bucket", bucket
+    ).localCheckpoint(eager=True)  # reads the files the write replaces
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(state_dir)
+    )
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+
+
+def run_incremental_sessionization(
+    spark: SparkSession, stage_dir: str, state_dir: str, checkpoint: str
+) -> None:
+    """Replay ``stage_dir`` (one file per micro-batch) through
+    :func:`apply_session_batch` — the streaming maintainer of the
+    shared session frame."""
+    schema = (
+        "user_id LONG, event_id LONG, ts TIMESTAMP, value DOUBLE,"
+        " event_type STRING"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: apply_session_batch(spark, state_dir, df, bid)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@query("session_frame_incremental")  # rows-only: a real availableNow
+# micro-batch maintainer; bit-exact parity with the one-shot batch
+# build (incl. exact decimal sums), split-invariance of
+# counts/bounds/sums under random splits, double-replay idempotence
+# and O(touched-bucket) rewrites are pinned in tests/test_streaming.py
+def session_frame_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared session frame maintained INCREMENTALLY from a
+    3-slice time-ordered replay of the events fixture — the streaming
+    production form of sessionize-once: each commit folds one
+    micro-batch into the bucketed session state (sessions merge across
+    batch boundaries), and the final state equals the one-shot
+    `build_session_frame` bit-for-bit. Ordered for determinism;
+    total_value rounds to the sessionize contract at read."""
+    from ..catalog import fingerprint_dir, mark_ready
+    from .punctuate import stage_events_ordered
+
+    root, ready = fingerprint_dir(
+        "sessinc", os.path.join(sf_dir, "events.parquet")
+    )
+    state = os.path.join(root, "state")
+    if not ready:
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "ts", "value", "event_type"
+        )
+        stage = os.path.join(root, "stage")
+        ckpt = os.path.join(root, "ckpt")
+        stage_events_ordered(ev, stage, n_slices=3)
+        run_incremental_sessionization(spark, stage, state, ckpt)
+        mark_ready(root)
+    return (
+        spark.read.parquet(state)
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            F.round(F.col("total_value_dec"), 4)
+            .cast("double")
+            .alias("total_value"),
+            F.concat_ws(">", "opening").alias("opening_path"),
+        )
+        .orderBy("user_id", "session_start")
+    )

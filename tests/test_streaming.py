@@ -1274,3 +1274,127 @@ def test_stream_dlq_two_sinks_conserve_preserve_and_replay(spark, sf_dir, tmp_pa
     for p, s in sig.items():
         assert (os.path.getsize(p), os.path.getmtime(p)) == s, p  # untouched
     assert good.count() + dead.count() == staged.count()  # no duplicates
+
+
+def test_incremental_sessionization_bit_parity_and_conservation(spark, sf_dir):
+    """Incremental sessionization (r9): the micro-batch-maintained
+    session state equals the one-shot batch build BIT-FOR-BIT
+    (boundaries, counts, exact-decimal-derived values, opening paths)
+    after a 3-slice time-ordered replay, and conserves events."""
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+    from minefields_kafka_streams_deduplication_spark.operators.windows import (
+        build_session_frame,
+    )
+    import minefields_kafka_streams_deduplication_spark as engine
+
+    out = engine.get_queries()["session_frame_incremental"](spark, sf_dir)
+    got = {
+        (r.user_id, r.session_start, r.session_end): (
+            r.n_events,
+            r.total_value,
+            r.opening_path,
+        )
+        for r in out.collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r.user_id, r.session_start, r.session_end): (
+            r.n_events,
+            r.total_value,
+            r.opening_path,
+        )
+        for r in build_session_frame(ev).collect()
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == ev.count()  # conservation
+
+
+def test_incremental_sessionization_split_invariance(spark, tmp_path):
+    """Counts, boundaries and exact decimal sums are SPLIT-INVARIANT:
+    folding the same events in as any batch sequence — including an
+    out-of-time-order split that interleaves one session across
+    batches — reproduces the one-shot sessions."""
+    import datetime as dt
+
+    from minefields_kafka_streams_deduplication_spark.streaming.session_incremental import (
+        apply_session_batch,
+        build_session_rows,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # one user, one session of 4 events (gaps < 30 min), split so
+        # batch 0 gets events 0 and 2, batch 1 gets 1 and 3 (interleaved)
+        (i, 7, t0 + dt.timedelta(minutes=10 * i), float(i), "view")
+        for i in range(4)
+    ] + [
+        (9, 7, t0 + dt.timedelta(hours=5), 9.0, "click"),  # second session
+        (10, 8, t0, 1.0, "view"),                           # other user
+    ]
+    schema = "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE, event_type STRING"
+    all_ev = spark.createDataFrame(rows, schema)
+    b0 = spark.createDataFrame([rows[0], rows[2], rows[5]], schema)
+    b1 = spark.createDataFrame([rows[1], rows[3], rows[4]], schema)
+
+    state = str(tmp_path / "state")
+    apply_session_batch(spark, state, b0, 0)
+    apply_session_batch(spark, state, b1, 1)
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value_dec)
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value_dec)
+        for r in build_session_rows(all_ev).collect()
+    }
+    assert got == want
+    assert len(got) == 3  # user 7: 2 sessions (one merged across batches), user 8: 1
+
+
+def test_incremental_sessionization_replay_and_touched_buckets(spark, tmp_path):
+    """Redelivered batches are no-ops (batchId marker gate), and a
+    batch touching one user rewrites ONLY that user's bucket dir."""
+    import datetime as dt
+    import os
+
+    from minefields_kafka_streams_deduplication_spark.streaming.session_incremental import (
+        SESSION_BUCKETS,
+        apply_session_batch,
+    )
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE, event_type STRING"
+    b0 = spark.createDataFrame(
+        [(i, u, t0 + dt.timedelta(minutes=i), 1.0, "view") for i in range(4) for u in (1, 2, 3)],
+        schema,
+    )
+    state = str(tmp_path / "state")
+    apply_session_batch(spark, state, b0, 0)
+    before = {
+        d: os.path.getmtime(os.path.join(state, d))
+        for d in os.listdir(state)
+        if d.startswith("bucket=")
+    }
+    n_before = spark.read.parquet(state).count()
+
+    # replay batch 0: marker gate -> nothing changes
+    apply_session_batch(spark, state, b0, 0)
+    assert n_before == spark.read.parquet(state).count()
+    for d, m in before.items():
+        assert os.path.getmtime(os.path.join(state, d)) == m
+
+    # batch touching ONLY user 1: only user 1's bucket rewrites
+    b1 = spark.createDataFrame(
+        [(99, 1, t0 + dt.timedelta(hours=9), 1.0, "view")], schema
+    )
+    u1_bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(1).cast("long")), F.lit(SESSION_BUCKETS))
+    ).first()[0]
+    apply_session_batch(spark, state, b1, 1)
+    for d, m in before.items():
+        now = os.path.getmtime(os.path.join(state, d))
+        if d == f"bucket={u1_bucket}":
+            assert now > m
+        else:
+            assert now == m, d  # untouched bucket untouched

@@ -170,6 +170,19 @@ def stage_livesession100() -> None:
     probe("store_live_session_fetch", P100)
 
 
+def stage_sessinc1000() -> None:
+    """Incremental sessionization at 100M events (3 micro-batches of
+    ~33M): per-commit cost = batch sessionization + touched-bucket
+    rewrite; compare the 97.8 s one-shot frame build."""
+    probe("session_frame_incremental", P1000)
+
+
+def stage_batch3_1000() -> None:
+    for q in ("corpus_token_budget_by_source", "dedup_savings_by_source"):
+        probe(q, P10)
+        probe(q, P1000)
+
+
 def stage_annindex1000() -> None:
     """Persisted IVF-PQ index at 500K vectors with the r9 equal-bytes
     winner config (m=4 x k=256, re-rank default ON); r8's config read
@@ -185,6 +198,8 @@ STAGES = {
     "dlq100": stage_dlq100,
     "livesession100": stage_livesession100,
     "annindex1000": stage_annindex1000,
+    "sessinc1000": stage_sessinc1000,
+    "batch3_1000": stage_batch3_1000,
 }
 
 if __name__ == "__main__":
