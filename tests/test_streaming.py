@@ -1336,12 +1336,16 @@ def test_incremental_sessionization_split_invariance(spark, tmp_path):
     b0 = spark.createDataFrame([rows[0], rows[2], rows[5]], schema)
     b1 = spark.createDataFrame([rows[1], rows[3], rows[4]], schema)
 
+    from minefields_kafka_streams_deduplication_spark.streaming.session_incremental import (
+        read_session_state,
+    )
+
     state = str(tmp_path / "state")
     apply_session_batch(spark, state, b0, 0)
     apply_session_batch(spark, state, b1, 1)
     got = {
         (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value_dec)
-        for r in spark.read.parquet(state).collect()
+        for r in read_session_state(spark, state).collect()
     }
     want = {
         (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value_dec)
@@ -1360,6 +1364,7 @@ def test_incremental_sessionization_replay_and_touched_buckets(spark, tmp_path):
     from minefields_kafka_streams_deduplication_spark.streaming.session_incremental import (
         SESSION_BUCKETS,
         apply_session_batch,
+        read_session_state,
     )
     from pyspark.sql import functions as F
 
@@ -1371,18 +1376,19 @@ def test_incremental_sessionization_replay_and_touched_buckets(spark, tmp_path):
     )
     state = str(tmp_path / "state")
     apply_session_batch(spark, state, b0, 0)
+    open_dir = os.path.join(state, "open")
     before = {
-        d: os.path.getmtime(os.path.join(state, d))
-        for d in os.listdir(state)
+        d: os.path.getmtime(os.path.join(open_dir, d))
+        for d in os.listdir(open_dir)
         if d.startswith("bucket=")
     }
-    n_before = spark.read.parquet(state).count()
+    n_before = read_session_state(spark, state).count()
 
     # replay batch 0: marker gate -> nothing changes
     apply_session_batch(spark, state, b0, 0)
-    assert n_before == spark.read.parquet(state).count()
+    assert n_before == read_session_state(spark, state).count()
     for d, m in before.items():
-        assert os.path.getmtime(os.path.join(state, d)) == m
+        assert os.path.getmtime(os.path.join(open_dir, d)) == m
 
     # batch touching ONLY user 1: only user 1's bucket rewrites
     b1 = spark.createDataFrame(
@@ -1393,8 +1399,47 @@ def test_incremental_sessionization_replay_and_touched_buckets(spark, tmp_path):
     ).first()[0]
     apply_session_batch(spark, state, b1, 1)
     for d, m in before.items():
-        now = os.path.getmtime(os.path.join(state, d))
+        now = os.path.getmtime(os.path.join(open_dir, d))
         if d == f"bucket={u1_bucket}":
             assert now > m
         else:
-            assert now == m, d  # untouched bucket untouched
+            assert now == m, d  # untouched OPEN bucket untouched
+
+
+def test_incremental_sessionization_fully_frozen_bucket_no_double_count(
+    spark, tmp_path
+):
+    """A touched bucket whose every merged session falls behind the gap
+    horizon must be DELETED from open/ (dynamic overwrite alone leaves
+    the stale dir, double-counting against the closed copy): user A's
+    only sessions freeze when a much-later batch touches A while its
+    max ts pushes the horizon past them."""
+    import datetime as dt
+
+    from minefields_kafka_streams_deduplication_spark.streaming.session_incremental import (
+        apply_session_batch,
+        read_session_state,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE, event_type STRING"
+    b0 = spark.createDataFrame([(1, 7, t0, 1.0, "view")], schema)
+    # batch 1 touches user 7 again at +10h, but another event at +19h
+    # pushes the horizon to 18.5h — BOTH of user 7's sessions freeze,
+    # leaving 7's open bucket empty
+    b1 = spark.createDataFrame(
+        [
+            (2, 7, t0 + dt.timedelta(hours=10), 1.0, "view"),
+            (3, 8, t0 + dt.timedelta(hours=19), 1.0, "view"),
+        ],
+        schema,
+    )
+    state = str(tmp_path / "state")
+    apply_session_batch(spark, state, b0, 0)
+    apply_session_batch(spark, state, b1, 1)
+    rows = read_session_state(spark, state).collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    assert len(per_user[7]) == 2           # two frozen sessions, ONCE each
+    assert sum(r.n_events for r in rows) == 3  # conservation, no double count
