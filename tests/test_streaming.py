@@ -1443,3 +1443,82 @@ def test_incremental_sessionization_fully_frozen_bucket_no_double_count(
         per_user.setdefault(r.user_id, []).append(r)
     assert len(per_user[7]) == 2           # two frozen sessions, ONCE each
     assert sum(r.n_events for r in rows) == 3  # conservation, no double count
+
+
+def test_merge_session_rows_matches_interval_model(spark):
+    """Hypothesis model for the interval merge alone: random session
+    rows (including overlaps and containment) merge exactly like the
+    brute-force sweep — boundaries, counts and exact decimal sums."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from minefields_kafka_streams_deduplication_spark.streaming.session_incremental import (
+        SESSION_GAP_US,
+        merge_session_rows,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    intervals = st.lists(
+        st.tuples(
+            st.integers(0, 2),          # user
+            st.integers(0, 300),        # start minute
+            st.integers(0, 90),         # duration minutes
+            st.integers(1, 5),          # n_events
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(rows=intervals)
+    def run(rows):
+        data = [
+            (
+                u,
+                t0 + dt.timedelta(minutes=s),
+                t0 + dt.timedelta(minutes=s + d),
+                n,
+                Decimal(n).quantize(Decimal("0.000001")),
+                ["x"] * min(3, n),
+            )
+            for (u, s, d, n) in rows
+        ]
+        df = spark.createDataFrame(
+            data,
+            "user_id LONG, session_start TIMESTAMP, session_end TIMESTAMP,"
+            " n_events LONG, total_value_dec DECIMAL(18,6),"
+            " opening ARRAY<STRING>",
+        )
+        got = {
+            (r.user_id, r.session_start, r.session_end): (
+                r.n_events,
+                r.total_value_dec,
+            )
+            for r in merge_session_rows(df).collect()
+        }
+        # brute-force sweep per user
+        want = {}
+        by_user: dict = {}
+        for u, s, e, n, v, _o in data:
+            by_user.setdefault(u, []).append((s, e, n, v))
+        gap = dt.timedelta(microseconds=SESSION_GAP_US)
+        for u, ivs in by_user.items():
+            ivs.sort()
+            cur = None
+            merged = []
+            for s, e, n, v in ivs:
+                if cur is None or s - cur[1] > gap:
+                    cur = [s, e, n, v]
+                    merged.append(cur)
+                else:
+                    cur[1] = max(cur[1], e)
+                    cur[2] += n
+                    cur[3] += v
+            for s, e, n, v in merged:
+                want[(u, s, e)] = (n, v)
+        assert got == want
+
+    run()

@@ -170,6 +170,15 @@ def stage_livesession100() -> None:
     probe("store_live_session_fetch", P100)
 
 
+def stage_streaming1000() -> None:
+    """The two r9 streaming harnesses at 100M events: the DLQ router
+    (serialize + corrupt + 3-slice stage + two idempotent sinks) and
+    the live SessionStore (streaming session_window agg + State Data
+    Source fetch)."""
+    probe("kafka_stream_dlq_routing", P1000)
+    probe("store_live_session_fetch", P1000)
+
+
 def stage_sessinc1000() -> None:
     """Incremental sessionization at 100M events (3 micro-batches of
     ~33M): per-commit cost = batch sessionization + touched-bucket
@@ -200,6 +209,7 @@ STAGES = {
     "annindex1000": stage_annindex1000,
     "sessinc1000": stage_sessinc1000,
     "batch3_1000": stage_batch3_1000,
+    "streaming1000": stage_streaming1000,
 }
 
 if __name__ == "__main__":
