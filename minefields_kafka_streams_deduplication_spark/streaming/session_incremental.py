@@ -159,6 +159,12 @@ def apply_session_batch(
     marker = os.path.join(state_dir, "_applied", f"batch_{batch_id}")
     if os.path.exists(marker):
         return  # replayed batch: already folded in
+    hi = batch_df.agg(F.max("ts")).first()[0]
+    if hi is None:  # empty micro-batch: nothing to fold, mark and move on
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+        return
     bucket = F.pmod(F.xxhash64("user_id"), F.lit(SESSION_BUCKETS))
     open_dir = os.path.join(state_dir, "open")
     closed_dir = os.path.join(state_dir, "closed")
@@ -172,7 +178,6 @@ def apply_session_batch(
     if existing:
         old = spark.read.parquet(*existing).withColumn("bucket", bucket)
         fresh = fresh.unionByName(old)
-    hi = batch_df.agg(F.max("ts")).first()[0]
     merged = merge_session_rows(fresh).withColumn(
         "bucket", bucket
     ).localCheckpoint(eager=True)  # reads the files the write replaces
