@@ -2537,3 +2537,62 @@ def first_day_conversion_by_cohort(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("cohort_day")
     )
+
+
+@query(
+    "value_percentiles_by_type",
+    oracle="""
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_events,
+       min(CASE WHEN 4 * rn >= n THEN value END) AS p25,
+       min(CASE WHEN 2 * rn >= n THEN value END) AS p50,
+       min(CASE WHEN 4 * rn >= 3 * n THEN value END) AS p75,
+       min(CASE WHEN 20 * rn >= 19 * n THEN value END) AS p95
+FROM r GROUP BY 1 ORDER BY 1
+""",
+)
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-type value percentiles (p25/p50/p75/p95) — the exact
+    oracle twin of the rows-only `agg_approx_quantiles_by_type`
+    (approx_percentile is engine-specific by design; this pins the
+    true quantiles). Discrete lower statistics picked by integer
+    rational compares; the values themselves are parquet doubles
+    compared bit-identically on both engines, never arithmetic.
+
+    Scale shape: the fixture's values quantize to cents, so the
+    (type, value) VALUE COLLAPSE is domain-bounded (~49K distinct per
+    type at ANY row count) and the shared `_grouped_value_cdf` runs
+    over that bounded table — never a per-type rank window over rows
+    (the inter_event_gap trap this family documents)."""
+    ev = load_table(spark, sf_dir, "events")
+    collapsed = ev.groupBy("event_type", F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cdf = _grouped_value_cdf(collapsed, "event_type", "v")
+    tot = cdf.groupBy("event_type").agg(F.max("cum").alias("n"))
+    j = cdf.join(F.broadcast(tot), "event_type")
+    pct = j.groupBy("event_type").agg(
+        F.min(F.when(4 * F.col("cum") >= F.col("n"), F.col("v"))).alias("p25"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("v"))).alias("p50"),
+        F.min(F.when(4 * F.col("cum") >= 3 * F.col("n"), F.col("v"))).alias(
+            "p75"
+        ),
+        F.min(F.when(20 * F.col("cum") >= 19 * F.col("n"), F.col("v"))).alias(
+            "p95"
+        ),
+    )
+    return (
+        tot.join(pct, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            "p25", "p50", "p75", "p95",
+        )
+        .orderBy("event_type")
+    )

@@ -258,8 +258,8 @@ _R8_DRIVER_VERIFIED = frozenset(
 # Round 9 items are appended as hardening lands (oracle-backed paths
 # whose execution changed; semantics pinned identical by the test
 # suite, but the driver should re-check them before the rotation).
-# Round-9 window math: 20 tier-0 new oracles + 6 tier-1
-# sessionize-once re-verifies leave 24 rotation slots — the 16 r4-era
+# Round-9 window math: 21 tier-0 new oracles + 6 tier-1
+# sessionize-once re-verifies leave 23 rotation slots — the 16 r4-era
 # rows that missed the r8 window re-verify first, then the stalest
 # r5-era rows.
 _R9_REVERIFY: tuple[str, ...] = (

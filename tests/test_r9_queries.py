@@ -569,3 +569,37 @@ def test_token_budget_and_dedup_savings_match_reference(spark, rows):
         n, d, dup, saved = want.get(src, (0, 0, 0, 0))
         want[src] = (n + w, d + 1, dup + w - 1, saved + (w - 1) * nc)
     assert savings == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=typed_events)
+def test_value_percentiles_match_reference(spark, rows):
+    """Exact per-type percentiles equal the brute-force sorted pick at
+    each rational threshold."""
+    from minefields_kafka_streams_deduplication_spark.operators import analytic
+
+    # vary values so percentiles are non-trivial
+    df = _mk_events(spark, rows)
+    df = df.withColumn("value", (F.col("event_id") % 7).cast("double"))
+    orig = analytic.load_table
+    analytic.load_table = lambda s, d, n: df
+    try:
+        got = {
+            r.event_type: (r.n_events, r.p25, r.p50, r.p75, r.p95)
+            for r in analytic.value_percentiles_by_type(spark, "x").collect()
+        }
+    finally:
+        analytic.load_table = orig
+    vals: dict = {}
+    for i, (_m, _u, ty) in enumerate(rows):
+        vals.setdefault(ty, []).append(float(i % 7))
+    want = {}
+    for ty, vs in vals.items():
+        vs.sort()
+        n = len(vs)
+
+        def pick(num, den):
+            return next(v for i, v in enumerate(vs, 1) if den * i >= num * n)
+
+        want[ty] = (n, pick(1, 4), pick(1, 2), pick(3, 4), pick(19, 20))
+    assert got == want
