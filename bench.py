@@ -122,24 +122,46 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     s_sorted = sorted(sentinels.values())
     sentinel_median = round(s_sorted[len(s_sorted) // 2], 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # Load-normalization channel (VERDICT r4 #1): per-query
-                # contemporaneous sentinel times + run median. Compare
-                # rounds via (query / run sentinel_median) ratios before
-                # reading any total as a regression.
-                "sentinels": sentinels,
-                "sentinel_median": sentinel_median,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            # Load-normalization channel (VERDICT r4 #1): per-query
+            # contemporaneous sentinel times + run median. Compare
+            # rounds via (query / run sentinel_median) ratios before
+            # reading any total as a regression.
+            "sentinels": sentinels,
+            "sentinel_median": sentinel_median,
+        }
     )
+    # File-channel backup FIRST: even if teardown noise corrupts stdout,
+    # the artifact survives on disk.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
+        f.write(payload + "\n")
+    # Teardown BEFORE printing: spark.stop() triggers async state-store
+    # maintenance shutdown stack traces ("Could not unload state store
+    # provider ... RpcEnv already stopped") that land on stderr/stdout
+    # AFTER anything printed before it — BENCH_r09 was parsed:null
+    # because the driver's last-line parse caught that traceback instead
+    # of the JSON. Stop every active stream, stop Spark, give async
+    # teardown threads a beat to flush their noise, then print the JSON
+    # as the process's final act.
+    for q in spark.streams.active:
+        try:
+            q.stop()
+        except Exception:
+            pass
     spark.stop()
+    time.sleep(2.0)  # let async maintenance/RPC teardown finish logging
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # leading newline: console progress bars end in \r without a
+    # newline, so without it the JSON would share their physical line
+    # and a last-line parse would see the \r-laced prefix.
+    print("\n" + payload, flush=True)
 
 
 if __name__ == "__main__":

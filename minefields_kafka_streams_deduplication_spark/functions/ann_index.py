@@ -62,6 +62,21 @@ from .vectors import (
 # documented here, not shipped. Re-rank defaults ON: the compressed
 # scan shortlists, the bounded exact pass finishes (the FAISS serving
 # default) — rerank=0 remains available for the pure compressed scan.
+#
+# r10 frontier BEYOND equal bytes (sf0.01, pinned in
+# tests/test_vectors.py::test_ann_recall_frontier_bytes_and_rerank):
+#   bytes axis, full-probe compressed recall:
+#     m=4 × k=256 ( 8 B/vec)  0.541   <- shipped
+#     m=8 × k=256 (16 B/vec)  0.702
+#     m=16 × k=256 (32 B/vec) 0.857
+#   rerank axis on the serving path (persisted index, nprobe=8):
+#     rerank 0 / 10 / 50  ->  0.503 / 0.813 / 0.813
+# The rerank budget SATURATES at 10: past shortlist coverage of the
+# probed cells, end-to-end recall is bounded by nprobe, not by code
+# bytes or rerank — so the shipped 8 B + rerank 10 already sits at the
+# probe ceiling, and a 2-4× bigger code would only improve the
+# pre-rerank ordering. More recall comes from nprobe (more partitions
+# scanned), the honest knob.
 INDEX_M = 4
 INDEX_K = 256
 RERANK_DEFAULT = 10

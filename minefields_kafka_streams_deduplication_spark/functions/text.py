@@ -1597,3 +1597,76 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("lang", "predicted_lang")
     )
+
+
+@query(
+    "token_first_seen_by_source",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+firsts AS (
+  SELECT token, arg_min(source, doc_id) AS fsource FROM toks GROUP BY 1
+),
+persrc AS (
+  SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS n_distinct_tokens
+  FROM toks GROUP BY 1
+),
+f AS (
+  SELECT fsource AS source, CAST(count(*) AS BIGINT) AS n_first_seen
+  FROM firsts GROUP BY 1
+)
+SELECT p.source, p.n_distinct_tokens,
+       CAST(coalesce(f.n_first_seen, 0) AS BIGINT) AS n_first_seen,
+       floor(CAST(coalesce(f.n_first_seen, 0) AS DOUBLE)
+             / p.n_distinct_tokens * 10000 + 0.5) / 10000 AS novelty_share
+FROM persrc p LEFT JOIN f USING (source)
+ORDER BY p.source
+""",
+)
+def token_first_seen_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-novelty attribution: per source, how many of the
+    corpus's distinct tokens FIRST appear there (first = minimum
+    doc_id, the repo-wide keep-first ingestion-order convention) next
+    to how many distinct tokens it uses at all — the mixing-weights
+    signal for 'which source actually grows the vocabulary' vs 'which
+    re-uses it' (doc_novelty_ngrams answers this per document; this
+    rolls provenance up to the source level where sampling weights are
+    set).
+
+    Scale shape: the token explode feeds two VOCAB-bounded aggregates
+    (Heaps' law bounds distinct tokens far under corpus size): a
+    min-struct per token and a distinct (source, token) count — both
+    with map-side partial aggregation; the final join is over the
+    source grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        F.explode(F.split(F.lower("text"), " ")).alias("token"),
+    )
+    firsts = toks.groupBy("token").agg(
+        F.min(F.struct("doc_id", "source")).alias("f")
+    )
+    f = firsts.groupBy(F.col("f.source").alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_first_seen")
+    )
+    persrc = (
+        toks.select("source", "token")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"))
+    )
+    n_first = F.coalesce(F.col("n_first_seen"), F.lit(0)).cast("long")
+    return (
+        persrc.join(f, "source", "left")
+        .select(
+            "source",
+            "n_distinct_tokens",
+            n_first.alias("n_first_seen"),
+            round4f(
+                n_first.cast("double") / F.col("n_distinct_tokens")
+            ).alias("novelty_share"),
+        )
+        .orderBy("source")
+    )

@@ -2007,3 +2007,43 @@ def returned_rate_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "order_lines_span_days_histogram",
+    oracle="""
+WITH s AS (
+  SELECT l_orderkey,
+         date_diff('day', CAST(min(l_shipdate) AS DATE),
+                   CAST(max(l_shipdate) AS DATE)) AS span_days
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(span_days AS BIGINT) AS span_days,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM s GROUP BY 1 ORDER BY 1
+""",
+)
+def order_lines_span_days_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-span histogram: days between an order's first and
+    last line shipment, bucketed by whole days — the multi-shipment
+    spread metric next to shipping_delay_histogram's order→ship lag
+    (one number per order vs one per line).
+
+    Scale shape: one hash aggregate over lineitem keyed by order
+    (min/max fold map-side), then a histogram bounded by the span
+    grid (≤ shipping-window days). Exact integer day arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = li.groupBy("l_orderkey").agg(
+        F.datediff(
+            F.max(F.col("l_shipdate").cast("date")),
+            F.min(F.col("l_shipdate").cast("date")),
+        ).alias("span_days")
+    )
+    return (
+        spans.groupBy("span_days")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .select(
+            F.col("span_days").cast("long").alias("span_days"), "n_orders"
+        )
+        .orderBy("span_days")
+    )

@@ -1359,7 +1359,10 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BOUNCE_GAP_MIN = 30  # session boundary: gap > 30 minutes
+# bounce_rate_daily serves from the shared session_frame, so its gap IS
+# the session gap — defined as an alias (not a copy) so editing either
+# constant can't silently desynchronize the oracle from the frame.
+from .windows import SESSION_GAP_MINUTES as BOUNCE_GAP_MIN  # noqa: E402
 
 
 @query(
@@ -2593,6 +2596,75 @@ def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("n").cast("long").alias("n_events"),
             "p25", "p50", "p75", "p95",
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "event_disorder_profile",
+    oracle="""
+WITH arr AS (
+  SELECT event_type,
+         epoch_us(max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+           - epoch_us(ts) AS behind_us
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE behind_us > 0) AS BIGINT) AS n_disordered,
+       floor(CAST(count(*) FILTER (WHERE behind_us > 0) AS DOUBLE)
+             / count(*) * 10000 + 0.5) / 10000 AS disorder_rate,
+       CAST(coalesce(max(behind_us), 0) // 1000000 AS BIGINT) AS max_disorder_sec
+FROM arr
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def event_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-disorder profile per event type: treating event_id as
+    the per-user arrival sequence, how many events arrive with an
+    event time BEHIND the running maximum, and by how much at worst —
+    the measurement that SIZES a watermark/allowed-lateness budget
+    (streaming/session_incremental.ALLOWED_LATENESS_US) before
+    deploying a stateful stream [R the KS grace-period sizing
+    question: out-of-order records beyond grace are dropped, so grace
+    is chosen FROM the observed disorder distribution].
+
+    Scale shape: one user-keyed exchange feeds the running-max window
+    (the sessionization sort shape); everything after is a hash
+    aggregate over the event-type grid. Integer µs differences floored
+    to whole seconds — exact across engines; the rate uses the floor
+    rounding form."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    behind = F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts"))
+    arr = ev.select("event_type", behind.alias("behind_us"))
+    disordered = F.when(F.col("behind_us") > 0, 1)
+    return (
+        arr.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count(disordered).cast("long").alias("n_disordered"),
+            round4f(
+                F.count(disordered).cast("double") / F.count(F.lit(1))
+            ).alias("disorder_rate"),
+            F.coalesce(F.max("behind_us"), F.lit(0)).alias("_max_behind_us"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_disordered",
+            "disorder_rate",
+            # integer µs → whole seconds: `div`, never a double detour
+            F.expr("CAST(_max_behind_us div 1000000 AS BIGINT)").alias(
+                "max_disorder_sec"
+            ),
         )
         .orderBy("event_type")
     )

@@ -537,3 +537,43 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "dedup_cross_source_matrix",
+    oracle="""
+WITH d AS (SELECT DISTINCT md5(text) AS h, source FROM documents)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_digests
+FROM d a JOIN d b USING (h)
+WHERE a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    distinct exact-duplicate digests they SHARE — the provenance view
+    of the dedup problem (dup_rate_by_source says how duplicated each
+    source is; this says WHICH sources copy each other, the input to a
+    keep-priority policy and to licensing/contamination review).
+
+    Scale shape: the exchange carries DISTINCT (md5 digest, source)
+    pairs — never text, and never more than one row per (digest,
+    source); the self-join is digest-keyed with per-digest group sizes
+    bounded by the source count (≤ tens), so no pair blowup; the
+    output is the source-pair grid. [R the cross-topic dedup
+    accounting a KS dedup pipeline reports per upstream topic]."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(F.md5("text").alias("h"), "source").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, "h")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_digests"))
+        .orderBy("source_a", "source_b")
+    )

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 import os
 
-from ..catalog import dec6, fingerprint_dir, load_table, mark_ready
+from ..catalog import dec6, load_table
 from ..registry import query
 
 
@@ -194,25 +194,26 @@ def build_session_frame(ev: DataFrame) -> DataFrame:
 
 
 def session_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SESSIONIZE ONCE: the fingerprint-cached persisted per-session
-    frame (the ANN-index / window-state-checkpoint pattern). The
-    100M-row per-user sort behind every sessionization consumer
-    (session_path_topk, median_session_length_by_day,
-    bounce_rate_daily, concurrent_sessions_hourly, the bucketed
-    SessionStore, window_session_sql) is paid ONCE per fixture
-    identity; every later consumer pays a scan of the ~sessions-count
-    frame. A production corpus materializes this exactly like the
-    IVF-PQ index — build-once, fingerprint-keyed, swept on fixture
-    regeneration."""
-    root, ready = fingerprint_dir(
-        "sessions", os.path.join(sf_dir, "events.parquet")
+    """SESSIONIZE ONCE, from the UNIFIED store (r10): every session
+    consumer (session_path_topk, median_session_length_by_day,
+    bounce_rate_daily, concurrent_sessions_hourly,
+    session_duration_percentiles, the bucketed SessionStore,
+    window_session_sql) reads the SAME open/closed session state the
+    incremental maintainer (`streaming.session_incremental
+    .apply_session_batch`) commits to. First sight of an events source
+    pays the one per-user sort (fold-everything-as-batch-0); an
+    APPENDED source folds only the tail — O(batch + touched buckets),
+    not a rebuild — and the ledger rebuilds from scratch only when an
+    already-applied file changes (fixture regeneration). Bit-parity of
+    the served frame with `build_session_frame` is pinned in
+    tests/test_streaming.py."""
+    from ..streaming.session_incremental import (
+        ensure_session_state,
+        serve_session_frame,
     )
-    if not ready:
-        build_session_frame(load_table(spark, sf_dir, "events")).write.mode(
-            "overwrite"
-        ).parquet(root)
-        mark_ready(root)
-    return spark.read.parquet(root)
+
+    state = ensure_session_state(spark, os.path.join(sf_dir, "events.parquet"))
+    return serve_session_frame(spark, state)
 
 
 @query(
@@ -656,3 +657,77 @@ def session_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+GAP_SENSITIVITY_MINUTES = (15, 30, 60)
+
+
+@query(
+    "session_gap_sensitivity",
+    oracle=f"""
+WITH gaps AS (
+  SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT CAST(15 AS INTEGER) AS gap_minutes,
+       CAST(count(*) FILTER (WHERE gap_us IS NULL OR gap_us > 15 * 60 * CAST(1000000 AS BIGINT))
+            AS BIGINT) AS n_sessions
+FROM gaps
+UNION ALL
+SELECT 30, CAST(count(*) FILTER (WHERE gap_us IS NULL OR gap_us > 30 * 60 * CAST(1000000 AS BIGINT))
+                AS BIGINT)
+FROM gaps
+UNION ALL
+SELECT 60, CAST(count(*) FILTER (WHERE gap_us IS NULL OR gap_us > 60 * 60 * CAST(1000000 AS BIGINT))
+                AS BIGINT)
+FROM gaps
+ORDER BY gap_minutes
+""",
+)
+def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How the session count responds to the inactivity-gap parameter
+    (15/30/60 minutes) — the calibration readout BEHIND choosing
+    SESSION_GAP_MINUTES: a session count that still swings hard
+    between candidate gaps means the gap sits inside the activity
+    band, not in the lull between bursts [R the KS
+    SessionWindows.ofInactivityGap sizing question].
+
+    Scale shape: sessions-at-gap-g needs only the inter-event-gap
+    DISTRIBUTION (n_sessions(g) = first-events + gaps > g), so the
+    per-user LAG is computed ONCE (the sessionization exchange), the
+    gaps VALUE-COLLAPSE to (gap_us, count), and all three gap policies
+    read the same collapsed table in one pass — one row per candidate
+    via stack(), no per-gap re-sessionization, no join."""
+    ev = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(order))
+    collapsed = (
+        ev.select(gap_us.alias("gap_us"))
+        .groupBy("gap_us")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    one = collapsed.agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("gap_us").isNull()
+                    | (F.col("gap_us") > g * 60 * 1_000_000),
+                    F.col("c"),
+                )
+            ).alias(f"g{g}")
+            for g in GAP_SENSITIVITY_MINUTES
+        ]
+    )
+    stack_args = ", ".join(
+        f"{g}, g{g}" for g in GAP_SENSITIVITY_MINUTES
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(GAP_SENSITIVITY_MINUTES)}, {stack_args})"
+            " AS (gap_minutes, n_sessions)"
+        )
+    ).select(
+        F.col("gap_minutes").cast("int").alias("gap_minutes"),
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+    ).orderBy("gap_minutes")

@@ -254,23 +254,54 @@ _R8_DRIVER_VERIFIED = frozenset(
     }
 )
 
+# Oracle queries that landed a green row in CORRECTNESS_r09.json (50/50
+# green — the 21 round-9 oracle additions, 6 tier-1 sessionize-once
+# re-verifies, and 23 of the stalest rotation rows).
+_R9_DRIVER_VERIFIED = frozenset(
+    {
+        'agg_grouping_id_rollup', 'assign_contiguous_ids',
+        'basket_size_distribution', 'bounce_rate_daily', 'bpe_pair_stats',
+        'char_class_profile_by_lang', 'clv_quartiles_by_nation',
+        'concurrent_sessions_hourly', 'corpus_token_budget_by_source',
+        'dedup_savings_by_source', 'discount_revenue_curve',
+        'events_hourly_seasonality', 'first_day_conversion_by_cohort',
+        'inter_purchase_days_median_by_nation', 'lang_confusion_matrix',
+        'median_session_length_by_day', 'monthly_order_status_mix',
+        'neardup_incremental', 'neardup_minhash_verified', 'order_value_buckets',
+        'part_type_revenue_topk', 'punctuate_wall_clock_counts',
+        'q11_important_stock', 'q13_customer_distribution', 'q16_supplier_part_cnt',
+        'q17_small_quantity_revenue', 'q20_promo_part_shippers',
+        'q21_suppliers_kept_waiting', 'q22_dormant_rich_customers',
+        'q8_market_share', 'rank_distribution_functions', 'rank_users_by_spend',
+        'returned_rate_by_month', 'session_duration_percentiles',
+        'session_path_topk', 'shard_balanced_tokens', 'shipping_delay_histogram',
+        'source_quality_report', 'stopword_density_histogram', 'store_point_lookup',
+        'store_range_scan', 'store_session_fetch', 'store_window_fetch',
+        'token_length_histogram', 'train_val_split', 'unpivot_lineitem_measures',
+        'user_funnel_depth_distribution', 'value_percentiles_by_type',
+        'weekday_hour_peak_load', 'window_session_sql',
+    }
+)
+
 # Tier 1: failed-or-hardened this round — re-verify ahead of rotation.
-# Round 9 items are appended as hardening lands (oracle-backed paths
+# Round 10 items are appended as hardening lands (oracle-backed paths
 # whose execution changed; semantics pinned identical by the test
 # suite, but the driver should re-check them before the rotation).
-# Round-9 window math: 21 tier-0 new oracles + 6 tier-1
-# sessionize-once re-verifies leave 23 rotation slots — the 16 r4-era
-# rows that missed the r8 window re-verify first, then the stalest
-# r5-era rows.
-_R9_REVERIFY: tuple[str, ...] = (
-    # sessionize-once (r9): these now consume the persisted shared
-    # session frame instead of re-running the per-user event sort;
+# Round-10 window math: tier-0 new r10 oracles + tier-1 re-verifies
+# leave the remaining slots for the stalest r5-era rows (the staleness
+# floor passes r5 this round): 5 new + 7 tier-1 + the 38 r5-era rows
+# fill the 50-slot window exactly.
+_R10_REVERIFY: tuple[str, ...] = (
+    # unified session store (r10): all seven consumers now serve from
+    # the open/closed state the incremental maintainer commits (one
+    # store, manifest-gated) instead of the r9 one-shot frame cache;
     # outputs pinned identical by the strict two-scale gate
+    "window_session_sql",
     "session_path_topk",
     "median_session_length_by_day",
     "concurrent_sessions_hourly",
     "bounce_rate_daily",
-    "window_session_sql",
+    "session_duration_percentiles",
     "store_session_fetch",
 )
 
@@ -279,9 +310,9 @@ def _driver_order(names: list[str]) -> list[str]:
     driver_seen = (
         _R1_DRIVER_VERIFIED | _R2_DRIVER_VERIFIED | _R3_DRIVER_VERIFIED
         | _R4_DRIVER_VERIFIED | _R5_DRIVER_VERIFIED | _R6_DRIVER_VERIFIED
-        | _R7_DRIVER_VERIFIED | _R8_DRIVER_VERIFIED
+        | _R7_DRIVER_VERIFIED | _R8_DRIVER_VERIFIED | _R9_DRIVER_VERIFIED
     )
-    reverify = {n: i for i, n in enumerate(_R9_REVERIFY)}
+    reverify = {n: i for i, n in enumerate(_R10_REVERIFY)}
     never_checked = [
         n for n in names if n in ORACLES and n not in driver_seen and n not in reverify
     ]
@@ -295,6 +326,8 @@ def _driver_order(names: list[str]) -> list[str]:
     # Oldest driver rows re-verify first: sort by the LATEST round in which
     # the driver checked the query (r1-only rows are the stalest).
     def last_verified(n: str) -> int:
+        if n in _R9_DRIVER_VERIFIED:
+            return 9
         if n in _R8_DRIVER_VERIFIED:
             return 8
         if n in _R7_DRIVER_VERIFIED:

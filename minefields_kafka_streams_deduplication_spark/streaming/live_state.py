@@ -316,12 +316,27 @@ def session_state_fetch(
     straight out of its state store — distributed per-shard, with
     point-in-time addressing via ``batch_id`` (KS standby reads)."""
     state = read_live_state(spark, checkpoint, batch_id=batch_id)
-    out = state.select(
-        F.col("key.user_id").alias("user_id"),
-        F.col("value.session_window.start").alias("session_start"),
-        F.col("value.session_window.end").alias("session_end"),
-        F.col("value.count").cast("long").alias("n_events"),
-        F.col("value.sum").cast("double").alias("total_value"),
+    # The value struct is the PHYSICAL agg buffer (session_window,
+    # user_id, <count buffer>, <sum buffer>) and its field names follow
+    # the physical aggregates, not their aliases — a shard-MIGRATED
+    # checkpoint (state_migration.py) regenerates count as sum(weight),
+    # whose buffer is named "sum" (colliding with the value sum) — so
+    # extraction is POSITIONAL: a struct cast matches fields by
+    # position, renaming them unambiguously for both layouts.
+    from pyspark.sql.types import StructField, StructType
+
+    vt = state.schema["value"].dataType
+    names = ["w", "user_id", "cnt", "vsum"]
+    cast_t = StructType(
+        [StructField(n, f.dataType) for n, f in zip(names, vt.fields)]
+    )
+    flat = state.select(F.col("value").cast(cast_t).alias("v")).select("v.*")
+    out = flat.select(
+        F.col("user_id"),
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        F.col("cnt").cast("long").alias("n_events"),
+        F.col("vsum").cast("double").alias("total_value"),
     )
     if key is not None:
         out = out.where(F.col("user_id") == int(key))

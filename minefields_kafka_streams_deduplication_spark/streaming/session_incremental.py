@@ -1,9 +1,9 @@
-"""Incremental sessionization — maintain the persisted per-session
-frame (operators/windows.session_frame) from a STREAM, one micro-batch
-at a time, paying O(batch + touched buckets) per commit instead of the
-full per-user sort [R a SessionWindows aggregation's SessionStore:
-sessions MERGE in state as records arrive; reconstructed public
-surface — SURVEY.md §0].
+"""Incremental sessionization — THE maintainer of the shared
+per-session frame (operators/windows.session_frame serves reads from
+the state this module maintains), one micro-batch at a time, paying
+O(batch + touched buckets) per commit instead of the full per-user
+sort [R a SessionWindows aggregation's SessionStore: sessions MERGE in
+state as records arrive; reconstructed public surface — SURVEY.md §0].
 
 Algebra: a session row is an interval with additive payloads. Per
 batch, sessionize ONLY the batch (the usual gap-flag pipeline), then
@@ -12,49 +12,92 @@ touched users (two sessions merge iff start − prev_end ≤ gap). Counts,
 value sums (exact DECIMAL — decimal addition is associative, so the
 incremental total equals the one-shot batch total bit-for-bit) and
 boundaries are split-invariant: ANY partition of the event stream into
-batches folds to the same sessions. The first-3 ``opening`` tokens are
-exact under event-time-ordered replay (the staged-topic shape); an
-out-of-order split can interleave two pieces of one session, which
-reorders only the opening concatenation — documented precondition,
-pinned by the property test.
+batches folds to the same sessions, provided no event arrives later
+than the ALLOWED LATENESS bound (below). The first-3 ``opening``
+tokens are exact under event-time-ordered replay (the staged-topic
+shape); a bounded-disorder split can interleave two pieces of one
+session, which reorders only the opening concatenation — documented
+caveat, pinned by the property tests.
 
-Storage: CLOSED sessions (end older than the gap horizon — they can
-never merge again under in-order delivery) append to
-``closed/batch_id=N`` dirs, _SUCCESS-gated; OPEN sessions live in the
-bucketed ``open/`` layout (bucket = pmod(xxhash64(user), N)), read and
-dynamic-overwritten per batch. Replay safety: interval merge is NOT an
-idempotent fold (re-adding a batch double-counts), so the closed
-append is batchId-addressed and the whole application is gated by a
-batchId marker — the expectations-sink discipline, pinned by the
-double-replay test.
+Lateness contract (watermark semantics, [R Spark session-window state
+eviction / KS SessionWindows grace]): after a batch with max event
+time ``hi``, the watermark is ``wm = max(prev_wm, hi − lateness)``. A
+session S can only merge with a future in-contract event e (one with
+``e.ts ≥ wm``) if ``S.end ≥ e.ts − gap ≥ wm − gap``, so sessions with
+``end < wm − gap`` FREEZE into the append-only ``closed/`` store and
+can never be touched again; events arriving with ``ts < prev_wm`` are
+OUT of contract and route to the quarantined ``late/`` store (the
+expectations-gate shape) instead of merging undefined. With
+``lateness = 0`` and in-order delivery this degenerates to the strict
+in-order model; the shipped default gives every event a
+``ALLOWED_LATENESS_US`` disorder budget.
+
+Storage and crash-safety: CLOSED sessions append to
+``closed/batch_id=N`` dirs (idempotent, ``_SUCCESS``-gated); OPEN
+sessions live in a manifest-committed bucketed store — each batch
+writes its surviving touched buckets under ``open/commit_N/bucket=T``
+and then atomically renames ONE manifest json into place. The
+manifest IS the applied marker: until it lands, readers resolve the
+previous manifests (whose data dirs are never mutated in place), so a
+crash at ANY point before the manifest replays cleanly — the batch's
+partially-written commit dir is overwritten by the deterministic
+re-run, and a crash after the manifest no-ops via the manifest gate.
+(An earlier design dynamic-overwrote ``open/bucket=T`` in place and
+marked afterwards; a crash between the overwrite and the marker
+double-merged the batch on replay — interval merge is NOT an
+idempotent fold. The manifest commit removes that window entirely.)
 
 100 TB story: per commit the work is the batch's own sessionization
-(batch-sized) plus a scan/rewrite of the OPEN set (bounded by users
-active inside one gap window — NOT corpus history: closed sessions are
-never touched again) — the session frame stays query-ready between
-commits via read_session_state (closed ∪ open), so the ~6 session
-consumers never re-sort events.
+(batch-sized) plus a rewrite of the TOUCHED open buckets (bounded by
+users active inside one gap+lateness window — NOT corpus history:
+closed sessions are never touched again) — the session frame stays
+query-ready between commits via read_session_state (closed ∪ open),
+so the ~7 session consumers never re-sort events.
 """
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import dec6, load_table
+from ..catalog import dec6
+from ..operators.windows import SESSION_GAP_MINUTES
 from ..registry import query
 
-SESSION_GAP_US = 30 * 60 * 1_000_000
+SESSION_GAP_US = SESSION_GAP_MINUTES * 60 * 1_000_000
+# Per-event disorder budget (the KS "grace", the Spark "withWatermark"
+# delay): an event may arrive up to this far behind the max event time
+# seen so far and still merge; older events quarantine to late/.
+# Default: half the inactivity gap.
+ALLOWED_LATENESS_US = SESSION_GAP_US // 2
 SESSION_BUCKETS = 16
+
+STATE_SCHEMA = (
+    "user_id LONG, session_start TIMESTAMP, session_end TIMESTAMP,"
+    " n_events LONG, total_value_dec DECIMAL(18,6),"
+    " opening ARRAY<STRING>"
+)
+_STATE_COLS = [
+    "user_id", "session_start", "session_end",
+    "n_events", "total_value_dec", "opening",
+]
 
 __all__ = [
     "build_session_rows",
     "merge_session_rows",
     "apply_session_batch",
     "read_session_state",
+    "read_late_events",
+    "read_session_state_reconciled",
     "run_incremental_sessionization",
+    "compact_session_state",
+    "ensure_session_state",
+    "serve_session_frame",
 ]
 
 
@@ -62,7 +105,7 @@ def build_session_rows(ev: DataFrame) -> DataFrame:
     """Exact-decimal session rows of ONE event frame: (user_id,
     session_start, session_end, n_events, total_value_dec
     DECIMAL(18,6), opening ARRAY<STRING> ≤3). The same one-exchange
-    gap-flag pipeline as build_session_frame, with the payloads kept
+    gap-flag pipeline as the one-shot build, with the payloads kept
     in their ASSOCIATIVE forms (exact decimal, token array) so
     incremental merges reproduce the one-shot build bit-for-bit."""
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -135,111 +178,372 @@ def merge_session_rows(rows: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Open-store manifest plumbing
+
+
+def _manifest_path(state_dir: str, batch_id: int) -> str:
+    return os.path.join(state_dir, "open", f"manifest_{batch_id}.json")
+
+
+def _base_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "open", "manifest_base.json")
+
+
+def _state_log(state_dir: str) -> tuple[dict | None, list[dict]]:
+    """The state's transaction log: an optional compacted BASE
+    checkpoint (``manifest_base.json``: everything known up to
+    ``upto`` — watermark, bucket ownership, applied batch ids, the
+    compacted closed store) plus the per-batch incremental manifests
+    newer than it, ascending. The Delta-log shape: incrementals are
+    the commits, the base bounds replay/listing cost."""
+    base = None
+    bp = _base_path(state_dir)
+    if os.path.exists(bp):
+        with open(bp) as fh:
+            base = json.load(fh)
+    cut = base["upto"] if base else -1
+    incr = []
+    for p in glob.glob(os.path.join(state_dir, "open", "manifest_*.json")):
+        if os.path.basename(p) == "manifest_base.json":
+            continue
+        with open(p) as fh:
+            m = json.load(fh)
+        if m["batch_id"] > cut:
+            incr.append(m)
+    incr.sort(key=lambda m: m["batch_id"])
+    return base, incr
+
+
+def _applied_ids(base: dict | None, incr: list[dict]) -> set[int]:
+    ids = set(base["applied"]) if base else set()
+    ids.update(m["batch_id"] for m in incr)
+    return ids
+
+
+def _watermark_us(base: dict | None, incr: list[dict]) -> int | None:
+    wms = [m["watermark_us"] for m in incr if m["watermark_us"] is not None]
+    if base is not None and base["watermark_us"] is not None:
+        wms.append(base["watermark_us"])
+    return max(wms, default=None)
+
+
+def _resolve_open(base: dict | None, incr: list[dict]) -> dict[int, int]:
+    """bucket -> commit batch id that owns its current data dir
+    (buckets whose latest mention is an emptying are absent)."""
+    cur: dict[int, int | None] = (
+        {int(b): n for b, n in base["buckets"].items()} if base else {}
+    )
+    for m in incr:
+        for b, has in m["buckets"].items():
+            cur[int(b)] = m["batch_id"] if has else None
+    return {b: n for b, n in cur.items() if n is not None}
+
+
+def _open_bucket_dirs(state_dir: str, owners: dict[int, int]) -> list[str]:
+    return [
+        os.path.join(state_dir, "open", f"commit_{n}", f"bucket={b}")
+        for b, n in owners.items()
+    ]
+
+
+def _write_manifest(state_dir: str, batch_id: int, wm_us: int | None,
+                    buckets: dict[int, bool]) -> None:
+    """The atomic commit: one json rename. Until this lands, readers
+    and replays resolve the previous manifests only."""
+    path = _manifest_path(state_dir, batch_id)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "batch_id": batch_id,
+                "watermark_us": wm_us,
+                "buckets": {str(b): has for b, has in buckets.items()},
+            },
+            fh,
+        )
+    os.replace(tmp, path)
+
+
+def _gc_open(state_dir: str) -> None:
+    """Drop commit dirs no bucket resolves to any more (every bucket
+    they wrote has a later mention). Safe strictly AFTER the
+    superseding manifest landed."""
+    base, incr = _state_log(state_dir)
+    live = set(_resolve_open(base, incr).values())
+    hi = max(_applied_ids(base, incr), default=-1)
+    for p in glob.glob(os.path.join(state_dir, "open", "commit_*")):
+        n = int(os.path.basename(p).rsplit("_", 1)[1])
+        if n not in live and n < hi:
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def apply_session_batch(
     spark: SparkSession, state_dir: str, batch_df: DataFrame, batch_id: int
 ) -> None:
     """Fold one micro-batch of events into the session-frame state:
-    sessionize the batch, read ONLY the touched OPEN bucket
-    directories, interval-merge, split the result on the gap horizon.
-    Idempotent under redelivery via a batchId marker (interval merge
-    is not an idempotent fold — a marker, not algebra, carries the
+    quarantine out-of-contract late events, sessionize the rest, read
+    ONLY the touched OPEN buckets, interval-merge, split the result on
+    the watermark's freeze horizon. Idempotent under redelivery via
+    the open-store manifest (interval merge is not an idempotent fold
+    — the atomic manifest rename, not algebra, carries the
     exactly-once guarantee here).
 
-    The scale lever is the OPEN/CLOSED split: under event-time-ordered
-    delivery, a session whose end is older than (batch max ts - gap)
-    can NEVER merge with a future event — it freezes into the
-    append-only ``closed/`` store (batchId-addressed, replay-gated)
-    and only the small OPEN set (sessions still inside the gap
-    horizon) lives in the rewritten ``open/`` buckets. Measured at
+    The scale lever is the OPEN/CLOSED split: a session whose end is
+    older than (watermark − gap) can NEVER merge with an in-contract
+    future event — it freezes into the append-only ``closed/`` store
+    (batchId-addressed, replay-gated) and only the small OPEN set
+    (sessions still inside the gap+lateness horizon) rewrites, touched
+    buckets only, under a fresh ``commit_N`` dir. Measured at
     1000x/100M events: a 100k-event tail commit cost 35.1 s when the
     whole state rewrote; with the split the open set is
-    active-user-bounded (Spark's own streaming session eviction makes
-    the same in-order assumption, bounded by its watermark — late data
-    beyond the gap horizon is out of contract, exactly as there)."""
-    marker = os.path.join(state_dir, "_applied", f"batch_{batch_id}")
-    if os.path.exists(marker):
+    active-user-bounded."""
+    base, incr = _state_log(state_dir)
+    if batch_id in _applied_ids(base, incr):
         return  # replayed batch: already folded in
-    hi = batch_df.agg(F.max("ts")).first()[0]
-    if hi is None:  # empty micro-batch: nothing to fold, mark and move on
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        with open(marker, "w") as fh:
-            fh.write("ok")
+    prev_wm = _watermark_us(base, incr)
+    hi_us = batch_df.agg(F.max(F.unix_micros("ts"))).first()[0]
+    if hi_us is None:  # empty micro-batch: nothing to fold, commit and move on
+        _write_manifest(state_dir, batch_id, prev_wm, {})
         return
+    wm_us = hi_us - ALLOWED_LATENESS_US
+    if prev_wm is not None:
+        wm_us = max(wm_us, prev_wm)
+        late = batch_df.where(F.unix_micros(F.col("ts")) < F.lit(prev_wm))
+        batch_df = batch_df.where(F.unix_micros(F.col("ts")) >= F.lit(prev_wm))
+        from ..sources.sinks import write_idempotent_batch
+
+        # quarantine, don't merge-undefined: beyond-lateness events are
+        # out of contract — route them to the late store (the
+        # expectations-gate shape) for audit/replay, batchId-addressed
+        # so a replayed batch re-skips via the _SUCCESS gate.
+        write_idempotent_batch(
+            late, os.path.join(state_dir, "late"), batch_id
+        )
     bucket = F.pmod(F.xxhash64("user_id"), F.lit(SESSION_BUCKETS))
-    open_dir = os.path.join(state_dir, "open")
-    closed_dir = os.path.join(state_dir, "closed")
     fresh = build_session_rows(batch_df).withColumn("bucket", bucket)
     touched = [r.bucket for r in fresh.select("bucket").distinct().collect()]
-    existing = [
-        p
-        for t in touched
-        if os.path.exists(p := os.path.join(open_dir, f"bucket={t}"))
-    ]
+    owners = _resolve_open(base, incr)
+    existing = _open_bucket_dirs(
+        state_dir, {b: n for b, n in owners.items() if b in set(touched)}
+    )
     if existing:
-        old = spark.read.parquet(*existing).withColumn("bucket", bucket)
+        old = (
+            spark.read.schema(STATE_SCHEMA).parquet(*existing)
+            .withColumn("bucket", bucket)
+        )
         fresh = fresh.unionByName(old)
+    # eager localCheckpoint: frozen/still_open below are two filters of
+    # the same merge — one materialization, not two recomputes. (The
+    # manifest design never mutates the files being read, so this is an
+    # efficiency choice only, not a correctness requirement.)
     merged = merge_session_rows(fresh).withColumn(
         "bucket", bucket
-    ).localCheckpoint(eager=True)  # reads the files the write replaces
+    ).localCheckpoint(eager=True)
+    horizon_us = wm_us - SESSION_GAP_US
     frozen = merged.where(
-        F.unix_micros(F.col("session_end"))
-        < F.unix_micros(F.lit(hi)) - SESSION_GAP_US
+        F.unix_micros(F.col("session_end")) < F.lit(horizon_us)
     )
     still_open = merged.where(
-        F.unix_micros(F.col("session_end"))
-        >= F.unix_micros(F.lit(hi)) - SESSION_GAP_US
+        F.unix_micros(F.col("session_end")) >= F.lit(horizon_us)
     )
-    # order matters for crash consistency: the closed append is
-    # batchId-addressed + _SUCCESS-gated (idempotent), the open
-    # rewrite is deterministic from (old open ∪ batch), the marker
-    # commits last — a crash between any two steps replays cleanly.
+    # order: idempotent closed append → commit-dir write (invisible
+    # until the manifest) → atomic manifest rename. A crash between any
+    # two steps replays cleanly because nothing a replay reads was
+    # mutated.
     from ..sources.sinks import write_idempotent_batch
 
-    write_idempotent_batch(frozen.drop("bucket"), closed_dir, batch_id)
+    write_idempotent_batch(
+        frozen.drop("bucket"), os.path.join(state_dir, "closed"), batch_id
+    )
+    commit_dir = os.path.join(state_dir, "open", f"commit_{batch_id}")
+    shutil.rmtree(commit_dir, ignore_errors=True)  # crashed prior attempt
     (
         still_open.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
-        .parquet(open_dir)
+        .parquet(commit_dir)
     )
-    # dynamic overwrite only replaces partitions PRESENT in the write:
-    # a touched bucket whose every session froze keeps its stale dir,
-    # double-counting those sessions against the closed copy — drop it
-    # explicitly (crash-safe: on replay the closed append no-ops via
-    # its _SUCCESS gate and this delete re-runs).
-    import shutil as _shutil
-
-    remaining = {
-        r.bucket for r in still_open.select("bucket").distinct().collect()
+    surviving = {
+        int(os.path.basename(p).split("=", 1)[1])
+        for p in glob.glob(os.path.join(commit_dir, "bucket=*"))
     }
-    for t in touched:
-        if t not in remaining:
-            _shutil.rmtree(
-                os.path.join(open_dir, f"bucket={t}"), ignore_errors=True
-            )
-    os.makedirs(os.path.dirname(marker), exist_ok=True)
-    with open(marker, "w") as fh:
-        fh.write("ok")
+    _write_manifest(
+        state_dir, batch_id, wm_us, {b: b in surviving for b in touched}
+    )
+    _gc_open(state_dir)
+
+
+def _closed_dirs(state_dir: str, base: dict | None, incr: list[dict]) -> list[str]:
+    """The closed store's current file set: the compacted base segment
+    (everything ≤ base.upto in one dir) plus the per-batch appends
+    newer than it, each gated by its manifest."""
+    cut = base["upto"] if base else -1
+    dirs = []
+    if base is not None:
+        seg = os.path.join(state_dir, "closed_base", f"upto_{cut}")
+        if os.path.exists(seg):
+            dirs.append(seg)
+    newer = {m["batch_id"] for m in incr}
+    dirs += [
+        p
+        for p in glob.glob(os.path.join(state_dir, "closed", "batch_id=*"))
+        if int(os.path.basename(p).split("=", 1)[1]) in newer
+    ]
+    return dirs
 
 
 def read_session_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    """The maintained session frame: frozen sessions (append-only) ∪
-    the live open set. Both sides carry the same columns."""
+    """The maintained session frame: frozen sessions (append-only,
+    manifest-gated so a half-applied crash is never visible; compacted
+    segment + newer appends) ∪ the live open set (manifest-resolved).
+    Empty state (no batch has ever carried a row) reads as an empty
+    frame with the declared schema."""
+    base, incr = _state_log(state_dir)
     parts = []
-    closed_dir = os.path.join(state_dir, "closed")
-    open_dir = os.path.join(state_dir, "open")
-    cols = [
-        "user_id", "session_start", "session_end",
-        "n_events", "total_value_dec", "opening",
-    ]
-    if os.path.exists(closed_dir):
-        parts.append(spark.read.parquet(closed_dir).select(*cols))
-    if os.path.exists(open_dir):
-        parts.append(spark.read.parquet(open_dir).select(*cols))
+    closed = _closed_dirs(state_dir, base, incr)
+    if closed:
+        parts.append(
+            spark.read.schema(STATE_SCHEMA).parquet(*closed).select(*_STATE_COLS)
+        )
+    open_dirs = _open_bucket_dirs(state_dir, _resolve_open(base, incr))
+    if open_dirs:
+        parts.append(
+            spark.read.schema(STATE_SCHEMA).parquet(*open_dirs).select(*_STATE_COLS)
+        )
+    if not parts:
+        return spark.createDataFrame([], STATE_SCHEMA)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def compact_session_state(spark: SparkSession, state_dir: str) -> None:
+    """Checkpoint the transaction log and the closed store: fold every
+    applied batch's closed append into ONE ``closed_base/upto_N``
+    segment and every incremental manifest into ``manifest_base.json``
+    (watermark + bucket ownership + applied ids), then sweep the
+    superseded per-batch dirs and manifests. Bounds both growth axes
+    of a long-running maintainer — closed small-files (one dir per
+    commit) and log listing (one json per commit) — exactly the
+    RocksDB-compaction / Delta-OPTIMIZE+checkpoint role.
+
+    Crash-safe: the new segment is written BESIDE the live data and
+    becomes visible only through the atomic base-json rename; cleanup
+    after the rename is idempotent (re-running compaction re-sweeps).
+    Open commit dirs referenced by the base are retained — compaction
+    never rewrites open data, only the closed store and the log."""
+    base, incr = _state_log(state_dir)
+    # cleanup pass first: a crash after a previous rename may have left
+    # superseded dirs/manifests behind
+    cut = base["upto"] if base else -1
+    for p in glob.glob(os.path.join(state_dir, "closed", "batch_id=*")):
+        if int(os.path.basename(p).split("=", 1)[1]) <= cut:
+            shutil.rmtree(p, ignore_errors=True)
+    for p in glob.glob(os.path.join(state_dir, "closed_base", "upto_*")):
+        if int(os.path.basename(p).rsplit("_", 1)[1]) != cut:
+            shutil.rmtree(p, ignore_errors=True)
+    for p in glob.glob(os.path.join(state_dir, "open", "manifest_*.json")):
+        name = os.path.basename(p)
+        if name != "manifest_base.json" and int(
+            name[len("manifest_"):-len(".json")]
+        ) <= cut:
+            os.remove(p)
+    if not incr:
+        return  # log already checkpointed
+    applied = sorted(_applied_ids(base, incr))
+    upto = applied[-1]
+    owners = _resolve_open(base, incr)
+    closed = _closed_dirs(state_dir, base, incr)
+    seg = os.path.join(state_dir, "closed_base", f"upto_{upto}")
+    shutil.rmtree(seg, ignore_errors=True)  # crashed prior attempt
+    if closed:
+        (
+            spark.read.schema(STATE_SCHEMA).parquet(*closed)
+            .select(*_STATE_COLS)
+            .write.mode("overwrite")
+            .parquet(seg)
+        )
+    new_base = {
+        "upto": upto,
+        "watermark_us": _watermark_us(base, incr),
+        "buckets": {str(b): n for b, n in owners.items()},
+        "applied": applied,
+    }
+    tmp = _base_path(state_dir) + ".tmp"
+    os.makedirs(os.path.dirname(tmp), exist_ok=True)
+    with open(tmp, "w") as fh:
+        json.dump(new_base, fh)
+    os.replace(tmp, _base_path(state_dir))  # the atomic switch
+    # post-switch sweep (idempotent; a crash here is repaired by the
+    # cleanup pass on the next call)
+    for p in glob.glob(os.path.join(state_dir, "closed", "batch_id=*")):
+        if int(os.path.basename(p).split("=", 1)[1]) <= upto:
+            shutil.rmtree(p, ignore_errors=True)
+    for p in glob.glob(os.path.join(state_dir, "closed_base", "upto_*")):
+        if int(os.path.basename(p).rsplit("_", 1)[1]) != upto:
+            shutil.rmtree(p, ignore_errors=True)
+    for p in glob.glob(os.path.join(state_dir, "open", "manifest_*.json")):
+        name = os.path.basename(p)
+        if name != "manifest_base.json" and int(
+            name[len("manifest_"):-len(".json")]
+        ) <= upto:
+            os.remove(p)
+    _gc_open(state_dir)
+
+
+def read_late_events(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The quarantined out-of-contract events (ts older than the
+    watermark at their arrival batch) — the audit/replay channel."""
+    root = os.path.join(state_dir, "late")
+    dirs = glob.glob(os.path.join(root, "batch_id=*"))
+    if not dirs:
+        return spark.createDataFrame(
+            [],
+            "user_id LONG, event_id LONG, ts TIMESTAMP, value DOUBLE,"
+            " event_type STRING",
+        )
+    return spark.read.parquet(*dirs)
+
+
+def read_session_state_reconciled(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """The session frame WITH the quarantine folded back in — the
+    repair view that makes the lateness contract total: in-contract
+    events live in the maintained state, out-of-contract events sit in
+    ``late/``, and this read interval-merges each quarantined event
+    (as a one-event session row) with its user's stored sessions. The
+    merge is the SAME associative algebra the maintainer runs, so for
+    counts/bounds/sums the result equals the one-shot build over ALL
+    events, however late anything arrived — the total-correctness pin
+    in tests/test_streaming.py. (``opening`` token order for repaired
+    sessions follows merge order, the standing disorder caveat.)
+
+    Scale shape: the merge window runs ONLY over users present in the
+    quarantine (a semi-join keyed partition of the state) unioned with
+    the untouched remainder — cost is bounded by the affected users'
+    session rows + the quarantine, never the corpus. A periodic
+    compaction would run this once and re-commit the state; serving
+    reads can apply it lazily, exactly like a RocksDB read-path merge
+    of un-compacted overlays."""
+    state = read_session_state(spark, state_dir)
+    late = read_late_events(spark, state_dir)
+    # each quarantined event as a one-event session row (exact decimal)
+    late_rows = late.select(
+        "user_id",
+        F.col("ts").alias("session_start"),
+        F.col("ts").alias("session_end"),
+        F.lit(1).cast("long").alias("n_events"),
+        dec6("value").cast("decimal(18,6)").alias("total_value_dec"),
+        F.array("event_type").alias("opening"),
+    )
+    affected = late.select("user_id").distinct()
+    touched = state.join(affected, "user_id", "left_semi")
+    untouched = state.join(affected, "user_id", "left_anti")
+    repaired = merge_session_rows(touched.unionByName(late_rows))
+    return untouched.unionByName(repaired.select(*_STATE_COLS))
 
 
 def run_incremental_sessionization(
@@ -268,36 +572,172 @@ def run_incremental_sessionization(
     q.awaitTermination()
 
 
-@query("session_frame_incremental")  # rows-only: a real availableNow
-# micro-batch maintainer; bit-exact parity with the one-shot batch
-# build (incl. exact decimal sums), split-invariance of
-# counts/bounds/sums under random splits, double-replay idempotence
-# and O(touched-bucket) rewrites are pinned in tests/test_streaming.py
-def session_frame_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The shared session frame maintained INCREMENTALLY from a
-    3-slice time-ordered replay of the events fixture — the streaming
-    production form of sessionize-once: each commit folds one
-    micro-batch into the bucketed session state (sessions merge across
-    batch boundaries), and the final state equals the one-shot
-    `build_session_frame` bit-for-bit. Ordered for determinism;
-    total_value rounds to the sessionize contract at read."""
-    from ..catalog import fingerprint_dir, mark_ready
-    from .punctuate import stage_events_ordered
+# ---------------------------------------------------------------------------
+# The unified store: session_frame's serving path
 
-    root, ready = fingerprint_dir(
-        "sessinc", os.path.join(sf_dir, "events.parquet"), suffix="_v2"
-    )  # _v2: open/closed split layout — a stale single-table cache
-    # must rebuild, not half-read
+
+def _events_files(events_path: str) -> list[str]:
+    if os.path.isfile(events_path):
+        return [events_path]
+    return sorted(glob.glob(os.path.join(events_path, "*.parquet")))
+
+
+def _session_root(events_path: str) -> str:
+    """Stable (append-surviving) root for the unified session store:
+    keyed on the events SOURCE PATH + gap + layout version — NOT on
+    content identity, because an appended events source must fold the
+    tail into the existing state (O(batch)), not rebuild. Content
+    changes are detected by the ledger (below): any applied file that
+    changed or vanished forces a full rebuild. The gap + version
+    suffix means a SESSION_GAP_MINUTES or layout change can never
+    serve a stale frame (ADVICE r9)."""
+    import tempfile
+
+    key = events_path.strip("/").replace("/", "_").replace(".", "-")
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"sessions_{key}_g{SESSION_GAP_MINUTES}_v3",
+    )
+
+
+def _sweep_legacy_roots(events_path: str, keep: str) -> None:
+    """Delete superseded cache roots: the pre-r10 content-fingerprinted
+    one-shot frames (``sessions_<dir>_<mtime>_<size>``) and staged
+    incremental states (``sessinc_*``), plus stale unified roots with
+    a different gap/version suffix."""
+    import tempfile
+
+    tmp = tempfile.gettempdir()
+    old_key = os.path.dirname(events_path).strip("/").replace("/", "_")
+    new_key = events_path.strip("/").replace("/", "_").replace(".", "-")
+    pats = [
+        f"sessions_{old_key}_*",
+        f"sessinc_{old_key}_*",
+        f"sessions_{new_key}_g*",
+    ]
+    for pat in pats:
+        for p in glob.glob(os.path.join(tmp, pat)):
+            if p != keep:
+                shutil.rmtree(p, ignore_errors=True)
+
+
+def ensure_session_state(spark: SparkSession, events_path: str) -> str:
+    """Bring the unified session store up to date with the events
+    source and return its state dir. First sight of a source folds
+    everything as batch 0 (the one per-user sort — same cost as the
+    old one-shot build); each APPENDED file set folds as one more
+    batch through :func:`apply_session_batch` — O(batch + touched
+    buckets), not a rebuild. A changed/removed applied file (fixture
+    regeneration) wipes and rebuilds.
+
+    Crash-safety: each fold stages its (batch_id, file list) in
+    ``pending.json`` before applying and promotes it into
+    ``ledger.json`` after — a crash mid-fold resumes the EXACT same
+    batch composition (the manifest gate makes the re-apply a no-op if
+    it had completed), so files appended between crash and resume
+    can't silently join an already-committed batch id."""
+    root = _session_root(events_path)
     state = os.path.join(root, "state")
-    if not ready:
-        ev = load_table(spark, sf_dir, "events").select(
+    ledger_p = os.path.join(root, "ledger.json")
+    pending_p = os.path.join(root, "pending.json")
+    files = _events_files(events_path)
+    cur = {p: [os.path.getsize(p), os.stat(p).st_mtime_ns] for p in files}
+
+    ledger = None
+    if os.path.exists(ledger_p):
+        with open(ledger_p) as fh:
+            ledger = json.load(fh)
+        stale = any(
+            p not in cur or cur[p] != sig for p, sig in ledger["files"].items()
+        )
+        if stale:
+            ledger = None
+    if ledger is not None and os.path.exists(pending_p):
+        # a crashed fold: resume with the EXACT staged batch composition
+        # — unless any staged file vanished/changed (source mutated
+        # under the crash), which demotes to a full rebuild.
+        with open(pending_p) as fh:
+            pend = json.load(fh)
+        if any(p not in cur for p in pend["files"]):
+            ledger = None
+    if ledger is None:
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        _sweep_legacy_roots(events_path, keep=root)
+        ledger = {"files": {}, "n_batches": 0}
+
+    def _fold(batch_files: list[str], batch_id: int) -> None:
+        from ..catalog import normalize_events_ts
+
+        batch = normalize_events_ts(spark.read.parquet(*batch_files)).select(
             "user_id", "event_id", "ts", "value", "event_type"
         )
-        stage = os.path.join(root, "stage")
-        ckpt = os.path.join(root, "ckpt")
-        stage_events_ordered(ev, stage, n_slices=3)
-        run_incremental_sessionization(spark, stage, state, ckpt)
-        mark_ready(root)
+        apply_session_batch(spark, state, batch, batch_id)
+
+    if os.path.exists(pending_p):
+        with open(pending_p) as fh:
+            pend = json.load(fh)
+        if pend["batch_id"] not in _applied_ids(*_state_log(state)):
+            _fold(pend["files"], pend["batch_id"])
+        for p in pend["files"]:
+            ledger["files"][p] = cur[p]
+        ledger["n_batches"] = max(ledger["n_batches"], pend["batch_id"] + 1)
+        with open(ledger_p, "w") as fh:
+            json.dump(ledger, fh)
+        os.remove(pending_p)
+
+    new = [p for p in files if p not in ledger["files"]]
+    if new:
+        batch_id = ledger["n_batches"]
+        with open(pending_p, "w") as fh:
+            json.dump({"batch_id": batch_id, "files": new}, fh)
+        _fold(new, batch_id)
+        for p in new:
+            ledger["files"][p] = cur[p]
+        ledger["n_batches"] = batch_id + 1
+        with open(ledger_p, "w") as fh:
+            json.dump(ledger, fh)
+        os.remove(pending_p)
+    return state
+
+
+def serve_session_frame(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The consumer-facing session frame over the maintained state:
+    one scan of closed ∪ open with the one-shot frame's exact columns.
+    ``session_id`` (the per-user session ordinal the one-shot running
+    sum produced) is derived by a row_number over the SESSIONS-count
+    frame — user-bounded partitions, and Catalyst prunes the whole
+    Window node for the consumers that never select it (pinned in
+    tests/test_operators.py), so only the two id-consuming queries pay
+    it."""
+    st = read_session_state(spark, state_dir)
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return st.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "session_start",
+        "session_end",
+        F.round(F.col("total_value_dec"), 4).cast("double").alias("total_value"),
+        F.concat_ws(">", "opening").alias("opening_path"),
+    )
+
+
+@query("session_frame_incremental")  # rows-only: the maintained unified
+# session store served directly; bit-exact parity with the one-shot
+# batch build (incl. exact decimal sums), split-invariance of
+# counts/bounds/sums under splits (incl. bounded-disorder shuffles),
+# double-replay idempotence, crash-at-any-step replay and
+# O(touched-bucket) rewrites are pinned in tests/test_streaming.py
+def session_frame_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNIFIED session store — the same open/closed state that
+    `apply_session_batch` maintains and every session consumer reads
+    through `session_frame` (r10: one store, not a one-shot cache next
+    to a parallel incremental artifact). Ordered for determinism;
+    total_value rounds to the sessionize contract at read."""
+    state = ensure_session_state(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
     return (
         read_session_state(spark, state)
         .select(

@@ -288,3 +288,78 @@ def test_live_session_point_in_time_and_cross_batch_merge(spark, sf_dir):
     }
     for u, s in extended:
         assert any(u2 == u and s2 == s for (u2, s2, _) in final)
+
+
+def test_session_state_shard_migration_parity(spark, sf_dir, tmp_path):
+    """Shard migration (r10): replaying the session store's SNAPSHOT
+    (two weighted bootstrap rows per session) into a fresh checkpoint
+    at double the shard count serves the identical fetchAll — window
+    extents and counts exact, sums to float tolerance — across MORE
+    state shards, with cost O(state), not O(event history)."""
+    from minefields_kafka_streams_deduplication_spark.streaming.source import (
+        STREAM_SHUFFLE_PARTITIONS,
+    )
+    from minefields_kafka_streams_deduplication_spark.streaming.state_migration import (
+        migrate_session_state,
+    )
+
+    old_ckpt = live_state.session_state_checkpoint(spark, sf_dir)
+    new_shards = STREAM_SHUFFLE_PARTITIONS * 2
+    new_ckpt = migrate_session_state(
+        spark, old_ckpt, str(tmp_path / "resized"), new_shards
+    )
+
+    def fetch(ckpt):
+        return {
+            (r.user_id, r.session_start, r.session_end): (
+                r.n_events, r.total_value,
+            )
+            for r in live_state.session_state_fetch(spark, ckpt).collect()
+        }
+
+    old, new = fetch(old_ckpt), fetch(new_ckpt)
+    assert old.keys() == new.keys() and len(old) > 0
+    for k, (n, v) in old.items():
+        nn, nv = new[k]
+        assert nn == n
+        assert nv == pytest.approx(v, abs=1e-6)
+
+    # the migrated store really is re-sharded: state rows live in
+    # shards beyond the old 0..STREAM_SHUFFLE_PARTITIONS-1 range
+    shards = {
+        r.partition_id
+        for r in live_state.read_live_state(spark, new_ckpt)
+        .select("partition_id")
+        .distinct()
+        .collect()
+    }
+    assert max(shards) >= STREAM_SHUFFLE_PARTITIONS
+    assert shards <= set(range(new_shards))
+
+
+def test_keyvalue_state_shard_migration_parity(spark, sf_dir, tmp_path):
+    """KV-store migration twin: the dedup store's state IS its seen-key
+    set, so the key-snapshot replay regenerates the same key set at
+    the new shard count."""
+    from minefields_kafka_streams_deduplication_spark.streaming.source import (
+        STREAM_SHUFFLE_PARTITIONS,
+    )
+    from minefields_kafka_streams_deduplication_spark.streaming.state_migration import (
+        migrate_keyvalue_state,
+    )
+
+    old_ckpt = live_state.dedup_state_checkpoint(spark, sf_dir)
+    new_shards = STREAM_SHUFFLE_PARTITIONS * 2
+    new_ckpt = migrate_keyvalue_state(
+        spark, old_ckpt, str(tmp_path / "resized_kv"), new_shards
+    )
+
+    def keys(ckpt):
+        return {
+            r.user_id
+            for r in live_state.read_live_state(spark, ckpt)
+            .select(F.col("key.user_id").alias("user_id"))
+            .collect()
+        }
+
+    assert keys(old_ckpt) == keys(new_ckpt) and len(keys(old_ckpt)) > 0

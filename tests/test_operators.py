@@ -460,20 +460,29 @@ def test_gap_stats_bucketed_matches_exact_within_bucket(spark, sf_dir):
 
 
 def test_session_frame_built_once_and_consumers_scan_only(spark, sf_dir):
-    """Sessionize-once (r9): the shared session frame is persisted and
-    fingerprint-cached (second call hits _READY, no rebuild), and a
-    consumer's plan reads the persisted parquet with NO per-user
-    window — the 100M-row event sort is not re-paid per consumer."""
+    """Sessionize-once over the UNIFIED store (r10): the session state
+    is built once (a second session_frame call folds nothing — the
+    ledger is already caught up and no new open-store manifest
+    appears), and a consumer's plan reads the persisted state with NO
+    window at all — the 100M-row event sort is not re-paid per
+    consumer, and the serve path's session_id row_number is pruned by
+    Catalyst for consumers that never select it."""
+    import glob
     import os
 
-    from minefields_kafka_streams_deduplication_spark.catalog import fingerprint_dir
     from minefields_kafka_streams_deduplication_spark.operators import windows
+    from minefields_kafka_streams_deduplication_spark.streaming.session_incremental import (
+        _session_root,
+    )
 
     windows.session_frame(spark, sf_dir)
-    root, ready = fingerprint_dir(
-        "sessions", os.path.join(sf_dir, "events.parquet")
+    root = _session_root(os.path.join(sf_dir, "events.parquet"))
+    assert os.path.exists(os.path.join(root, "ledger.json"))
+    manifests = glob.glob(os.path.join(root, "state", "open", "manifest_*.json"))
+    windows.session_frame(spark, sf_dir)  # second call: served, not re-folded
+    assert manifests == glob.glob(
+        os.path.join(root, "state", "open", "manifest_*.json")
     )
-    assert ready and os.path.exists(os.path.join(root, "_READY"))
 
     plan = (
         windows.session_path_topk(spark, sf_dir)
@@ -481,6 +490,7 @@ def test_session_frame_built_once_and_consumers_scan_only(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert "sessions_" in plan          # scans the persisted frame
-    assert "Window" not in plan         # no re-sessionization window
+    assert "sessions_" in plan          # scans the persisted state
+    assert "Window" not in plan         # no re-sessionization window,
+    # and the serve-side session_id row_number is pruned away
     assert "events.parquet" not in plan # events are not re-scanned

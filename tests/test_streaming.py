@@ -1445,6 +1445,401 @@ def test_incremental_sessionization_fully_frozen_bucket_no_double_count(
     assert sum(r.n_events for r in rows) == 3  # conservation, no double count
 
 
+def test_unified_session_store_append_folds_tail_only(spark, tmp_path):
+    """The unified store (r10): first ensure folds everything as batch
+    0; APPENDING a file folds ONLY the tail as batch 1 — the batch-0
+    manifest and ledger survive untouched (no rebuild) — and the
+    served frame equals the one-shot sessionization of the union,
+    including a session that the tail EXTENDS across the fold
+    boundary."""
+    import datetime as dt
+    import json
+    import os
+    import shutil
+
+    from minefields_kafka_streams_deduplication_spark.streaming.session_incremental import (
+        _session_root,
+        build_session_rows,
+        ensure_session_state,
+        read_session_state,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE, event_type STRING"
+    base_rows = [
+        (1, 7, t0, 1.0, "view"),
+        (2, 7, t0 + dt.timedelta(minutes=10), 2.0, "click"),
+        (3, 8, t0 + dt.timedelta(hours=1), 3.0, "view"),
+    ]
+    # tail: extends user 8's open session (20-min gap) + a new session
+    tail_rows = [
+        (4, 8, t0 + dt.timedelta(hours=1, minutes=20), 4.0, "click"),
+        (5, 9, t0 + dt.timedelta(hours=2), 5.0, "view"),
+    ]
+    src = str(tmp_path / "events_src")
+    spark.createDataFrame(base_rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    root = _session_root(src)
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        state = ensure_session_state(spark, src)
+        m0 = os.path.join(state, "open", "manifest_0.json")
+        m0_stat = os.stat(m0)
+
+        spark.createDataFrame(tail_rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        state = ensure_session_state(spark, src)
+        # batch-0 manifest untouched: the tail FOLDED, nothing rebuilt
+        assert os.stat(m0).st_mtime_ns == m0_stat.st_mtime_ns
+        assert os.path.exists(os.path.join(state, "open", "manifest_1.json"))
+        with open(os.path.join(root, "ledger.json")) as fh:
+            assert json.load(fh)["n_batches"] == 2
+
+        got = {
+            (r.user_id, r.session_start, r.session_end): (
+                r.n_events, r.total_value_dec,
+            )
+            for r in read_session_state(spark, state).collect()
+        }
+        all_ev = spark.createDataFrame(base_rows + tail_rows, schema)
+        want = {
+            (r.user_id, r.session_start, r.session_end): (
+                r.n_events, r.total_value_dec,
+            )
+            for r in build_session_rows(all_ev).collect()
+        }
+        assert got == want
+        assert len(per_user := {u for u, *_ in got}) == 3 and per_user
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_unified_session_store_rebuilds_on_regenerated_file(spark, tmp_path):
+    """A CHANGED already-applied file (fixture regeneration, not an
+    append) wipes the unified store and rebuilds from scratch — the
+    ledger's (size, mtime) signature is the guard."""
+    import datetime as dt
+    import shutil
+
+    from minefields_kafka_streams_deduplication_spark.streaming.session_incremental import (
+        _session_root,
+        ensure_session_state,
+        read_session_state,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE, event_type STRING"
+    src = str(tmp_path / "events_src")
+    spark.createDataFrame([(1, 7, t0, 1.0, "view")], schema).coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+    root = _session_root(src)
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        state = ensure_session_state(spark, src)
+        assert read_session_state(spark, state).count() == 1
+        # regenerate: different content, same path
+        spark.createDataFrame(
+            [(1, 7, t0, 1.0, "view"), (2, 8, t0, 2.0, "view")], schema
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        state = ensure_session_state(spark, src)
+        assert read_session_state(spark, state).count() == 2
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_session_batch_late_events_quarantined_and_conserved(spark, tmp_path):
+    """Bounded-disorder contract (r10): an event arriving more than
+    ALLOWED_LATENESS behind the watermark does NOT merge (whose result
+    the algebra leaves undefined) — it routes to the quarantined late
+    store, batchId-addressed; in-contract state + quarantine together
+    conserve every event."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from minefields_kafka_streams_deduplication_spark.streaming.session_incremental import (
+        ALLOWED_LATENESS_US,
+        apply_session_batch,
+        read_late_events,
+        read_session_state,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE, event_type STRING"
+    b0 = spark.createDataFrame(
+        [(1, 7, t0 + dt.timedelta(hours=5), 1.0, "view")], schema
+    )
+    # watermark after b0 = 5h − lateness; this event sits one minute
+    # beyond the budget → out of contract
+    late_ts = (
+        t0
+        + dt.timedelta(hours=5)
+        - dt.timedelta(microseconds=ALLOWED_LATENESS_US)
+        - dt.timedelta(minutes=1)
+    )
+    b1 = spark.createDataFrame(
+        [
+            (2, 7, late_ts, 2.0, "view"),                      # quarantined
+            (3, 8, t0 + dt.timedelta(hours=6), 3.0, "view"),   # in contract
+        ],
+        schema,
+    )
+    state = str(tmp_path / "state")
+    apply_session_batch(spark, state, b0, 0)
+    apply_session_batch(spark, state, b1, 1)
+    late = read_late_events(spark, state).collect()
+    assert [r.event_id for r in late] == [2]
+    in_state = read_session_state(spark, state).agg(
+        F.sum("n_events")
+    ).first()[0]
+    assert in_state + len(late) == 3  # conservation across the split
+
+
+def test_session_batch_crash_before_manifest_replays_cleanly(spark, tmp_path):
+    """Crash-ordering pin for the manifest commit (ADVICE r9): with the
+    closed append AND the open commit dir fully written but the
+    manifest missing (a crash one instant before the atomic rename),
+    (a) readers see exactly the pre-batch state — no half-applied rows,
+    no double counts — and (b) replaying the batch converges to the
+    same state as the uncrashed run."""
+    import datetime as dt
+    import os
+
+    from minefields_kafka_streams_deduplication_spark.streaming.session_incremental import (
+        apply_session_batch,
+        read_session_state,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE, event_type STRING"
+    b0 = spark.createDataFrame(
+        [(1, 7, t0, 1.0, "view"), (2, 8, t0 + dt.timedelta(hours=1), 2.0, "view")],
+        schema,
+    )
+    # touches user 7 again (same bucket rewrites) + pushes the horizon
+    b1 = spark.createDataFrame(
+        [
+            (3, 7, t0 + dt.timedelta(hours=10), 3.0, "view"),
+            (4, 8, t0 + dt.timedelta(hours=19), 4.0, "view"),
+        ],
+        schema,
+    )
+
+    def snap(state):
+        return {
+            (r.user_id, r.session_start, r.session_end): (
+                r.n_events, r.total_value_dec,
+            )
+            for r in read_session_state(spark, state).collect()
+        }
+
+    state = str(tmp_path / "state")
+    apply_session_batch(spark, state, b0, 0)
+    before_b1 = snap(state)
+
+    # crash injection: batch 1 writes its closed append and its open
+    # commit dir, then dies one instant before the atomic manifest
+    # rename (so no post-commit GC ran either — the honest crash state)
+    from minefields_kafka_streams_deduplication_spark.streaming import (
+        session_incremental as si,
+    )
+
+    real_write = si._write_manifest
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash at the commit point")
+
+    si._write_manifest = boom
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            apply_session_batch(spark, state, b1, 1)
+    finally:
+        si._write_manifest = real_write
+    assert os.path.exists(
+        os.path.join(state, "closed", "batch_id=1", "_SUCCESS")
+    )
+    assert not os.path.exists(os.path.join(state, "open", "manifest_1.json"))
+    assert snap(state) == before_b1  # (a) mid-crash reads = pre-batch
+
+    apply_session_batch(spark, state, b1, 1)  # (b) replay converges
+    want_keys = {(7,), (8,)}
+    got = snap(state)
+    assert {((u,)) for u, *_ in got} == want_keys
+    # replay == a never-crashed run: fold the same batches into a
+    # fresh state and compare
+    clean = str(tmp_path / "clean")
+    apply_session_batch(spark, clean, b0, 0)
+    apply_session_batch(spark, clean, b1, 1)
+    assert got == snap(clean)
+
+
+def test_incremental_sessionization_bounded_disorder_property(spark):
+    """Lateness-contract property (r10): a replay whose per-event
+    disorder stays within ALLOWED_LATENESS (arrival order = event time
+    + bounded jitter, any contiguous batching of that arrival order)
+    quarantines NOTHING and folds to the SAME final sessions — counts,
+    boundaries, exact decimal sums — as the one-shot build. This
+    replaces the old strict in-order precondition: disorder up to the
+    budget is now in contract, not undefined."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from minefields_kafka_streams_deduplication_spark.streaming.session_incremental import (
+        ALLOWED_LATENESS_US,
+        apply_session_batch,
+        build_session_rows,
+        read_late_events,
+        read_session_state,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    max_jitter_min = int(ALLOWED_LATENESS_US // 60_000_000) - 1  # strictly inside
+    events = st.lists(
+        st.tuples(
+            st.integers(0, 2),            # user
+            st.integers(0, 600),          # event minute
+            st.integers(0, max_jitter_min),  # arrival jitter (bounded disorder)
+        ),
+        min_size=2,
+        max_size=14,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(evs=events, cuts=st.lists(st.integers(1, 13), max_size=2, unique=True))
+    def run(evs, cuts):
+        schema = (
+            "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE,"
+            " event_type STRING"
+        )
+        rows = [
+            (i, u, t0 + dt.timedelta(minutes=m), float(i), "view")
+            for i, (u, m, _j) in enumerate(evs)
+        ]
+        # arrival order: event time + jitter < lateness ⇒ every event
+        # lands within the watermark's budget, whatever the batching
+        arrival = sorted(
+            range(len(evs)), key=lambda i: (evs[i][1] + evs[i][2], i)
+        )
+        bounds = sorted({c for c in cuts if c < len(evs)}) + [len(evs)]
+        state = tempfile.mkdtemp(prefix="sess_disorder_")
+        try:
+            lo = 0
+            for bid, hi in enumerate(bounds):
+                if hi <= lo:
+                    continue
+                batch = spark.createDataFrame(
+                    [rows[i] for i in arrival[lo:hi]], schema
+                )
+                apply_session_batch(spark, state, batch, bid)
+                lo = hi
+            assert read_late_events(spark, state).count() == 0
+            got = {
+                (r.user_id, r.session_start, r.session_end): (
+                    r.n_events, r.total_value_dec,
+                )
+                for r in read_session_state(spark, state).collect()
+            }
+            want = {
+                (r.user_id, r.session_start, r.session_end): (
+                    r.n_events, r.total_value_dec,
+                )
+                for r in build_session_rows(
+                    spark.createDataFrame(rows, schema)
+                ).collect()
+            }
+            assert got == want
+        finally:
+            shutil.rmtree(state, ignore_errors=True)
+
+    run()
+
+
+def test_reconciled_view_total_under_arbitrary_disorder(spark):
+    """Total-correctness property for the repair view (r10): under
+    ARBITRARY disorder — jitter far beyond ALLOWED_LATENESS, so events
+    really do quarantine — read_session_state_reconciled folds the
+    late store back in and equals the one-shot sessionization of ALL
+    events on counts, boundaries and exact decimal sums. The lateness
+    contract plus the repair view is therefore total: nothing is ever
+    silently mis-merged OR lost."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from minefields_kafka_streams_deduplication_spark.streaming.session_incremental import (
+        apply_session_batch,
+        build_session_rows,
+        read_session_state_reconciled,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    events = st.lists(
+        st.tuples(
+            st.integers(0, 2),      # user
+            st.integers(0, 600),    # event minute
+            st.integers(0, 300),    # arrival jitter — WAY past lateness
+        ),
+        min_size=2,
+        max_size=12,
+    )
+
+    @settings(max_examples=4, deadline=None)
+    @given(evs=events, cuts=st.lists(st.integers(1, 11), max_size=2, unique=True))
+    def run(evs, cuts):
+        schema = (
+            "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE,"
+            " event_type STRING"
+        )
+        rows = [
+            (i, u, t0 + dt.timedelta(minutes=m), float(i), "view")
+            for i, (u, m, _j) in enumerate(evs)
+        ]
+        arrival = sorted(
+            range(len(evs)), key=lambda i: (evs[i][1] + evs[i][2], i)
+        )
+        bounds = sorted({c for c in cuts if c < len(evs)}) + [len(evs)]
+        state = tempfile.mkdtemp(prefix="sess_reconcile_")
+        try:
+            lo = 0
+            for bid, hi in enumerate(bounds):
+                if hi <= lo:
+                    continue
+                batch = spark.createDataFrame(
+                    [rows[i] for i in arrival[lo:hi]], schema
+                )
+                apply_session_batch(spark, state, batch, bid)
+                lo = hi
+            got = {
+                (r.user_id, r.session_start, r.session_end): (
+                    r.n_events, r.total_value_dec,
+                )
+                for r in read_session_state_reconciled(spark, state).collect()
+            }
+            want = {
+                (r.user_id, r.session_start, r.session_end): (
+                    r.n_events, r.total_value_dec,
+                )
+                for r in build_session_rows(
+                    spark.createDataFrame(rows, schema)
+                ).collect()
+            }
+            assert got == want
+        finally:
+            shutil.rmtree(state, ignore_errors=True)
+
+    run()
+
+
 def test_merge_session_rows_matches_interval_model(spark):
     """Hypothesis model for the interval merge alone: random session
     rows (including overlaps and containment) merge exactly like the
@@ -1522,3 +1917,70 @@ def test_merge_session_rows_matches_interval_model(spark):
         assert got == want
 
     run()
+
+
+def test_session_state_compaction_preserves_state_and_continues(spark, tmp_path):
+    """Log/store compaction (r10): folding the per-batch closed
+    appends into one base segment and the manifest chain into one
+    checkpoint json (a) preserves the read EXACTLY, (b) still rejects
+    a replay of a pre-compaction batch id, and (c) lets the maintainer
+    keep committing on top — including a new freeze landing in the
+    post-compaction closed store."""
+    import datetime as dt
+    import glob as g
+    import os
+
+    from minefields_kafka_streams_deduplication_spark.streaming.session_incremental import (
+        apply_session_batch,
+        compact_session_state,
+        read_session_state,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE, event_type STRING"
+
+    def batch(rows):
+        return spark.createDataFrame(rows, schema)
+
+    def snap(state):
+        return {
+            (r.user_id, r.session_start, r.session_end): (
+                r.n_events, r.total_value_dec,
+            )
+            for r in read_session_state(spark, state).collect()
+        }
+
+    state = str(tmp_path / "state")
+    apply_session_batch(spark, state, batch([(1, 7, t0, 1.0, "view")]), 0)
+    apply_session_batch(
+        spark, state, batch([(2, 8, t0 + dt.timedelta(hours=2), 2.0, "view")]), 1
+    )
+    apply_session_batch(
+        spark, state, batch([(3, 7, t0 + dt.timedelta(hours=4), 3.0, "view")]), 2
+    )
+    before = snap(state)
+
+    compact_session_state(spark, state)
+    assert snap(state) == before                       # (a) read preserved
+    assert g.glob(os.path.join(state, "closed", "batch_id=*")) == []
+    manifests = g.glob(os.path.join(state, "open", "manifest_*.json"))
+    assert [os.path.basename(p) for p in manifests] == ["manifest_base.json"]
+    assert os.path.exists(os.path.join(state, "closed_base", "upto_2"))
+
+    # (b) pre-compaction batch ids still replay as no-ops
+    apply_session_batch(spark, state, batch([(1, 7, t0, 1.0, "view")]), 1)
+    assert snap(state) == before
+
+    # (c) the maintainer continues on the compacted log; the distant
+    # event freezes user 7/8's earlier sessions into post-base appends
+    apply_session_batch(
+        spark, state, batch([(4, 9, t0 + dt.timedelta(days=3), 4.0, "view")]), 3
+    )
+    after = snap(state)
+    assert set(before) < set(after) and len(after) == len(before) + 1
+
+    # compaction is idempotent / re-runnable
+    compact_session_state(spark, state)
+    compact_session_state(spark, state)
+    assert snap(state) == after
+    assert os.path.exists(os.path.join(state, "closed_base", "upto_3"))

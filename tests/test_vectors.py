@@ -614,3 +614,46 @@ def test_opq_equal_bytes_codebook_dominance(spark, sf_dir):
     r8_cfg = recall(8, 16)
     r9_cfg = recall(4, 256)
     assert r9_cfg >= r8_cfg + 0.05, (r8_cfg, r9_cfg)
+
+
+def test_ann_recall_frontier_bytes_and_rerank(spark, sf_dir):
+    """r10 Pareto frontier beyond equal-8-bytes (VERDICT r9 #6),
+    measured at sf0.01: full-probe COMPRESSED recall grows with the
+    code budget (8 B → 0.541, 16 B → 0.702, 32 B → 0.857 for
+    m=4/8/16 × k=256), but on the SERVING path (persisted index,
+    nprobe=8, exact re-rank) the rerank budget SATURATES at 10
+    (0.503 → 0.813 → 0.813 for rerank 0/10/50): past shortlist
+    coverage of the probed cells, recall is bounded by nprobe, not by
+    code bytes or rerank. That justifies the shipped default — 8 B
+    codes + rerank 10 already sit at the probe ceiling; a bigger code
+    would pay 2-4× the index bytes to improve only the pre-rerank
+    ordering."""
+    import minefields_kafka_streams_deduplication_spark as engine
+    from minefields_kafka_streams_deduplication_spark.functions import ann_index
+    from minefields_kafka_streams_deduplication_spark.functions.vectors import (
+        IVF_K,
+        ivf_pq_topk,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in engine.get_queries()["similarity_topk"](spark, sf_dir).collect()
+    }
+
+    def rec(df):
+        got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return len(exact & got) / len(exact)
+
+    # bytes axis (full probe, compressed domain): monotone in budget
+    r8b = rec(ivf_pq_topk(spark, sf_dir, nprobe=IVF_K, m=4, k=256, opq=True))
+    r16b = rec(ivf_pq_topk(spark, sf_dir, nprobe=IVF_K, m=8, k=256, opq=True))
+    assert r16b >= r8b + 0.05, (r8b, r16b)
+
+    # rerank axis (persisted index, serving path): big step 0 -> 10,
+    # saturation 10 -> 50 (the probe ceiling, not a rerank shortage)
+    root = ann_index._index_root(spark, sf_dir)
+    rr0 = rec(ann_index.ivf_pq_index_topk(spark, sf_dir, root, nprobe=8, rerank=0))
+    rr10 = rec(ann_index.ivf_pq_index_topk(spark, sf_dir, root, nprobe=8, rerank=10))
+    rr50 = rec(ann_index.ivf_pq_index_topk(spark, sf_dir, root, nprobe=8, rerank=50))
+    assert rr10 >= rr0 + 0.1, (rr0, rr10)
+    assert rr10 <= rr50 <= rr10 + 0.02, (rr10, rr50)
