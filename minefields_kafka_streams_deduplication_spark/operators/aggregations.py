@@ -2033,10 +2033,14 @@ def order_lines_span_days_histogram(spark: SparkSession, sf_dir: str) -> DataFra
     (min/max fold map-side), then a histogram bounded by the span
     grid (≤ shipping-window days). Exact integer day arithmetic."""
     li = load_table(spark, sf_dir, "lineitem")
+    # min/max fold the raw timestamps (binary-comparable); the tz-aware
+    # date cast runs once per ORDER, not twice per line — the
+    # inside-the-agg form cost 60.7 s vs ~11 s for the same-shape
+    # count-only agg at the 60M-line probe
     spans = li.groupBy("l_orderkey").agg(
         F.datediff(
-            F.max(F.col("l_shipdate").cast("date")),
-            F.min(F.col("l_shipdate").cast("date")),
+            F.max("l_shipdate").cast("date"),
+            F.min("l_shipdate").cast("date"),
         ).alias("span_days")
     )
     return (

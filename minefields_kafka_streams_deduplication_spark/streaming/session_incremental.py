@@ -76,6 +76,7 @@ SESSION_GAP_US = SESSION_GAP_MINUTES * 60 * 1_000_000
 # Default: half the inactivity gap.
 ALLOWED_LATENESS_US = SESSION_GAP_US // 2
 SESSION_BUCKETS = 16
+COMPACT_EVERY_COMMITS = 64  # auto-checkpoint threshold for the log
 
 STATE_SCHEMA = (
     "user_id LONG, session_start TIMESTAMP, session_end TIMESTAMP,"
@@ -303,13 +304,7 @@ def apply_session_batch(
     if batch_id in _applied_ids(base, incr):
         return  # replayed batch: already folded in
     prev_wm = _watermark_us(base, incr)
-    hi_us = batch_df.agg(F.max(F.unix_micros("ts"))).first()[0]
-    if hi_us is None:  # empty micro-batch: nothing to fold, commit and move on
-        _write_manifest(state_dir, batch_id, prev_wm, {})
-        return
-    wm_us = hi_us - ALLOWED_LATENESS_US
     if prev_wm is not None:
-        wm_us = max(wm_us, prev_wm)
         late = batch_df.where(F.unix_micros(F.col("ts")) < F.lit(prev_wm))
         batch_df = batch_df.where(F.unix_micros(F.col("ts")) >= F.lit(prev_wm))
         from ..sources.sinks import write_idempotent_batch
@@ -322,25 +317,58 @@ def apply_session_batch(
             late, os.path.join(state_dir, "late"), batch_id
         )
     bucket = F.pmod(F.xxhash64("user_id"), F.lit(SESSION_BUCKETS))
-    fresh = build_session_rows(batch_df).withColumn("bucket", bucket)
+    # eager localCheckpoint: the batch sessionization (the expensive
+    # per-user sort) is materialized ONCE and then serves the
+    # touched-bucket collect, the high-watermark agg AND the merge —
+    # without it each of those recomputed the full sort (measured 403 s
+    # vs the 97.8 s one-shot at the 10M-event probe, exactly the 3x).
+    # Staged to PARQUET, not localCheckpoint: an eager checkpoint of a
+    # corpus-sized batch pins block-manager memory for the whole
+    # commit (the r9 interference mechanism — the fold measured 511 s
+    # with two live 9.4M-row checkpoints vs ~150 s staged), while the
+    # stage write costs one scan and is dropped after the manifest.
+    stage_dir = os.path.join(state_dir, "stage", f"batch_{batch_id}")
+    (
+        build_session_rows(batch_df)
+        .withColumn("bucket", bucket)
+        .write.mode("overwrite")
+        .parquet(stage_dir)
+    )
+    fresh = spark.read.schema(STATE_SCHEMA + ", bucket BIGINT").parquet(stage_dir)
+    # max in-contract event time == max session_end (a session ends at
+    # its last event); quarantined events are < prev_wm, so excluding
+    # them never lowers the watermark.
+    hi_us = fresh.agg(F.max(F.unix_micros("session_end"))).first()[0]
+    if hi_us is None:  # empty micro-batch: nothing to fold, commit and move on
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        _write_manifest(state_dir, batch_id, prev_wm, {})
+        return
+    wm_us = hi_us - ALLOWED_LATENESS_US
+    if prev_wm is not None:
+        wm_us = max(wm_us, prev_wm)
     touched = [r.bucket for r in fresh.select("bucket").distinct().collect()]
     owners = _resolve_open(base, incr)
     existing = _open_bucket_dirs(
         state_dir, {b: n for b, n in owners.items() if b in set(touched)}
     )
     if existing:
+        # the merge runs over batch sessions + the TOUCHED open rows —
+        # both small; one eager checkpoint feeds the two filters below
         old = (
             spark.read.schema(STATE_SCHEMA).parquet(*existing)
             .withColumn("bucket", bucket)
         )
-        fresh = fresh.unionByName(old)
-    # eager localCheckpoint: frozen/still_open below are two filters of
-    # the same merge — one materialization, not two recomputes. (The
-    # manifest design never mutates the files being read, so this is an
-    # efficiency choice only, not a correctness requirement.)
-    merged = merge_session_rows(fresh).withColumn(
-        "bucket", bucket
-    ).localCheckpoint(eager=True)
+        merged = merge_session_rows(fresh.unionByName(old)).withColumn(
+            "bucket", bucket
+        ).localCheckpoint(eager=True)
+    else:
+        # nothing stored for the touched buckets: the batch's own
+        # sessions are already maximal islands — interval-merging a
+        # single frame is the identity (pinned by the bit-parity
+        # tests), so the staged frame IS the merge. The corpus-sized
+        # batch-0 fold therefore costs exactly one sessionization +
+        # one stage write, like the old one-shot builder.
+        merged = fresh
     horizon_us = wm_us - SESSION_GAP_US
     frozen = merged.where(
         F.unix_micros(F.col("session_end")) < F.lit(horizon_us)
@@ -371,6 +399,7 @@ def apply_session_batch(
     _write_manifest(
         state_dir, batch_id, wm_us, {b: b in surviving for b in touched}
     )
+    shutil.rmtree(stage_dir, ignore_errors=True)  # superseded by the commit
     _gc_open(state_dir)
 
 
@@ -436,7 +465,11 @@ def compact_session_state(spark: SparkSession, state_dir: str) -> None:
     never rewrites open data, only the closed store and the log."""
     base, incr = _state_log(state_dir)
     # cleanup pass first: a crash after a previous rename may have left
-    # superseded dirs/manifests behind
+    # superseded dirs/manifests behind (incl. a committed batch's stage
+    # dir whose post-manifest removal was interrupted)
+    for p in glob.glob(os.path.join(state_dir, "stage", "batch_*")):
+        if int(os.path.basename(p).rsplit("_", 1)[1]) in _applied_ids(base, incr):
+            shutil.rmtree(p, ignore_errors=True)
     cut = base["upto"] if base else -1
     for p in glob.glob(os.path.join(state_dir, "closed", "batch_id=*")):
         if int(os.path.basename(p).split("=", 1)[1]) <= cut:
@@ -698,6 +731,14 @@ def ensure_session_state(spark: SparkSession, events_path: str) -> str:
         with open(ledger_p, "w") as fh:
             json.dump(ledger, fh)
         os.remove(pending_p)
+        # auto-checkpoint: a long-append source would otherwise grow
+        # one closed dir + one manifest per fold — compact once the
+        # incremental log passes the threshold (read/listing cost stays
+        # bounded; correctness is unchanged, pinned by the compaction
+        # tests)
+        _, incr = _state_log(state)
+        if len(incr) > COMPACT_EVERY_COMMITS:
+            compact_session_state(spark, state)
     return state
 
 

@@ -1984,3 +1984,45 @@ def test_session_state_compaction_preserves_state_and_continues(spark, tmp_path)
     compact_session_state(spark, state)
     assert snap(state) == after
     assert os.path.exists(os.path.join(state, "closed_base", "upto_3"))
+
+
+def test_unified_store_auto_compacts_past_threshold(spark, tmp_path, monkeypatch):
+    """ensure_session_state checkpoints its own log: once the
+    incremental manifest chain passes COMPACT_EVERY_COMMITS, the next
+    fold compacts — and the served frame is unchanged."""
+    import datetime as dt
+    import glob as g
+    import os
+    import shutil
+
+    from minefields_kafka_streams_deduplication_spark.streaming import (
+        session_incremental as si,
+    )
+
+    monkeypatch.setattr(si, "COMPACT_EVERY_COMMITS", 1)
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE, event_type STRING"
+    src = str(tmp_path / "events_src")
+    root = si._session_root(src)
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        for i in range(3):
+            spark.createDataFrame(
+                [(i, 7, t0 + dt.timedelta(hours=3 * i), 1.0, "view")], schema
+            ).coalesce(1).write.mode("append").parquet(src)
+            state = si.ensure_session_state(spark, src)
+        assert os.path.exists(si._base_path(state))
+        got = {
+            (r.user_id, r.session_start): r.n_events
+            for r in si.read_session_state(spark, state).collect()
+        }
+        assert len(got) == 3  # three 3h-apart single-event sessions
+        # the per-batch manifests at/below the checkpoint are folded in
+        incr = [
+            p
+            for p in g.glob(os.path.join(state, "open", "manifest_*.json"))
+            if os.path.basename(p) != "manifest_base.json"
+        ]
+        assert len(incr) <= 1
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
