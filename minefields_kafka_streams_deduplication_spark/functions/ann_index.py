@@ -63,20 +63,22 @@ from .vectors import (
 # scan shortlists, the bounded exact pass finishes (the FAISS serving
 # default) — rerank=0 remains available for the pure compressed scan.
 #
-# r10 frontier BEYOND equal bytes (sf0.01, pinned in
+# r10 frontier BEYOND equal bytes (monotonicity pinned in
 # tests/test_vectors.py::test_ann_recall_frontier_bytes_and_rerank):
-#   bytes axis, full-probe compressed recall:
-#     m=4 × k=256 ( 8 B/vec)  0.541   <- shipped
-#     m=8 × k=256 (16 B/vec)  0.702
-#     m=16 × k=256 (32 B/vec) 0.857
-#   rerank axis on the serving path (persisted index, nprobe=8):
-#     rerank 0 / 10 / 50  ->  0.503 / 0.813 / 0.813
-# The rerank budget SATURATES at 10: past shortlist coverage of the
-# probed cells, end-to-end recall is bounded by nprobe, not by code
-# bytes or rerank — so the shipped 8 B + rerank 10 already sits at the
-# probe ceiling, and a 2-4× bigger code would only improve the
-# pre-rerank ordering. More recall comes from nprobe (more partitions
-# scanned), the honest knob.
+#   bytes axis, full-probe compressed recall (m=4/8/16 × k=256 =
+#   8/16/32 B per vector):
+#     sf0.01: 0.541 / 0.702 / 0.857     sf0.1: 0.297 / 0.412 / 0.660
+#   rerank axis on the serving path (persisted index, nprobe=8),
+#   rerank 0 / 10 / 50:
+#     sf0.01: 0.503 / 0.813 / 0.813     sf0.1: 0.287 / 0.694 / 0.822
+# Two-scale reading: the rerank budget saturates once the shortlist
+# covers the probed cells' true neighbors (sf0.01 — rerank 50 buys
+# nothing) and keeps paying while it doesn't (sf0.1 — +0.13 at 50).
+# Serving knobs in order: nprobe (more partitions scanned), then
+# rerank (query-count-bounded exact pass), and only then code bytes
+# (they improve the pre-rerank ordering alone). Shipped default stays
+# 8 B + rerank 10 — the FAISS serving default — with rerank exposed as
+# the per-deployment lever.
 INDEX_M = 4
 INDEX_K = 256
 RERANK_DEFAULT = 10

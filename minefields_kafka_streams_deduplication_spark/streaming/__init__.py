@@ -17,3 +17,4 @@ from . import expectations  # noqa: F401  (registers validate_stream_gate)
 from . import live_state  # noqa: F401  (registers store_live_streaming_state)
 from . import dlq  # noqa: F401  (registers kafka_stream_dlq_routing)
 from . import session_incremental  # noqa: F401  (registers session_frame_incremental)
+from . import state_migration  # noqa: F401  (registers store_migrated_session_fetch)

@@ -39,9 +39,10 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..registry import query
 from .live_state import SESSION_STATE_GAP_MINUTES, read_live_state
 
 __all__ = ["migrate_keyvalue_state", "migrate_session_state"]
@@ -179,3 +180,33 @@ def migrate_session_state(
 
     _run_bootstrap(spark, plan, boot, ckpt, new_shards)
     return ckpt
+
+
+@query("store_migrated_session_fetch")  # rows-only: reads a checkpoint
+# REBUILT at a doubled shard count from the live session store's
+# snapshot; fetch parity with the original checkpoint (and transitively
+# with the batch session aggregation) is pinned in
+# tests/test_live_state.py at both shard counts.
+def store_migrated_session_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[R ReadOnlySessionStore#fetch(7)] served from the RE-SHARDED
+    checkpoint: the live session store's snapshot replayed into a
+    fresh checkpoint at 2× the shard count (the operational escape
+    from 'shard count freezes at first commit'), then queried exactly
+    like store_live_session_fetch — same rows, more reader
+    parallelism. Ordered for determinism; total_value snaps to 4dp."""
+    from ..catalog import fingerprint_dir, mark_ready
+    from .live_state import session_state_checkpoint, session_state_fetch
+    from .source import STREAM_SHUFFLE_PARTITIONS
+
+    old_ckpt = session_state_checkpoint(spark, sf_dir)
+    shards = STREAM_SHUFFLE_PARTITIONS * 2
+    root, ready = fingerprint_dir(
+        "migsession",
+        os.path.join(sf_dir, "events.parquet"),
+        suffix=f"_s{shards}",
+    )
+    if not ready:
+        migrate_session_state(spark, old_ckpt, root, shards)
+        mark_ready(root)
+    out = session_state_fetch(spark, os.path.join(root, "ckpt"), key=7)
+    return out.withColumn("total_value", F.round("total_value", 4))

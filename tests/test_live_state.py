@@ -363,3 +363,12 @@ def test_keyvalue_state_shard_migration_parity(spark, sf_dir, tmp_path):
         }
 
     assert keys(old_ckpt) == keys(new_ckpt) and len(keys(old_ckpt)) > 0
+
+
+def test_registered_migrated_fetch_matches_live_fetch(spark, sf_dir):
+    """The registered rows-only query over the RE-SHARDED checkpoint
+    returns exactly the live store's fetch(7) rows — the migration is
+    invisible to the reader."""
+    out = engine.get_queries()["store_migrated_session_fetch"](spark, sf_dir)
+    live = engine.get_queries()["store_live_session_fetch"](spark, sf_dir)
+    assert [tuple(r) for r in out.collect()] == [tuple(r) for r in live.collect()]

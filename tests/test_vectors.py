@@ -617,17 +617,19 @@ def test_opq_equal_bytes_codebook_dominance(spark, sf_dir):
 
 
 def test_ann_recall_frontier_bytes_and_rerank(spark, sf_dir):
-    """r10 Pareto frontier beyond equal-8-bytes (VERDICT r9 #6),
-    measured at sf0.01: full-probe COMPRESSED recall grows with the
-    code budget (8 B → 0.541, 16 B → 0.702, 32 B → 0.857 for
-    m=4/8/16 × k=256), but on the SERVING path (persisted index,
-    nprobe=8, exact re-rank) the rerank budget SATURATES at 10
-    (0.503 → 0.813 → 0.813 for rerank 0/10/50): past shortlist
-    coverage of the probed cells, recall is bounded by nprobe, not by
-    code bytes or rerank. That justifies the shipped default — 8 B
-    codes + rerank 10 already sit at the probe ceiling; a bigger code
-    would pay 2-4× the index bytes to improve only the pre-rerank
-    ordering."""
+    """r10 Pareto frontier beyond equal-8-bytes (VERDICT r9 #6).
+    Measured — sf0.01: bytes axis (full-probe compressed) 8 B → 0.541,
+    16 B → 0.702, 32 B → 0.857 (m=4/8/16 × k=256); rerank axis
+    (persisted index, nprobe=8) 0/10/50 → 0.503/0.813/0.813.
+    sf0.1: bytes 0.297/0.412/0.660; rerank 0.287/0.694/0.822.
+    The reading is DENSITY-DEPENDENT: rerank saturates once the
+    shortlist covers the probed cells' true neighbors (sf0.01), and
+    keeps paying while it doesn't (sf0.1, +0.13 at rerank 50) — so the
+    serving knobs are nprobe first, rerank second, and code bytes only
+    improve the pre-rerank ordering. Shipped default stays 8 B +
+    rerank 10 (the FAISS serving default); the rerank arg is the
+    documented per-deployment lever. Pinned here: byte monotonicity
+    and rerank monotonicity (scale-independent claims)."""
     import minefields_kafka_streams_deduplication_spark as engine
     from minefields_kafka_streams_deduplication_spark.functions import ann_index
     from minefields_kafka_streams_deduplication_spark.functions.vectors import (
@@ -656,4 +658,4 @@ def test_ann_recall_frontier_bytes_and_rerank(spark, sf_dir):
     rr10 = rec(ann_index.ivf_pq_index_topk(spark, sf_dir, root, nprobe=8, rerank=10))
     rr50 = rec(ann_index.ivf_pq_index_topk(spark, sf_dir, root, nprobe=8, rerank=50))
     assert rr10 >= rr0 + 0.1, (rr0, rr10)
-    assert rr10 <= rr50 <= rr10 + 0.02, (rr10, rr50)
+    assert rr50 >= rr10, (rr10, rr50)  # bigger shortlist never loses recall
