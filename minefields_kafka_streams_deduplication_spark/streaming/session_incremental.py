@@ -403,14 +403,20 @@ def apply_session_batch(
     _gc_open(state_dir)
 
 
+def _segments(base: dict | None) -> list[int]:
+    if base is None:
+        return []
+    return base.get("segments", [base["upto"]])
+
+
 def _closed_dirs(state_dir: str, base: dict | None, incr: list[dict]) -> list[str]:
-    """The closed store's current file set: the compacted base segment
-    (everything ≤ base.upto in one dir) plus the per-batch appends
-    newer than it, each gated by its manifest."""
-    cut = base["upto"] if base else -1
+    """The closed store's current file set: the TIERED compacted
+    segments (closed_base/upto_N, each covering the batch window since
+    the previous segment) plus the per-batch appends newer than the
+    last segment, each gated by its manifest."""
     dirs = []
-    if base is not None:
-        seg = os.path.join(state_dir, "closed_base", f"upto_{cut}")
+    for s in _segments(base):
+        seg = os.path.join(state_dir, "closed_base", f"upto_{s}")
         if os.path.exists(seg):
             dirs.append(seg)
     newer = {m["batch_id"] for m in incr}
@@ -448,34 +454,21 @@ def read_session_state(spark: SparkSession, state_dir: str) -> DataFrame:
     return out
 
 
-def compact_session_state(spark: SparkSession, state_dir: str) -> None:
-    """Checkpoint the transaction log and the closed store: fold every
-    applied batch's closed append into ONE ``closed_base/upto_N``
-    segment and every incremental manifest into ``manifest_base.json``
-    (watermark + bucket ownership + applied ids), then sweep the
-    superseded per-batch dirs and manifests. Bounds both growth axes
-    of a long-running maintainer — closed small-files (one dir per
-    commit) and log listing (one json per commit) — exactly the
-    RocksDB-compaction / Delta-OPTIMIZE+checkpoint role.
+MAJOR_COMPACT_SEGMENTS = 8  # tiered segments fold into one past this
 
-    Crash-safe: the new segment is written BESIDE the live data and
-    becomes visible only through the atomic base-json rename; cleanup
-    after the rename is idempotent (re-running compaction re-sweeps).
-    Open commit dirs referenced by the base are retained — compaction
-    never rewrites open data, only the closed store and the log."""
-    base, incr = _state_log(state_dir)
-    # cleanup pass first: a crash after a previous rename may have left
-    # superseded dirs/manifests behind (incl. a committed batch's stage
-    # dir whose post-manifest removal was interrupted)
-    for p in glob.glob(os.path.join(state_dir, "stage", "batch_*")):
-        if int(os.path.basename(p).rsplit("_", 1)[1]) in _applied_ids(base, incr):
-            shutil.rmtree(p, ignore_errors=True)
+
+def _sweep_compacted(state_dir: str, base: dict | None) -> None:
+    """Idempotent post-checkpoint sweep: drop per-batch closed dirs and
+    manifests at/below the checkpoint, and any closed_base segment the
+    base no longer lists. Safe to run any time — everything it removes
+    is unreachable through the current base."""
     cut = base["upto"] if base else -1
+    live_segs = set(_segments(base))
     for p in glob.glob(os.path.join(state_dir, "closed", "batch_id=*")):
         if int(os.path.basename(p).split("=", 1)[1]) <= cut:
             shutil.rmtree(p, ignore_errors=True)
     for p in glob.glob(os.path.join(state_dir, "closed_base", "upto_*")):
-        if int(os.path.basename(p).rsplit("_", 1)[1]) != cut:
+        if int(os.path.basename(p).rsplit("_", 1)[1]) not in live_segs:
             shutil.rmtree(p, ignore_errors=True)
     for p in glob.glob(os.path.join(state_dir, "open", "manifest_*.json")):
         name = os.path.basename(p)
@@ -483,26 +476,71 @@ def compact_session_state(spark: SparkSession, state_dir: str) -> None:
             name[len("manifest_"):-len(".json")]
         ) <= cut:
             os.remove(p)
+
+
+def compact_session_state(spark: SparkSession, state_dir: str) -> None:
+    """Checkpoint the transaction log and the closed store, TIERED:
+    each run folds only the per-batch closed appends SINCE the last
+    checkpoint into one new ``closed_base/upto_N`` segment (cost =
+    the new data, never the corpus) and folds the incremental
+    manifests into ``manifest_base.json`` (watermark + bucket
+    ownership + applied ids + the segment list). Once the segment
+    count passes MAJOR_COMPACT_SEGMENTS, a MAJOR fold rewrites all
+    segments into one — so total rewrite work stays O(corpus ·
+    log(commits)/threshold), the LSM/RocksDB-leveling shape, while
+    file count and log listing stay bounded. Exactly the Delta
+    OPTIMIZE + log-checkpoint role.
+
+    Crash-safe: new segments are written BESIDE the live data and
+    become visible only through the atomic base-json rename; the sweep
+    after the rename is idempotent (a crash there is repaired by the
+    cleanup pass on the next call). Open commit dirs referenced by the
+    base are retained — compaction never rewrites open data."""
+    base, incr = _state_log(state_dir)
+    # cleanup pass first: a crash after a previous rename may have left
+    # superseded dirs/manifests behind (incl. a committed batch's stage
+    # dir whose post-manifest removal was interrupted)
+    for p in glob.glob(os.path.join(state_dir, "stage", "batch_*")):
+        if int(os.path.basename(p).rsplit("_", 1)[1]) in _applied_ids(base, incr):
+            shutil.rmtree(p, ignore_errors=True)
+    _sweep_compacted(state_dir, base)
     if not incr:
         return  # log already checkpointed
     applied = sorted(_applied_ids(base, incr))
     upto = applied[-1]
     owners = _resolve_open(base, incr)
-    closed = _closed_dirs(state_dir, base, incr)
+    major = len(_segments(base)) >= MAJOR_COMPACT_SEGMENTS
+    if major:
+        # fold EVERYTHING (all segments + new batch dirs) into one
+        fold_dirs = _closed_dirs(state_dir, base, incr)
+        segments = [upto]
+    else:
+        # minor: fold only the batch dirs newer than the last segment
+        newer = {m["batch_id"] for m in incr}
+        fold_dirs = [
+            p
+            for p in glob.glob(os.path.join(state_dir, "closed", "batch_id=*"))
+            if int(os.path.basename(p).split("=", 1)[1]) in newer
+        ]
+        segments = _segments(base) + [upto]
     seg = os.path.join(state_dir, "closed_base", f"upto_{upto}")
     shutil.rmtree(seg, ignore_errors=True)  # crashed prior attempt
-    if closed:
+    wrote_seg = bool(fold_dirs)
+    if fold_dirs:
         (
-            spark.read.schema(STATE_SCHEMA).parquet(*closed)
+            spark.read.schema(STATE_SCHEMA).parquet(*fold_dirs)
             .select(*_STATE_COLS)
             .write.mode("overwrite")
             .parquet(seg)
         )
+    if not wrote_seg:
+        segments = [s for s in segments if s != upto]
     new_base = {
         "upto": upto,
         "watermark_us": _watermark_us(base, incr),
         "buckets": {str(b): n for b, n in owners.items()},
         "applied": applied,
+        "segments": segments,
     }
     tmp = _base_path(state_dir) + ".tmp"
     os.makedirs(os.path.dirname(tmp), exist_ok=True)
@@ -511,18 +549,7 @@ def compact_session_state(spark: SparkSession, state_dir: str) -> None:
     os.replace(tmp, _base_path(state_dir))  # the atomic switch
     # post-switch sweep (idempotent; a crash here is repaired by the
     # cleanup pass on the next call)
-    for p in glob.glob(os.path.join(state_dir, "closed", "batch_id=*")):
-        if int(os.path.basename(p).split("=", 1)[1]) <= upto:
-            shutil.rmtree(p, ignore_errors=True)
-    for p in glob.glob(os.path.join(state_dir, "closed_base", "upto_*")):
-        if int(os.path.basename(p).rsplit("_", 1)[1]) != upto:
-            shutil.rmtree(p, ignore_errors=True)
-    for p in glob.glob(os.path.join(state_dir, "open", "manifest_*.json")):
-        name = os.path.basename(p)
-        if name != "manifest_base.json" and int(
-            name[len("manifest_"):-len(".json")]
-        ) <= upto:
-            os.remove(p)
+    _sweep_compacted(state_dir, new_base)
     _gc_open(state_dir)
 
 
