@@ -95,6 +95,7 @@ __all__ = [
     "read_session_state",
     "read_late_events",
     "read_session_state_reconciled",
+    "repair_late_events",
     "run_incremental_sessionization",
     "compact_session_state",
     "ensure_session_state",
@@ -541,6 +542,9 @@ def compact_session_state(spark: SparkSession, state_dir: str) -> None:
         "buckets": {str(b): n for b, n in owners.items()},
         "applied": applied,
         "segments": segments,
+        # carried forward: which quarantine batches a durable repair
+        # already folded (forgetting them would double-repair)
+        "late_applied": base.get("late_applied", []) if base else [],
     }
     tmp = _base_path(state_dir) + ".tmp"
     os.makedirs(os.path.dirname(tmp), exist_ok=True)
@@ -553,18 +557,29 @@ def compact_session_state(spark: SparkSession, state_dir: str) -> None:
     _gc_open(state_dir)
 
 
+_EVENTS_SCHEMA = (
+    "user_id LONG, event_id LONG, ts TIMESTAMP, value DOUBLE,"
+    " event_type STRING"
+)
+
+
 def read_late_events(spark: SparkSession, state_dir: str) -> DataFrame:
     """The quarantined out-of-contract events (ts older than the
-    watermark at their arrival batch) — the audit/replay channel."""
-    root = os.path.join(state_dir, "late")
-    dirs = glob.glob(os.path.join(root, "batch_id=*"))
+    watermark at their arrival batch) — the audit/replay channel.
+    Excludes quarantine batches a durable repair already folded in
+    (``late_applied`` in the base manifest)."""
+    base, _ = _state_log(state_dir)
+    folded = set(base.get("late_applied", [])) if base else set()
+    dirs = [
+        p
+        for p in glob.glob(os.path.join(state_dir, "late", "batch_id=*"))
+        if int(os.path.basename(p).split("=", 1)[1]) not in folded
+    ]
     if not dirs:
-        return spark.createDataFrame(
-            [],
-            "user_id LONG, event_id LONG, ts TIMESTAMP, value DOUBLE,"
-            " event_type STRING",
-        )
-    return spark.read.parquet(*dirs)
+        return spark.createDataFrame([], _EVENTS_SCHEMA)
+    return spark.read.schema(_EVENTS_SCHEMA).parquet(*dirs).select(
+        "user_id", "event_id", "ts", "value", "event_type"
+    )
 
 
 def read_session_state_reconciled(
@@ -604,6 +619,83 @@ def read_session_state_reconciled(
     untouched = state.join(affected, "user_id", "left_anti")
     repaired = merge_session_rows(touched.unionByName(late_rows))
     return untouched.unionByName(repaired.select(*_STATE_COLS))
+
+
+def repair_late_events(spark: SparkSession, state_dir: str) -> bool:
+    """DURABLY fold the quarantine into the store: materialize the
+    reconciled frame, split it on the current freeze horizon, and
+    commit it as a fresh base generation (one closed segment + one
+    open commit + an atomic base-manifest rename) that records the
+    folded quarantine batches in ``late_applied``. After the repair
+    the maintainer keeps committing on top (the repair consumes one
+    batch id), reads need no merge-on-read overlay, and re-running the
+    repair is a no-op. Returns True if anything was folded.
+
+    Crash-safe like compaction: everything the repair writes is
+    invisible until the base rename; the quarantine dirs themselves
+    are never deleted (they are the audit trail) — ``late_applied``
+    is what retires them, so a crash anywhere replays cleanly and can
+    never double-fold. Cost is O(corpus sessions) — an explicit
+    maintenance operation, like a major compaction; the lazy
+    alternative stays available as read_session_state_reconciled."""
+    base, incr = _state_log(state_dir)
+    folded = set(base.get("late_applied", [])) if base else set()
+    pending = sorted(
+        int(os.path.basename(p).split("=", 1)[1])
+        for p in glob.glob(os.path.join(state_dir, "late", "batch_id=*"))
+        if int(os.path.basename(p).split("=", 1)[1]) not in folded
+    )
+    if not pending or read_late_events(spark, state_dir).isEmpty():
+        return False
+    rid = max(_applied_ids(base, incr), default=-1) + 1
+    wm = _watermark_us(base, incr)  # late events never advance it
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(SESSION_BUCKETS))
+    stage_dir = os.path.join(state_dir, "stage", f"batch_{rid}")
+    (
+        read_session_state_reconciled(spark, state_dir)
+        .withColumn("bucket", bucket)
+        .write.mode("overwrite")
+        .parquet(stage_dir)
+    )
+    frame = spark.read.schema(STATE_SCHEMA + ", bucket BIGINT").parquet(stage_dir)
+    horizon_us = (wm or 0) - SESSION_GAP_US
+    seg = os.path.join(state_dir, "closed_base", f"upto_{rid}")
+    shutil.rmtree(seg, ignore_errors=True)
+    (
+        frame.where(F.unix_micros(F.col("session_end")) < F.lit(horizon_us))
+        .select(*_STATE_COLS)
+        .write.mode("overwrite")
+        .parquet(seg)
+    )
+    commit_dir = os.path.join(state_dir, "open", f"commit_{rid}")
+    shutil.rmtree(commit_dir, ignore_errors=True)
+    (
+        frame.where(F.unix_micros(F.col("session_end")) >= F.lit(horizon_us))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(commit_dir)
+    )
+    surviving = {
+        int(os.path.basename(p).split("=", 1)[1])
+        for p in glob.glob(os.path.join(commit_dir, "bucket=*"))
+    }
+    new_base = {
+        "upto": rid,
+        "watermark_us": wm,
+        "buckets": {str(b): rid for b in surviving},
+        "applied": sorted(_applied_ids(base, incr) | {rid}),
+        "segments": [rid],
+        "late_applied": sorted(folded | set(pending)),
+    }
+    tmp = _base_path(state_dir) + ".tmp"
+    os.makedirs(os.path.dirname(tmp), exist_ok=True)
+    with open(tmp, "w") as fh:
+        json.dump(new_base, fh)
+    os.replace(tmp, _base_path(state_dir))  # the atomic switch
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    _sweep_compacted(state_dir, new_base)
+    _gc_open(state_dir)
+    return True
 
 
 def run_incremental_sessionization(
@@ -748,7 +840,11 @@ def ensure_session_state(spark: SparkSession, events_path: str) -> str:
 
     new = [p for p in files if p not in ledger["files"]]
     if new:
-        batch_id = ledger["n_batches"]
+        # next id clears BOTH the ledger's counter and any id the state
+        # log already consumed (a durable late-repair allocates one) —
+        # reusing an applied id would make the fold a silent no-op
+        applied = _applied_ids(*_state_log(state))
+        batch_id = max(ledger["n_batches"], max(applied, default=-1) + 1)
         with open(pending_p, "w") as fh:
             json.dump({"batch_id": batch_id, "files": new}, fh)
         _fold(new, batch_id)

@@ -2319,3 +2319,73 @@ def test_compaction_is_tiered_then_major_folds(spark, tmp_path, monkeypatch):
     # tiered growth then the major fold back to one segment
     assert max(seg_counts) == 3
     assert seg_counts[-1] in (1, 2)  # major fold happened at the threshold
+
+
+def test_repair_late_events_durable_and_resumable(spark, tmp_path):
+    """Durable quarantine repair (r10): after folding batches with an
+    out-of-contract event, repair_late_events commits a fresh base
+    generation whose plain read equals the one-shot build (no
+    merge-on-read overlay needed), retires the quarantine via
+    late_applied (re-repair is a no-op; the audit dirs stay on disk),
+    and the maintainer keeps committing on top afterwards."""
+    import datetime as dt
+    import glob as g
+    import os
+
+    from minefields_kafka_streams_deduplication_spark.streaming import (
+        session_incremental as si,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE, event_type STRING"
+    state = str(tmp_path / "state")
+    rows0 = [(1, 7, t0, 1.0, "view"), (2, 8, t0 + dt.timedelta(hours=5), 2.0, "view")]
+    # event 3 lands hours behind the batch-0 watermark → quarantined;
+    # it should MERGE with user 7's t0 session (10 min gap)
+    rows1 = [
+        (3, 7, t0 + dt.timedelta(minutes=10), 3.0, "click"),
+        (4, 9, t0 + dt.timedelta(hours=6), 4.0, "view"),
+    ]
+    si.apply_session_batch(spark, state, spark.createDataFrame(rows0, schema), 0)
+    si.apply_session_batch(spark, state, spark.createDataFrame(rows1, schema), 1)
+    assert si.read_late_events(spark, state).count() == 1
+
+    assert si.repair_late_events(spark, state) is True
+    assert si.read_late_events(spark, state).count() == 0  # retired
+    assert g.glob(os.path.join(state, "late", "batch_id=*"))  # audit kept
+
+    def snap():
+        return {
+            (r.user_id, r.session_start, r.session_end): (
+                r.n_events, r.total_value_dec,
+            )
+            for r in si.read_session_state(spark, state).collect()
+        }
+
+    all_rows = rows0 + rows1
+    want = {
+        (r.user_id, r.session_start, r.session_end): (
+            r.n_events, r.total_value_dec,
+        )
+        for r in si.build_session_rows(
+            spark.createDataFrame(all_rows, schema)
+        ).collect()
+    }
+    assert snap() == want  # the PLAIN read, no reconciliation overlay
+    assert si.repair_late_events(spark, state) is False  # no-op re-run
+
+    # the maintainer continues on top of the repaired generation
+    rows2 = [(5, 7, t0 + dt.timedelta(days=3), 5.0, "view")]
+    next_id = max(si._applied_ids(*si._state_log(state))) + 1
+    si.apply_session_batch(
+        spark, state, spark.createDataFrame(rows2, schema), next_id
+    )
+    want2 = {
+        (r.user_id, r.session_start, r.session_end): (
+            r.n_events, r.total_value_dec,
+        )
+        for r in si.build_session_rows(
+            spark.createDataFrame(all_rows + rows2, schema)
+        ).collect()
+    }
+    assert snap() == want2
