@@ -234,12 +234,114 @@ def stage_newq1000() -> None:
         probe(q, P1000)
 
 
+def stage_repair1000() -> None:
+    """Durable late repair + compaction at 10M events: fold the corpus
+    as batch 0, commit a tail batch carrying out-of-contract events
+    (quarantined), then time (a) a minor compaction (folds only the
+    tail's closed dirs), (b) the reconciled merge-on-read view, and
+    (c) the durable repair (O(corpus) base-generation rewrite)."""
+    from pyspark.sql import functions as F
+
+    from minefields_kafka_streams_deduplication_spark.catalog import (
+        load_table,
+        normalize_events_ts,
+    )
+    from minefields_kafka_streams_deduplication_spark.streaming import (
+        session_incremental as si,
+    )
+
+    state = "/tmp/probe_repair1000/state"
+    shutil.rmtree("/tmp/probe_repair1000", ignore_errors=True)
+    ev = normalize_events_ts(
+        spark.read.parquet(os.path.join(P1000, "events.parquet"))
+    ).select("user_id", "event_id", "ts", "value", "event_type")
+    gc()
+    t0 = time.time()
+    si.apply_session_batch(spark, state, ev, 0)
+    print(
+        json.dumps(
+            {"probe": "repair_fold_batch0", "sf": P1000,
+             "sec": round(time.time() - t0, 1)}
+        ),
+        flush=True,
+    )
+    # tail: sf0.01's 10k events — half shifted past the corpus max
+    # (in contract), half left at their original times (hours behind
+    # the watermark → quarantined)
+    hi = ev.agg(F.max("ts")).first()[0]
+    tail_src = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "user_id", "event_id", "ts", "value", "event_type"
+    )
+    lo = tail_src.agg(F.min("ts")).first()[0]
+    shift_us = int((hi - lo).total_seconds() * 1_000_000) + 60_000_000
+    tail = tail_src.withColumn(
+        "ts",
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.timestamp_micros(F.unix_micros("ts") + F.lit(shift_us)),
+        ).otherwise(F.col("ts")),
+    )
+    gc()
+    t0 = time.time()
+    si.apply_session_batch(spark, state, tail, 1)
+    n_late = si.read_late_events(spark, state).count()
+    print(
+        json.dumps(
+            {"probe": "repair_tail_commit", "sf": P1000,
+             "sec": round(time.time() - t0, 1), "tag": f"late={n_late}"}
+        ),
+        flush=True,
+    )
+    gc()
+    t0 = time.time()
+    si.compact_session_state(spark, state)
+    print(
+        json.dumps(
+            {"probe": "repair_minor_compaction", "sf": P1000,
+             "sec": round(time.time() - t0, 1), "tag": "folds tail dirs only"}
+        ),
+        flush=True,
+    )
+    gc()
+    t0 = time.time()
+    sink(si.read_session_state_reconciled(spark, state))
+    print(
+        json.dumps(
+            {"probe": "repair_reconciled_view_read", "sf": P1000,
+             "sec": round(time.time() - t0, 1), "tag": "merge-on-read"}
+        ),
+        flush=True,
+    )
+    gc()
+    t0 = time.time()
+    si.repair_late_events(spark, state)
+    print(
+        json.dumps(
+            {"probe": "repair_durable", "sf": P1000,
+             "sec": round(time.time() - t0, 1),
+             "tag": "base-generation rewrite"}
+        ),
+        flush=True,
+    )
+    gc()
+    t0 = time.time()
+    sink(si.read_session_state(spark, state))
+    print(
+        json.dumps(
+            {"probe": "repair_post_read", "sf": P1000,
+             "sec": round(time.time() - t0, 1), "tag": "plain read"}
+        ),
+        flush=True,
+    )
+
+
 STAGES = {
     "unified1000": stage_unified1000,
     "append1000": stage_append1000,
     "migrate1000": stage_migrate1000,
     "newq10": stage_newq10,
     "newq1000": stage_newq1000,
+    "repair1000": stage_repair1000,
 }
 
 if __name__ == "__main__":
