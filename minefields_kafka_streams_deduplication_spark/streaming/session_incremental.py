@@ -90,6 +90,7 @@ _STATE_COLS = [
 
 __all__ = [
     "build_session_rows",
+    "build_session_rows_chunked",
     "merge_session_rows",
     "apply_session_batch",
     "read_session_state",
@@ -141,6 +142,64 @@ def build_session_rows(ev: DataFrame) -> DataFrame:
             " x -> x.event_type)"
         ).alias("opening"),
     ).drop("session_id")
+
+
+def build_session_rows_chunked(
+    ev: DataFrame, chunk_days: int = 7
+) -> DataFrame:
+    """Skew-safe sessionization: sessionize within (user, time-chunk)
+    partitions, then interval-merge the per-chunk session rows per
+    user — EXACTLY build_session_rows' output (chunk boundaries split
+    sessions; the merge rejoins precisely the pieces whose gap ≤ the
+    inactivity gap — the split-invariance theorem the incremental
+    maintainer rests on; and because chunks PARTITION TIME, the
+    opening concatenation order is the event order, so even the
+    first-3 tokens are exact — pinned by the parity tests).
+
+    Why: the plain builder's per-user sort puts EVERY event of a key
+    into one task — a power user owning 30% of a 100 TB corpus is a
+    straggler no AQE setting fixes (stateful keys can't salt). Here
+    the heavy key's events split across (user, chunk) tasks bounded by
+    chunk span, and the second pass sorts only its SESSION rows —
+    compressed by the per-chunk events-per-session factor. The trade:
+    everyone pays a second (cheap, sessions-count) exchange, so the
+    plain builder stays the default and this is the documented skew
+    escape (measured on a 30%-hot-key fixture in SCALING.md)."""
+    chunk_us = chunk_days * 86_400 * 1_000_000
+    chunk = F.expr(f"unix_micros(ts) div {chunk_us}")  # integer, no float detour
+    order = Window.partitionBy("user_id", "_chunk").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(order))
+    new_session = F.when(gap_us.isNull() | (gap_us > SESSION_GAP_US), 1).otherwise(0)
+    sess = (
+        ev.withColumn("_chunk", chunk)
+        .withColumn("new_session", new_session)
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                order.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "_chunk", "session_id").orderBy(
+                    "ts", "event_id"
+                )
+            ),
+        )
+    )
+    pieces = sess.groupBy("user_id", "_chunk", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(dec6("value")).cast("decimal(18,6)").alias("total_value_dec"),
+        F.expr(
+            "transform(array_sort(collect_list("
+            "CASE WHEN rn <= 3 THEN struct(rn, event_type) END)),"
+            " x -> x.event_type)"
+        ).alias("opening"),
+    ).drop("_chunk", "session_id")
+    return merge_session_rows(pieces)
 
 
 def merge_session_rows(rows: DataFrame) -> DataFrame:

@@ -372,3 +372,74 @@ def test_registered_migrated_fetch_matches_live_fetch(spark, sf_dir):
     out = engine.get_queries()["store_migrated_session_fetch"](spark, sf_dir)
     live = engine.get_queries()["store_live_session_fetch"](spark, sf_dir)
     assert [tuple(r) for r in out.collect()] == [tuple(r) for r in live.collect()]
+
+
+def test_live_session_checkpoint_extends_on_new_files(spark, tmp_path):
+    """Spark-native incrementality for the live stores: a RETAINED
+    checkpoint re-run over its file source picks up only the NEW
+    files — sessions merge across the two runs in state, and the
+    fetch serves the union. (The unified batch store folds appends
+    through apply_session_batch; the live stores get the same
+    append-economics from Structured Streaming itself.)"""
+    import datetime as dt
+
+    from minefields_kafka_streams_deduplication_spark.streaming.live_state import (
+        SESSION_STATE_GAP_MINUTES,
+        session_state_fetch,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    stage = str(tmp_path / "stage")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id LONG, ts TIMESTAMP, value DOUBLE"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(stage)
+        agg = (
+            stream.withWatermark("ts", "36500 days")
+            .groupBy(
+                F.session_window(
+                    "ts", f"{SESSION_STATE_GAP_MINUTES} minutes"
+                ).alias("session_window"),
+                "user_id",
+            )
+            .agg(F.count(F.lit(1)).alias("count"), F.sum("value").alias("sum"))
+        )
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    slice_a = [(7, t0, 1.0), (8, t0 + dt.timedelta(hours=2), 2.0)]
+    spark.createDataFrame(slice_a, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(stage)
+    run_once()
+    first = {
+        (r.user_id, r.session_start): (r.n_events, r.total_value)
+        for r in session_state_fetch(spark, ckpt).collect()
+    }
+    assert len(first) == 2
+
+    # slice B: one event EXTENDING user 7's open session (20-min gap)
+    # and one brand-new session — dropped as a new file, same source
+    slice_b = [
+        (7, t0 + dt.timedelta(minutes=20), 3.0),
+        (9, t0 + dt.timedelta(hours=5), 4.0),
+    ]
+    spark.createDataFrame(slice_b, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(stage)
+    run_once()
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.total_value)
+        for r in session_state_fetch(spark, ckpt).collect()
+    }
+    assert len(got) == 3
+    assert got[(7, t0)][0] == 2          # cross-run session MERGE in state
+    assert got[(7, t0)][1] == 4.0        # 1.0 + 3.0
+    assert (9, t0 + dt.timedelta(hours=5)) in got

@@ -2389,3 +2389,84 @@ def test_repair_late_events_durable_and_resumable(spark, tmp_path):
         ).collect()
     }
     assert snap() == want2
+
+
+def test_chunked_sessionization_exact_parity(spark, sf_dir):
+    """Skew-safe chunked sessionization == the plain per-user build on
+    the real fixture, INCLUDING the first-3 opening tokens (chunks
+    partition time, so concatenation order is event order) and the
+    exact decimal sums."""
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+    from minefields_kafka_streams_deduplication_spark.streaming.session_incremental import (
+        build_session_rows,
+        build_session_rows_chunked,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value", "event_type"
+    )
+
+    def snap(df):
+        return {
+            (r.user_id, r.session_start, r.session_end): (
+                r.n_events, r.total_value_dec, tuple(r.opening),
+            )
+            for r in df.collect()
+        }
+
+    plain = snap(build_session_rows(ev))
+    for days in (1, 7):
+        assert snap(build_session_rows_chunked(ev, chunk_days=days)) == plain
+    assert len(plain) > 0
+
+
+def test_chunked_sessionization_property(spark):
+    """Hypothesis: chunked == plain on adversarial inputs — sessions
+    exactly straddling chunk boundaries, sessions spanning several
+    chunks, exact-gap pairs (the merge-on-touch edge), multi-user."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from minefields_kafka_streams_deduplication_spark.streaming.session_incremental import (
+        build_session_rows,
+        build_session_rows_chunked,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    events = st.lists(
+        st.tuples(
+            st.integers(0, 2),          # user
+            st.integers(0, 4 * 1440),   # minute across ~4 chunk-days
+        ),
+        min_size=1,
+        max_size=16,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(evs=events)
+    def run(evs):
+        schema = (
+            "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE,"
+            " event_type STRING"
+        )
+        rows = [
+            (i, u, t0 + dt.timedelta(minutes=m), float(i), f"t{i % 3}")
+            for i, (u, m) in enumerate(evs)
+        ]
+        ev = spark.createDataFrame(rows, schema)
+
+        def snap(df):
+            return {
+                (r.user_id, r.session_start, r.session_end): (
+                    r.n_events, r.total_value_dec, tuple(r.opening),
+                )
+                for r in df.collect()
+            }
+
+        assert snap(build_session_rows_chunked(ev, chunk_days=1)) == snap(
+            build_session_rows(ev)
+        )
+
+    run()

@@ -335,6 +335,51 @@ def stage_repair1000() -> None:
     )
 
 
+def stage_skew1000() -> None:
+    """Skew-safe sessionization A/B at 10M events with ONE user owning
+    ~30% of the corpus (the power-key straggler no AQE setting fixes —
+    stateful keys can't salt): plain per-user build vs the chunked
+    builder (sessionize within (user, 1-day chunk), interval-merge the
+    compact pieces)."""
+    from pyspark.sql import functions as F
+
+    from minefields_kafka_streams_deduplication_spark.catalog import (
+        normalize_events_ts,
+    )
+    from minefields_kafka_streams_deduplication_spark.streaming.session_incremental import (
+        build_session_rows,
+        build_session_rows_chunked,
+    )
+
+    skew_dir = "/tmp/probe_skew/events.parquet"
+    if not os.path.exists(skew_dir):
+        ev = normalize_events_ts(
+            spark.read.parquet(os.path.join(P1000, "events.parquet"))
+        ).select("user_id", "event_id", "ts", "value", "event_type")
+        hot = F.when(F.col("event_id") % 10 < 3, F.lit(777_777)).otherwise(
+            F.col("user_id")
+        )
+        ev.withColumn("user_id", hot).write.mode("overwrite").parquet(skew_dir)
+    ev = spark.read.parquet(skew_dir)
+    n_hot = ev.where(F.col("user_id") == 777_777).count()
+    print(json.dumps({"probe": "skew_fixture", "hot_rows": n_hot}), flush=True)
+    for label, builder in [
+        ("sessionize_plain_hotkey", lambda d: build_session_rows(d)),
+        ("sessionize_chunked_hotkey",
+         lambda d: build_session_rows_chunked(d, chunk_days=1)),
+    ]:
+        gc()
+        t0 = time.time()
+        sink(builder(ev))
+        print(
+            json.dumps(
+                {"probe": label, "sf": "/tmp/probe_skew",
+                 "sec": round(time.time() - t0, 1)}
+            ),
+            flush=True,
+        )
+
+
 STAGES = {
     "unified1000": stage_unified1000,
     "append1000": stage_append1000,
@@ -342,6 +387,7 @@ STAGES = {
     "newq10": stage_newq10,
     "newq1000": stage_newq1000,
     "repair1000": stage_repair1000,
+    "skew1000": stage_skew1000,
 }
 
 if __name__ == "__main__":
