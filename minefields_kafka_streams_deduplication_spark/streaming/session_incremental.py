@@ -341,7 +341,11 @@ def _gc_open(state_dir: str) -> None:
 
 
 def apply_session_batch(
-    spark: SparkSession, state_dir: str, batch_df: DataFrame, batch_id: int
+    spark: SparkSession,
+    state_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    chunk_days: int | None = None,
 ) -> None:
     """Fold one micro-batch of events into the session-frame state:
     quarantine out-of-contract late events, sessionize the rest, read
@@ -388,8 +392,17 @@ def apply_session_batch(
     # with two live 9.4M-row checkpoints vs ~150 s staged), while the
     # stage write costs one scan and is dropped after the manifest.
     stage_dir = os.path.join(state_dir, "stage", f"batch_{batch_id}")
+    # chunk_days: the skew guard — a batch with a power key (one user
+    # owning a large share) sessionizes within (user, chunk) partitions
+    # and interval-merges the pieces (exact; 116.6 -> 15.5 s on the
+    # 30%-hot-key probe). Default stays the plain per-user form.
+    sessionized = (
+        build_session_rows_chunked(batch_df, chunk_days=chunk_days)
+        if chunk_days
+        else build_session_rows(batch_df)
+    )
     (
-        build_session_rows(batch_df)
+        sessionized
         .withColumn("bucket", bucket)
         .write.mode("overwrite")
         .parquet(stage_dir)

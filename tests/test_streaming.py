@@ -2470,3 +2470,35 @@ def test_chunked_sessionization_property(spark):
         )
 
     run()
+
+
+def test_apply_session_batch_chunked_fold_parity(spark, tmp_path):
+    """The fold's skew guard: applying a batch with chunk_days set
+    produces bit-identical state to the plain fold."""
+    import datetime as dt
+
+    from minefields_kafka_streams_deduplication_spark.streaming.session_incremental import (
+        apply_session_batch,
+        read_session_state,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE, event_type STRING"
+    rows = [
+        (i, 7 if i % 2 else 8, t0 + dt.timedelta(hours=6 * i), float(i), "view")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, schema)
+
+    def snap(state):
+        return {
+            (r.user_id, r.session_start, r.session_end): (
+                r.n_events, r.total_value_dec, tuple(r.opening),
+            )
+            for r in read_session_state(spark, state).collect()
+        }
+
+    sa, sb = str(tmp_path / "plain"), str(tmp_path / "chunked")
+    apply_session_batch(spark, sa, df, 0)
+    apply_session_batch(spark, sb, df, 0, chunk_days=1)
+    assert snap(sa) == snap(sb) and len(snap(sa)) > 0
