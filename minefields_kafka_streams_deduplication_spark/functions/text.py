@@ -1635,25 +1635,32 @@ def token_first_seen_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolls provenance up to the source level where sampling weights are
     set).
 
-    Scale shape: the token explode feeds two VOCAB-bounded aggregates
-    (Heaps' law bounds distinct tokens far under corpus size): a
-    min-struct per token and a distinct (source, token) count — both
-    with map-side partial aggregation; the final join is over the
-    source grid."""
+    Scale shape: ONE corpus-token exchange — per token, a single
+    VOCAB-bounded aggregate (Heaps' law bounds distinct tokens far
+    under corpus size) carries both the min-(doc_id, source) struct
+    AND the collect_set of sources (≤ source-count elements); the
+    per-source distinct-token counts then come from exploding the
+    per-token source sets (vocab × sources rows, map-side combined).
+    An earlier two-exchange form (separate min-struct and distinct
+    (source, token) aggregations) scanned/exploded the corpus twice;
+    the controlled A/B reads ~12% (29.7/32.8 → 25.8/29.1 s at the
+    1000× probe, tuned session) — modest because map-side partial
+    aggregation already collapsed both shuffles to vocab scale; the
+    dominant cost in either form is the one explode+scan."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "source",
         F.explode(F.split(F.lower("text"), " ")).alias("token"),
     )
-    firsts = toks.groupBy("token").agg(
-        F.min(F.struct("doc_id", "source")).alias("f")
+    per_token = toks.groupBy("token").agg(
+        F.min(F.struct("doc_id", "source")).alias("f"),
+        F.collect_set("source").alias("srcs"),
     )
-    f = firsts.groupBy(F.col("f.source").alias("source")).agg(
+    f = per_token.groupBy(F.col("f.source").alias("source")).agg(
         F.count(F.lit(1)).cast("long").alias("n_first_seen")
     )
     persrc = (
-        toks.select("source", "token")
-        .distinct()
+        per_token.select(F.explode("srcs").alias("source"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"))
     )
