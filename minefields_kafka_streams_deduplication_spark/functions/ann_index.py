@@ -84,22 +84,15 @@ INDEX_K = 256
 RERANK_DEFAULT = 10
 
 
-def build_ivf_pq_index(
-    spark: SparkSession,
-    sf_dir: str,
-    root: str,
-    nlist: int = IVF_K,
-    m: int = INDEX_M,
-    k: int = INDEX_K,
-) -> str:
-    """Train (sample-bounded) + encode (one kernel pass) + write the
-    cell-partitioned index and the model sidecar. Returns ``root``.
-    Layout: ``root/model.json`` + ``root/index/cell=<c>/*.parquet``."""
+def _encode_with_model(emb: DataFrame, coarse, R, C) -> DataFrame:
+    """Encode (vec_id, embedding) rows under a FIXED model — coarse
+    assignment, OPQ rotation, per-subspace codes — as one Arrow kernel
+    pass. Shared by the initial build and the incremental extend (the
+    FAISS ``add()`` analog): encoding is per-row deterministic, so
+    extend-then-read equals encode-the-union under the same model."""
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    coarse, R, C = pq_train_residual_opq(emb, coarse_k=nlist, m=m, k=k)
     m, _k, sub = C.shape
     np_t, sql_t = _code_dtype(_k)
 
@@ -122,14 +115,55 @@ def build_ivf_pq_index(
                 {"vec_id": pdf["vec_id"], "cell": cell, "codes": list(codes)}
             )
 
-    index = emb.select("vec_id", "embedding").mapInPandas(
+    return emb.select("vec_id", "embedding").mapInPandas(
         encode, f"vec_id LONG, cell INT, codes ARRAY<{sql_t}>"
     )
+
+
+def extend_ivf_pq_index(spark: SparkSession, root: str, new_emb: DataFrame) -> str:
+    """Incrementally ADD vectors to a persisted index — encode the new
+    (vec_id, embedding) rows under the EXISTING model and append them
+    into their cells' partitions; existing files are never touched
+    [R faiss.IndexIVF.add on a read_index()-loaded index: the
+    quantizers are frozen, new codes land in their inverted lists].
+
+    The FAISS caveat carries over verbatim: codebooks trained on the
+    original distribution quantize drifted new vectors worse (recall
+    on the new data decays with drift — measure with drift_report /
+    embedding-dim drift and RETRAIN when it moves); what stays exact
+    is the lifecycle algebra, pinned in tests/test_ann_index.py:
+    extend(old, new) reads identical to encode(old ∪ new) under the
+    same model, so queries see one coherent index."""
+    coarse, R, C = _load_model(root)
+    (
+        _encode_with_model(new_emb, coarse, R, C)
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(root, "index"))
+    )
+    return root
+
+
+def build_ivf_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    nlist: int = IVF_K,
+    m: int = INDEX_M,
+    k: int = INDEX_K,
+) -> str:
+    """Train (sample-bounded) + encode (one kernel pass) + write the
+    cell-partitioned index and the model sidecar. Returns ``root``.
+    Layout: ``root/model.json`` + ``root/index/cell=<c>/*.parquet``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse, R, C = pq_train_residual_opq(emb, coarse_k=nlist, m=m, k=k)
+    index = _encode_with_model(emb.select("vec_id", "embedding"), coarse, R, C)
     (
         index.write.mode("overwrite")
         .partitionBy("cell")
         .parquet(os.path.join(root, "index"))
     )
+    m, _k, _sub = C.shape
     model = {
         "coarse": coarse.tolist(),
         "rotation": R.tolist(),

@@ -70,3 +70,67 @@ def test_registered_roundtrip_query_caches_index(spark, sf_dir):
     first = {(r.query_id, r.neighbor_id, r.cosine) for r in q(spark, sf_dir).collect()}
     again = {(r.query_id, r.neighbor_id, r.cosine) for r in q(spark, sf_dir).collect()}
     assert first == again and len(first) > 0
+
+
+def test_extend_index_equals_encoding_the_union(spark, sf_dir, tmp_path):
+    """Incremental index add (the FAISS add() analog): build on the
+    first half of the embeddings, extend with the second half — the
+    extended index's rows are IDENTICAL to encoding the union under
+    the same (frozen) model: old files untouched, new codes exact, one
+    coherent index; and a query over the extended index reaches the
+    appended vectors."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+    from minefields_kafka_streams_deduplication_spark.functions.ann_index import (
+        _encode_with_model,
+        _load_model,
+        build_ivf_pq_index,
+        extend_ivf_pq_index,
+        ivf_pq_index_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = emb.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+    old_half = emb.where(F.col("vec_id") <= cut)
+    new_half = emb.where(F.col("vec_id") > cut).select("vec_id", "embedding")
+
+    root = str(tmp_path / "annext")
+    # build trains on the FULL table (the model under test is the
+    # lifecycle, not hold-out drift) but indexes only the first half
+    build_ivf_pq_index(spark, sf_dir, root)
+    import shutil
+
+    shutil.rmtree(os.path.join(root, "index"))
+    coarse, R, C = _load_model(root)
+    _encode_with_model(
+        old_half.select("vec_id", "embedding"), coarse, R, C
+    ).write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(root, "index")
+    )
+    before = {
+        f for f in spark.read.parquet(os.path.join(root, "index")).inputFiles()
+    }
+
+    extend_ivf_pq_index(spark, root, new_half)
+
+    after_df = spark.read.parquet(os.path.join(root, "index"))
+    assert before <= set(after_df.inputFiles())  # old files untouched
+
+    got = {
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in after_df.select("vec_id", "cell", "codes").collect()
+    }
+    want = {
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in _encode_with_model(
+            emb.select("vec_id", "embedding"), coarse, R, C
+        ).collect()
+    }
+    assert got == want  # extend == encode-the-union under one model
+
+    # a query against the extended index can return appended neighbors
+    out = ivf_pq_index_topk(spark, sf_dir, root, nprobe=16, rerank=10)
+    assert out.where(F.col("neighbor_id") > cut).count() > 0
