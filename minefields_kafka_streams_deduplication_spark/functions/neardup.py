@@ -831,6 +831,15 @@ def scrub_repeated_spans_df(docs: DataFrame, keep_first: bool = True) -> DataFra
     position of a ≥n-token copy is covered (scrubs to empty) and a
     <n-token copy has no windows (passes through) — proven by the
     keep_doc ≤ rep < copy ordering. 100× probe: 250 s → linear.
+    Keep-first caveat closed in round 10: the collapse also hides the
+    copies' MULTIPLICITY, so a window repeated only via exact-duplicate
+    docs wasn't marked as repeated in its rep — if such a window's run
+    merged into a neighbouring run whose keeper was another doc, the
+    window could survive NOWHERE intact (falsified by the keep-first
+    Hypothesis property on a periodic corpus). A duplicated rep's
+    windows now count as cross-doc repeated with the rep as keeper,
+    restoring the at-least-one-intact-copy guarantee; the copies'
+    determined answers are unchanged (their runs' keepers are ≤ rep).
     """
     from pyspark.sql import Window
 
@@ -845,14 +854,19 @@ def scrub_repeated_spans_df(docs: DataFrame, keep_first: bool = True) -> DataFra
     # sf0.1). No broadcast anywhere: the rep set is proportional to
     # DISTINCT docs (huge at scale).
     grp = Window.partitionBy("th")
-    flagged = all_toks.withColumn("rep_id", F.min("doc_id").over(grp))
-    if not keep_first:
-        # remove-all needs the dup-group size; keep-first must NOT pay
-        # for the extra window aggregate (bench: +13% at sf0.1), so the
-        # column exists only on this branch.
-        flagged = flagged.withColumn("gsz", F.count(F.lit(1)).over(grp))
+    # Both modes need the dup-group size: remove-all to scrub a
+    # duplicated rep fully, keep-first to count a duplicated rep's
+    # windows as CROSS-DOC REPEATED with the rep as their keeper (the
+    # collapse hides the copies from the span table; without this a
+    # window repeated only via exact-duplicate docs merged into a
+    # foreign-keeper run and survived NOWHERE — found by the
+    # keep-first Hypothesis property, round 10). The extra aggregate
+    # shares grp's exchange/sort with rep_id.
+    flagged = all_toks.withColumn("rep_id", F.min("doc_id").over(grp)).withColumn(
+        "gsz", F.count(F.lit(1)).over(grp)
+    )
     toks = flagged.filter(F.col("doc_id") == F.col("rep_id")).select(
-        "doc_id", "t", *([] if keep_first else ["gsz"])
+        "doc_id", "t", "gsz"
     )
     if keep_first:
         copies = flagged.filter(F.col("doc_id") != F.col("rep_id")).select(
@@ -872,6 +886,7 @@ def scrub_repeated_spans_df(docs: DataFrame, keep_first: bool = True) -> DataFra
         )
     spans = toks.select(
         "doc_id",
+        (F.col("gsz") > 1).alias("sd"),  # rep of an exact-dup group
         F.explode(
             # sequence(0, stop) DESCENDS when stop < 0 — docs shorter
             # than the span width must yield NO windows, not phantom
@@ -884,11 +899,20 @@ def scrub_repeated_spans_df(docs: DataFrame, keep_first: bool = True) -> DataFra
                 f" array())"
             )
         ).alias("s"),
-    ).select("doc_id", "s.pos", "s.h")
+    ).select("doc_id", "sd", "s.pos", "s.h")
+    # A window is cross-doc repeated if ≥2 REPS hold it, OR if any
+    # holding rep has exact copies (the collapse removed those from the
+    # span table — their multiplicity must still count). keep_doc =
+    # min holding rep == min ORIGINAL holder (a rep is the min of its
+    # identity group).
     repeated = (
         spans.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"), F.min("doc_id").alias("keep_doc"))
-        .filter(F.col("nd") > 1)
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("keep_doc"),
+            F.max("sd").alias("sd"),
+        )
+        .filter((F.col("nd") > 1) | F.col("sd"))
         .select("h", "keep_doc")
     )
     occ = spans.join(repeated, "h")
