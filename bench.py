@@ -104,24 +104,47 @@ def main() -> None:
     sentinel = make_sentinel(spark)
     sentinel()  # warm the sentinel's own plan/codegen
 
-    timings: dict[str, float] = {}
-    sentinels: dict[str, float] = {}
-    for name in HEADLINE:
-        sentinels[name] = round(sentinel(), 3)
-        best = float("inf")
-        for _ in range(2):  # min-of-2: damp GC/compilation jitter
+    # Min-of-3 FULL passes (VERDICT r10 #1): the official r10 artifact
+    # breached the 2x bar purely from box load (sentinel 0.092 -> 0.216
+    # over three rounds while the builder's sentinel-normalized totals
+    # stayed flat at ~15 s). A per-query min-of-2 inside ONE pass cannot
+    # defend against a load burst that spans the whole pass; three
+    # independent passes give three chances to catch the box quiet, and
+    # the headline `value` is the MIN PASS TOTAL — a load burst must
+    # cover all three passes (~minutes apart) to inflate it. Per-pass
+    # totals + per-pass sentinel medians are recorded for auditability.
+    PASSES = 3
+    pass_timings: list[dict[str, float]] = []
+    pass_sentinels: list[dict[str, float]] = []
+    for _ in range(PASSES):
+        timings: dict[str, float] = {}
+        sentinels: dict[str, float] = {}
+        # Settle JVM garbage debt from the previous pass so pass N+1
+        # doesn't pay pass N's GC inside a timed query.
+        spark.sparkContext._jvm.System.gc()
+        for name in HEADLINE:
+            sentinels[name] = round(sentinel(), 3)
             t0 = time.time()
             df = queries[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        # Query-internal caches (shingle index, candidate sets) must not
-        # accumulate across queries — memory pressure skews later runs.
-        spark.catalog.clearCache()
+            timings[name] = round(time.time() - t0, 3)
+            # Query-internal caches (shingle index, candidate sets) must
+            # not accumulate across queries — memory pressure skews later
+            # runs.
+            spark.catalog.clearCache()
+        pass_timings.append(timings)
+        pass_sentinels.append(sentinels)
 
-    total = round(sum(timings.values()), 3)
-    s_sorted = sorted(sentinels.values())
-    sentinel_median = round(s_sorted[len(s_sorted) // 2], 3)
+    pass_totals = [round(sum(t.values()), 3) for t in pass_timings]
+    best_pass = pass_totals.index(min(pass_totals))
+    timings = pass_timings[best_pass]
+    sentinels = pass_sentinels[best_pass]
+
+    def _median(vals: list[float]) -> float:
+        return round(sorted(vals)[len(vals) // 2], 3)
+
+    total = min(pass_totals)
+    sentinel_median = _median(list(sentinels.values()))
     payload = json.dumps(
         {
             "metric": "headline_queries_total",
@@ -135,6 +158,15 @@ def main() -> None:
             # reading any total as a regression.
             "sentinels": sentinels,
             "sentinel_median": sentinel_median,
+            # Audit channel (VERDICT r10 #1): all pass totals + their
+            # sentinel medians; value == min(pass_totals); queries/
+            # sentinels above are the best pass's, so sum(queries) ==
+            # value exactly.
+            "pass_totals": pass_totals,
+            "pass_sentinel_medians": [
+                _median(list(s.values())) for s in pass_sentinels
+            ],
+            "best_pass": best_pass,
         }
     )
     # File-channel backup FIRST: even if teardown noise corrupts stdout,

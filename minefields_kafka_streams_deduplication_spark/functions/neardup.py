@@ -266,39 +266,36 @@ def exact_jaccard_for_pairs(
         .union(pairs.select(F.col(c2).alias("doc_id")))
         .distinct()
     )
-    sh = _shingles(docs.join(ids, "doc_id", "left_semi"))
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("__n"))
-    a = sh.select(F.col("doc_id").alias(c1), "shingle")
-    b = sh.select(F.col("doc_id").alias(c2), "shingle")
-    # No explicit broadcast hint on the pair set: a hint overrides
+    # Shingle-SET form (r11): one collect_set per candidate doc, then
+    # each pair carries its two docs' sets and computes
+    # |A∩B| / (|A|+|B|-|A∩B|) via array_intersect — JVM built-ins, and
+    # THREE shuffles total (set agg + two pair joins) where the
+    # inverted-index form (shingle equi-join → semi-join → pair groupBy
+    # → two count joins) paid seven; measured 3.0 → ~1.3 s warm on the
+    # sf0.1 LSH verify, same values bit-for-bit (collect_set == the
+    # distinct-shingle counts the old form aggregated). Shuffle volume
+    # is candidate-bounded: each pair ships two shingle sets (doc-length
+    # bounded); a doc in P pairs replicates its set P times, the same
+    # candidate-quadratic envelope the old form's shingle join had —
+    # LSH banding, not this stage, is what bounds P.
+    # No explicit broadcast hint on the pair/set sides: a hint overrides
     # autoBroadcastJoinThreshold unconditionally, and a pathological LSH
     # flood (hot boilerplate bucket) could force-broadcast an unbounded
-    # pair list. AQE still converts to broadcast at runtime whenever the
-    # measured size is under threshold — same plan in the common case,
-    # shuffle-join fallback in the flood case.
-    inter = (
-        a.join(b, "shingle")
-        .join(pairs, [c1, c2], "left_semi")
-        .groupBy(c1, c2)
-        .agg(F.count("*").alias("__n_common"))
-    )
-    jac = F.col("__n_common").cast("double") / (
-        F.col("__n1") + F.col("__n2") - F.col("__n_common")
+    # frame. AQE still converts to broadcast at runtime whenever the
+    # measured size is under threshold.
+    sh = _shingles(docs.join(ids, "doc_id", "left_semi"), distinct=False)
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("__sh"))
+    s1 = sets.select(F.col("doc_id").alias(c1), F.col("__sh").alias("__sh1"))
+    s2 = sets.select(F.col("doc_id").alias(c2), F.col("__sh").alias("__sh2"))
+    inter = F.size(F.array_intersect("__sh1", "__sh2"))
+    jac = inter.cast("double") / (
+        F.size("__sh1") + F.size("__sh2") - inter
     )
     return (
-        pairs.join(inter, [c1, c2], "left")
-        .join(
-            counts.select(F.col("doc_id").alias(c1), F.col("__n").alias("__n1")),
-            c1,
-            "left",
-        )
-        .join(
-            counts.select(F.col("doc_id").alias(c2), F.col("__n").alias("__n2")),
-            c2,
-            "left",
-        )
+        pairs.join(s1, c1, "left")
+        .join(s2, c2, "left")
         .withColumn("jaccard", F.coalesce(jac, F.lit(0.0)))
-        .drop("__n_common", "__n1", "__n2")
+        .drop("__sh1", "__sh2")
     )
 
 
@@ -330,6 +327,12 @@ def dedup_text_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nh")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
+        # narrow ID-only cache (r11): the winner set feeds three
+        # consumers (signature shingles, verify shingles, the final
+        # projection) — uncached, each re-ran the full-text md5 hash
+        # aggregate; cached it's one long column, distinct-text-bounded,
+        # never the corpus payload
+        .cache()
     )
     docs = all_docs.join(exact_winner, "doc_id", "left_semi")
     # Signature path: NON-distinct shingles (narrow plan — duplicates

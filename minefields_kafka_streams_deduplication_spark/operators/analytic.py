@@ -2616,7 +2616,7 @@ SELECT event_type,
        CAST(count(*) FILTER (WHERE behind_us > 0) AS BIGINT) AS n_disordered,
        floor(CAST(count(*) FILTER (WHERE behind_us > 0) AS DOUBLE)
              / count(*) * 10000 + 0.5) / 10000 AS disorder_rate,
-       CAST(coalesce(max(behind_us), 0) // 1000000 AS BIGINT) AS max_disorder_sec
+       CAST(greatest(0, coalesce(max(behind_us), 0)) // 1000000 AS BIGINT) AS max_disorder_sec
 FROM arr
 GROUP BY event_type
 ORDER BY event_type
@@ -2654,7 +2654,13 @@ def event_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4f(
                 F.count(disordered).cast("double") / F.count(F.lit(1))
             ).alias("disorder_rate"),
-            F.coalesce(F.max("behind_us"), F.lit(0)).alias("_max_behind_us"),
+            # Clamp to >= 0 (ADVICE r10): max(behind_us) over a fully
+            # in-order type is NEGATIVE (closest slack to the running
+            # max), and a negative "max disorder" misreads for the
+            # watermark-sizing purpose — in-order types report 0.
+            F.greatest(
+                F.lit(0), F.coalesce(F.max("behind_us"), F.lit(0))
+            ).alias("_max_behind_us"),
         )
         .select(
             "event_type",

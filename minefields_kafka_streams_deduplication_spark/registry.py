@@ -283,26 +283,49 @@ _R9_DRIVER_VERIFIED = frozenset(
     }
 )
 
+# CORRECTNESS_r10: 50/50 green (the 5 round-10 oracle additions, the 7
+# unified-session-store tier-1 re-verifies, and 38 of the stalest
+# r5-era rotation rows).
+_R10_DRIVER_VERIFIED = frozenset(
+    {
+        "dedup_cross_source_matrix", "order_lines_span_days_histogram",
+        "session_gap_sensitivity", "event_disorder_profile",
+        "token_first_seen_by_source", "window_session_sql",
+        "session_path_topk", "median_session_length_by_day",
+        "concurrent_sessions_hourly", "bounce_rate_daily",
+        "session_duration_percentiles", "store_session_fetch",
+        "first_last_event_per_user", "lead_next_event_gap",
+        "lag_time_between_events", "topk_products_by_revenue",
+        "set_intersect_buyers_viewers", "set_except_all_view_surplus",
+        "set_except_inactive_users", "rolling_distinct_users_7d",
+        "third_event_per_user", "agg_mode_median_by_type",
+        "scd2_user_value_history", "text_stats", "token_frequency",
+        "lang_id_stopwords", "doc_quality_score", "token_counts",
+        "doc_fingerprint", "sample_mix_by_lang", "pii_scrub",
+        "gopher_quality_rules", "doc_repetition_metrics",
+        "json_extract_props", "json_parse_struct", "events_by_weekday",
+        "array_vector_norm", "similarity_topk", "similarity_topk_blocked",
+        "drift_report_embedding_dims", "mix_temperature_weights",
+        "chunk_documents", "drift_report_value_psi",
+        "validate_expectations", "sample_weighted_docs",
+        "drift_report_value_ks", "punctuate_stream_time_counts",
+        "store_window_fetch_all", "store_versioned_get",
+        "zorder_box_query",
+    }
+)
+
 # Tier 1: failed-or-hardened this round — re-verify ahead of rotation.
-# Round 10 items are appended as hardening lands (oracle-backed paths
+# Round 11 items are appended as hardening lands (oracle-backed paths
 # whose execution changed; semantics pinned identical by the test
 # suite, but the driver should re-check them before the rotation).
-# Round-10 window math: tier-0 new r10 oracles + tier-1 re-verifies
-# leave the remaining slots for the stalest r5-era rows (the staleness
-# floor passes r5 this round): 5 new + 7 tier-1 + the 38 r5-era rows
-# fill the 50-slot window exactly.
-_R10_REVERIFY: tuple[str, ...] = (
-    # unified session store (r10): all seven consumers now serve from
-    # the open/closed state the incremental maintainer commits (one
-    # store, manifest-gated) instead of the r9 one-shot frame cache;
-    # outputs pinned identical by the strict two-scale gate
-    "window_session_sql",
-    "session_path_topk",
-    "median_session_length_by_day",
-    "concurrent_sessions_hourly",
-    "bounce_rate_daily",
-    "session_duration_percentiles",
-    "store_session_fetch",
+# Round-11 window math: tier-0 new r11 oracles + tier-1 re-verifies
+# leave the remaining slots for the stalest r6-era rows (the staleness
+# floor passes r6 this round — VERDICT r10 #4).
+_R11_REVERIFY: tuple[str, ...] = (
+    # event_disorder_profile: max_disorder_sec clamped to >= 0 on both
+    # sides (ADVICE r10 — in-order types now report 0, not negative
+    # slack); oracle text changed, so the driver must re-check.
+    "event_disorder_profile",
 )
 
 
@@ -311,8 +334,9 @@ def _driver_order(names: list[str]) -> list[str]:
         _R1_DRIVER_VERIFIED | _R2_DRIVER_VERIFIED | _R3_DRIVER_VERIFIED
         | _R4_DRIVER_VERIFIED | _R5_DRIVER_VERIFIED | _R6_DRIVER_VERIFIED
         | _R7_DRIVER_VERIFIED | _R8_DRIVER_VERIFIED | _R9_DRIVER_VERIFIED
+        | _R10_DRIVER_VERIFIED
     )
-    reverify = {n: i for i, n in enumerate(_R10_REVERIFY)}
+    reverify = {n: i for i, n in enumerate(_R11_REVERIFY)}
     never_checked = [
         n for n in names if n in ORACLES and n not in driver_seen and n not in reverify
     ]
@@ -326,6 +350,8 @@ def _driver_order(names: list[str]) -> list[str]:
     # Oldest driver rows re-verify first: sort by the LATEST round in which
     # the driver checked the query (r1-only rows are the stalest).
     def last_verified(n: str) -> int:
+        if n in _R10_DRIVER_VERIFIED:
+            return 10
         if n in _R9_DRIVER_VERIFIED:
             return 9
         if n in _R8_DRIVER_VERIFIED:

@@ -134,3 +134,60 @@ def test_extend_index_equals_encoding_the_union(spark, sf_dir, tmp_path):
     # a query against the extended index can return appended neighbors
     out = ivf_pq_index_topk(spark, sf_dir, root, nprobe=16, rerank=10)
     assert out.where(F.col("neighbor_id") > cut).count() > 0
+
+
+def test_drift_gated_lifecycle_extend_vs_retrain(spark, sf_dir, tmp_path):
+    """The executable retrain rule (maybe_retrain_index): a new batch
+    drawn from the SAME distribution routes to the cheap frozen-model
+    extend (training sidecar untouched, rows appended); a batch with a
+    one-dimension centroid offset crosses DRIFT_RETRAIN_SIGMA and
+    routes to a full rebuild whose sidecars then cover source ∪ batch."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+    from minefields_kafka_streams_deduplication_spark.functions.ann_index import (
+        build_ivf_pq_index,
+        maybe_retrain_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_src = emb.count()
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+
+    root = str(tmp_path / "annlife")
+    build_ivf_pq_index(spark, sf_dir, root)
+    with open(os.path.join(root, "train_stats.json")) as fh:
+        stats0 = json.load(fh)
+    assert stats0["n"] == n_src and len(stats0["mean"]) > 0
+
+    # stationary: the source vectors under fresh ids — per-dim shift is
+    # exactly zero by construction → extend
+    stationary = emb.select(
+        (F.col("vec_id") + max_id + 1).alias("vec_id"), "embedding"
+    )
+    assert maybe_retrain_index(spark, sf_dir, root, stationary) == "extend"
+    idx = spark.read.parquet(os.path.join(root, "index"))
+    assert idx.count() == 2 * n_src  # appended, frozen model
+    with open(os.path.join(root, "train_stats.json")) as fh:
+        assert json.load(fh) == stats0  # training sidecar untouched
+
+    # drifted: a large constant offset in dim 0 moves that dim's
+    # normalized centroid far past the sigma threshold → retrain
+    drifted = emb.select(
+        (F.col("vec_id") + 2 * (max_id + 1)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == F.lit(0), x + F.lit(50.0)).otherwise(x),
+        ).alias("embedding"),
+    )
+    root2 = str(tmp_path / "annlife2")
+    build_ivf_pq_index(spark, sf_dir, root2)
+    assert maybe_retrain_index(spark, sf_dir, root2, drifted) == "retrain"
+    # rebuilt over source ∪ batch: sidecars and index cover the union
+    with open(os.path.join(root2, "train_stats.json")) as fh:
+        assert json.load(fh)["n"] == 2 * n_src
+    assert (
+        spark.read.parquet(os.path.join(root2, "index")).count() == 2 * n_src
+    )

@@ -2502,3 +2502,64 @@ def test_apply_session_batch_chunked_fold_parity(spark, tmp_path):
     apply_session_batch(spark, sa, df, 0)
     apply_session_batch(spark, sb, df, 0, chunk_days=1)
     assert snap(sa) == snap(sb) and len(snap(sa)) > 0
+
+
+def test_apply_session_batch_auto_skew_routing(spark, tmp_path, monkeypatch):
+    """The SELF-APPLYING skew guard (r11): with the row floor lowered,
+    a batch whose top key owns half the rows routes to the chunked
+    builder automatically (observed via a module-attribute spy) and the
+    committed state is bit-identical to the forced plain fold; a
+    balanced batch stays on the plain path."""
+    import datetime as dt
+
+    from minefields_kafka_streams_deduplication_spark.streaming import (
+        session_incremental as si,
+    )
+
+    monkeypatch.setattr(si, "SKEW_AUTO_MIN_ROWS", 10)
+    calls: list[int] = []
+    orig = si.build_session_rows_chunked
+
+    def spy(ev, chunk_days=7):
+        calls.append(chunk_days)
+        return orig(ev, chunk_days=chunk_days)
+
+    monkeypatch.setattr(si, "build_session_rows_chunked", spy)
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = (
+        "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE,"
+        " event_type STRING"
+    )
+    # hot: user 1 owns 12 of 24 rows (50% > SKEW_AUTO_SHARE)
+    hot = [
+        (i, 1, t0 + dt.timedelta(hours=6 * i), float(i), "view")
+        for i in range(12)
+    ] + [
+        (100 + i, 2 + i, t0 + dt.timedelta(hours=i), float(i), "click")
+        for i in range(12)
+    ]
+    df_hot = spark.createDataFrame(hot, schema)
+
+    def snap(state):
+        return {
+            (r.user_id, r.session_start, r.session_end): (
+                r.n_events, r.total_value_dec, tuple(r.opening),
+            )
+            for r in si.read_session_state(spark, state).collect()
+        }
+
+    s_auto, s_plain = str(tmp_path / "auto"), str(tmp_path / "plain")
+    si.apply_session_batch(spark, s_auto, df_hot, 0)  # default: auto
+    assert calls == [si.SKEW_AUTO_CHUNK_DAYS]  # routed to chunked
+    si.apply_session_batch(spark, s_plain, df_hot, 0, chunk_days=None)
+    assert snap(s_auto) == snap(s_plain) and len(snap(s_auto)) > 0
+
+    # balanced: 12 users × 2 rows — top share 1/12, stays plain
+    bal = [
+        (i, i % 12, t0 + dt.timedelta(hours=i), float(i), "view")
+        for i in range(24)
+    ]
+    s_bal = str(tmp_path / "bal")
+    si.apply_session_batch(spark, s_bal, spark.createDataFrame(bal, schema), 0)
+    assert calls == [si.SKEW_AUTO_CHUNK_DAYS]  # no second chunked call
