@@ -1677,3 +1677,65 @@ def token_first_seen_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+COOC_TOP_TOKENS = 30
+
+
+@query(
+    "token_cooccurrence_topk",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+td AS (SELECT DISTINCT doc_id, token FROM raw),
+top AS (
+  SELECT token FROM td GROUP BY token
+  ORDER BY count(*) DESC, token LIMIT {COOC_TOP_TOKENS}
+),
+ft AS (SELECT doc_id, token FROM td WHERE token IN (SELECT token FROM top))
+SELECT a.token AS token_a, b.token AS token_b,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document co-occurrence counts over the TOP-{COOC_TOP_TOKENS}
+    tokens by document frequency (deterministic cut: df DESC, token
+    ASC): for each head-token pair, how many documents contain both —
+    the corpus-level association table behind topic drift checks and
+    stopword-list curation (a pair co-occurring in ~every doc is
+    boilerplate; a head pair that never co-occurs signals disjoint
+    sub-corpora worth separate mixing weights).
+
+    Scale shape: the vocabulary prefilter is the whole trick — per-doc
+    presence collapses to DISTINCT (doc, token) first (one exchange,
+    vocab-bounded per doc), the head set resolves with a TopK cut
+    (TakeOrderedAndProject, no global sort), the corpus filters to head
+    tokens via a BROADCAST semi-join (≤ {COOC_TOP_TOKENS} keys), and
+    the pair join fans out ≤ C({COOC_TOP_TOKENS},2) pairs per doc —
+    grid-bounded output, never a corpus×corpus product."""
+    docs = load_table(spark, sf_dir, "documents")
+    td = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).distinct()
+    top = (
+        td.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(COOC_TOP_TOKENS)
+        .select("token")
+    )
+    ft = td.join(F.broadcast(top), "token", "left_semi")
+    a = ft.select("doc_id", F.col("token").alias("token_a"))
+    b = ft.select("doc_id", F.col("token").alias("token_b"))
+    return (
+        a.join(b, "doc_id")
+        .where(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("token_a", "token_b")
+    )

@@ -2051,3 +2051,82 @@ def order_lines_span_days_histogram(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("span_days")
     )
+
+
+@query(
+    "supplier_revenue_hhi_by_nation",
+    oracle="""
+WITH rev AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         CAST(floor(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(18,6))) AS DECIMAL(25,6)))
+              AS DECIMAL(19,0)) AS r
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+)
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       floor(CAST(sum(r * r) AS DOUBLE)
+             / (CAST(sum(r) AS DOUBLE) * CAST(sum(r) AS DOUBLE))
+             * 10000 + 0.5) / 10000 AS hhi
+FROM rev JOIN nation n ON rev.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+""",
+)
+def supplier_revenue_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration report: per nation, the Herfindahl index of
+    its suppliers' revenue shares (Σ share² — 1/n for perfectly even
+    supply, → 1 as one supplier dominates) — the single-point-of-failure
+    readout next to `diagnose_key_skew`'s row-count view: a nation with
+    HHI near 1 rides one supplier, which is both a sourcing risk and a
+    join-skew warning for every supplier-keyed plan.
+
+    Determinism: per-supplier revenue folds in exact DECIMAL(18,6)
+    (order-independent), floors to whole units (the unambiguous
+    cross-engine cut; DECIMAL(19,0)² fits both engines' 38-digit cap),
+    and HHI = Σr² / (Σr)² runs with the squares SUMMED IN DECIMAL
+    (exact) and ONE double division at the end through the floor form
+    — no float accumulation anywhere.
+
+    Scale shape: the fact table aggregates FIRST (one map-side-combined
+    exchange to (nation, supplier) grain — supplier-count-bounded,
+    never lineitem-bounded), the nation rollup folds supplier rows, and
+    the nation name attaches via a broadcast dim join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            # whole-unit floor before squaring: r² must fit DECIMAL(38)
+            # on BOTH engines (DuckDB binds p1+p2 and errors past 38;
+            # Spark truncates scale silently) — DECIMAL(19,0)² = 38
+            # exactly, and floor is the unambiguous cross-engine cut.
+            # Sub-unit cents are noise at HHI's 4-decimal output.
+            F.floor(
+                F.sum(
+                    dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                ).cast("decimal(25,6)")
+            )
+            .cast("decimal(19,0)")
+            .alias("r")
+        )
+    )
+    per_nation = rev.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum(F.col("r") * F.col("r")).alias("ssq"),
+        F.sum("r").alias("tot"),
+    )
+    hhi = round4f(
+        F.col("ssq").cast("double")
+        / (F.col("tot").cast("double") * F.col("tot").cast("double"))
+    )
+    return (
+        per_nation.join(
+            F.broadcast(nat), per_nation.s_nationkey == nat.n_nationkey
+        )
+        .select("n_name", "n_suppliers", hhi.alias("hhi"))
+        .orderBy("n_name")
+    )

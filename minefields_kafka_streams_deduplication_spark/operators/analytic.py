@@ -2674,3 +2674,107 @@ def event_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "customer_reorder_interval_buckets",
+    oracle="""
+WITH iv AS (
+  SELECT date_diff('day',
+                   CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS DATE),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+)
+SELECT CAST(gap_days // 7 AS BIGINT) AS gap_weeks,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM iv WHERE gap_days IS NOT NULL
+GROUP BY 1 ORDER BY 1
+""",
+)
+def customer_reorder_interval_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder-cadence histogram: days between a customer's consecutive
+    orders, bucketed into whole weeks — the purchase-frequency
+    distribution behind replenishment forecasting and the empirical
+    input to choosing a churn cutoff (`cohort_churn_rate` assumes one;
+    this measures where the mass actually sits).
+
+    Scale shape: one customer-keyed exchange feeds the LAG window (the
+    sessionization sort shape — customer-bounded partitions), then the
+    histogram is a map-side-combined aggregate over the week grid.
+    Exact integer day arithmetic; the (date, key) window tiebreak makes
+    same-day order chains engine-deterministic (gap 0 regardless of
+    permutation). [R the KS cadence question: inter-arrival times per
+    key feed the punctuation/gap sizing]."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(
+        F.col("o_orderdate").cast("date"),
+        F.lag(F.col("o_orderdate")).over(w).cast("date"),
+    )
+    return (
+        orders.select(gap.alias("gap_days"))
+        .where(F.col("gap_days").isNotNull())
+        .select(F.expr("CAST(gap_days div 7 AS BIGINT)").alias("gap_weeks"))
+        .groupBy("gap_weeks")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_intervals"))
+        .orderBy("gap_weeks")
+    )
+
+
+@query(
+    "event_type_burstiness",
+    oracle="""
+WITH hc AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       floor(CAST(sum(n) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
+         AS mean_per_hour,
+       floor(CAST(sum(n * n) * count(*) - sum(n) * sum(n) AS DOUBLE)
+             / CAST(sum(n) * count(*) AS DOUBLE) * 10000 + 0.5) / 10000
+         AS fano
+FROM hc GROUP BY 1 ORDER BY 1
+""",
+)
+def event_type_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burstiness per event type: the Fano factor
+    (variance / mean) of the hourly arrival counts over the type's
+    OBSERVED hours — 1 for Poisson arrivals, >> 1 for bursty traffic.
+    This is the capacity-planning twin of `event_disorder_profile`:
+    disorder sizes the watermark, burstiness sizes the per-trigger
+    state/throughput headroom a streaming deployment must absorb
+    [R the KS capacity question behind max.task.idle/buffer sizing].
+
+    Determinism: hourly counts are integers, so S1 = Σn and S2 = Σn²
+    are EXACT; fano = (S2·H − S1²) / (S1·H) is one integer-exact
+    numerator/denominator pair and ONE double division through the
+    floor form. (Integer headroom: S2·H fits 64-bit while the hottest
+    hour stays under ~3.5e6·sqrt(1/H) of events — true to ~1e9 events
+    per type at the 720-hour fixture grid; past that, lift S1/S2 into
+    DECIMAL(38,0).)
+
+    Scale shape: rows VALUE-COLLAPSE to the (type, hour) count grid
+    first (one map-side-combined exchange, grid-bounded ≤ types ×
+    hours), then the per-type fold is over hour rows only."""
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    s1 = F.sum("n")
+    s2 = F.sum(F.col("n") * F.col("n"))
+    hrs = F.count(F.lit(1))
+    return (
+        hc.groupBy("event_type")
+        .agg(
+            hrs.cast("long").alias("n_hours"),
+            round4f(s1.cast("double") / hrs).alias("mean_per_hour"),
+            round4f(
+                (s2 * hrs - s1 * s1).cast("double")
+                / (s1 * hrs).cast("double")
+            ).alias("fano"),
+        )
+        .orderBy("event_type")
+    )

@@ -577,3 +577,53 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_digests"))
         .orderBy("source_a", "source_b")
     )
+
+
+PREFIX_DIGEST_CHARS = 64
+
+
+@query(
+    "dedup_prefix_digest",
+    oracle=f"""
+SELECT md5(substr(text, 1, {PREFIX_DIGEST_CHARS})) AS prefix_h,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_doc_id,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents
+GROUP BY 1 HAVING count(*) > 1
+ORDER BY 1
+""",
+)
+def dedup_prefix_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-digest near-identity groups: documents sharing their
+    first {PREFIX} characters (md5 of the raw prefix), with the
+    keep-first winner and how many sources the group spans — the cheap
+    boilerplate/mirror blocker a pretraining pipeline runs BEFORE the
+    shingle pipelines (templated pages and syndicated articles share
+    prefixes long before they share full texts; a prefix group is a
+    candidate block for the expensive verify, at digest cost).
+
+    Scale shape: ONE exchange carrying (16-byte digest, doc_id,
+    source) — never text past the first {PREFIX} chars (substring is
+    computed scan-side, so the shuffle payload is fixed-width); the
+    aggregate is count/min/count-distinct, all map-side combinable.
+    [R the exact-dedup topic keyed by a value prefix — the KS dedup
+    processor's cheap-key variant]."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.md5(F.substring("text", 1, PREFIX_DIGEST_CHARS)).alias(
+                "prefix_h"
+            ),
+            "doc_id",
+            "source",
+        )
+        .groupBy("prefix_h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy("prefix_h")
+    )
