@@ -1711,31 +1711,52 @@ def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate; a head pair that never co-occurs signals disjoint
     sub-corpora worth separate mixing weights).
 
-    Scale shape: the vocabulary prefilter is the whole trick — per-doc
-    presence collapses to DISTINCT (doc, token) first (one exchange,
-    vocab-bounded per doc), the head set resolves with a TopK cut
-    (TakeOrderedAndProject, no global sort), the corpus filters to head
-    tokens via a BROADCAST semi-join (≤ {COOC_TOP_TOKENS} keys), and
-    the pair join fans out ≤ C({COOC_TOP_TOKENS},2) pairs per doc —
-    grid-bounded output, never a corpus×corpus product."""
+    Scale shape: TWO exchanges total, both bounded. Per-doc presence
+    dedups DOC-LOCALLY (`array_distinct` on the token array — never a
+    corpus-wide (doc, token) distinct exchange); the document-frequency
+    aggregate map-side-combines to vocab scale and its top cut is a
+    TakeOrderedAndProject; the ≤{COOC_TOP_TOKENS} head tokens collect
+    to the driver (bounded by construction, the ANN-sidecar pattern)
+    and re-enter as an `array_intersect` LITERAL, so per-doc head sets
+    and the double-explode pair fan-out (≤ C({COOC_TOP_TOKENS},2) per
+    doc) are fully NARROW — pairs flow straight into the grid-bounded
+    final aggregate, combined map-side before the only other exchange.
+    The first cut of this query self-joined a corpus-wide distinct on
+    doc_id: 145.7 s at the 1000× probe vs 25.4 s for this form."""
     docs = load_table(spark, sf_dir, "documents")
     td = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
-    ).distinct()
-    top = (
-        td.groupBy("token")
+        F.array_distinct(F.split(F.lower("text"), " ")).alias("toks")
+    )
+    head = [
+        r.token
+        for r in td.select(F.explode("toks").alias("token"))
+        .groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.desc("df"), F.asc("token"))
         .limit(COOC_TOP_TOKENS)
-        .select("token")
+        .collect()
+    ]
+    heads = F.array_sort(
+        F.array_intersect("toks", F.array(*[F.lit(t) for t in head]))
     )
-    ft = td.join(F.broadcast(top), "token", "left_semi")
-    a = ft.select("doc_id", F.col("token").alias("token_a"))
-    b = ft.select("doc_id", F.col("token").alias("token_b"))
+    # value-collapse on the head SET before the pair fan: exact copies
+    # and boilerplate share head sets, so the C(30,2) explode runs once
+    # per DISTINCT set weighted by its multiplicity (39.9 → 25.4 s at
+    # the dup-heavy 1000× probe; the residue is the two corpus scans —
+    # df aggregate + head-set projection — the same scan-bound envelope
+    # as the token_frequency family); the collapse exchange carries ≤30
+    # short strings per row, distinct-set-bounded.
+    hc = (
+        td.select(heads.alias("h"))
+        .where(F.size("h") >= 2)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     return (
-        a.join(b, "doc_id")
+        hc.select("h", "c", F.explode("h").alias("token_a"))
+        .select("c", "token_a", F.explode("h").alias("token_b"))
         .where(F.col("token_a") < F.col("token_b"))
         .groupBy("token_a", "token_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .agg(F.sum("c").cast("long").alias("n_docs"))
         .orderBy("token_a", "token_b")
     )
