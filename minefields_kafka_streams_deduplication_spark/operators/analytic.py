@@ -2778,3 +2778,58 @@ def event_type_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "session_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER w AS prev_type,
+         epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT prev_type AS from_type, event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM seq
+WHERE prev_type IS NOT NULL
+  AND gap_us <= 30 * 60 * CAST(1000000 AS BIGINT)
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session event-type transition matrix: for every ordered
+    type pair (from, to), how many consecutive same-user event pairs
+    inside one session (gap ≤ the SESSION_GAP_MINUTES boundary — the
+    sessionizer's convention: > gap splits, ≤ gap chains) step from one
+    to the other. `event_transition_matrix` counts EVERY consecutive
+    pair regardless of dwell time; this variant drops the cross-session
+    steps (overnight "transitions" that carry no intent), the matrix a
+    funnel-leak triage or next-event model should actually train on.
+
+    Scale shape: ONE user-keyed exchange feeds the LAG window (the
+    sessionization sort shape, reused verbatim), then the matrix is a
+    map-side-combined aggregate bounded by the type grid (≤ types²
+    rows). Exact integer µs gap arithmetic; the (ts, event_id) window
+    tiebreak makes simultaneous-event chains engine-deterministic."""
+    from .windows import SESSION_GAP_MINUTES
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+            gap_us.alias("gap_us"),
+        )
+        .where(
+            F.col("from_type").isNotNull()
+            & (F.col("gap_us") <= SESSION_GAP_MINUTES * 60 * 1_000_000)
+        )
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+        .orderBy("from_type", "to_type")
+    )

@@ -263,3 +263,82 @@ def test_token_cooccurrence_top_cut_is_deterministic(spark, monkeypatch):
     # tokens (df-1 tie broken by token asc): r00..r27. Singleton docs
     # contribute no pairs, so the only co-occurring pair is (aa, bb).
     assert got == {("aa", "bb"): 5}
+
+
+# ---------------------------------------------------------------------------
+# session_transition_matrix (operators/analytic.py)
+# ---------------------------------------------------------------------------
+
+
+def test_session_transition_matrix_hand_fixture(spark, monkeypatch):
+    """User 1: view→click (5 min, chained), click→buy (40 min — SPLIT,
+    not counted), buy→view (30 min EXACTLY — chained, the sessionizer's
+    ≤-gap convention); user 2: single event, no transitions."""
+    from minefields_kafka_streams_deduplication_spark.operators import analytic
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, at(0), "view"),
+            (1, 2, at(5), "click"),
+            (1, 3, at(45), "buy"),    # 40 min gap: session split
+            (1, 4, at(75), "view"),   # exactly 30 min: chained
+            (2, 1, at(0), "view"),
+        ],
+        "user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING",
+    )
+    monkeypatch.setattr(analytic, "load_table", lambda s, d, n: ev)
+    got = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in analytic.session_transition_matrix(spark, "x").collect()
+    }
+    assert got == {("view", "click"): 1, ("buy", "view"): 1}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    users=st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 200), st.sampled_from(["a", "b", "c"])),
+            min_size=1,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_session_transition_matrix_matches_reference(spark, users):
+    from minefields_kafka_streams_deduplication_spark.operators import analytic
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for u, evs in enumerate(users):
+        for i, (m, ty) in enumerate(evs):
+            rows.append((u, i, t0 + dt.timedelta(minutes=m), ty))
+    ev = spark.createDataFrame(
+        rows, "user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING"
+    )
+    orig = analytic.load_table
+    analytic.load_table = lambda s, d, n: ev
+    try:
+        got = {
+            (r.from_type, r.to_type): r.n_transitions
+            for r in analytic.session_transition_matrix(spark, "x").collect()
+        }
+    finally:
+        analytic.load_table = orig
+    want: dict = {}
+    for u, evs in enumerate(users):
+        seq = sorted(
+            [(m, i, ty) for i, (m, ty) in enumerate(evs)],
+            key=lambda x: (x[0], x[1]),
+        )
+        for (m0, _, t0_), (m1, _, t1_) in zip(seq, seq[1:]):
+            if (m1 - m0) <= 30:
+                k = (t0_, t1_)
+                want[k] = want.get(k, 0) + 1
+    assert got == want

@@ -123,10 +123,71 @@ def stage_autoskew() -> None:
         shutil.rmtree(state, ignore_errors=True)
 
 
+
+
+def stage_annlife() -> None:
+    """Drift-gated lifecycle costs at 500K vectors (probe1000x
+    embeddings): build, the gate's own aggregate, the extend branch
+    (frozen-model encode + cell append), and the retrain branch
+    (rebuild over source ∪ batch) — the operational price list behind
+    maybe_retrain_index's decision rule."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+    from minefields_kafka_streams_deduplication_spark.functions.ann_index import (
+        _normalized_dim_stats,
+        build_ivf_pq_index,
+        extend_ivf_pq_index,
+        maybe_retrain_index,
+    )
+
+    root = "/tmp/probe_annlife"
+    _sh.rmtree(root, ignore_errors=True)
+    emb = load_table(spark, P1000, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    batch = emb.sample(0.1, seed=7).select(
+        (F.col("vec_id") + max_id + 1).alias("vec_id"), "embedding"
+    )
+    gc()
+    t0 = time.time()
+    build_ivf_pq_index(spark, P1000, root)
+    print(json.dumps({"probe": "ann_build_500k", "sec": round(time.time() - t0, 1)}), flush=True)
+    gc()
+    t0 = time.time()
+    _normalized_dim_stats(batch)
+    print(json.dumps({"probe": "ann_drift_gate_50k_batch", "sec": round(time.time() - t0, 1)}), flush=True)
+    gc()
+    t0 = time.time()
+    extend_ivf_pq_index(spark, root, batch)
+    print(json.dumps({"probe": "ann_extend_50k_batch", "sec": round(time.time() - t0, 1)}), flush=True)
+    # drifted copy of the batch -> the retrain branch end-to-end
+    drifted = batch.select(
+        (F.col("vec_id") + max_id + 1).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == F.lit(0), x + F.lit(50.0)).otherwise(x),
+        ).alias("embedding"),
+    )
+    gc()
+    t0 = time.time()
+    decision = maybe_retrain_index(spark, P1000, root, drifted)
+    print(
+        json.dumps(
+            {"probe": "ann_retrain_on_drift", "decision": decision,
+             "sec": round(time.time() - t0, 1)}
+        ),
+        flush=True,
+    )
+    _sh.rmtree(root, ignore_errors=True)
+
+
 STAGES = {
     "newq10": stage_newq10,
     "newq1000": stage_newq1000,
     "autoskew": stage_autoskew,
+    "annlife": stage_annlife,
 }
 
 if __name__ == "__main__":
