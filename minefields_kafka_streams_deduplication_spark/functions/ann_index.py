@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -150,7 +151,14 @@ def extend_ivf_pq_index(spark: SparkSession, root: str, new_emb: DataFrame) -> s
     crosses DRIFT_RETRAIN_SIGMA. What stays exact on this path is the
     lifecycle algebra, pinned in tests/test_ann_index.py:
     extend(old, new) reads identical to encode(old ∪ new) under the
-    same model, so queries see one coherent index."""
+    same model, so queries see one coherent index.
+
+    The RAW batch also appends to ``root/adds/`` (vec_id, embedding):
+    PQ codes are lossy, so a later RETRAIN could not reconstruct the
+    extended vectors from the index alone — without this sidecar a
+    rebuild over source ∪ new-batch silently dropped every previously
+    extended vector (r11 review finding). The sidecar is
+    added-vector-bounded, never the source corpus."""
     coarse, R, C = _load_model(root)
     (
         _encode_with_model(new_emb, coarse, R, C)
@@ -158,7 +166,31 @@ def extend_ivf_pq_index(spark: SparkSession, root: str, new_emb: DataFrame) -> s
         .partitionBy("cell")
         .parquet(os.path.join(root, "index"))
     )
+    (
+        _emb_double(new_emb)
+        .write.mode("append")
+        .parquet(os.path.join(root, "adds"))
+    )
     return root
+
+
+def _emb_double(df: DataFrame) -> DataFrame:
+    """Canonical (vec_id LONG, embedding ARRAY<DOUBLE>) projection —
+    the adds sidecar and the retrain union must hold ONE type (a float
+    source batch and a double transformed batch writing the same
+    parquet dir is a read-time schema mismatch)."""
+    return df.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+
+
+def _adds(spark: SparkSession, root: str) -> DataFrame | None:
+    """The raw extended-vector sidecar, or None if nothing was added."""
+    p = os.path.join(root, "adds")
+    if not os.path.isdir(p):
+        return None
+    return spark.read.parquet(p).select("vec_id", "embedding")
 
 
 def _normalized_dim_stats(emb: DataFrame) -> tuple[list, list, int]:
@@ -258,27 +290,52 @@ def maybe_retrain_index(
     decision rule is pinned in
     tests/test_ann_index.py (stationary batch → extend; one-dim
     offset batch → retrain, after which the sidecars cover the
-    union)."""
+    union).
+
+    Retrain rebuilds over source ∪ ``root/adds/`` — the raw sidecar of
+    EVERY vector ever added past the source table (PQ codes are lossy;
+    neither the index nor the source can reproduce them, so the
+    sidecar is permanent, added-vector-bounded state, and the new
+    batch appends to it FIRST so the rebuild — and any future rebuild
+    — covers it). A root with no ``train_stats.json`` (pre-r11 build,
+    torn sidecar) routes to retrain — the rebuild regenerates it —
+    mirroring the session ledger's demote-don't-crash convention."""
     import numpy as np
 
-    with open(os.path.join(root, "train_stats.json")) as fh:
-        stats = json.load(fh)
-    mu0 = np.array(stats["mean"])
-    sd0 = np.maximum(np.array(stats["std"]), 1e-9)
+    try:
+        with open(os.path.join(root, "train_stats.json")) as fh:
+            stats = json.load(fh)
+    except (OSError, ValueError):
+        stats = None  # legacy/torn sidecar: can't gate — rebuild below
+
     mu1, _sd1, n1 = _normalized_dim_stats(new_emb)
     if n1 == 0:
         return "extend"  # empty batch: nothing to add or measure
-    max_shift = float(np.max(np.abs(np.array(mu1) - mu0) / sd0))
-    if max_shift >= threshold:
-        union = (
-            load_table(spark, sf_dir, "embeddings")
-            .select("vec_id", "embedding")
-            .unionByName(new_emb.select("vec_id", "embedding"))
-        )
-        build_ivf_pq_index(spark, sf_dir, root, emb=union)
-        return "retrain"
-    extend_ivf_pq_index(spark, root, new_emb)
-    return "extend"
+    if stats is not None:
+        mu0 = np.array(stats["mean"])
+        sd0 = np.maximum(np.array(stats["std"]), 1e-9)
+        max_shift = float(np.max(np.abs(np.array(mu1) - mu0) / sd0))
+        if max_shift < threshold:
+            extend_ivf_pq_index(spark, root, new_emb)
+            return "extend"
+    # durable-first: land the batch in adds/ BEFORE rebuilding, so a
+    # crash mid-build replays to the same union
+    (
+        _emb_double(new_emb)
+        .write.mode("append")
+        .parquet(os.path.join(root, "adds"))
+    )
+    union = _emb_double(load_table(spark, sf_dir, "embeddings")).unionByName(
+        _adds(spark, root)
+    )
+    # materialize OUTSIDE root: build overwrites root/index while the
+    # union plan still reads root/adds — stage first, then rebuild
+    stage = root.rstrip("/") + "_retrain_stage"
+    shutil.rmtree(stage, ignore_errors=True)
+    union.write.mode("overwrite").parquet(stage)
+    build_ivf_pq_index(spark, sf_dir, root, emb=spark.read.parquet(stage))
+    shutil.rmtree(stage, ignore_errors=True)
+    return "retrain"
 
 
 def _load_model(root: str):

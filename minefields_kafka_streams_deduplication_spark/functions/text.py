@@ -1703,7 +1703,7 @@ ORDER BY 1, 2
 """,
 )
 def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document co-occurrence counts over the TOP-{COOC_TOP_TOKENS}
+    """Document co-occurrence counts over the top COOC_TOP_TOKENS (30)
     tokens by document frequency (deterministic cut: df DESC, token
     ASC): for each head-token pair, how many documents contain both —
     the corpus-level association table behind topic drift checks and
@@ -1715,10 +1715,10 @@ def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedups DOC-LOCALLY (`array_distinct` on the token array — never a
     corpus-wide (doc, token) distinct exchange); the document-frequency
     aggregate map-side-combines to vocab scale and its top cut is a
-    TakeOrderedAndProject; the ≤{COOC_TOP_TOKENS} head tokens collect
+    TakeOrderedAndProject; the ≤30 head tokens collect
     to the driver (bounded by construction, the ANN-sidecar pattern)
     and re-enter as an `array_intersect` LITERAL, so per-doc head sets
-    and the double-explode pair fan-out (≤ C({COOC_TOP_TOKENS},2) per
+    and the double-explode pair fan-out (≤ C(30,2) per
     doc) are fully NARROW — pairs flow straight into the grid-bounded
     final aggregate, combined map-side before the only other exchange.
     The first cut of this query self-joined a corpus-wide distinct on

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import dec6, load_table, round4f
+from .windows import SESSION_GAP_MINUTES
 from ..registry import query
 
 
@@ -2782,7 +2783,7 @@ def event_type_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "session_transition_matrix",
-    oracle="""
+    oracle=f"""
 WITH seq AS (
   SELECT event_type,
          lag(event_type) OVER w AS prev_type,
@@ -2794,7 +2795,7 @@ SELECT prev_type AS from_type, event_type AS to_type,
        CAST(count(*) AS BIGINT) AS n_transitions
 FROM seq
 WHERE prev_type IS NOT NULL
-  AND gap_us <= 30 * 60 * CAST(1000000 AS BIGINT)
+  AND gap_us <= {SESSION_GAP_MINUTES} * 60 * CAST(1000000 AS BIGINT)
 GROUP BY 1, 2
 ORDER BY 1, 2
 """,
@@ -2814,8 +2815,6 @@ def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined aggregate bounded by the type grid (≤ types²
     rows). Exact integer µs gap arithmetic; the (ts, event_id) window
     tiebreak makes simultaneous-event chains engine-deterministic."""
-    from .windows import SESSION_GAP_MINUTES
-
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))

@@ -596,7 +596,8 @@ ORDER BY 1
 )
 def dedup_prefix_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-digest near-identity groups: documents sharing their
-    first {PREFIX} characters (md5 of the raw prefix), with the
+    first PREFIX_DIGEST_CHARS (64) characters (md5 of the raw prefix),
+    with the
     keep-first winner and how many sources the group spans — the cheap
     boilerplate/mirror blocker a pretraining pipeline runs BEFORE the
     shingle pipelines (templated pages and syndicated articles share
@@ -604,7 +605,7 @@ def dedup_prefix_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate block for the expensive verify, at digest cost).
 
     Scale shape: ONE exchange carrying (16-byte digest, doc_id,
-    source) — never text past the first {PREFIX} chars (substring is
+    source) — never text past the digest prefix (substring is
     computed scan-side, so the shuffle payload is fixed-width); the
     aggregate is count/min/count-distinct, all map-side combinable.
     [R the exact-dedup topic keyed by a value prefix — the KS dedup

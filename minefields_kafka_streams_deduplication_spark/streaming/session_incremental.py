@@ -210,9 +210,13 @@ def build_session_rows_chunked(
     the heavy key's events split across (user, chunk) tasks bounded by
     chunk span, and the second pass sorts only its SESSION rows —
     compressed by the per-chunk events-per-session factor. The trade:
-    everyone pays a second (cheap, sessions-count) exchange, so the
-    plain builder stays the default and this is the documented skew
-    escape (measured on a 30%-hot-key fixture in SCALING.md)."""
+    everyone pays a second (cheap, sessions-count) exchange, so
+    BALANCED batches take the plain builder — but since r11 the choice
+    is automatic: `apply_session_batch(chunk_days="auto")` (the
+    default) samples the batch's top-key share with one count
+    aggregate and routes here past SKEW_AUTO_SHARE/SKEW_AUTO_MIN_ROWS
+    (fold-level A/B on the 30%-hot-key fixture in SCALING.md r11;
+    builder-level in r10)."""
     chunk_us = chunk_days * 86_400 * 1_000_000
     chunk = F.expr(f"unix_micros(ts) div {chunk_us}")  # integer, no float detour
     order = Window.partitionBy("user_id", "_chunk").orderBy("ts", "event_id")

@@ -174,7 +174,11 @@ def test_drift_gated_lifecycle_extend_vs_retrain(spark, sf_dir, tmp_path):
         assert json.load(fh) == stats0  # training sidecar untouched
 
     # drifted: a large constant offset in dim 0 moves that dim's
-    # normalized centroid far past the sigma threshold → retrain
+    # normalized centroid far past the sigma threshold → retrain. The
+    # FIRST root already absorbed the stationary extend — the rebuild
+    # must keep those vectors (the adds/ sidecar; without it a retrain
+    # over source ∪ new-batch silently dropped every extended vector —
+    # r11 review finding).
     drifted = emb.select(
         (F.col("vec_id") + 2 * (max_id + 1)).alias("vec_id"),
         F.transform(
@@ -182,12 +186,25 @@ def test_drift_gated_lifecycle_extend_vs_retrain(spark, sf_dir, tmp_path):
             lambda x, i: F.when(i == F.lit(0), x + F.lit(50.0)).otherwise(x),
         ).alias("embedding"),
     )
+    assert maybe_retrain_index(spark, sf_dir, root, drifted) == "retrain"
+    # rebuilt over source ∪ extended ∪ drifted: 3 × n_src everywhere
+    with open(os.path.join(root, "train_stats.json")) as fh:
+        assert json.load(fh)["n"] == 3 * n_src
+    idx2 = spark.read.parquet(os.path.join(root, "index"))
+    assert idx2.count() == 3 * n_src
+    # the stationary batch's ids survived the rebuild
+    assert (
+        idx2.where(
+            (F.col("vec_id") > max_id) & (F.col("vec_id") <= 2 * max_id + 1)
+        ).count()
+        == n_src
+    )
+
+    # a pre-r11 root (no train_stats.json) demotes to retrain, never
+    # crashes — the rebuild regenerates the sidecar
     root2 = str(tmp_path / "annlife2")
     build_ivf_pq_index(spark, sf_dir, root2)
-    assert maybe_retrain_index(spark, sf_dir, root2, drifted) == "retrain"
-    # rebuilt over source ∪ batch: sidecars and index cover the union
+    os.remove(os.path.join(root2, "train_stats.json"))
+    assert maybe_retrain_index(spark, sf_dir, root2, stationary) == "retrain"
     with open(os.path.join(root2, "train_stats.json")) as fh:
         assert json.load(fh)["n"] == 2 * n_src
-    assert (
-        spark.read.parquet(os.path.join(root2, "index")).count() == 2 * n_src
-    )
