@@ -326,6 +326,12 @@ _R11_REVERIFY: tuple[str, ...] = (
     # sides (ADVICE r10 — in-order types now report 0, not negative
     # slack); oracle text changed, so the driver must re-check.
     "event_disorder_profile",
+    # shared near-dup verify stage reworked to the shingle-set form
+    # (collect_set + array_intersect — 3 shuffles instead of 7);
+    # values pinned bit-identical by the strict re-check at both SFs,
+    # but the driver should re-confirm the two oracle consumers.
+    "neardup_minhash_verified",
+    "neardup_incremental",
 )
 
 
