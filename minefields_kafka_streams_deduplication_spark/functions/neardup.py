@@ -209,7 +209,13 @@ def _banded_sigs(hashed: DataFrame, n_bands: int, rows_per_band: int) -> DataFra
     per-partition numpy mins are final, not partial.
 
     Whole-partition numpy kernel: (shingles × perms) permutation mins
-    per doc, folded into per-band hashes (xor of mixed row-mins)."""
+    per doc, folded into per-band hashes (xor of mixed row-mins).
+
+    As of r11 this is the STREAMING family's form only (candidates +
+    the batch star reference the parity pin compares against — both
+    must share one signature family, and a groupBy aggregate upstream
+    of applyInPandasWithState is an unsupported second stateful
+    operator); batch pipelines use :func:`_banded_sigs_agg`."""
     import hashlib
 
     import numpy as np
@@ -248,6 +254,52 @@ def _banded_sigs(hashed: DataFrame, n_bands: int, rows_per_band: int) -> DataFra
         )
 
     return hashed.mapInPandas(partition_band_sigs, "doc_id LONG, band INT, bhash LONG")
+
+
+def _banded_sigs_agg(
+    hashed: DataFrame, n_bands: int, rows_per_band: int
+) -> DataFrame:
+    """(doc_id, band, bhash) banded MinHash signatures as ONE JVM hash
+    aggregate — the BATCH-pipeline form (r11). The j-th permutation of
+    a shingle hash is ``xxhash64(h, j)`` (the k-independent-hash
+    MinHash formulation; the numpy kernel's 2-universal linear perms
+    produce different signature VALUES but identical collision
+    statistics), per-doc mins fold as 64 map-side-combined min buffers,
+    and each band's row-mins fold through one more xxhash64.
+
+    Why this exists next to `_banded_sigs`: the aggregate form removes
+    BOTH the doc-partitioned-input precondition (the _shingles
+    repartition stays only as explode parallelism fan-out) and the
+    Python/Arrow worker path — the signature exchange carries
+    docs × perms longs (≤512 B/doc), never shingles and never text.
+    The STREAMING family keeps the numpy kernel: a groupBy aggregate
+    upstream of applyInPandasWithState is an unsupported second
+    stateful operator there, and the star-policy parity pin requires
+    the stream and its batch reference to share one signature family.
+    Outputs of every batch pipeline are unchanged by the family swap —
+    LSH only proposes candidates; the exact-Jaccard verify decides
+    (strict re-check EXACT at both SFs on the two oracle consumers)."""
+    perms = n_bands * rows_per_band
+    mins = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("h", F.lit(j))).alias(f"m{j}")
+            for j in range(perms)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.xxhash64(
+                *[
+                    F.col(f"m{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ]
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.posexplode(bands).alias("band", "bhash")
+    ).select("doc_id", F.col("band").cast("int").alias("band"), "bhash")
 
 
 def exact_jaccard_for_pairs(
@@ -339,7 +391,7 @@ def dedup_text_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cannot change a min, so the distinct shuffle is pure waste here).
     sh_raw = _shingles(docs, distinct=False)
     hashed = sh_raw.select("doc_id", F.xxhash64("shingle").alias("h"))
-    banded = _banded_sigs(
+    banded = _banded_sigs_agg(
         hashed, MINHASH_BANDS, MINHASH_PERMS // MINHASH_BANDS
     ).cache()
     cand = (
@@ -423,7 +475,7 @@ def neardup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = _shingles(reps, distinct=False).select(
         "doc_id", F.xxhash64("shingle").alias("h")
     )
-    banded = _banded_sigs(
+    banded = _banded_sigs_agg(
         hashed, MINHASH_WITNESS_BANDS, MINHASH_PERMS // MINHASH_WITNESS_BANDS
     ).cache()
     cand = (
@@ -1223,7 +1275,7 @@ def neardup_incremental_df(docs: DataFrame, cut: int) -> DataFrame:
         hashed = _shingles(side_reps, distinct=False).select(
             "doc_id", F.xxhash64("shingle").alias("h")
         )
-        return _banded_sigs(
+        return _banded_sigs_agg(
             hashed, MINHASH_WITNESS_BANDS, MINHASH_PERMS // MINHASH_WITNESS_BANDS
         )
 
