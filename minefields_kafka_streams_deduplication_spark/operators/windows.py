@@ -731,3 +731,58 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("gap_minutes").cast("int").alias("gap_minutes"),
         F.col("n_sessions").cast("long").alias("n_sessions"),
     ).orderBy("gap_minutes")
+
+
+GAP_BUCKET_MINUTES = 10
+
+
+@query(
+    "user_max_gap_histogram",
+    oracle=f"""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)) AS gap_us
+  FROM events
+),
+mx AS (
+  SELECT user_id, max(gap_us) AS max_gap_us
+  FROM gaps WHERE gap_us IS NOT NULL GROUP BY 1
+)
+SELECT CAST(max_gap_us // ({GAP_BUCKET_MINUTES} * 60 * CAST(1000000 AS BIGINT))
+            AS BIGINT) AS gap_bucket,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM mx GROUP BY 1 ORDER BY 1
+""",
+)
+def user_max_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user MAXIMUM inter-event gap, histogrammed in 10-minute
+    buckets — the survival view of gap calibration:
+    `session_gap_sensitivity` counts sessions at candidate gaps; this
+    counts USERS whose history would never split at gap g (everyone in
+    buckets ≤ g/10min), i.e. the population a gap change actually
+    re-segments. Users with a single event have no gap and are
+    excluded (their sessionization is gap-independent).
+
+    Scale shape: the one user-keyed LAG exchange (the sessionization
+    sort shape), a per-user max folded map-side, then a bucket-grid
+    aggregate. Exact integer µs arithmetic; floor-div bucketing."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    mx = (
+        ev.select("user_id", gap_us.alias("gap_us"))
+        .where(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(F.max("gap_us").alias("max_gap_us"))
+    )
+    bucket = F.expr(
+        f"CAST(max_gap_us div ({GAP_BUCKET_MINUTES} * 60 * 1000000)"
+        " AS BIGINT)"
+    )
+    return (
+        mx.select(bucket.alias("gap_bucket"))
+        .groupBy("gap_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("gap_bucket")
+    )

@@ -12,6 +12,10 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 
+def _ts(minutes: float) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minutes)
+
+
 # ---------------------------------------------------------------------------
 # dedup_prefix_digest (operators/dedup.py)
 # ---------------------------------------------------------------------------
@@ -341,4 +345,74 @@ def test_session_transition_matrix_matches_reference(spark, users):
             if (m1 - m0) <= 30:
                 k = (t0_, t1_)
                 want[k] = want.get(k, 0) + 1
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# user_max_gap_histogram (operators/windows.py)
+# ---------------------------------------------------------------------------
+
+
+def test_user_max_gap_histogram_hand_fixture(spark, monkeypatch):
+    """User 1's gaps are 5 and 25 min → max 25 → bucket 2; user 2's
+    single gap is exactly 10 min → floor-div bucket 1; user 3 has one
+    event → excluded."""
+    from minefields_kafka_streams_deduplication_spark.operators import windows
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, _ts(0)),
+            (1, 2, _ts(5)),
+            (1, 3, _ts(30)),
+            (2, 1, _ts(0)),
+            (2, 2, _ts(10)),
+            (3, 1, _ts(0)),
+        ],
+        "user_id LONG, event_id LONG, ts TIMESTAMP",
+    )
+    monkeypatch.setattr(windows, "load_table", lambda s, d, n: ev)
+    got = {
+        r.gap_bucket: r.n_users
+        for r in windows.user_max_gap_histogram(spark, "x").collect()
+    }
+    assert got == {2: 1, 1: 1}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    users=st.lists(
+        st.lists(st.integers(0, 300), min_size=1, max_size=8),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_user_max_gap_histogram_matches_reference(spark, users):
+    from minefields_kafka_streams_deduplication_spark.operators import windows
+
+    rows = []
+    for u, mins in enumerate(users):
+        for i, m in enumerate(mins):
+            rows.append((u, i, _ts(m)))
+    ev = spark.createDataFrame(
+        rows, "user_id LONG, event_id LONG, ts TIMESTAMP"
+    )
+    orig = windows.load_table
+    windows.load_table = lambda s, d, n: ev
+    try:
+        got = {
+            r.gap_bucket: r.n_users
+            for r in windows.user_max_gap_histogram(spark, "x").collect()
+        }
+    finally:
+        windows.load_table = orig
+    want: dict[int, int] = {}
+    for mins in users:
+        seq = sorted(
+            (m, i) for i, m in enumerate(mins)
+        )  # (ts, event_id) order
+        gaps = [b[0] - a[0] for a, b in zip(seq, seq[1:])]
+        if not gaps:
+            continue
+        b = max(gaps) // 10
+        want[b] = want.get(b, 0) + 1
     assert got == want
