@@ -1736,6 +1736,10 @@ def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(COOC_TOP_TOKENS)
         .collect()
     ]
+    if not head:  # empty corpus: zero-arg F.array() won't analyze
+        return spark.createDataFrame(
+            [], "token_a STRING, token_b STRING, n_docs LONG"
+        )
     heads = F.array_sort(
         F.array_intersect("toks", F.array(*[F.lit(t) for t in head]))
     )
