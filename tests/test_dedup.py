@@ -495,3 +495,61 @@ def test_dedup_source_priority_numeric_order(spark, monkeypatch):
     out = dedup.dedup_keep_by_source_priority(spark, "x").collect()
     kept = {(r.doc_id, r.source) for r in out}
     assert kept == {(2, "src2"), (4, "src19")}
+
+
+def test_banded_sigs_agg_determinism_and_banding(spark):
+    """The JVM aggregate signature form (r11): identical texts produce
+    IDENTICAL (band, bhash) sets regardless of row order/partitioning
+    (k-independent xxhash64 permutations are pure functions of the
+    shingle set); near-identical docs share >= 1 witness-banding bucket
+    on a crafted 90%-overlap pair; and a disjoint-vocabulary doc shares
+    none with either."""
+    from pyspark.sql import functions as F
+
+    from minefields_kafka_streams_deduplication_spark.functions.neardup import (
+        MINHASH_PERMS,
+        MINHASH_WITNESS_BANDS,
+        _banded_sigs_agg,
+        _shingles,
+    )
+
+    base = " ".join(f"w{i}" for i in range(50))
+    near = " ".join(f"w{i}" for i in range(48)) + " x1 x2"
+    other = " ".join(f"z{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)],
+        "doc_id LONG, text STRING",
+    )
+    hashed = _shingles(docs, distinct=False).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
+    rows_per_band = MINHASH_PERMS // MINHASH_WITNESS_BANDS
+    sigs = {
+        d: set()
+        for d in (1, 2, 3, 4)
+    }
+    for r in _banded_sigs_agg(
+        hashed, MINHASH_WITNESS_BANDS, rows_per_band
+    ).collect():
+        sigs[r.doc_id].add((r.band, r.bhash))
+    # every doc has exactly one bhash per band
+    assert all(len(s) == MINHASH_WITNESS_BANDS for s in sigs.values())
+    # identical text -> identical signature set
+    assert sigs[1] == sigs[2]
+    # 90%-shingle-overlap pair shares >= 1 bucket (witness banding:
+    # P(miss | J~0.9) ~ (1 - 0.81)^32 ~ 1e-23 — deterministic here)
+    assert sigs[1] & sigs[3]
+    # disjoint vocabulary shares no bucket with either
+    assert not (sigs[4] & sigs[1]) and not (sigs[4] & sigs[3])
+
+    # partitioning-independence: the aggregate form needs NO doc-local
+    # layout — a 1-partition coalesce produces the same signatures
+    one_part = {
+        d: set()
+        for d in (1, 2, 3, 4)
+    }
+    for r in _banded_sigs_agg(
+        hashed.coalesce(1), MINHASH_WITNESS_BANDS, rows_per_band
+    ).collect():
+        one_part[r.doc_id].add((r.band, r.bhash))
+    assert one_part == sigs
