@@ -2130,3 +2130,116 @@ def supplier_revenue_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFram
         .select("n_name", "n_suppliers", hhi.alias("hhi"))
         .orderBy("n_name")
     )
+
+
+@query(
+    "mktsegment_revenue_share_by_month",
+    oracle="""
+WITH rev AS (
+  SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+         c.c_mktsegment AS mktsegment,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS r
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT month, mktsegment, n_orders,
+       CAST(round(r, 4) AS DOUBLE) AS revenue,
+       floor(CAST(r AS DOUBLE)
+             / CAST(sum(r) OVER (PARTITION BY month) AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS month_share
+FROM rev
+ORDER BY month, mktsegment
+""",
+)
+def mktsegment_revenue_share_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-segment revenue mix over time: per (month, segment), the
+    order count, exact-decimal revenue, and the segment's share of its
+    month — the demand-mix trend behind segment-level planning (the
+    c_mktsegment dimension's first dedicated readout; the repo's other
+    customer cuts key on nation/cohort).
+
+    Scale shape: the fact table aggregates FIRST to the (month,
+    segment) grid (customer attaches via a BROADCAST dim join before
+    the one map-side-combined exchange), and the month-share window
+    runs over the grid frame (months × segments rows), never the fact
+    table. Exact decimal revenue; share through the floor form."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(dec6("o_totalprice")).alias("r"),
+        )
+    )
+    from pyspark.sql import Window
+
+    mr = F.sum("r").over(Window.partitionBy("month"))
+    return (
+        rev.select(
+            "month",
+            "mktsegment",
+            "n_orders",
+            F.round(F.col("r"), 4).cast("double").alias("revenue"),
+            round4f(F.col("r").cast("double") / mr.cast("double")).alias(
+                "month_share"
+            ),
+        )
+        .orderBy("month", "mktsegment")
+    )
+
+
+@query(
+    "brand_return_rate",
+    oracle="""
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (WHERE l.l_returnflag = 'R') AS BIGINT)
+         AS n_returned,
+       floor(CAST(count(*) FILTER (WHERE l.l_returnflag = 'R') AS DOUBLE)
+             / count(*) * 10000 + 0.5) / 10000 AS return_rate,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1 ORDER BY 1
+""",
+)
+def brand_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate and revenue per part BRAND — the quality/logistics
+    triage view on the p_brand dimension (q4/q12 cut returns by
+    priority and shipmode; nothing keyed them to the product line).
+
+    Scale shape: part attaches to the fact scan via a BROADCAST hash
+    join (dim-sized), then ONE map-side-combined aggregate collapses
+    to the brand grid. Counts exact; rate through the floor form;
+    revenue in exact decimal."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    returned = F.sum(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            returned.alias("n_returned"),
+            round4f(
+                returned.cast("double") / F.count(F.lit(1))
+            ).alias("return_rate"),
+            F.round(
+                F.sum(dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))),
+                4,
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )

@@ -416,3 +416,84 @@ def test_user_max_gap_histogram_matches_reference(spark, users):
         b = max(gaps) // 10
         want[b] = want.get(b, 0) + 1
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# mktsegment_revenue_share_by_month (operators/aggregations.py)
+# ---------------------------------------------------------------------------
+
+
+def test_mktsegment_revenue_share_hand_fixture(spark, monkeypatch):
+    """One month, two segments: AUTO 300 of 400 total → share 0.75;
+    HOUSE 100 → 0.25. A second month with only AUTO → share 1.0."""
+    from minefields_kafka_streams_deduplication_spark.operators import aggregations
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1, dt.datetime(2024, 1, 5), 200.0),
+            (2, 1, dt.datetime(2024, 1, 20), 100.0),
+            (3, 2, dt.datetime(2024, 1, 9), 100.0),
+            (4, 1, dt.datetime(2024, 2, 1), 50.0),
+        ],
+        "o_orderkey LONG, o_custkey LONG, o_orderdate TIMESTAMP,"
+        " o_totalprice DOUBLE",
+    )
+    cust = spark.createDataFrame(
+        [(1, "AUTO"), (2, "HOUSE")], "c_custkey LONG, c_mktsegment STRING"
+    )
+    tables = {"orders": orders, "customer": cust}
+    monkeypatch.setattr(
+        aggregations, "load_table", lambda s, d, n: tables[n]
+    )
+    got = {
+        (r.month, r.mktsegment): (r.n_orders, r.revenue, r.month_share)
+        for r in aggregations.mktsegment_revenue_share_by_month(
+            spark, "x"
+        ).collect()
+    }
+    jan, feb = dt.date(2024, 1, 1), dt.date(2024, 2, 1)
+    assert got == {
+        (jan, "AUTO"): (2, 300.0, 0.75),
+        (jan, "HOUSE"): (1, 100.0, 0.25),
+        (feb, "AUTO"): (1, 50.0, 1.0),
+    }
+
+
+# ---------------------------------------------------------------------------
+# brand_return_rate (operators/aggregations.py)
+# ---------------------------------------------------------------------------
+
+
+def test_brand_return_rate_hand_fixture(spark, monkeypatch):
+    """Brand A: 1 of 4 lines returned → 0.25, revenue from the
+    discounted prices; brand B: no returns → 0.0."""
+    from minefields_kafka_streams_deduplication_spark.operators import aggregations
+
+    li = spark.createDataFrame(
+        [
+            (1, 10, 100.0, 0.0, "R"),
+            (2, 10, 100.0, 0.5, "N"),
+            (3, 11, 200.0, 0.0, "N"),
+            (4, 11, 100.0, 0.0, "A"),
+            (5, 20, 40.0, 0.0, "N"),
+        ],
+        "l_orderkey LONG, l_partkey LONG, l_extendedprice DOUBLE,"
+        " l_discount DOUBLE, l_returnflag STRING",
+    )
+    part = spark.createDataFrame(
+        [(10, "BRAND#A"), (11, "BRAND#A"), (20, "BRAND#B")],
+        "p_partkey LONG, p_brand STRING",
+    )
+    tables = {"lineitem": li, "part": part}
+    monkeypatch.setattr(
+        aggregations, "load_table", lambda s, d, n: tables[n]
+    )
+    got = {
+        r.p_brand: (r.n_lines, r.n_returned, r.return_rate, r.revenue)
+        for r in aggregations.brand_return_rate(spark, "x").collect()
+    }
+    # brand A revenue: 100 + 50 + 200 + 100 = 450
+    assert got == {
+        "BRAND#A": (4, 1, 0.25, 450.0),
+        "BRAND#B": (1, 0, 0.0, 40.0),
+    }
