@@ -1474,3 +1474,114 @@ def jaccard_pairs_with_df_cap(docs: DataFrame, df_cap: int) -> DataFrame:
     return verified.where(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_id_1", "doc_id_2", F.round("jaccard", 4).alias("jaccard")
     )
+
+
+JACCARD_HIST_FLOOR = 0.6
+
+
+@query(
+    "neardup_jaccard_histogram",
+    oracle=f"""
+WITH shingles AS ({_SHINGLE_SQL}),
+counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(floor(CAST(n_common AS DOUBLE) / (c1.n + c2.n - n_common) * 20)
+            AS BIGINT) AS jaccard_bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM inter
+JOIN counts c1 ON doc_id_1 = c1.doc_id
+JOIN counts c2 ON doc_id_2 = c2.doc_id
+WHERE CAST(n_common AS DOUBLE) / (c1.n + c2.n - n_common)
+      >= {JACCARD_HIST_FLOOR}
+GROUP BY 1 ORDER BY 1
+""",
+)
+def neardup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-similarity histogram above the exploratory floor (0.6), in
+    0.05-wide Jaccard buckets — the THRESHOLD-CALIBRATION readout the
+    dedup threshold is chosen FROM (the near-dup twin of
+    `session_gap_sensitivity`): a corpus whose pair mass piles up just
+    under the production threshold will flip dedup decisions under
+    tiny drift; a bimodal histogram means the threshold sits in the
+    safe valley. Exact inverted-index pairs (no LSH — at the 0.6 floor
+    witness banding's miss probability is no longer negligible, and a
+    calibration readout must not sample), same exchange discipline as
+    `dedup_text_ngram_jaccard`.
+
+    Determinism: jaccard = n_common/(n1+n2−n_common) is one double
+    division of exact integers (identical op both engines); the
+    bucket is floor(jac × 20) — exact for every representable
+    quotient. Scale shape: the family's exact-copy collapse (the
+    inverted join runs on one REPRESENTATIVE per distinct text — the
+    uncollapsed form timed out past 10 min at the dup-heavy 1000×
+    probe), with pair MULTIPLICITY restored arithmetically: a
+    cross-group rep pair stands for g1 × g2 original pairs at the
+    same jaccard, and each ≥2-copy group with shingles contributes
+    C(g, 2) jaccard-1.0 pairs (bucket 20). Weighted grid aggregate,
+    ≤20 rows out."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = docs.select("doc_id", "text").withColumn(
+        "rep_id", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    )
+    gsz = (
+        flagged.groupBy("rep_id")
+        .agg(F.count(F.lit(1)).alias("g"))
+        .cache()
+    )
+    reps = flagged.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id", "text"
+    )
+    sh = _shingles(reps).cache()
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    c1 = counts.select(F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1"))
+    c2 = counts.select(F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2"))
+    g1 = gsz.select(F.col("rep_id").alias("doc_id_1"), F.col("g").alias("g1"))
+    g2 = gsz.select(F.col("rep_id").alias("doc_id_2"), F.col("g").alias("g2"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_common")
+    )
+    cross = (
+        inter.join(c1, "doc_id_1")
+        .join(c2, "doc_id_2")
+        .where(jac >= JACCARD_HIST_FLOOR)
+        .join(g1, "doc_id_1")
+        .join(g2, "doc_id_2")
+        .select(
+            F.floor(jac * 20).cast("long").alias("jaccard_bucket"),
+            (F.col("g1") * F.col("g2")).cast("long").alias("w"),
+        )
+    )
+    # exact-copy pairs: jaccard 1.0 by construction, but only for
+    # groups whose representative HAS shingles (a <3-token doc joins
+    # nothing in the inverted index, so the reference formulation
+    # emits no pair for its copies either)
+    within = (
+        gsz.join(
+            counts.select(F.col("doc_id").alias("rep_id")), "rep_id"
+        )
+        .where(F.col("g") > 1)
+        .select(
+            F.lit(20).cast("long").alias("jaccard_bucket"),
+            (F.col("g") * (F.col("g") - 1) / 2).cast("long").alias("w"),
+        )
+    )
+    return (
+        cross.unionByName(within)
+        .groupBy("jaccard_bucket")
+        .agg(F.sum("w").cast("long").alias("n_pairs"))
+        .orderBy("jaccard_bucket")
+    )

@@ -497,3 +497,31 @@ def test_brand_return_rate_hand_fixture(spark, monkeypatch):
         "BRAND#A": (4, 1, 0.25, 450.0),
         "BRAND#B": (1, 0, 0.0, 40.0),
     }
+
+
+# ---------------------------------------------------------------------------
+# neardup_jaccard_histogram (functions/neardup.py)
+# ---------------------------------------------------------------------------
+
+
+def test_neardup_jaccard_histogram_hand_fixture(spark, monkeypatch):
+    """Weighted copy-collapse arithmetic: 3 copies of T1 and 2 copies
+    of T2 (T1 with its last token changed) → C(3,2)+C(2,2)=4 exact
+    pairs in bucket 20, and 3×2=6 cross pairs at jaccard 47/49 — the
+    changed LAST token lives in exactly ONE 3-gram window, so 47 of 48
+    shingles stay common (bucket 19); a 2-copy SHORT doc (<3 tokens,
+    no shingles) emits no pair — the reference-formulation corner."""
+    from minefields_kafka_streams_deduplication_spark.functions import neardup
+
+    t1 = " ".join(f"w{i}" for i in range(50))
+    t2 = " ".join(f"w{i}" for i in range(49)) + " CHANGED"
+    rows = [(1, t1), (2, t1), (3, t1), (4, t2), (5, t2), (6, "a b"), (7, "a b")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    monkeypatch.setattr(neardup, "load_table", lambda s, d, n: docs)
+    got = {
+        r.jaccard_bucket: r.n_pairs
+        for r in neardup.neardup_jaccard_histogram(spark, "x").collect()
+    }
+    # T1 vs T2: 48 shingles each, one differing edge window →
+    # j = 47/49 ≈ 0.959 → bucket 19
+    assert got == {19: 6, 20: 4}
