@@ -115,13 +115,18 @@ def main() -> None:
     # totals + per-pass sentinel medians are recorded for auditability.
     PASSES = 3
     # Adaptive extension: if after the base passes the best total still
-    # breaches 2× of BASELINE.md's 14.58 s (the acceptance bar), the box
-    # is loud — spend up to two MORE full passes hoping to catch a quiet
+    # breaches 2× of the baseline (the acceptance bar), the box is
+    # loud — spend up to two MORE full passes hoping to catch a quiet
     # window (the load swings on minute scales; the builder's r10 close
     # saw 19.6→30.0 s across same-code runs). Honest semantics: every
     # pass is a complete, identical sweep; `value` stays min-of-passes.
     MAX_PASSES = 5
-    BASELINE_2X = 2 * 14.58
+    # BASELINE.md's measured total for THIS 26-query HEADLINE set
+    # ("Measured v2.1 numbers": 14.58 s). The bar and the set are
+    # coupled — any change to HEADLINE must re-measure BASELINE.md and
+    # update this constant in the same commit.
+    BASELINE_TOTAL_SEC = 14.58
+    BASELINE_2X = 2 * BASELINE_TOTAL_SEC
     pass_timings: list[dict[str, float]] = []
     pass_sentinels: list[dict[str, float]] = []
 

@@ -84,6 +84,56 @@ FROM (SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM documents) sr
 """
 
 
+def _collapsed_rep_jaccard(docs: DataFrame):
+    """THE one implementation of the exact-copy collapse + inverted-
+    index Jaccard core (review r4 rule: one implementation so a change
+    to the shingle grammar or the Jaccard arithmetic cannot silently
+    fork the pipelines — extended in r11 to the rep-collapsed family).
+    Returns ``(members, counts, rep_pairs)``:
+
+    - ``members`` (doc_id, rep_id): every doc mapped to its distinct-
+      text representative (min doc_id over the md5(text) group) —
+      CACHED, both consumers expand through it;
+    - ``counts`` (doc_id, n): distinct-shingle count per rep — a rep
+      absent here has <3 tokens and joins nothing in the inverted
+      index (the reference-formulation corner both consumers honor);
+    - ``rep_pairs`` (rep_1 < rep_2, n_common, jac DOUBLE, un-rounded,
+      un-thresholded): every rep pair sharing ≥1 shingle.
+
+    The window-form collapse (r6): ONE exchange on the text hash
+    serves member map and rep filter through ReuseExchange."""
+    from pyspark.sql import Window
+
+    flagged = docs.select("doc_id", "text").withColumn(
+        "rep_id", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    )
+    members = flagged.select("doc_id", "rep_id").cache()
+    reps = flagged.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id", "text"
+    )
+    sh = _shingles(reps).cache()
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("rep_1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("rep_2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("rep_1") < F.col("rep_2"))
+        .groupBy("rep_1", "rep_2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    c1 = counts.select(F.col("doc_id").alias("rep_1"), F.col("n").alias("n1"))
+    c2 = counts.select(F.col("doc_id").alias("rep_2"), F.col("n").alias("n2"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_common")
+    )
+    rep_pairs = (
+        inter.join(c1, "rep_1")
+        .join(c2, "rep_2")
+        .select("rep_1", "rep_2", "n_common", jac.alias("jac"))
+    )
+    return members, counts, rep_pairs
+
+
 @query(
     "dedup_text_ngram_jaccard",
     oracle=f"""
@@ -116,38 +166,10 @@ def dedup_text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-shingle quadratic blowup from exact copies is gone (measured
     66 s → ~8 s on a corpus where every doc has 10 copies).
     """
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
-    # Window-form collapse (r6 — see dedup_text_minhash): one exchange
-    # on the text hash serves member map and rep filter, replacing the
-    # groupBy + join/semi-join pair.
-    flagged = docs.select("doc_id", "text").withColumn(
-        "rep_id", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
-    )
-    members = flagged.select("doc_id", "rep_id").cache()
-    reps = flagged.filter(F.col("doc_id") == F.col("rep_id")).select(
-        "doc_id", "text"
-    )
-
-    sh = _shingles(reps).cache()
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("rep_1"), "shingle")
-    b = sh.select(F.col("doc_id").alias("rep_2"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("rep_1") < F.col("rep_2"))
-        .groupBy("rep_1", "rep_2")
-        .agg(F.count("*").alias("n_common"))
-    )
-    c1 = counts.select(F.col("doc_id").alias("rep_1"), F.col("n").alias("n1"))
-    c2 = counts.select(F.col("doc_id").alias("rep_2"), F.col("n").alias("n2"))
-    jac = F.col("n_common").cast("double") / (F.col("n1") + F.col("n2") - F.col("n_common"))
-    rep_pairs = (
-        inter.join(c1, "rep_1")
-        .join(c2, "rep_2")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("rep_1", "rep_2", F.round(jac, 4).alias("jaccard"))
+    members, counts, raw_pairs = _collapsed_rep_jaccard(docs)
+    rep_pairs = raw_pairs.filter(F.col("jac") >= JACCARD_THRESHOLD).select(
+        "rep_1", "rep_2", F.round(F.col("jac"), 4).alias("jaccard")
     )
     # Expand cross-group pairs: every (member of rep_1) × (member of rep_2).
     m1 = members.select(F.col("rep_id").alias("rep_1"), F.col("doc_id").alias("d1"))
@@ -354,17 +376,19 @@ def exact_jaccard_for_pairs(
 @query("dedup_text_minhash")  # rows-only: xxhash64 values are engine-specific
 def dedup_text_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup dedup: MINHASH_PERMS minhashes per doc
-    (one JVM xxhash64 per shingle + vectorized universal-hash
-    permutations in numpy), banded into MINHASH_BANDS×4; docs sharing
-    any band bucket are candidates; candidates are verified with true
-    Jaccard and the higher doc_id of each verified pair is dropped
-    (keep-first). Returns surviving documents.
+    (j-th permutation = xxhash64(shingle-hash, j), folded as ONE JVM
+    hash aggregate — `_banded_sigs_agg`, r11), banded into
+    MINHASH_BANDS×4; docs sharing any band bucket are candidates;
+    candidates are verified with true Jaccard and the higher doc_id of
+    each verified pair is dropped (keep-first). Returns surviving
+    documents.
 
-    Scale shape: one shuffle on doc_id for signatures (numpy kernel is
-    O(shingles × perms) vectorized), a candidate equi-join on the
-    16-byte (band, bhash) key — shuffle volume O(docs × bands),
-    independent of text size — and Jaccard verification restricted to
-    candidate docs only (semi-join pruned inverted index).
+    Scale shape: the signature exchange carries docs × perms longs
+    (map-side-combined min buffers — never shingles, never text, no
+    Python workers), a candidate equi-join on the 16-byte (band,
+    bhash) key — shuffle volume O(docs × bands), independent of text
+    size — and Jaccard verification restricted to candidate docs only
+    (shingle-set form over the semi-join-pruned candidates).
     """
     all_docs = load_table(spark, sf_dir, "documents")
     # Stage 0 — exact-duplicate collapse (md5 winner set). Web-scale
@@ -1523,45 +1547,17 @@ def neardup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     same jaccard, and each ≥2-copy group with shingles contributes
     C(g, 2) jaccard-1.0 pairs (bucket 20). Weighted grid aggregate,
     ≤20 rows out."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
-    flagged = docs.select("doc_id", "text").withColumn(
-        "rep_id", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
-    )
-    gsz = (
-        flagged.groupBy("rep_id")
-        .agg(F.count(F.lit(1)).alias("g"))
-        .cache()
-    )
-    reps = flagged.filter(F.col("doc_id") == F.col("rep_id")).select(
-        "doc_id", "text"
-    )
-    sh = _shingles(reps).cache()
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_id_1"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_id_2"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
-        .groupBy("doc_id_1", "doc_id_2")
-        .agg(F.count("*").alias("n_common"))
-    )
-    c1 = counts.select(F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1"))
-    c2 = counts.select(F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2"))
-    g1 = gsz.select(F.col("rep_id").alias("doc_id_1"), F.col("g").alias("g1"))
-    g2 = gsz.select(F.col("rep_id").alias("doc_id_2"), F.col("g").alias("g2"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("n1") + F.col("n2") - F.col("n_common")
-    )
+    members, counts, raw_pairs = _collapsed_rep_jaccard(docs)
+    gsz = members.groupBy("rep_id").agg(F.count(F.lit(1)).alias("g"))
+    g1 = gsz.select(F.col("rep_id").alias("rep_1"), F.col("g").alias("g1"))
+    g2 = gsz.select(F.col("rep_id").alias("rep_2"), F.col("g").alias("g2"))
     cross = (
-        inter.join(c1, "doc_id_1")
-        .join(c2, "doc_id_2")
-        .where(jac >= JACCARD_HIST_FLOOR)
-        .join(g1, "doc_id_1")
-        .join(g2, "doc_id_2")
+        raw_pairs.where(F.col("jac") >= JACCARD_HIST_FLOOR)
+        .join(g1, "rep_1")
+        .join(g2, "rep_2")
         .select(
-            F.floor(jac * 20).cast("long").alias("jaccard_bucket"),
+            F.floor(F.col("jac") * 20).cast("long").alias("jaccard_bucket"),
             (F.col("g1") * F.col("g2")).cast("long").alias("w"),
         )
     )
