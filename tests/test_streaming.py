@@ -2563,3 +2563,98 @@ def test_apply_session_batch_auto_skew_routing(spark, tmp_path, monkeypatch):
     s_bal = str(tmp_path / "bal")
     si.apply_session_batch(spark, s_bal, spark.createDataFrame(bal, schema), 0)
     assert calls == [si.SKEW_AUTO_CHUNK_DAYS]  # no second chunked call
+
+
+def test_torn_ledger_and_pending_demote_to_rebuild(spark, tmp_path):
+    """ADVICE r10 pins: (a) a TORN ledger.json (crash mid-write under a
+    pre-r11 plain writer, disk fault) demotes to a full rebuild instead
+    of raising JSONDecodeError; (b) a crashed fold whose staged file
+    was REWRITTEN IN PLACE before resume rebuilds rather than promoting
+    the new signature over the old folded content."""
+    import datetime as dt
+    import json
+    import os
+    import shutil
+
+    from minefields_kafka_streams_deduplication_spark.streaming.session_incremental import (
+        _session_root,
+        ensure_session_state,
+        read_session_state,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE, event_type STRING"
+    src = str(tmp_path / "events_src")
+    spark.createDataFrame([(1, 7, t0, 1.0, "view")], schema).coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+    root = _session_root(src)
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        state = ensure_session_state(spark, src)
+        assert read_session_state(spark, state).count() == 1
+
+        # (a) torn ledger: truncated JSON must rebuild, not crash
+        with open(os.path.join(root, "ledger.json"), "w") as fh:
+            fh.write('{"files": {"/x": [1,')  # torn mid-write
+        state = ensure_session_state(spark, src)
+        assert read_session_state(spark, state).count() == 1
+
+        # (b) staged-signature mismatch: simulate a crash mid-fold
+        # (pending.json present) and then mutate the staged file in
+        # place — resume must demote to rebuild (count reflects the
+        # NEW content, not a stale fold)
+        files = [
+            os.path.join(src, f)
+            for f in os.listdir(src)
+            if f.endswith(".parquet")
+        ]
+        pend = {
+            "batch_id": 0,
+            "files": {files[0]: [1, 1]},  # stale signature on purpose
+        }
+        with open(os.path.join(root, "pending.json"), "w") as fh:
+            json.dump(pend, fh)
+        spark.createDataFrame(
+            [(1, 7, t0, 1.0, "view"), (2, 8, t0, 2.0, "view")], schema
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        state = ensure_session_state(spark, src)
+        assert read_session_state(spark, state).count() == 2
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_empty_late_batches_leave_no_quarantine_dirs(spark, tmp_path):
+    """ADVICE r10 pin: once a watermark exists, a fold with ZERO late
+    events must not grow the late/ listing (pre-r11 every fold wrote an
+    empty batch_id dir forever); and repair_late_events retires any
+    legacy EMPTY un-folded dirs it finds."""
+    import datetime as dt
+    import glob as g
+    import os
+
+    from minefields_kafka_streams_deduplication_spark.streaming import (
+        session_incremental as si,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE, event_type STRING"
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(1, 7, t0, 1.0, "view"), (2, 7, t0 + dt.timedelta(hours=9), 2.0, "view")],
+        schema,
+    )
+    si.apply_session_batch(spark, state, b0, 0)  # establishes a watermark
+    # an all-in-contract follow-up batch: no late/ dir may appear
+    b1 = spark.createDataFrame(
+        [(3, 7, t0 + dt.timedelta(hours=10), 3.0, "view")], schema
+    )
+    si.apply_session_batch(spark, state, b1, 1)
+    assert g.glob(os.path.join(state, "late", "batch_id=*")) == []
+
+    # legacy empty dir (pre-r11 fold): repair retires it and reports
+    # nothing to fold
+    legacy = os.path.join(state, "late", "batch_id=9")
+    os.makedirs(legacy, exist_ok=True)
+    assert si.repair_late_events(spark, state) is False
+    assert not os.path.exists(legacy)
