@@ -2600,26 +2600,35 @@ def test_torn_ledger_and_pending_demote_to_rebuild(spark, tmp_path):
         state = ensure_session_state(spark, src)
         assert read_session_state(spark, state).count() == 1
 
-        # (b) staged-signature mismatch: simulate a crash mid-fold
-        # (pending.json present) and then mutate the staged file in
-        # place — resume must demote to rebuild (count reflects the
-        # NEW content, not a stale fold)
+        # (b) staged-signature mismatch with the LEDGER still valid —
+        # the exact ADVICE scenario: a crashed fold staged this file,
+        # the file was then rewritten in place (same content here, so
+        # the ledger's own staleness check stays green), and resume
+        # must demote to rebuild instead of promoting the STALE staged
+        # signature into the ledger (which would permanently blind the
+        # staleness check). Observable: after ensure, the ledger
+        # records the file's REAL current signature, and pending is
+        # consumed.
         files = [
             os.path.join(src, f)
             for f in os.listdir(src)
             if f.endswith(".parquet")
         ]
+        real_sig = [os.path.getsize(files[0]), os.stat(files[0]).st_mtime_ns]
         pend = {
             "batch_id": 0,
-            "files": {files[0]: [1, 1]},  # stale signature on purpose
+            "files": {files[0]: [1, 1]},  # staged sig != current sig
         }
         with open(os.path.join(root, "pending.json"), "w") as fh:
             json.dump(pend, fh)
-        spark.createDataFrame(
-            [(1, 7, t0, 1.0, "view"), (2, 8, t0, 2.0, "view")], schema
-        ).coalesce(1).write.mode("overwrite").parquet(src)
         state = ensure_session_state(spark, src)
-        assert read_session_state(spark, state).count() == 2
+        assert read_session_state(spark, state).count() == 1
+        assert not os.path.exists(os.path.join(root, "pending.json"))
+        with open(os.path.join(root, "ledger.json")) as fh:
+            led = json.load(fh)
+        # the stale staged signature must NOT have been promoted — the
+        # rebuild recorded the file's real current signature
+        assert list(led["files"].values()) == [real_sig]
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
