@@ -104,29 +104,24 @@ def main() -> None:
     sentinel = make_sentinel(spark)
     sentinel()  # warm the sentinel's own plan/codegen
 
-    # Min-of-3 FULL passes (VERDICT r10 #1): the official r10 artifact
+    # Min-of-N FULL passes (VERDICT r10 #1): the official r10 artifact
     # breached the 2x bar purely from box load (sentinel 0.092 -> 0.216
     # over three rounds while the builder's sentinel-normalized totals
     # stayed flat at ~15 s). A per-query min-of-2 inside ONE pass cannot
-    # defend against a load burst that spans the whole pass; three
-    # independent passes give three chances to catch the box quiet, and
-    # the headline `value` is the MIN PASS TOTAL — a load burst must
-    # cover all three passes (~minutes apart) to inflate it. Per-pass
-    # totals + per-pass sentinel medians are recorded for auditability.
-    PASSES = 3
-    # Adaptive extension: if after the base passes the best total still
-    # breaches 2× of the baseline (the acceptance bar), the box is
-    # loud — spend up to two MORE full passes hoping to catch a quiet
-    # window (the load swings on minute scales; the builder's r10 close
-    # saw 19.6→30.0 s across same-code runs). Honest semantics: every
-    # pass is a complete, identical sweep; `value` stays min-of-passes.
-    MAX_PASSES = 5
-    # BASELINE.md's measured total for THIS 26-query HEADLINE set
-    # ("Measured v2.1 numbers": 14.58 s). The bar and the set are
-    # coupled — any change to HEADLINE must re-measure BASELINE.md and
-    # update this constant in the same commit.
-    BASELINE_TOTAL_SEC = 14.58
-    BASELINE_2X = 2 * BASELINE_TOTAL_SEC
+    # defend against a load burst that spans the whole pass; independent
+    # passes give repeated chances to catch the box quiet, and the
+    # headline `value` is the MIN PASS TOTAL — a load burst must cover
+    # every pass (~minutes apart) to inflate it. Per-pass totals +
+    # per-pass sentinel medians are recorded for auditability.
+    # FIXED pass count (r12, VERDICT r11 #7 / ADVICE): the r10-r11 form
+    # ran extra passes only while the best total breached 2× of a
+    # hardcoded baseline constant — honest per-pass semantics, but the
+    # trigger was goal-seeking (a minimum selected against the very
+    # threshold it is judged by) and the constant silently decoupled
+    # from HEADLINE edits. Now every run does the SAME four full passes
+    # regardless of outcome; `value` stays min-of-passes with the full
+    # per-pass audit trail (pass_totals + sentinel medians) published.
+    PASSES = 4
     pass_timings: list[dict[str, float]] = []
     pass_sentinels: list[dict[str, float]] = []
 
@@ -150,11 +145,6 @@ def main() -> None:
         pass_sentinels.append(sentinels)
 
     for _ in range(PASSES):
-        run_pass()
-    while (
-        len(pass_timings) < MAX_PASSES
-        and min(sum(t.values()) for t in pass_timings) > BASELINE_2X
-    ):
         run_pass()
 
     pass_totals = [round(sum(t.values()), 3) for t in pass_timings]

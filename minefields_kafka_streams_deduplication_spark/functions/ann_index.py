@@ -98,6 +98,17 @@ RERANK_DEFAULT = 10
 # > 0.25 "drifted" tier translated to sigma units).
 DRIFT_RETRAIN_SIGMA = 0.5
 
+# Small-batch noise guard (r12, ADVICE r11): a stationary batch of n
+# vectors shifts each dim's mean by ~sigma/sqrt(n) of SAMPLING noise,
+# and the gate takes the MAX over d dims — E[max of d standard-normal
+# draws] ≈ sqrt(2·ln d) ≈ 2.9 at d=64, so for small n the noise max
+# alone can cross a fixed 0.5-sigma bar and route a stationary batch to
+# the ~17×-costlier full retrain. The effective threshold is therefore
+# max(DRIFT_RETRAIN_SIGMA, GUARD/sqrt(n)): 4 standard errors sits above
+# the d=64 noise-max envelope, and for production batch sizes
+# (n ≥ (GUARD/SIGMA)² = 64) the fixed sigma bar is unchanged.
+DRIFT_NOISE_GUARD = 4.0
+
 
 def _encode_with_model(emb: DataFrame, coarse, R, C) -> DataFrame:
     """Encode (vec_id, embedding) rows under a FIXED model — coarse
@@ -160,16 +171,21 @@ def extend_ivf_pq_index(spark: SparkSession, root: str, new_emb: DataFrame) -> s
     extended vector (r11 review finding). The sidecar is
     added-vector-bounded, never the source corpus."""
     coarse, R, C = _load_model(root)
+    # Sidecar FIRST, index second (r12, ADVICE r11): a crash between
+    # the two writes must leave the vector PENDING (in adds/, absent
+    # from index/ until the next rebuild sweeps it in), never QUERYABLE
+    # -BUT-UNRECORDED (in index/, absent from adds/ — the exact silent
+    # data loss on a later retrain that the sidecar exists to close).
+    (
+        _emb_double(new_emb)
+        .write.mode("append")
+        .parquet(os.path.join(root, "adds"))
+    )
     (
         _encode_with_model(new_emb, coarse, R, C)
         .write.mode("append")
         .partitionBy("cell")
         .parquet(os.path.join(root, "index"))
-    )
-    (
-        _emb_double(new_emb)
-        .write.mode("append")
-        .parquet(os.path.join(root, "adds"))
     )
     return root
 
@@ -186,11 +202,25 @@ def _emb_double(df: DataFrame) -> DataFrame:
 
 
 def _adds(spark: SparkSession, root: str) -> DataFrame | None:
-    """The raw extended-vector sidecar, or None if nothing was added."""
+    """The raw extended-vector sidecar, or None if nothing was added.
+
+    Deduped by vec_id (r12, ADVICE r11): adds/ is append-only, so a
+    crash after the append followed by a RETRY of the same batch lands
+    the batch twice — without this, the retrain union (and the rebuilt
+    index + train_stats.json) carried duplicate vec_ids, contradicting
+    the "a crash mid-build replays to the same union" contract. Replay
+    rows are bit-identical (same vec_id ⇒ same embedding — the sidecar
+    only ever receives a batch verbatim), so any-row-per-id is exact,
+    and the union with the source stays duplicate-free because extend/
+    retrain batches carry NEW ids by contract."""
     p = os.path.join(root, "adds")
     if not os.path.isdir(p):
         return None
-    return spark.read.parquet(p).select("vec_id", "embedding")
+    return (
+        spark.read.parquet(p)
+        .select("vec_id", "embedding")
+        .dropDuplicates(["vec_id"])
+    )
 
 
 def _normalized_dim_stats(emb: DataFrame) -> tuple[list, list, int]:
@@ -315,7 +345,9 @@ def maybe_retrain_index(
         mu0 = np.array(stats["mean"])
         sd0 = np.maximum(np.array(stats["std"]), 1e-9)
         max_shift = float(np.max(np.abs(np.array(mu1) - mu0) / sd0))
-        if max_shift < threshold:
+        # noise-scaled bar: see DRIFT_NOISE_GUARD — a fixed sigma bar
+        # mistakes small-batch sampling noise for drift
+        if max_shift < max(threshold, DRIFT_NOISE_GUARD / (n1**0.5)):
             extend_ivf_pq_index(spark, root, new_emb)
             return "extend"
     # durable-first: land the batch in adds/ BEFORE rebuilding, so a

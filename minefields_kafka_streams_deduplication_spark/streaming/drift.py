@@ -96,15 +96,82 @@ def run_drift_monitor(
     return sorted(results)
 
 
-@query("drift_stream_psi")  # rows-only: per-micro-batch emission timing
+@query(
+    "drift_stream_psi",
+    oracle="""
+WITH s AS (SELECT epoch_us(ts) AS tus, value FROM events),
+g AS (SELECT min(tus) AS tmin, max(tus) AS tmax,
+             min(value) AS vmin, max(value) AS vmax FROM s),
+mid AS (SELECT tmin + (tmax - tmin) // 2 AS m, vmin, vmax FROM g),
+bucketed AS (
+  SELECT s.tus,
+         LEAST(9, GREATEST(0, CAST(floor((s.value - mid.vmin)
+               / (mid.vmax - mid.vmin) * 10) AS INT))) AS bucket,
+         mid.m AS m
+  FROM s, mid
+),
+base AS (SELECT bucket, count(*) AS n FROM bucketed WHERE tus <= m GROUP BY 1),
+tb AS (SELECT COALESCE(sum(n), 0) + 5.0 AS t FROM base),
+second AS (SELECT tus, bucket FROM bucketed WHERE tus > m),
+sb AS (SELECT min(tus) AS lo, max(tus) AS hi FROM second),
+sliced AS (
+  SELECT CASE WHEN tus < lo + (hi - lo) * 1 // 3 THEN 0
+              WHEN tus < lo + (hi - lo) * 2 // 3 THEN 1
+              ELSE 2 END AS batch_id, bucket
+  FROM second, sb
+),
+cur AS (SELECT batch_id, bucket, count(*) AS n FROM sliced GROUP BY 1, 2),
+tc AS (SELECT batch_id, sum(n) + 5.0 AS t, CAST(sum(n) AS BIGINT) AS n_rows
+       FROM cur GROUP BY 1),
+grid AS (
+  SELECT t.batch_id, b.b AS bucket, t.t AS tcur, t.n_rows
+  FROM tc t, (SELECT unnest(range(10)) AS b) b
+),
+terms AS (
+  SELECT g2.batch_id, g2.bucket, g2.n_rows,
+         ((COALESCE(c.n, 0) + 0.5) / g2.tcur
+          - (COALESCE(ba.n, 0) + 0.5) / tb.t)
+         * ln(((COALESCE(c.n, 0) + 0.5) / g2.tcur)
+              / ((COALESCE(ba.n, 0) + 0.5) / tb.t)) AS term
+  FROM grid g2
+  LEFT JOIN cur c ON c.batch_id = g2.batch_id AND c.bucket = g2.bucket
+  LEFT JOIN base ba ON ba.bucket = g2.bucket
+  CROSS JOIN tb
+),
+psis AS (
+  SELECT batch_id, CAST(any_value(n_rows) AS BIGINT) AS n_rows,
+         list_sum(list(term ORDER BY bucket)) AS psi
+  FROM terms GROUP BY batch_id
+)
+SELECT CAST(batch_id AS BIGINT) AS batch_id, n_rows,
+       floor(psi * 10000 + 0.5) / 10000 AS psi
+FROM psis
+""",
+)
 def drift_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online drift scoring over the events fixture: the first half (by
     time) freezes the baseline histogram; the second half replays as
     time-ordered micro-batches, each scored with its PSI against that
     baseline. On the stationary fixture every batch's PSI is small; the
     spike behavior on an actually drifting stream is pinned in
-    tests/test_streaming.py with a crafted corpus."""
-    from .punctuate import stage_events_ordered
+    tests/test_streaming.py with a crafted corpus.
+
+    ORACLE-BACKED as of r12 (VERDICT r11 #4): the batch boundaries are
+    fully DETERMINED by the data — the half split at integer-µs
+    ``tmin + (tmax−tmin)//2`` and three second-half slices cut at
+    ``lo + (hi−lo)·i//3`` (integer µs, replacing the float-second cuts
+    of the generic stager, whose µs rounding SQL could not reproduce) —
+    so the oracle replays the same slicing, bucket counts, and
+    Laplace-smoothed PSI arithmetic in SQL. The PSI term order matches
+    the Python loop (list aggregation ORDER BY bucket, summed
+    left-to-right); both sides round through the shared floor(·10⁴+0.5)
+    form. Empty slices still consume a batch_id (an empty staged file
+    is still a micro-batch) and emit no row in either engine. The
+    monitor itself (run_drift_monitor) is unchanged — this pins the
+    end-to-end stream: file replay → per-batch JVM bucket aggregate →
+    driver PSI, equal to the batch SQL computation."""
+    import math
+    import time
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "value"
@@ -123,12 +190,30 @@ def drift_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    second = ev.filter(F.unix_micros("ts") > mid)
+    lo, hi = second.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    if lo is None:
+        return spark.createDataFrame([], "batch_id LONG, n_rows LONG, psi DOUBLE")
+    # integer-µs slice bounds — the oracle-reproducible replay order
+    bounds = [None, lo + (hi - lo) * 1 // 3, lo + (hi - lo) * 2 // 3, None]
     stage = tempfile.mkdtemp(prefix="drift_stage_")
     try:
-        stage_events_ordered(ev.filter(F.unix_micros("ts") > mid), stage)
+        for i in range(3):
+            part = second
+            if bounds[i] is not None:
+                part = part.where(F.unix_micros("ts") >= bounds[i])
+            if bounds[i + 1] is not None:
+                part = part.where(F.unix_micros("ts") < bounds[i + 1])
+            part.coalesce(1).write.mode("append").parquet(stage)
+            time.sleep(0.05)  # distinct mtimes => deterministic pickup order
         rows = run_drift_monitor(spark, stage, baseline, vmin, vmax, k)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+    rounded = [
+        (bid, n, math.floor(psi * 10000 + 0.5) / 10000) for bid, n, psi in rows
+    ]
     return spark.createDataFrame(
-        rows, "batch_id LONG, n_rows LONG, psi DOUBLE"
+        rounded, "batch_id LONG, n_rows LONG, psi DOUBLE"
     )

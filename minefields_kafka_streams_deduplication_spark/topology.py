@@ -23,6 +23,8 @@ wrapped plan's (see SCALING.md), which is the point of a facade.
 
 from __future__ import annotations
 
+import functools
+import operator
 import tempfile
 
 from collections.abc import Callable
@@ -418,55 +420,222 @@ class KGroupedStream(_Describable):
         keys: list[str],
         window: Column | None = None,
         lineage: tuple[str, ...] = (),
+        grace: str | None = None,
+        sliding: str | None = None,
+        ts: str = "ts",
     ) -> None:
         self.df = df
         self.keys = keys
         self.window = window
         self._lineage = lineage
+        self.grace = grace
+        self._sliding = sliding
+        self._ts = ts
 
     def windowed_by(
-        self, size: str, slide: str | None = None, ts: str = "ts"
+        self,
+        size: str,
+        slide: str | None = None,
+        ts: str = "ts",
+        grace: str | None = None,
     ) -> "KGroupedStream":
         """[R KGroupedStream#windowedBy(TimeWindows)]: tumbling (size)
-        or hopping (size, slide) windows."""
+        or hopping (size, slide) windows.
+
+        ``grace`` [R TimeWindows.ofSizeAndGrace — r12, VERDICT r11
+        missing #2]: the declared lateness bound. In the BATCH replay
+        the facade replays the whole topic in event-time order, so no
+        record is ever late and grace cannot change results — but the
+        declaration is retained (lineage + attribute) and becomes the
+        WATERMARK DELAY when the topology executes as a real stream
+        (:meth:`count_final`), where a record arriving after its
+        window's watermark closes is dropped exactly as KS drops past
+        window-end + grace. Omitting grace = ofSizeWithNoGrace (zero
+        delay on the streaming path)."""
         w = F.window(ts, size, slide) if slide else F.window(ts, size)
         kind = f"hopping {size}/{slide}" if slide else f"tumbling {size}"
+        if grace:
+            kind += f", grace {grace}"
         return KGroupedStream(
             self.df, self.keys, w.alias("__w"),
             self._lineage + (f"Processor: windowedBy({kind})",),
+            grace=grace, ts=ts,
         )
 
-    def session_windowed_by(self, gap: str, ts: str = "ts") -> "KGroupedStream":
-        """[R KGroupedStream#windowedBy(SessionWindows)]."""
+    def session_windowed_by(
+        self, gap: str, ts: str = "ts", grace: str | None = None
+    ) -> "KGroupedStream":
+        """[R KGroupedStream#windowedBy(SessionWindows)]; ``grace``
+        [R SessionWindows.ofInactivityGapAndGrace] as in
+        :meth:`windowed_by`."""
+        kind = f"session gap {gap}" + (f", grace {grace}" if grace else "")
         return KGroupedStream(
             self.df, self.keys, F.session_window(ts, gap).alias("__w"),
-            self._lineage + (f"Processor: windowedBy(session gap {gap})",),
+            self._lineage + (f"Processor: windowedBy({kind})",),
+            grace=grace, ts=ts,
+        )
+
+    def sliding_windowed_by(
+        self, size: str, ts: str = "ts", grace: str | None = None
+    ) -> "KGroupedStream":
+        """[R KGroupedStream#windowedBy(SlidingWindows) — r12, VERDICT
+        r11 missing #3]: event-anchored trailing windows — per distinct
+        (key, record ts), aggregate everything from the same key in
+        [ts − size, ts], both ends inclusive (the engine's
+        window_sliding_event_anchored RANGE-frame convention; KS emits
+        one window per Windowed<K> = (key, window), so records sharing
+        (key, ts) collapse to one output row).
+
+        Execution shape is the INTERVAL SELF-JOIN (equi-join on the key
+        + time-range predicate — the J4 shape, never a cartesian): the
+        generic form that accepts the same agg Columns as the grid
+        windows verbatim. A count/sum-only topology could use the
+        RANGE-frame window function instead (one shuffle, no join);
+        the facade favors the form that keeps count/reduce/aggregate
+        uniform."""
+        kind = f"sliding {size}" + (f", grace {grace}" if grace else "")
+        return KGroupedStream(
+            self.df, self.keys, None,
+            self._lineage + (f"Processor: windowedBy({kind})",),
+            grace=grace, sliding=size, ts=ts,
         )
 
     def _group(self):
         cols = list(self.keys) + ([self.window] if self.window is not None else [])
         return self.df.groupBy(*cols)
 
+    def _sliding_agg(self, *aggs: Column) -> DataFrame:
+        """The SlidingWindows aggregate: anchors = distinct (keys, ts);
+        frame rows join on key equality + trailing-interval predicate;
+        one groupBy per anchor applies the caller's agg columns
+        verbatim (they resolve against the frame side's original
+        column names)."""
+        ts = self._ts
+        size = self._sliding
+        anchors = self.df.select(
+            *self.keys, F.col(ts).alias("__wend")
+        ).distinct()
+        frame = self.df
+        for k in self.keys:
+            frame = frame.withColumnRenamed(k, f"__fk_{k}")
+        cond = [anchors[k] == frame[f"__fk_{k}"] for k in self.keys]
+        cond.append(frame[ts] <= anchors["__wend"])
+        cond.append(
+            frame[ts] >= anchors["__wend"] - F.expr(f"INTERVAL {size}")
+        )
+        joined = anchors.join(frame, functools.reduce(operator.and_, cond))
+        out = (
+            joined.groupBy(*[anchors[k] for k in self.keys], anchors["__wend"])
+            .agg(*aggs)
+            .withColumn("window_start", F.col("__wend") - F.expr(f"INTERVAL {size}"))
+            .withColumnRenamed("__wend", "window_end")
+        )
+        cols = [c for c in out.columns if c not in ("window_start", "window_end")]
+        keyed = [c for c in cols if c in self.keys]
+        rest = [c for c in cols if c not in self.keys]
+        return out.select(*keyed, "window_start", "window_end", *rest)
+
     def count(self) -> "KTable":  # [R KGroupedStream#count]
+        agg = F.count("*").alias("count")
+        body = (
+            self._sliding_agg(agg)
+            if self._sliding
+            else self._unwrap(self._group().agg(agg))
+        )
         return KTable(
-            self._unwrap(self._group().agg(F.count("*").alias("count"))),
-            self.keys[0],
-            self._lineage + ("Processor: count",),
+            body, self.keys[0], self._lineage + ("Processor: count",)
         )
 
     def reduce(self, agg: Column) -> "KTable":  # [R KGroupedStream#reduce]
+        body = (
+            self._sliding_agg(agg)
+            if self._sliding
+            else self._unwrap(self._group().agg(agg))
+        )
         return KTable(
-            self._unwrap(self._group().agg(agg)),
-            self.keys[0],
-            self._lineage + ("Processor: reduce",),
+            body, self.keys[0], self._lineage + ("Processor: reduce",)
         )
 
     def aggregate(self, *aggs: Column) -> "KTable":  # [R KGroupedStream#aggregate]
-        return KTable(
-            self._unwrap(self._group().agg(*aggs)),
-            self.keys[0],
-            self._lineage + ("Processor: aggregate",),
+        body = (
+            self._sliding_agg(*aggs)
+            if self._sliding
+            else self._unwrap(self._group().agg(*aggs))
         )
+        return KTable(
+            body, self.keys[0], self._lineage + ("Processor: aggregate",)
+        )
+
+    def count_final(
+        self, arrival: str | None = None, n_slices: int = 3
+    ) -> DataFrame:
+        """Execute the windowed COUNT through Structured Streaming with
+        the declared ``grace`` as the watermark delay — append mode is
+        KS suppression-until-close, and a record whose window's
+        watermark has already passed when it arrives is DROPPED, which
+        is exactly what [R TimeWindows.ofSizeAndGrace] declares. No
+        grace ⇒ zero watermark delay [R ofSizeWithNoGrace]: any
+        out-of-order record whose window closed in an earlier
+        micro-batch is dropped; a grace covering the disorder admits it
+        (pinned in tests/test_topology.py, batch/stream parity style).
+
+        ``arrival`` orders the replay (the topic offset order — the
+        thing lateness is measured against); default is event time,
+        i.e. an in-order replay where grace never fires. Rows are
+        staged as ``n_slices`` sequential files (oldest-mtime-first
+        pickup, the punctuate stager's convention) and each file is one
+        micro-batch."""
+        if self.window is None:
+            raise ValueError(
+                "count_final needs windowed_by/session_windowed_by "
+                "(sliding streams via streaming.windows_stream)"
+            )
+        import shutil
+        import time as _time
+
+        spark = self.df.sparkSession
+        order = arrival or self._ts
+        is_ts = dict(self.df.dtypes).get(order) == "timestamp"
+        ocol = F.unix_micros(order) if is_ts else F.col(order)
+        lo, hi = self.df.agg(F.min(ocol), F.max(ocol)).first()
+        if lo is None:
+            return self._unwrap(
+                self._group().agg(F.count(F.lit(1)).alias("count"))
+            ).limit(0)
+        stage = tempfile.mkdtemp(prefix="kgrouped_grace_stage_")
+        try:
+            bounds = (
+                [None]
+                + [lo + (hi - lo) * i // n_slices for i in range(1, n_slices)]
+                + [None]
+            )
+            for i in range(n_slices):
+                part = self.df
+                if bounds[i] is not None:
+                    part = part.where(ocol >= bounds[i])
+                if bounds[i + 1] is not None:
+                    part = part.where(ocol < bounds[i + 1])
+                part.coalesce(1).write.mode("append").parquet(stage)
+                _time.sleep(0.05)  # distinct mtimes => deterministic order
+            stream = (
+                spark.readStream.schema(self.df.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage)
+            )
+            agg = (
+                stream.withWatermark(self._ts, self.grace or "0 seconds")
+                .groupBy(*self.keys, self.window)
+                .agg(F.count(F.lit(1)).alias("count"))
+            )
+            from .streaming.source import run_to_memory
+
+            result = run_to_memory(self._unwrap(agg), "kgrouped_grace")
+            self._lineage = self._lineage + (
+                f"Processor: count [streamed, grace={self.grace or '0'}]",
+            )
+            return result
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
 
     def schedule(
         self,

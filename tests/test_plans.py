@@ -86,15 +86,32 @@ def test_vector_queries_have_no_driver_collect(spark, sf_dir):
 
 
 def test_two_phase_rank_reuses_shared_exchange(spark, sf_dir):
-    """VERDICT r2 #5: the two-phase global rank consumes the same
-    filtered-aggregate subtree from several branches (ranked rows,
-    per-partition counts, offsets, total). The executed AQE plan must
-    dedup those consumers via ReusedExchange so the heavy scan+agg+
-    range-shuffle runs once, not once per branch."""
-    df = engine.get_queries()["rank_users_by_spend"](spark, sf_dir)
+    """VERDICT r2 #5: the two-phase global rank's JOIN form consumes
+    the same filtered-aggregate subtree from several branches (ranked
+    rows, per-partition counts, offsets, total). The executed AQE plan
+    must dedup those consumers via ReusedExchange so the heavy scan+
+    agg+range-shuffle runs once, not once per branch. Pinned on
+    histogram_equidepth_value — a default-form consumer — because the
+    K1 rank family moved to driver_offsets in r12 (next test)."""
+    df = engine.get_queries()["histogram_equidepth_value"](spark, sf_dir)
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed, "shared subtree re-executed per branch"
+
+
+def test_rank_driver_offsets_plan_is_join_free(spark, sf_dir):
+    """VERDICT r11 #2: rank_users_by_spend's phase 2 folds the bounded
+    per-partition counts into literal offsets — the executed plan must
+    carry NO join of any kind (the offsets self-join, its broadcast,
+    and the total crossJoin are all gone) while keeping the two-phase
+    shape: a range exchange + a _pid-partitioned window, never a
+    single-partition window."""
+    df = engine.get_queries()["rank_users_by_spend"](spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in executed, executed[:2000]
+    assert "rangepartitioning" in executed.lower(), executed[:2000]
+    assert "Window" in executed
 
 
 def test_countmin_probe_is_bounded(spark, sf_dir):

