@@ -208,3 +208,149 @@ def test_drift_gated_lifecycle_extend_vs_retrain(spark, sf_dir, tmp_path):
     assert maybe_retrain_index(spark, sf_dir, root2, stationary) == "retrain"
     with open(os.path.join(root2, "train_stats.json")) as fh:
         assert json.load(fh)["n"] == 2 * n_src
+
+
+def test_retrain_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """ADVICE r12 (medium, fixed): the retrain path appends the batch to
+    adds/ BEFORE rebuilding; a crash after that append followed by a
+    retry of maybe_retrain_index re-appends the same batch. The retrain
+    union dedupes by vec_id, so the rebuilt index and train_stats.json
+    must cover each vector ONCE — never the duplicate rows the raw
+    append-only sidecar holds."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+    from minefields_kafka_streams_deduplication_spark.functions.ann_index import (
+        _emb_double,
+        build_ivf_pq_index,
+        maybe_retrain_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_src = emb.count()
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    root = str(tmp_path / "replay")
+    build_ivf_pq_index(spark, sf_dir, root)
+
+    drifted = emb.select(
+        (F.col("vec_id") + max_id + 1).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == F.lit(0), x + F.lit(50.0)).otherwise(x),
+        ).alias("embedding"),
+    )
+    # the CRASHED attempt: batch landed in adds/, rebuild never ran
+    _emb_double(drifted).write.mode("append").parquet(
+        os.path.join(root, "adds")
+    )
+    # the RETRY: appends the same batch again, then rebuilds
+    assert maybe_retrain_index(spark, sf_dir, root, drifted) == "retrain"
+    # raw sidecar holds the replay twice; the union must not
+    adds_raw = spark.read.parquet(os.path.join(root, "adds"))
+    assert adds_raw.count() == 2 * n_src
+    idx = spark.read.parquet(os.path.join(root, "index"))
+    assert idx.count() == 2 * n_src  # source + batch, each ONCE
+    assert idx.select("vec_id").distinct().count() == 2 * n_src
+    with open(os.path.join(root, "train_stats.json")) as fh:
+        assert json.load(fh)["n"] == 2 * n_src
+
+
+def test_extend_writes_sidecar_before_index(spark, sf_dir, tmp_path, monkeypatch):
+    """ADVICE r12 (low, fixed): extend writes adds/ FIRST. A crash
+    between the two writes (fault-injected into the encode) must leave
+    the batch PENDING — present in adds/, absent from index/ — so a
+    later rebuild sweeps it in; the inverse order left vectors
+    queryable but unrecorded, silently dropped by the next retrain."""
+    from pyspark.sql import functions as F
+
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+    from minefields_kafka_streams_deduplication_spark.functions import ann_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_src = emb.count()
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    root = str(tmp_path / "order")
+    ann_index.build_ivf_pq_index(spark, sf_dir, root)
+
+    batch = emb.select((F.col("vec_id") + max_id + 1).alias("vec_id"), "embedding")
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash between sidecar and index write")
+
+    monkeypatch.setattr(ann_index, "_encode_with_model", boom)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ann_index.extend_ivf_pq_index(spark, root, batch)
+    monkeypatch.undo()
+
+    # pending, not lost: sidecar has it, index does not
+    adds = ann_index._adds(spark, root)
+    assert adds is not None and adds.count() == n_src
+    assert spark.read.parquet(os.path.join(root, "index")).count() == n_src
+
+    # the next rebuild (legacy-root demotion path: stats sidecar gone
+    # ⇒ can't gate ⇒ retrain) sweeps the pending batch into the index —
+    # closure of the crash window. An empty batch short-circuits to
+    # "extend" before the stats check, so drive it with a real one.
+    batch2 = emb.select(
+        (F.col("vec_id") + 2 * (max_id + 1)).alias("vec_id"), "embedding"
+    )
+    os.remove(os.path.join(root, "train_stats.json"))
+    assert ann_index.maybe_retrain_index(spark, sf_dir, root, batch2) == "retrain"
+    assert (
+        spark.read.parquet(os.path.join(root, "index")).count() == 3 * n_src
+    )
+
+
+def test_drift_gate_scales_threshold_with_batch_size(spark, sf_dir, tmp_path):
+    """ADVICE r12 (low, fixed): the gate's effective threshold is
+    max(DRIFT_RETRAIN_SIGMA, DRIFT_NOISE_GUARD/sqrt(n)) — small batches
+    get noise headroom instead of being routed to the ~17×-costlier
+    retrain by sampling noise alone. The decision must match the
+    formula applied to the measured shift (deterministic whatever the
+    fixture draw), and a 16-row subsample of the TRAINING corpus — the
+    canonical stationary small batch — must extend."""
+    import json
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+    from minefields_kafka_streams_deduplication_spark.functions.ann_index import (
+        DRIFT_NOISE_GUARD,
+        DRIFT_RETRAIN_SIGMA,
+        _normalized_dim_stats,
+        build_ivf_pq_index,
+        maybe_retrain_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    root = str(tmp_path / "gate")
+    build_ivf_pq_index(spark, sf_dir, root)
+    with open(os.path.join(root, "train_stats.json")) as fh:
+        stats = json.load(fh)
+
+    small = emb.orderBy("vec_id").limit(16).select(
+        (F.col("vec_id") + max_id + 1).alias("vec_id"), "embedding"
+    )
+    mu1, _sd, n1 = _normalized_dim_stats(small)
+    assert n1 == 16
+    shift = float(
+        np.max(
+            np.abs(np.array(mu1) - np.array(stats["mean"]))
+            / np.maximum(np.array(stats["std"]), 1e-9)
+        )
+    )
+    eff = max(DRIFT_RETRAIN_SIGMA, DRIFT_NOISE_GUARD / (16**0.5))
+    assert eff == 1.0  # 4/sqrt(16) — the guard is live for this n
+    expected = "extend" if shift < eff else "retrain"
+    assert maybe_retrain_index(spark, sf_dir, root, small) == expected
+    # the canonical stationary small batch stays on the cheap path
+    assert expected == "extend", (
+        f"16-row training subsample measured shift {shift:.3f} — "
+        "expected inside the sqrt(n) noise envelope"
+    )
