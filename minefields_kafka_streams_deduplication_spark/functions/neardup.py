@@ -324,12 +324,80 @@ def _banded_sigs_agg(
     ).select("doc_id", F.col("band").cast("int").alias("band"), "bhash")
 
 
+def _shingle_hash_array(
+    docs: DataFrame, id_col: str = "doc_id", keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """Per-document shingle-HASH ARRAY ``hs`` — the narrow (zero-exchange)
+    twin of ``_shingles(...).select(xxhash64(shingle))``: one row per doc,
+    ``hs[i] = xxhash64(concat_ws(' ', t[i], t[i+1], t[i+2]))`` over the
+    lowercased token array. Same shingle grammar and the same hash values
+    as the exploded form by construction (pinned by
+    test_dedup.test_hs_array_matches_exploded_shingle_hashes), so
+    Jaccard over ``array_distinct(hs)`` equals Jaccard over the exploded
+    distinct shingle hashes.
+
+    Why it exists next to `_shingles` (r12, guide §2.4): every consumer
+    of the exploded form immediately re-aggregated per doc (min buffers
+    for signatures, collect_set for verify) — explode + groupBy is two
+    stages and an exchange to compute what is a per-ROW map. The array
+    form keeps the whole signature/verify preparation narrow; only
+    consumers that genuinely need cross-doc shingle rows (the inverted
+    Jaccard index) keep `_shingles`. Docs with <3 tokens (or NULL text)
+    get an EMPTY array — same rows the exploded form dropped. ``keep``
+    columns ride along the (narrow) projection."""
+    return docs.select(
+        id_col, *keep, F.split(F.lower("text"), " ").alias("t")
+    ).select(
+        id_col,
+        *keep,
+        F.expr(
+            "IF(size(t) >= 3,"
+            " transform(sequence(0, size(t) - 3),"
+            "   i -> xxhash64(concat_ws(' ', element_at(t, i + 1),"
+            " element_at(t, i + 2), element_at(t, i + 3)))),"
+            " cast(array() as array<bigint>))"
+        ).alias("hs"),
+    )
+
+
+def _banded_from_hs(
+    with_hs: DataFrame, n_bands: int, rows_per_band: int
+) -> DataFrame:
+    """(doc_id, band, bhash) banded MinHash signatures computed per ROW
+    from a (doc_id, hs) shingle-hash-array frame — value-identical to
+    `_banded_sigs_agg` over the exploded hashes (same ``xxhash64(h, j)``
+    permutation family, same band fold; pinned by
+    test_dedup.test_banded_from_hs_matches_agg_form) but with ZERO
+    exchanges: each permutation min is an `array_min(transform(...))`
+    instead of a shuffled min buffer, so the signature stage adds no
+    shuffle at any scale (the agg form's exchange was already only
+    docs × perms longs; this removes even that, plus the explode and
+    the AQE stage boundaries it paid locally — measured 23 → 13 jobs
+    and ~2× wall on the sf0.1 minhash headline). Rows with empty ``hs``
+    must be filtered by the caller (array_min([]) is NULL, which the
+    exploded form never produced)."""
+    perms = n_bands * rows_per_band
+    mins = ", ".join(
+        f"array_min(transform(hs, h -> xxhash64(h, {j})))" for j in range(perms)
+    )
+    band_hash = ", ".join(
+        "xxhash64(" + ", ".join(f"m[{b * rows_per_band + r}]" for r in range(rows_per_band)) + ")"
+        for b in range(n_bands)
+    )
+    return (
+        with_hs.select("doc_id", F.expr(f"array({mins})").alias("m"))
+        .select("doc_id", F.posexplode(F.expr(f"array({band_hash})")).alias("band", "bhash"))
+        .select("doc_id", F.col("band").cast("int").alias("band"), "bhash")
+    )
+
+
 def exact_jaccard_for_pairs(
     docs: DataFrame,
     pairs: DataFrame,
     c1: str = "doc_id_1",
     c2: str = "doc_id_2",
     shingles: DataFrame | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """THE shared verify stage of every near-dup pipeline (batch LSH,
     oracle witness, incremental ingest, streaming anchors): annotate
@@ -347,6 +415,14 @@ def exact_jaccard_for_pairs(
     text and re-exploding (r12: the minhash pipelines paid the full
     shingle scan twice — measured ~1.4× on the sf0.1 headline). Same
     grammar by construction: the frame is `_shingles` output either way.
+
+    ``sets``: optional precomputed (doc_id, __sh) frame holding each
+    doc's DISTINCT shingle(-hash) array — `array_distinct` over
+    `_shingle_hash_array` output (r12). Callers on the array-form
+    signature path pass it so verify skips BOTH the explode and the
+    collect_set exchange entirely; the Jaccard arithmetic below is
+    shared unchanged (array_distinct(hs) == collect_set of the exploded
+    hashes as a set — order differs, array_intersect/size don't care).
     """
     ids = (
         pairs.select(F.col(c1).alias("doc_id"))
@@ -370,12 +446,13 @@ def exact_jaccard_for_pairs(
     # flood (hot boilerplate bucket) could force-broadcast an unbounded
     # frame. AQE still converts to broadcast at runtime whenever the
     # measured size is under threshold.
-    sh = (
-        shingles.join(ids, "doc_id", "left_semi")
-        if shingles is not None
-        else _shingles(docs.join(ids, "doc_id", "left_semi"), distinct=False)
-    )
-    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("__sh"))
+    if sets is None:
+        sh = (
+            shingles.join(ids, "doc_id", "left_semi")
+            if shingles is not None
+            else _shingles(docs.join(ids, "doc_id", "left_semi"), distinct=False)
+        )
+        sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("__sh"))
     s1 = sets.select(F.col("doc_id").alias(c1), F.col("__sh").alias("__sh1"))
     s2 = sets.select(F.col("doc_id").alias(c2), F.col("__sh").alias("__sh2"))
     inter = F.size(F.array_intersect("__sh1", "__sh2"))
@@ -393,63 +470,60 @@ def exact_jaccard_for_pairs(
 @query("dedup_text_minhash")  # rows-only: xxhash64 values are engine-specific
 def dedup_text_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup dedup: MINHASH_PERMS minhashes per doc
-    (j-th permutation = xxhash64(shingle-hash, j), folded as ONE JVM
-    hash aggregate — `_banded_sigs_agg`, r11), banded into
+    (j-th permutation = xxhash64(shingle-hash, j), computed per doc row
+    from the shingle-hash array — `_banded_from_hs`, r12), banded into
     MINHASH_BANDS×4; docs sharing any band bucket are candidates;
     candidates are verified with true Jaccard and the higher doc_id of
     each verified pair is dropped (keep-first). Returns surviving
     documents.
 
-    Scale shape: the signature exchange carries docs × perms longs
-    (map-side-combined min buffers — never shingles, never text, no
-    Python workers), a candidate equi-join on the 16-byte (band,
-    bhash) key — shuffle volume O(docs × bands), independent of text
-    size — and Jaccard verification restricted to candidate docs only
-    (shingle-set form over the semi-join-pruned candidates).
+    Scale shape (r12 rework, guide §2.4 — remove shuffles outright):
+    ONE corpus exchange total. The exact-copy collapse and the winner
+    row now fold into a single groupBy(md5) aggregate (min doc_id +
+    min_by payload columns — partial-aggregated map-side, so the
+    exchange carries ≤ one winner row per distinct text per map task;
+    the old winner-id groupBy + left_semi re-scan paid a hash exchange
+    AND a second pass over the corpus). Signatures and verify sets are
+    then per-ROW array expressions over `hs` — no explode, no groupBy,
+    no Python workers, no exchange at all — leaving only the candidate
+    equi-join on the 16-byte (band, bhash) key (shuffle volume
+    O(docs × bands), independent of text size) and the candidate-
+    bounded verify joins. Locally: 23 → 13 AQE jobs, ~2× wall at sf0.1
+    (same output rows bit-for-bit at both SFs, A/B-verified before the
+    swap).
     """
     all_docs = load_table(spark, sf_dir, "documents")
-    # Stage 0 — exact-duplicate collapse (md5 winner set). Web-scale
+    # Stage 0 — exact-duplicate collapse (md5 winner row). Web-scale
     # corpora are dominated by EXACT copies; feeding them to LSH makes
     # every shingle a hot key and the verify join quadratic in copy
     # count (measured 79s on a 10x-replicated corpus vs 7s after this
     # prefilter). Near-dup detection then runs on distinct texts only;
     # exact copies are definitionally near-dups of their keeper, so the
-    # final survivor set is unchanged.
-    exact_winner = (
-        all_docs.select(F.md5(F.lower(F.trim(F.col("text")))).alias("nh"), "doc_id")
-        .groupBy("nh")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-        # narrow ID-only cache (r11): the winner set feeds three
-        # consumers (signature shingles, verify shingles, the final
-        # projection) — uncached, each re-ran the full-text md5 hash
-        # aggregate; cached it's one long column, distinct-text-bounded,
-        # never the corpus payload
-        .cache()
+    # final survivor set is unchanged. min_by(col, doc_id) reproduces
+    # exactly the winner ROW the old semi-join form kept (doc_id is
+    # unique, so min_by is deterministic).
+    winners = all_docs.groupBy(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("nh")
+    ).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("source", "doc_id").alias("source"),
+        F.min_by("text", "doc_id").alias("text"),
     )
-    docs = all_docs.join(exact_winner, "doc_id", "left_semi")
-    # Signature path: NON-distinct shingles (narrow plan — duplicates
-    # cannot change a min, so the distinct shuffle is pure waste here).
-    # The HASHED frame (doc_id, 64-bit shingle hash) is CACHED (r12): it
-    # feeds BOTH the signature aggregate and the Jaccard verify —
-    # uncached, verify re-read the corpus text and re-ran the explode
-    # (the single most expensive scan in the pipeline, paid twice).
-    # Longs, not strings: half the cache, cheaper collect_set /
-    # array_intersect in verify. Jaccard over hashed shingles equals
-    # Jaccard over shingles up to xxhash64 collisions (~n²/2⁶⁵ — noise
-    # far below the 0.7 threshold's discrimination); this pipeline is
-    # rows-only precisely because its hash family is engine-specific,
-    # while the ORACLE-checked witness (neardup_minhash_verified) keeps
-    # verify on the exact shingle strings. Distinct-text bounded; at
-    # cluster scale the cache spills to executor disk, still cheaper
-    # than a second corpus scan.
-    hashed = (
-        _shingles(docs, distinct=False)
-        .select("doc_id", F.xxhash64("shingle").alias("h"))
-        .cache()
-    )
-    banded = _banded_sigs_agg(
-        hashed, MINHASH_BANDS, MINHASH_PERMS // MINHASH_BANDS
+    # (doc_id, lang, source, hs) — the ONE cached frame: signature,
+    # verify-set and final-projection consumers all read it (uncached,
+    # each would re-run the collapse aggregate). Shingle-hash LONGS,
+    # never strings: Jaccard over hashed shingles equals Jaccard over
+    # shingles up to xxhash64 collisions (~n²/2⁶⁵ — noise far below the
+    # 0.7 threshold's discrimination); this pipeline is rows-only
+    # precisely because its hash family is engine-specific, while the
+    # ORACLE-checked witness (neardup_minhash_verified) keeps verify on
+    # the exact shingle strings. Distinct-text bounded; at cluster
+    # scale the cache spills to executor disk, still cheaper than a
+    # second corpus scan.
+    base = _shingle_hash_array(winners, keep=("lang", "source")).cache()
+    banded = _banded_from_hs(
+        base.where(F.size("hs") > 0), MINHASH_BANDS, MINHASH_PERMS // MINHASH_BANDS
     ).cache()
     cand = (
         banded.alias("x")
@@ -460,10 +534,12 @@ def dedup_text_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     verified = exact_jaccard_for_pairs(
-        docs, cand, shingles=hashed.withColumnRenamed("h", "shingle")
+        base,
+        cand,
+        sets=base.select("doc_id", F.array_distinct("hs").alias("__sh")),
     ).filter(F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD)
     dupes = verified.select(F.col("doc_id_2").alias("doc_id")).distinct()
-    return docs.select("doc_id", "lang", "source").join(dupes, "doc_id", "left_anti")
+    return base.select("doc_id", "lang", "source").join(dupes, "doc_id", "left_anti")
 
 
 # Witness band shape: the SAME 64 permutations re-banded 32×2 for recall.

@@ -425,28 +425,37 @@ def importance_weight_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the residual cost is the per-copy doc_id hash join — inherent to
     # a per-doc output).
     doc_map = docs.select("doc_id", F.md5(F.lower("text")).alias("th"))
+    # ONE corpus aggregate carries both copy weights (r12, guide §2.3/
+    # §2.4): total copies `w` AND target-lang copies `wl` fold in the
+    # same groupBy — the previous separate lang-filtered aggregate was
+    # a second full corpus scan + exchange, and its left join back onto
+    # th_tf a third shuffle, all to attach one conditional count the
+    # first aggregate could carry for free. Values unchanged:
+    # sum(when(lang=target,1)) per th == the old lang-filtered count,
+    # with absent groups 0 == the old coalesce(wl, 0).
     reps = docs.groupBy(F.md5(F.lower("text")).alias("th")).agg(
         F.count(F.lit(1)).alias("w"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.lit(1)).otherwise(F.lit(0))
+        ).alias("wl"),
         F.first(F.split(F.lower("text"), " ")).alias("tk"),
-    )
-    lang_w = (
-        docs.where(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy(F.md5(F.lower("text")).alias("th"))
-        .agg(F.count(F.lit(1)).alias("wl"))
     )
     # (th, token, c): pinned — feeds the LM counts AND the score join
     th_tf = (
-        reps.select("th", "w", F.explode("tk").alias("token"))
+        reps.select("th", "w", "wl", F.explode("tk").alias("token"))
         .groupBy("th", "token")
-        .agg(F.count(F.lit(1)).alias("c"), F.max("w").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("w").alias("w"),
+            F.max("wl").alias("wl"),
+        )
         .localCheckpoint(eager=False)
     )
     counts = (
-        th_tf.join(lang_w, "th", "left")
-        .groupBy("token")
+        th_tf.groupBy("token")
         .agg(
             F.sum(F.col("c") * F.col("w")).alias("raw_c"),
-            F.sum(F.col("c") * F.coalesce(F.col("wl"), F.lit(0))).alias("tgt_c"),
+            F.sum(F.col("c") * F.col("wl")).alias("tgt_c"),
         )
         .localCheckpoint(eager=False)
     )

@@ -645,41 +645,66 @@ def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated 2-gram. High values flag boilerplate/spam for the quality
     filter (`gopher_quality_rules` handles the length/symbol rules).
 
-    Scale shape: the bigram explode is a JVM codegen transform (no
-    Python); counts shuffle once on (doc_id, gram) with map-side
-    combine; the per-doc reduction is a second map-side-combinable agg
-    on doc_id only. Docs with <2 tokens have no bigrams and drop out in
-    both engines.
+    Scale shape (r12 rework, guide §2.3/§2.4): per-doc metrics need NO
+    cross-doc state, so the whole computation is one narrow JVM map —
+    sort each doc's bigram-HASH array and fold run lengths (max run =
+    the top bigram's count, Σ runs>1 = the duplicated-occurrence mass).
+    The previous explode + groupBy(doc_id, gram_h) + groupBy(doc_id)
+    shape shuffled ~one row per TOKEN of the corpus (bigrams are
+    mostly distinct within a doc, so map-side combine barely reduced
+    it) and paid two exchanges; this form shuffles NOTHING at any
+    scale. Same values: grouping by the sorted hash array's equal runs
+    == grouping by gram hash (identical xxhash64(concat(...)) grammar),
+    and the final ratios reuse the same round4f arithmetic the oracle
+    mirrors. Docs with <2 tokens have no bigrams and drop out in both
+    engines.
     """
     docs = load_table(spark, sf_dir, "documents")
     # Materialize the token array BEFORE the lambda: an expression
     # inside a higher-order function re-evaluates per element, so
     # split() referenced in the transform body is O(tokens²) per doc
-    # (measured 7× slower at 10× before this).
-    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
-    grams = toks.select(
+    # (measured 7× slower at 10× before this). sequence(0, stop)
+    # DESCENDS for stop < 0: single-token docs must yield no bigrams,
+    # not phantom ones — hence the size(t) >= 2 row filter.
+    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("t")).where(
+        F.expr("size(t) >= 2")
+    )
+    bh = toks.select(
         "doc_id",
-        F.explode(
-            # sequence(0, stop) DESCENDS for stop < 0: single-token docs
-            # must yield no bigrams, not phantom ones.
-            F.expr(
-                "IF(size(t) >= 2,"
-                " transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1])),"
-                " array())"
-            )
-        ).alias("gram"),
+        F.expr(
+            "array_sort(transform(sequence(0, size(t) - 2),"
+            " i -> xxhash64(concat(t[i], ' ', t[i + 1]))))"
+        ).alias("s"),
     )
-    c = grams.groupBy("doc_id", F.xxhash64("gram").alias("gram_h")).agg(
-        F.count("*").alias("c")
+    # Run-length fold over the sorted hashes: state = (prev hash, run
+    # length, max run, Σ of runs > 1); each run finalizes when the next
+    # value differs, the finish lambda closes the last run. All longs,
+    # all codegen — max(c), Σ(c>1 c) and Σc == size(s) of the old
+    # grouped form, per doc, with zero exchanges.
+    folded = bh.select(
+        "doc_id",
+        F.size("s").alias("n"),
+        F.expr(
+            """
+            aggregate(
+              s,
+              struct(CAST(NULL AS BIGINT) AS prev, 0L AS run,
+                     0L AS maxrun, 0L AS dup),
+              (acc, x) -> IF(acc.prev IS NOT NULL AND x = acc.prev,
+                             struct(x AS prev, acc.run + 1 AS run,
+                                    acc.maxrun AS maxrun, acc.dup AS dup),
+                             struct(x AS prev, 1L AS run,
+                                    greatest(acc.maxrun, acc.run) AS maxrun,
+                                    acc.dup + IF(acc.run > 1, acc.run, 0L) AS dup)),
+              acc -> struct(greatest(acc.maxrun, acc.run) AS maxrun,
+                            acc.dup + IF(acc.run > 1, acc.run, 0L) AS dup))
+            """
+        ).alias("r"),
     )
-    return c.groupBy("doc_id").agg(
-        round4f(F.max("c").cast("double") / F.sum("c")).alias("top2_frac"),
-        round4f(
-            F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)).cast(
-                "double"
-            )
-            / F.sum("c")
-        ).alias("dup2_frac"),
+    return folded.select(
+        "doc_id",
+        round4f(F.col("r.maxrun").cast("double") / F.col("n")).alias("top2_frac"),
+        round4f(F.col("r.dup").cast("double") / F.col("n")).alias("dup2_frac"),
     )
 
 

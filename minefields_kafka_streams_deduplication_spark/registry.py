@@ -360,6 +360,11 @@ _R12_REVERIFY: tuple[str, ...] = (
     # (exact_jaccard_for_pairs shingles= param) instead of re-shingling
     # the candidate set from text — same grammar, new plan.
     "neardup_minhash_verified",
+    # r12 optimization round: dedup_text_minhash moved to the array-form
+    # signature/verify kernels (_shingle_hash_array/_banded_from_hs,
+    # exact_jaccard_for_pairs sets= param) — rows-only, but force its
+    # rows check into the window after the kernel swap.
+    "dedup_text_minhash",
     # VERDICT r11 #3 asked for the minhash family + r11-new kernels to
     # land driver rows in the r12 window even where r12 didn't touch
     # them further (shared-shingle-grammar consumers of the r11 rework).

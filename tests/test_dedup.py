@@ -553,3 +553,71 @@ def test_banded_sigs_agg_determinism_and_banding(spark):
     ).collect():
         one_part[r.doc_id].add((r.band, r.bhash))
     assert one_part == sigs
+
+
+def test_hs_array_form_matches_exploded_kernels(spark):
+    """The r12 array-form signature kernels must be VALUE-identical to
+    the exploded forms they replace — this is what lets
+    dedup_text_minhash swap `_shingles`+`_banded_sigs_agg` for
+    `_shingle_hash_array`+`_banded_from_hs` with bit-identical output:
+
+    - `_shingle_hash_array(docs).hs` as a multiset == the exploded
+      `xxhash64(shingle)` rows per doc (same grammar, same hash);
+    - `_banded_from_hs` == `_banded_sigs_agg` (band, bhash) sets per doc
+      (same xxhash64(h, j) permutation family, same band fold);
+    - docs with <3 tokens yield an EMPTY hs array and NO banded rows
+      (the exploded form dropped them before the aggregate)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from minefields_kafka_streams_deduplication_spark.functions.neardup import (
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+        _banded_from_hs,
+        _banded_sigs_agg,
+        _shingle_hash_array,
+        _shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Alpha beta gamma DELTA epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "tiny doc"),  # <3 tokens: no shingles
+            (4, "x y z x y z x y z"),  # repeated shingles
+        ],
+        "doc_id LONG, text STRING",
+    )
+    exploded = Counter(
+        (r.doc_id, r.h)
+        for r in _shingles(docs, distinct=False)
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        .collect()
+    )
+    with_hs = _shingle_hash_array(docs)
+    arr = Counter(
+        (r.doc_id, h) for r in with_hs.collect() for h in r.hs
+    )
+    assert arr == exploded
+    assert {r.doc_id: len(r.hs) for r in with_hs.collect()}[3] == 0
+
+    rpb = MINHASH_PERMS // MINHASH_BANDS
+    agg_form = {
+        (r.doc_id, r.band, r.bhash)
+        for r in _banded_sigs_agg(
+            _shingles(docs, distinct=False).select(
+                "doc_id", F.xxhash64("shingle").alias("h")
+            ),
+            MINHASH_BANDS,
+            rpb,
+        ).collect()
+    }
+    arr_form = {
+        (r.doc_id, r.band, r.bhash)
+        for r in _banded_from_hs(
+            with_hs.where(F.size("hs") > 0), MINHASH_BANDS, rpb
+        ).collect()
+    }
+    assert arr_form == agg_form
+    assert not any(d == 3 for d, _, _ in arr_form)
