@@ -332,7 +332,7 @@ def _shingle_hash_array(
     ``hs[i] = xxhash64(concat_ws(' ', t[i], t[i+1], t[i+2]))`` over the
     lowercased token array. Same shingle grammar and the same hash values
     as the exploded form by construction (pinned by
-    test_dedup.test_hs_array_matches_exploded_shingle_hashes), so
+    test_dedup.test_hs_array_form_matches_exploded_kernels), so
     Jaccard over ``array_distinct(hs)`` equals Jaccard over the exploded
     distinct shingle hashes.
 
@@ -367,7 +367,7 @@ def _banded_from_hs(
     from a (doc_id, hs) shingle-hash-array frame — value-identical to
     `_banded_sigs_agg` over the exploded hashes (same ``xxhash64(h, j)``
     permutation family, same band fold; pinned by
-    test_dedup.test_banded_from_hs_matches_agg_form) but with ZERO
+    test_dedup.test_hs_array_form_matches_exploded_kernels) but with ZERO
     exchanges: each permutation min is an `array_min(transform(...))`
     instead of a shuffled min buffer, so the signature stage adds no
     shuffle at any scale (the agg form's exchange was already only

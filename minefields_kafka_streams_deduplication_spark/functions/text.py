@@ -562,11 +562,16 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-term set — the classic lexical-search scorer a corpus engine
     pairs with the vector family for hybrid retrieval.
 
-    Scale shape: per-doc length and per-(doc, term) tf are map-side
-    combinable aggregates; the document-frequency table is bounded by
-    the query vocabulary (3 rows here) and broadcasts; corpus-level
-    N/avgdl is a 1-row broadcast crossJoin. One shuffle on doc_id, no
-    Python anywhere.
+    Scale shape (r12 rework, guide §2.3/§2.4): the query vocabulary is
+    FIXED and tiny, so per-(doc, term) tf needs no token explode and no
+    (th, token) exchange at all — each term's count is a
+    `size(filter(tk, x -> x = term))` array expression on the collapsed
+    doc row. Corpus stats AND per-term document frequencies fold into
+    ONE scalar aggregate (broadcast back via crossJoin), leaving a
+    single corpus exchange (the copy collapse) plus the per-doc attach
+    join. The old shape paid the explode, a (th, token) exchange, a
+    per-th groupBy exchange and two stats joins for the same values.
+    No Python anywhere.
     """
     # NULL text would reach size(tk) as size(NULL) = -1 (legacy
     # default) and silently shift n/avgdl; the oracle's explode drops
@@ -577,48 +582,63 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus stats weight by copy count (n = Σw; avgdl = Σw·dl / Σw
     # divides the same two exact longs as avg(dl) un-collapsed; df =
     # Σw per text containing the term == countDistinct(doc_id)), and
-    # scores re-attach by text hash. reps is pinned: the dl, tf and
-    # doc-map branches would each re-run the collapse otherwise.
+    # scores re-attach by text hash. base is pinned: the scalar-stats
+    # and score branches would each re-run the collapse otherwise.
     doc_map = docs.select("doc_id", F.md5(F.lower("text")).alias("th"))
-    reps = (
-        docs.groupBy(F.md5(F.lower("text")).alias("th"))
-        .agg(
-            F.count(F.lit(1)).alias("w"),
-            F.first(F.split(F.lower("text"), " ")).alias("tk"),
-        )
-        .localCheckpoint(eager=False)
+    reps = docs.groupBy(F.md5(F.lower("text")).alias("th")).agg(
+        F.count(F.lit(1)).alias("w"),
+        F.first(F.split(F.lower("text"), " ")).alias("tk"),
     )
-    dl = reps.select("th", "w", F.size("tk").alias("dl"))
-    stats = dl.agg(
+    def tf_col(term: str) -> F.Column:
+        # NOTE: the lambda must take exactly ONE parameter — pyspark
+        # dispatches a two-parameter lambda to the (element, index)
+        # filter form, silently binding the second arg to the index.
+        return F.size(F.filter("tk", lambda x: x == F.lit(term)))
+
+    base = reps.select(
+        "th",
+        "w",
+        F.size("tk").alias("dl"),
+        *[tf_col(t).alias(f"tf{i}") for i, t in enumerate(BM25_TERMS)],
+    ).localCheckpoint(eager=False)
+    stats = base.agg(
         F.sum("w").alias("n"),
         (F.sum(F.col("w") * F.col("dl")) / F.sum("w")).alias("avgdl"),
-    )
-    tf = (
-        reps.select("th", "w", F.explode("tk").alias("token"))
-        .filter(F.col("token").isin(BM25_TERMS))
-        .groupBy("th", "token")
-        .agg(F.count("*").alias("tf"), F.max("w").alias("w"))
-    )
-    df_t = tf.groupBy("token").agg(F.sum("w").alias("df"))
-    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    denom = F.col("tf") + BM25_K1 * (
-        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
-    )
-    per_th = (
-        tf.join(dl.select("th", "dl"), "th")
-        .join(F.broadcast(df_t), "token")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("th")
-        .agg(
-            # Per-term scores snap to DECIMAL(18,6) before the per-doc
-            # sum (ln is 1-ulp engine-divergent and sum order is not):
-            # same hardening as DSIR / the unigram scorer.
+        *[
             F.sum(
-                (idf * F.col("tf") * (BM25_K1 + 1.0) / denom).cast("decimal(18,6)")
-            )
-            .cast("double")
-            .alias("bm25")
+                F.when(F.col(f"tf{i}") > 0, F.col("w")).otherwise(F.lit(0))
+            ).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+
+    def term_score(i: int) -> F.Column:
+        # Identical arithmetic to the old per-(th, token) row form —
+        # idf/denom expressions copied verbatim with the term's own
+        # tf/df columns; a term absent from the doc contributes an
+        # exact DECIMAL zero, so the decimal sum over the fixed term
+        # set equals the old sum over present-term rows only.
+        idf = F.log(
+            (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1.0
         )
+        denom = F.col(f"tf{i}") + BM25_K1 * (
+            1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        # Per-term scores snap to DECIMAL(18,6) before the per-doc
+        # sum (ln is 1-ulp engine-divergent and sum order is not):
+        # same hardening as DSIR / the unigram scorer.
+        return F.when(
+            F.col(f"tf{i}") > 0,
+            (idf * F.col(f"tf{i}") * (BM25_K1 + 1.0) / denom).cast("decimal(18,6)"),
+        ).otherwise(F.lit(0).cast("decimal(18,6)"))
+
+    total = term_score(0)
+    for i in range(1, len(BM25_TERMS)):
+        total = total + term_score(i)
+    per_th = (
+        base.crossJoin(F.broadcast(stats))
+        .where(sum(F.col(f"tf{i}") for i in range(len(BM25_TERMS))) > 0)
+        .select("th", total.cast("double").alias("bm25"))
     )
     return doc_map.join(per_th, "th").select("doc_id", "bm25")
 
@@ -756,7 +776,12 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries ~distinct-chars-per-doc rows (~30-100/doc), not one row per
     character; the per-doc total rides a window over the second
     (doc_id-partitioned) exchange — 2 shuffles of counter rows, bodies
-    never shuffle.
+    never shuffle. (r12 note: the doc_repetition_metrics sorted-array
+    run-length fold was A/B'd here and REJECTED — per-CHAR interpreted
+    HOF lambdas with a decimal struct state measured ~2× slower than
+    this codegen explode + partial-agg shape at sf0.1, outputs
+    identical. The fold wins only when it replaces a token-volume
+    exchange; here the exchange was already distinct-chars-bounded.)
     """
     docs = load_table(spark, sf_dir, "documents")
     cc = (
