@@ -360,6 +360,31 @@ def _shingle_hash_array(
     )
 
 
+def _shingle_string_array(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-document shingle STRING array ``sh`` — same grammar as
+    `_shingles` / `_shingle_hash_array` (word-3-grams of the lowercased
+    token array; equality pinned by
+    test_dedup.test_hs_array_form_matches_exploded_kernels), kept as
+    strings for consumers whose verify stage must stay on exact shingle
+    text (the oracle-checked witness — its DuckDB oracle intersects
+    shingle STRINGS, so hashing before verify would make a 2⁻⁶⁴
+    collision an oracle DIFF instead of noise). Narrow: one row per
+    doc, no explode, no exchange; `transform(sh, s -> xxhash64(s))`
+    reproduces `_shingle_hash_array` exactly."""
+    return docs.select(
+        id_col, F.split(F.lower("text"), " ").alias("t")
+    ).select(
+        id_col,
+        F.expr(
+            "IF(size(t) >= 3,"
+            " transform(sequence(0, size(t) - 3),"
+            "   i -> concat_ws(' ', element_at(t, i + 1),"
+            " element_at(t, i + 2), element_at(t, i + 3))),"
+            " cast(array() as array<string>))"
+        ).alias("sh"),
+    )
+
+
 def _banded_from_hs(
     with_hs: DataFrame, n_bands: int, rows_per_band: int
 ) -> DataFrame:
@@ -603,14 +628,22 @@ def neardup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
 
-    # LSH candidates over representatives (non-distinct shingles — a
-    # duplicate shingle cannot change a min, so the plan stays narrow).
-    # Cached (r12): shared by the signature aggregate AND the exact
-    # verify below — see dedup_text_minhash for the scan-twice history.
-    sh_reps = _shingles(reps, distinct=False).cache()
-    hashed = sh_reps.select("doc_id", F.xxhash64("shingle").alias("h"))
-    banded = _banded_sigs_agg(
-        hashed, MINHASH_WITNESS_BANDS, MINHASH_PERMS // MINHASH_WITNESS_BANDS
+    # Per-rep shingle STRING array (r12, the dedup_text_minhash array
+    # rework applied to the witness): signatures fold per ROW from
+    # `transform(sh, xxhash64)` (`_banded_from_hs` — value-identical to
+    # the old explode + `_banded_sigs_agg`, pinned) and the verify sets
+    # are `array_distinct(sh)` — the signature exchange, the explode
+    # and the collect_set exchange are all gone; strings are KEPT so
+    # verify still intersects exact shingle text (what the DuckDB
+    # oracle checks). Cached: candidate generation and verify both
+    # read it.
+    sarr = _shingle_string_array(reps).cache()
+    banded = _banded_from_hs(
+        sarr.where(F.size("sh") > 0).select(
+            "doc_id", F.expr("transform(sh, s -> xxhash64(s))").alias("hs")
+        ),
+        MINHASH_WITNESS_BANDS,
+        MINHASH_PERMS // MINHASH_WITNESS_BANDS,
     ).cache()
     cand = (
         banded.alias("x")
@@ -625,7 +658,13 @@ def neardup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Exact verify: the shared pair verifier, over candidate reps only.
     rep_pairs = (
-        exact_jaccard_for_pairs(reps, cand, "rep_1", "rep_2", shingles=sh_reps)
+        exact_jaccard_for_pairs(
+            reps,
+            cand,
+            "rep_1",
+            "rep_2",
+            sets=sarr.select("doc_id", F.array_distinct("sh").alias("__sh")),
+        )
         .filter(F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD)
         .select("rep_1", "rep_2", F.round("jaccard", 4).alias("jaccard"))
     )
@@ -641,11 +680,10 @@ def neardup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Within-group pairs: exact copies, Jaccard 1.0 by construction —
     # independent of the LSH candidate set (a multi-member group needs
     # no collision to be a true pair set). Gated on the rep actually
-    # having shingles (<3 tokens ⇒ no shingles ⇒ no oracle pair), which
-    # is decidable from the text without shingling: size(tokens) >= 3.
-    shingled_reps = (
-        reps.filter(F.size(F.split(F.lower("text"), " ")) >= 3)
-        .select(F.col("doc_id").alias("rep_id"))
+    # having shingles (<3 tokens ⇒ no shingles ⇒ no oracle pair) —
+    # read off the cached shingle-array frame.
+    shingled_reps = sarr.where(F.size("sh") > 0).select(
+        F.col("doc_id").alias("rep_id")
     )
     g1 = members.join(shingled_reps, "rep_id").select(
         "rep_id", F.col("doc_id").alias("d1")

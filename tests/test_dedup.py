@@ -577,6 +577,7 @@ def test_hs_array_form_matches_exploded_kernels(spark):
         _banded_from_hs,
         _banded_sigs_agg,
         _shingle_hash_array,
+        _shingle_string_array,
         _shingles,
     )
 
@@ -601,6 +602,29 @@ def test_hs_array_form_matches_exploded_kernels(spark):
     )
     assert arr == exploded
     assert {r.doc_id: len(r.hs) for r in with_hs.collect()}[3] == 0
+
+    # string-array form: same grammar as _shingles, and hashing it
+    # reproduces _shingle_hash_array exactly (the witness's signature
+    # path relies on this)
+    exploded_str = Counter(
+        (r.doc_id, r.shingle)
+        for r in _shingles(docs, distinct=False).collect()
+    )
+    with_sh = _shingle_string_array(docs)
+    assert (
+        Counter((r.doc_id, s) for r in with_sh.collect() for s in r.sh)
+        == exploded_str
+    )
+    from pyspark.sql import functions as F2
+
+    rehashed = Counter(
+        (r.doc_id, h)
+        for r in with_sh.select(
+            "doc_id", F2.expr("transform(sh, s -> xxhash64(s))").alias("hs")
+        ).collect()
+        for h in r.hs
+    )
+    assert rehashed == exploded
 
     rpb = MINHASH_PERMS // MINHASH_BANDS
     agg_form = {
