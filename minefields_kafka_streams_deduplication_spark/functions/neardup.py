@@ -449,11 +449,6 @@ def exact_jaccard_for_pairs(
     shared unchanged (array_distinct(hs) == collect_set of the exploded
     hashes as a set — order differs, array_intersect/size don't care).
     """
-    ids = (
-        pairs.select(F.col(c1).alias("doc_id"))
-        .union(pairs.select(F.col(c2).alias("doc_id")))
-        .distinct()
-    )
     # Shingle-SET form (r11): one collect_set per candidate doc, then
     # each pair carries its two docs' sets and computes
     # |A∩B| / (|A|+|B|-|A∩B|) via array_intersect — JVM built-ins, and
@@ -472,6 +467,11 @@ def exact_jaccard_for_pairs(
     # frame. AQE still converts to broadcast at runtime whenever the
     # measured size is under threshold.
     if sets is None:
+        ids = (
+            pairs.select(F.col(c1).alias("doc_id"))
+            .union(pairs.select(F.col(c2).alias("doc_id")))
+            .distinct()
+        )
         sh = (
             shingles.join(ids, "doc_id", "left_semi")
             if shingles is not None
