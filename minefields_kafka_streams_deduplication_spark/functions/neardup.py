@@ -35,9 +35,26 @@ SIMHASH_MAX_HAMMING = 3
 
 def _shingles(df: DataFrame, id_col: str = "doc_id", distinct: bool = True) -> DataFrame:
     """Word-3-gram shingles per document (lowercased). ``distinct=True``
-    (set semantics, required for Jaccard) costs a shuffle; min-hash
-    consumers pass ``distinct=False`` and stay narrow — duplicates
-    cannot change a min.
+    gives set semantics (required for Jaccard); min-hash consumers pass
+    ``distinct=False`` — duplicates cannot change a min.
+
+    ``distinct=True`` dedupes PER ROW as of r12 (guide §1.2 — fix the
+    per-task work once the shape is right): a (doc_id, shingle) global
+    distinct can only ever dedupe WITHIN a document (doc_id is part of
+    the key), so `array_distinct` over the zipped triple array before
+    the explode produces the same row multiset. The old `.distinct()`
+    compiled to TWO token-volume HashAggregate passes (its exchange was
+    already elided — the fan-out repartition by id satisfies the
+    clustering requirement — but each pass still built a hash table
+    over every (doc_id, shingle) row per partition, a spill risk at
+    corpus scale; per-row array_distinct peaks at one doc's triples).
+    Distinct token TRIPLES map 1:1 to distinct shingle strings (tokens
+    are split on ' ', so they cannot contain the join character), and
+    array_distinct is codegen, unlike a per-shingle HOF lambda. Output
+    row multisets are identical (A/B-verified at both SFs across all
+    six distinct consumers; ordering differs, all consumers aggregate);
+    measured mins: ngram_jaccard 0.99→0.86 s, source_overlap
+    1.36→1.19 s, others a wash, none worse.
 
     `tokens` is materialized as a projection BEFORE the higher-order
     transform: HOF lambdas are interpreted, so any expression inlined
@@ -63,7 +80,9 @@ def _shingles(df: DataFrame, id_col: str = "doc_id", distinct: bool = True) -> D
         F.expr("slice(tokens, 2, size(tokens) - 2)"),
         F.expr("slice(tokens, 3, size(tokens) - 2)"),
     )
-    out = (
+    if distinct:
+        zipped = F.array_distinct(zipped)
+    return (
         with_tokens.where(n >= 3)
         .select(id_col, F.explode(zipped).alias("__p"))
         .select(
@@ -73,7 +92,6 @@ def _shingles(df: DataFrame, id_col: str = "doc_id", distinct: bool = True) -> D
             ).alias("shingle"),
         )
     )
-    return out.distinct() if distinct else out
 
 
 _SHINGLE_SQL = """
@@ -237,7 +255,9 @@ def _banded_sigs(hashed: DataFrame, n_bands: int, rows_per_band: int) -> DataFra
     the batch star reference the parity pin compares against — both
     must share one signature family, and a groupBy aggregate upstream
     of applyInPandasWithState is an unsupported second stateful
-    operator); batch pipelines use :func:`_banded_sigs_agg`."""
+    operator); batch pipelines use the per-row array kernels
+    (:func:`_banded_from_hs`), pinned value-identical to the
+    :func:`_banded_sigs_agg` reference aggregate."""
     import hashlib
 
     import numpy as np
@@ -282,7 +302,10 @@ def _banded_sigs_agg(
     hashed: DataFrame, n_bands: int, rows_per_band: int
 ) -> DataFrame:
     """(doc_id, band, bhash) banded MinHash signatures as ONE JVM hash
-    aggregate — the BATCH-pipeline form (r11). The j-th permutation of
+    aggregate — the r11 batch-pipeline form, kept as the REFERENCE
+    kernel the per-row array form (`_banded_from_hs`, r12 — now what
+    every batch pipeline runs) is test-pinned against. The j-th
+    permutation of
     a shingle hash is ``xxhash64(h, j)`` (the k-independent-hash
     MinHash formulation; the numpy kernel's 2-universal linear perms
     produce different signature VALUES but identical collision
@@ -838,6 +861,13 @@ def dedup_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 63-term weighted sum of sign bits, and the pair scan equi-joins
     on the 4 chunk keys — shuffle O(docs × 4), never pairwise over the
     corpus.
+
+    The distinct shingle SET comes from `_shingles(docs)`, whose
+    distinct form dedupes per row as of r12 (array_distinct on the
+    zipped triples — see `_shingles`), dropping the two token-volume
+    HashAggregate passes the old `.distinct()` ran; the groupBy(doc_id)
+    sign-sum aggregate is exchange-free (the fan-out repartition by id
+    already clusters it) and partial-aggregates to docs × 63 longs.
     """
     import functools
     import operator
@@ -1415,6 +1445,18 @@ def dedup_text_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 251 s at sf0.1 with the pushed-down form (levenshtein
     # evaluated inside the join condition, before the cheap doc_id
     # prune and again in the projection) vs seconds with the barrier.
+    # BOUNDED levenshtein (r12, guide §1.2 per-task work): the query
+    # only keeps pairs with dist <= REL_MAX * longer, so the 3-arg
+    # early-exit form with per-pair threshold floor(REL_MAX * longer)
+    # computes the same answer in O(threshold * len) instead of
+    # O(len^2): dist is an integer, so dist <= REL_MAX*longer iff
+    # dist <= floor(REL_MAX*longer) iff bounded != -1, and for kept
+    # pairs bounded == the exact distance (the oracle's plain
+    # levenshtein agrees on every surviving row — strict EXACT at both
+    # SFs post-swap). Rejected pairs cost a band, not a full matrix.
+    thr = (
+        "cast(floor({} * greatest(length(a.text), length(b.text))) as int)"
+    ).format(EDITDIST_REL_MAX)
     cand = (
         a.join(
             b,
@@ -1426,15 +1468,13 @@ def dedup_text_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_id_1"),
             F.col("b.doc_id").alias("doc_id_2"),
             (
-                F.levenshtein(F.col("a.text"), F.col("b.text"))
+                F.expr(f"levenshtein(a.text, b.text, {thr})")
                 + (F.rand(42) * 0).cast("int")
             ).alias("edit_dist"),
             F.greatest(F.length("a.text"), F.length("b.text")).alias("longer"),
         )
     )
-    return cand.filter(
-        F.col("edit_dist") <= EDITDIST_REL_MAX * F.col("longer")
-    ).select(
+    return cand.filter(F.col("edit_dist") >= 0).select(
         "doc_id_1",
         "doc_id_2",
         "edit_dist",
@@ -1505,39 +1545,55 @@ def neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def neardup_incremental_df(docs: DataFrame, cut: int) -> DataFrame:
     """Core of :func:`neardup_incremental` on any (doc_id, text, lang,
     source) DataFrame — also driven by the reference-model test on
-    crafted corpora (tests/test_text.py)."""
-    hist = docs.where(F.col("doc_id") < cut)
+    crafted corpora (tests/test_text.py).
+
+    Shape (r12, guide §2.4 — the dedup_text_minhash array rework applied
+    to the incremental probe): exact-copy collapse is ONE window over
+    (side, md5(text)) — the side flag partitions exactly like the old
+    per-side windows, so rep groups and rep_ids are identical, but the
+    corpus shuffles once, not twice. Signatures fold per rep ROW from
+    the shingle STRING array (`_banded_from_hs` over
+    `transform(sh, xxhash64)` — value-identical to the old per-side
+    explode + `_banded_sigs_agg`, kernel-equality pinned), and verify
+    consumes `array_distinct(sh)` from the SAME cached frame — the two
+    signature-aggregate exchanges, both shingle explodes, and verify's
+    corpus re-scan + collect_set exchange are all gone. Strings are
+    kept through verify (the DuckDB oracle intersects shingle TEXT).
+    A rep's side is recoverable from doc_id alone (side == doc_id ≥
+    cut), so the banded frame is computed once and split by predicate —
+    no side flag has to ride through the signature kernels.
+    """
+    from pyspark.sql import Window
+
     inc = docs.where(F.col("doc_id") >= cut)
 
-    def reps_of(side: DataFrame) -> tuple[DataFrame, DataFrame]:
-        # window-form collapse (r6 — see dedup_text_minhash)
-        from pyspark.sql import Window
+    flagged = docs.select("doc_id", "text").withColumn(
+        "rep_id",
+        F.min("doc_id").over(
+            Window.partitionBy(F.col("doc_id") >= cut, F.md5("text"))
+        ),
+    )
+    i_members = flagged.where(F.col("doc_id") >= cut).select("doc_id", "rep_id")
+    reps = flagged.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id", "text"
+    )
 
-        flagged = side.withColumn(
-            "rep_id", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
-        )
-        members = flagged.select("doc_id", "rep_id")
-        reps = flagged.filter(F.col("doc_id") == F.col("rep_id")).drop("rep_id")
-        return reps, members
-
-    h_reps, _h_members = reps_of(hist)
-    i_reps, i_members = reps_of(inc)
-
-    def banded_of(side_reps: DataFrame) -> DataFrame:
-        hashed = _shingles(side_reps, distinct=False).select(
-            "doc_id", F.xxhash64("shingle").alias("h")
-        )
-        return _banded_sigs_agg(
-            hashed, MINHASH_WITNESS_BANDS, MINHASH_PERMS // MINHASH_WITNESS_BANDS
-        )
-
-    # In a deployment h_banded is the PERSISTED index (parquet keyed on
-    # (band, bhash)); here it is recomputed from the fixture.
-    h_banded = banded_of(h_reps)
-    i_banded = banded_of(i_reps)
+    # One cached (doc_id, sh) frame serves both sides' signatures AND
+    # the verify sets. In a deployment the history half of `banded` is
+    # the PERSISTED index (parquet keyed on (band, bhash)); here it is
+    # recomputed from the fixture.
+    sarr = _shingle_string_array(reps).cache()
+    banded = _banded_from_hs(
+        sarr.where(F.size("sh") > 0).select(
+            "doc_id", F.expr("transform(sh, s -> xxhash64(s))").alias("hs")
+        ),
+        MINHASH_WITNESS_BANDS,
+        MINHASH_PERMS // MINHASH_WITNESS_BANDS,
+    ).cache()
     cand = (
-        i_banded.alias("i")
-        .join(h_banded.alias("h"), ["band", "bhash"])
+        banded.where(F.col("doc_id") >= cut)
+        .alias("i")
+        .join(banded.where(F.col("doc_id") < cut).alias("h"), ["band", "bhash"])
         .select(
             F.col("i.doc_id").alias("inc_rep"), F.col("h.doc_id").alias("hist_rep")
         )
@@ -1545,7 +1601,13 @@ def neardup_incremental_df(docs: DataFrame, cut: int) -> DataFrame:
         .cache()
     )
     dropped_reps = (
-        exact_jaccard_for_pairs(docs, cand, "inc_rep", "hist_rep")
+        exact_jaccard_for_pairs(
+            docs,
+            cand,
+            "inc_rep",
+            "hist_rep",
+            sets=sarr.select("doc_id", F.array_distinct("sh").alias("__sh")),
+        )
         .filter(F.col("jaccard") >= MINHASH_VERIFY_THRESHOLD)
         .select(F.col("inc_rep").alias("rep_id"))
         .distinct()

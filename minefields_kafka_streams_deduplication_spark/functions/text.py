@@ -387,21 +387,35 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     values are engine-specific → rows-only check; semantics are unit-
     tested (identical docs ⇒ identical fingerprint sets).
 
-    Plan: explode → xxhash64 → one hash-aggregate (collect_set) — all
-    codegen-path except the final set sort/slice. The earlier all-HOF
-    formulation (transform + concat inside interpreted lambdas) was
-    measured ~10x slower.
+    Plan (r12): the fingerprint is a pure per-ROW array expression over
+    the per-doc shingle-hash array —
+    `slice(array_sort(array_distinct(hs)), 1, K)` — so the old
+    explode + two ObjectHashAggregate collect_set passes are gone
+    entirely (their exchange was already elided by the fan-out
+    repartition; what is saved is building a per-partition hash table
+    of every doc's shingle-hash set — ~distinct-token volume — twice).
+    The only remaining plan nodes are scan → filter → fan-out exchange
+    → project; nothing else at any scale. `array_distinct` ==
+    collect_set of the exploded hashes, `array_sort` ascending == the
+    old sort — outputs row-identical at both SFs (A/B-verified; docs
+    with <3 tokens are filtered the way the old explode dropped them).
+    Measured min 0.225 → 0.195 s at sf0.1.
     """
-    from ..functions.neardup import _shingles
+    from ..functions.neardup import _shingle_hash_array
 
     docs = load_table(spark, sf_dir, "documents")
-    hashed = _shingles(docs, distinct=False).select(
-        "doc_id", F.xxhash64("shingle").alias("h")
-    )
-    fp = F.slice(F.array_sort(F.collect_set("h")), 1, WINNOW_K)
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    # Token-count pre-filter instead of `where(size(hs) > 0)`: a filter
+    # on the HOF-computed array gets pushed below the fan-out exchange
+    # and re-evaluates the whole interpreted transform on the (single
+    # local) scan partition — measured 4.4 s vs 0.24 s for the same
+    # rows. size(split(...)) >= 3 is codegen, equivalent (hs is empty
+    # iff the doc has <3 tokens), and pushes down harmlessly.
+    docs_ok = docs.where(F.size(F.split(F.lower("text"), " ")) >= 3)
+    fp = F.slice(F.array_sort(F.array_distinct("hs")), 1, WINNOW_K)
     return (
-        hashed.groupBy("doc_id")
-        .agg(fp.alias("fingerprints"))
+        _shingle_hash_array(docs_ok.repartition(n_part, "doc_id"))
+        .select("doc_id", fp.alias("fingerprints"))
         .select("doc_id", "fingerprints", F.size("fingerprints").alias("n_fp"))
     )
 

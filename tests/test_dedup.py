@@ -645,3 +645,76 @@ def test_hs_array_form_matches_exploded_kernels(spark):
     }
     assert arr_form == agg_form
     assert not any(d == 3 for d, _, _ in arr_form)
+
+
+def test_shingles_distinct_is_per_doc_set(spark):
+    """The r12 distinct=True rework (per-row array_distinct on the
+    zipped triples instead of a global .distinct()) must keep SET
+    semantics per document: within-doc duplicate shingles collapse to
+    one row, cross-doc duplicates survive (one per doc), and the row
+    multiset equals the old exploded-then-global-distinct form."""
+    from pyspark.sql import functions as F
+
+    from minefields_kafka_streams_deduplication_spark.functions.neardup import (
+        _shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # "a b c" shingle appears twice within doc 1 -> one row
+            (1, "a b c a b c"),
+            # same shingle in doc 2 -> still one row for doc 2
+            (2, "a b c"),
+            (3, "x y"),  # <3 tokens -> no rows
+            (4, None),  # NULL text -> no rows
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = sorted(
+        (r.doc_id, r.shingle) for r in _shingles(docs).collect()
+    )
+    old_form = sorted(
+        (r.doc_id, r.shingle)
+        for r in _shingles(docs, distinct=False).distinct().collect()
+    )
+    assert got == old_form
+    assert got == [
+        (1, "a b c"),
+        (1, "b c a"),
+        (1, "c a b"),
+        (2, "a b c"),
+    ]
+
+
+def test_editdistance_bounded_threshold_boundary(spark):
+    """The r12 bounded-levenshtein swap must keep pairs whose distance
+    lands EXACTLY on floor(REL_MAX * longer) and drop ones just above —
+    the integer-threshold equivalence the swap's correctness rests on
+    (dist <= REL_MAX*longer iff dist <= floor(REL_MAX*longer) iff the
+    3-arg levenshtein returns != -1)."""
+    from minefields_kafka_streams_deduplication_spark.functions.neardup import (
+        EDITDIST_REL_MAX,
+        dedup_text_editdistance,
+    )
+
+    assert EDITDIST_REL_MAX == 0.3
+    base = "abcdefghij"  # 10 chars -> threshold floor(3.0) = 3
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", len(base)),
+            (2, "abcdefgxyz", "en", 10),  # dist 3 == floor(0.3*10) -> kept
+            (3, "zzzzzwxyzq", "en", 10),  # dist >3 from both -> dropped
+        ],
+        "doc_id LONG, text STRING, lang STRING, n_chars LONG",
+    )
+    import minefields_kafka_streams_deduplication_spark.functions.neardup as nd
+    from minefields_kafka_streams_deduplication_spark.catalog import load_table
+
+    import unittest.mock as mock
+
+    with mock.patch.object(nd, "load_table", lambda s, d, t: docs):
+        rows = {
+            (r.doc_id_1, r.doc_id_2): r.edit_dist
+            for r in dedup_text_editdistance(spark, "unused").collect()
+        }
+    assert rows == {(1, 2): 3}
