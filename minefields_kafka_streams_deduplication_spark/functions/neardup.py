@@ -515,6 +515,33 @@ def exact_jaccard_for_pairs(
     )
 
 
+def _winner_collapse(docs: DataFrame, payload: tuple[str, ...], norm=None):
+    """THE single-aggregate exact-copy collapse (r12 dedup_text_minhash
+    form, factored out in r13 so the ORACLE-backed witness runs the
+    same code path — VERDICT r12 #5): one ``groupBy(md5(norm))``
+    aggregate produces the winner row per distinct text
+    (``min(doc_id)`` + ``min_by(payload, doc_id)``), partial-aggregated
+    map-side so the exchange carries at most one winner candidate per
+    distinct text per map task — the old winner-id groupBy + left_semi
+    re-scan paid a hash exchange AND a second corpus pass; the window
+    form ships EVERY copy's text through the exchange.
+
+    Returns ``(nh_docs, winners)``: ``nh_docs`` is ``docs`` plus the
+    ``nh`` text-hash column (callers needing a member→rep map join its
+    narrow (doc_id, nh) projection back to ``winners`` on nh — the
+    winners side is already hash-partitioned by nh coming out of the
+    aggregate, so only the narrow side shuffles); ``winners`` is one row
+    per distinct text with ``doc_id`` = min doc id of the copy group and
+    the ``payload`` columns from that winner row (min_by over the unique
+    doc_id key is deterministic)."""
+    nh_docs = docs.withColumn("nh", F.md5(norm if norm is not None else F.col("text")))
+    winners = nh_docs.groupBy("nh").agg(
+        F.min("doc_id").alias("doc_id"),
+        *[F.min_by(c, "doc_id").alias(c) for c in payload],
+    )
+    return nh_docs, winners
+
+
 @query("dedup_text_minhash")  # rows-only: xxhash64 values are engine-specific
 def dedup_text_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup dedup: MINHASH_PERMS minhashes per doc
@@ -550,13 +577,10 @@ def dedup_text_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # final survivor set is unchanged. min_by(col, doc_id) reproduces
     # exactly the winner ROW the old semi-join form kept (doc_id is
     # unique, so min_by is deterministic).
-    winners = all_docs.groupBy(
-        F.md5(F.lower(F.trim(F.col("text")))).alias("nh")
-    ).agg(
-        F.min("doc_id").alias("doc_id"),
-        F.min_by("lang", "doc_id").alias("lang"),
-        F.min_by("source", "doc_id").alias("source"),
-        F.min_by("text", "doc_id").alias("text"),
+    _, winners = _winner_collapse(
+        all_docs,
+        payload=("lang", "source", "text"),
+        norm=F.lower(F.trim(F.col("text"))),
     )
     # (doc_id, lang, source, hs) — the ONE cached frame: signature,
     # verify-set and final-projection consumers all read it (uncached,
@@ -629,26 +653,30 @@ def neardup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic-complete in practice (miss probability ~4e-10 per
     true pair; the strict gate checks it end-to-end at two SFs).
 
-    Same exact-copy collapse + group re-expansion as
-    :func:`dedup_text_ngram_jaccard`: LSH runs on one representative
-    per distinct text (hot-band quadratic blowup from copies is gone),
-    member pairs are expanded back afterwards — identical output.
+    Same exact-copy collapse as :func:`dedup_text_minhash` (THE shared
+    `_winner_collapse` single-aggregate form, r13) with group
+    re-expansion: LSH runs on one representative per distinct text
+    (hot-band quadratic blowup from copies is gone), member pairs are
+    expanded back afterwards — identical output.
     """
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
-    # Rep flag via a min-over-text-hash WINDOW (the scrub's collapse
-    # form, r6): ONE exchange on the text hash serves both the member
-    # map and the rep filter through ReuseExchange — the groupBy +
-    # join/semi-join form re-shuffled the corpus twice more, and with
-    # the r6 hint removal each of those joins also paid an AQE
-    # shuffle-write before its runtime broadcast decision.
-    flagged = docs.select("doc_id", "text").withColumn(
-        "rep_id", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
-    )
-    members = flagged.select("doc_id", "rep_id").cache()
-    reps = flagged.filter(F.col("doc_id") == F.col("rep_id")).select(
-        "doc_id", "text"
+    # Exact-copy collapse via THE shared single-aggregate winner form
+    # (`_winner_collapse` — r13, VERDICT r12 #5): the witness now runs
+    # the SAME collapse code path as the rows-only dedup_text_minhash,
+    # so this query's oracle row pins the full r12 kernel family
+    # (single-aggregate collapse + array signatures + sets= verify).
+    # The aggregate partial-aggregates map-side (≤ one winner-candidate
+    # text per distinct text per map task crosses the exchange), where
+    # the previous window form shipped EVERY copy's text; the member→rep
+    # map costs one extra narrow (doc_id, nh) exchange — the winners
+    # side reuses the aggregate's hash partitioning on nh.
+    nh_docs, winners = _winner_collapse(docs.select("doc_id", "text"), payload=("text",))
+    reps = winners.select("doc_id", "text")
+    members = (
+        nh_docs.select("doc_id", "nh")
+        .join(winners.select("nh", F.col("doc_id").alias("rep_id")), "nh")
+        .select("doc_id", "rep_id")
+        .cache()
     )
 
     # Per-rep shingle STRING array (r12, the dedup_text_minhash array
@@ -1454,6 +1482,15 @@ def dedup_text_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs bounded == the exact distance (the oracle's plain
     # levenshtein agrees on every surviving row — strict EXACT at both
     # SFs post-swap). Rejected pairs cost a band, not a full matrix.
+    # Boundary note (ADVICE r12): the SQL literal 0.3 below parses as
+    # exact DECIMAL, while the pre-r12 Python-side filter compared
+    # against IEEE double 0.3 — when longer is a multiple of 10 and
+    # dist == 0.3*longer EXACTLY, the old form dropped the pair (double
+    # 0.3*10 = 2.999...96) but this form keeps it. That is a FIX, not a
+    # regression: the DuckDB oracle's 0.3 is also decimal, so the old
+    # double arithmetic had a latent boundary divergence from the
+    # oracle that the bounded swap closed (pinned by
+    # test_editdistance_bounded_threshold_boundary).
     thr = (
         "cast(floor({} * greatest(length(a.text), length(b.text))) as int)"
     ).format(EDITDIST_REL_MAX)
@@ -1581,7 +1618,12 @@ def neardup_incremental_df(docs: DataFrame, cut: int) -> DataFrame:
     # One cached (doc_id, sh) frame serves both sides' signatures AND
     # the verify sets. In a deployment the history half of `banded` is
     # the PERSISTED index (parquet keyed on (band, bhash)); here it is
-    # recomputed from the fixture.
+    # recomputed from the fixture. Cache lifetime (ADVICE r12): this is
+    # a query-CONSTRUCTION function — no action runs here, so nothing
+    # can unpersist deterministically; callers own the executed plan's
+    # lifetime and are expected to clearCache() between invocations
+    # (the bench harness and the oracle checkers both do). Repeated
+    # same-session invocations otherwise accumulate cached frames.
     sarr = _shingle_string_array(reps).cache()
     banded = _banded_from_hs(
         sarr.where(F.size("sh") > 0).select(

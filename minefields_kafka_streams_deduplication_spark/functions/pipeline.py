@@ -440,7 +440,19 @@ def importance_weight_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wl"),
         F.first(F.split(F.lower("text"), " ")).alias("tk"),
     )
-    # (th, token, c): pinned — feeds the LM counts AND the score join
+    # (th, token, c): pinned — feeds the LM counts AND the score join.
+    # r13 audit note (measured and REJECTED, the doc_char_entropy
+    # lesson again): th is unique per rep, so this groupBy(th, token)
+    # looks like a within-row map computable by a per-row sorted
+    # run-length fold — but the aggregate's exchange is ALREADY ELIDED
+    # (reps is hash-partitioned by th; a th-subset partitioning
+    # satisfies the (th, token) clustering), so the swap removes no
+    # shuffle, only trades a codegen double hash-aggregate pass for
+    # interpreted per-element element_at lambdas: interleaved A/B at
+    # sf0.1, subplan-isolated, old 0.33/0.35/0.39 s vs fold
+    # 0.41/0.59/0.64 s — 1.3–1.6× SLOWER. Same verdict applies to the
+    # tfidf_top_terms / doc_unigram_logprob / doc_bigram_logprob
+    # siblings (identical shape over th-partitioned reps).
     th_tf = (
         reps.select("th", "w", "wl", F.explode("tk").alias("token"))
         .groupBy("th", "token")

@@ -341,35 +341,66 @@ _R11_DRIVER_VERIFIED = frozenset(
     }
 )
 
+# CORRECTNESS_r12: 49/50 green (the r12 reverify tier plus the stalest
+# rotation rows; dedup_text_minhash is the 50th — rows-only, no oracle).
+_R12_DRIVER_VERIFIED = frozenset(
+    {
+        "agg_count_by_type", "agg_distinct_users_by_type",
+        "agg_rollup_nation_region", "attribution_last_touch",
+        "corpus_dup_inflation", "corpus_vocab_stats",
+        "dedup_keep_by_source_priority", "dedup_text_editdistance",
+        "dedup_text_minhash", "dedup_text_ngram_jaccard",
+        "dedup_text_simhash", "doc_char_entropy", "doc_novelty_ngrams",
+        "drift_report_ks_by_type", "drift_stream_psi", "dup_rate_by_source",
+        "embedding_quantize_int8", "event_type_burstiness",
+        "ewma_user_value", "explode_tokens_with_position",
+        "histogram_event_values", "inter_event_gap_stats",
+        "join_anti_customers_no_orders",
+        "join_asof_latest_order_before_event", "join_broadcast_nation",
+        "join_fk_orders_nation", "join_interval_view_purchase",
+        "join_left_customer_orders", "join_salted_orders_customer",
+        "join_semi_customers_with_orders", "multimodal_meta",
+        "neardup_incremental", "neardup_minhash_verified",
+        "order_fulfillment_latency", "peek_event_counts", "profile_lineitem",
+        "q12_late_shipment_buckets", "q15_top_supplier",
+        "q1_pricing_summary", "q2_min_price_supplier",
+        "q7_nation_trade_volume", "q9_product_profit",
+        "rank_distribution_functions", "rank_users_by_spend",
+        "sample_topk_per_group", "shuffle_deterministic",
+        "source_overlap_ngrams", "topk_terms_per_lang",
+        "train_val_split_stratified", "window_daily_distinct_users",
+    }
+)
+
 # Tier 1: failed-or-hardened this round — re-verify ahead of rotation.
 # STANDING RULE, sharpened per VERDICT r11 #3: any oracle query whose
 # execution kernel changed this round is FORCED into the next driver
 # window here rather than waiting its rotation turn — the builder's
 # strict gate re-checks values at both SFs the same day, but the
 # driver's independent row is the record the judge reads.
-_R12_REVERIFY: tuple[str, ...] = (
-    # K1 rank family: _global_row_number gained the driver_offsets
-    # phase-2 form (bounded per-partition-count collect folded into a
-    # literal offset array) and both rank queries switched to it.
-    "rank_users_by_spend",
-    "rank_distribution_functions",
-    # S1/S2 folds lifted from 64-bit longs into DECIMAL(38,0) (ADVICE
-    # r11 overflow fix) — same values at fixture scale, new arithmetic.
-    "event_type_burstiness",
-    # verify stage now consumes the CACHED signature shingle frame
-    # (exact_jaccard_for_pairs shingles= param) instead of re-shingling
-    # the candidate set from text — same grammar, new plan.
-    "neardup_minhash_verified",
-    # r12 optimization round: dedup_text_minhash moved to the array-form
-    # signature/verify kernels (_shingle_hash_array/_banded_from_hs,
-    # exact_jaccard_for_pairs sets= param) — rows-only, but force its
-    # rows check into the window after the kernel swap.
+_R13_REVERIFY: tuple[str, ...] = (
+    # VERDICT r12 #1: five oracle-backed queries whose execution kernels
+    # changed in r12 (commits 7a36196/5fecdda/35d134e) never landed an
+    # r12 driver row — _R12_REVERIFY was written before those commits
+    # widened the blast radius. Close the gap first.
+    "bm25_doc_search",
+    "importance_weight_dsir",
+    "doc_repetition_metrics",
+    "contamination_ngram_check",
+    "decontaminate_report",
+    # Rows-only r12-kernel-touched queries: the driver records their row
+    # counts (no oracle — reconstruction / fingerprints are
+    # engine-specific); forced in so the record at least pins rows.
+    "scrub_repeated_spans",
+    "doc_winnow_fingerprint",
+    # VERDICT r12 #2/#5: dedup_text_minhash got the deepest r12 rework
+    # with zero independent driver verification. Its oracle-backed
+    # witness (neardup_minhash_verified) is re-forced in alongside it —
+    # r13 extends the witness to pin the single-aggregate collapse form
+    # the rows-only twin uses, so the witness row now covers the full
+    # kernel family (collapse + array signatures + sets= verify).
     "dedup_text_minhash",
-    # VERDICT r11 #3 asked for the minhash family + r11-new kernels to
-    # land driver rows in the r12 window even where r12 didn't touch
-    # them further (shared-shingle-grammar consumers of the r11 rework).
-    "neardup_incremental",
-    "dedup_text_ngram_jaccard",
+    "neardup_minhash_verified",
 )
 
 
@@ -378,9 +409,9 @@ def _driver_order(names: list[str]) -> list[str]:
         _R1_DRIVER_VERIFIED | _R2_DRIVER_VERIFIED | _R3_DRIVER_VERIFIED
         | _R4_DRIVER_VERIFIED | _R5_DRIVER_VERIFIED | _R6_DRIVER_VERIFIED
         | _R7_DRIVER_VERIFIED | _R8_DRIVER_VERIFIED | _R9_DRIVER_VERIFIED
-        | _R10_DRIVER_VERIFIED | _R11_DRIVER_VERIFIED
+        | _R10_DRIVER_VERIFIED | _R11_DRIVER_VERIFIED | _R12_DRIVER_VERIFIED
     )
-    reverify = {n: i for i, n in enumerate(_R12_REVERIFY)}
+    reverify = {n: i for i, n in enumerate(_R13_REVERIFY)}
     never_checked = [
         n for n in names if n in ORACLES and n not in driver_seen and n not in reverify
     ]
@@ -394,6 +425,8 @@ def _driver_order(names: list[str]) -> list[str]:
     # Oldest driver rows re-verify first: sort by the LATEST round in which
     # the driver checked the query (r1-only rows are the stalest).
     def last_verified(n: str) -> int:
+        if n in _R12_DRIVER_VERIFIED:
+            return 12
         if n in _R11_DRIVER_VERIFIED:
             return 11
         if n in _R10_DRIVER_VERIFIED:

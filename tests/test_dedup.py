@@ -708,7 +708,6 @@ def test_editdistance_bounded_threshold_boundary(spark):
         "doc_id LONG, text STRING, lang STRING, n_chars LONG",
     )
     import minefields_kafka_streams_deduplication_spark.functions.neardup as nd
-    from minefields_kafka_streams_deduplication_spark.catalog import load_table
 
     import unittest.mock as mock
 
