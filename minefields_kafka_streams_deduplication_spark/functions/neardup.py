@@ -597,13 +597,18 @@ def dedup_text_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = _banded_from_hs(
         base.where(F.size("hs") > 0), MINHASH_BANDS, MINHASH_PERMS // MINHASH_BANDS
     ).cache()
+    # cand is consumed exactly ONCE (the verify join) — no cache: the
+    # r12 `.cache()` here was a leftover multi-consumer artifact, and
+    # an InMemoryRelation on a once-read frame is a pure pipeline
+    # barrier + materialization pass (r13 interleaved A/B at sf0.1,
+    # min-of-4: cached 1.01 s vs uncached 0.83 s; `banded`'s cache is
+    # what prevents signature recompute across the self-join aliases).
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bhash"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("doc_id_1"), F.col("y.doc_id").alias("doc_id_2"))
         .distinct()
-        .cache()
     )
     verified = exact_jaccard_for_pairs(
         base,
@@ -696,6 +701,8 @@ def neardup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         MINHASH_WITNESS_BANDS,
         MINHASH_PERMS // MINHASH_WITNESS_BANDS,
     ).cache()
+    # No cache on cand: single consumer (the verify join) — same
+    # once-read-frame argument as dedup_text_minhash (r13 A/B).
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bhash"])
@@ -704,7 +711,6 @@ def neardup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.doc_id").alias("rep_1"), F.col("y.doc_id").alias("rep_2")
         )
         .distinct()
-        .cache()
     )
 
     # Exact verify: the shared pair verifier, over candidate reps only.
@@ -768,14 +774,31 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled edges). At 100 TB the same loop runs on the pair output of
     MinHash-LSH; localCheckpoint() truncates the growing lineage.
 
+    Propagation runs on the REP graph, not the expanded doc graph
+    (r13 — found by the 1000× sweep, where the expanded form DIED at
+    437 s on a shuffle-stage failure: on a copy-heavy corpus the
+    expanded pair list is quadratic in copy count — 5 M docs in
+    1000-copy groups is ~2.5 BILLION doc pairs — while the rep graph
+    stays near-dup-pair sized). Equivalence: a copy group is a clique
+    through its within-pairs and every member pairs exactly like its
+    rep, so components over docs = components over reps expanded by
+    membership; min doc of a component = min rep label (each rep IS
+    the min of its copy group); a multi-member shingled group with no
+    cross-group edge is its own clique-cluster (handled as an isolated
+    labeled rep). Row-identity vs the expanded form verified at sf0.01
+    and sf0.1.
+
     Output: (doc_id, cluster_id, cluster_size) for every doc in a
     near-dup cluster; cluster_id = min doc_id of the component.
     """
-    pairs = dedup_text_ngram_jaccard(spark, sf_dir).select("doc_id_1", "doc_id_2")
-    # Undirected edge list + self-loops so isolated members keep labels.
+    docs = load_table(spark, sf_dir, "documents")
+    members, counts, raw_pairs = _collapsed_rep_jaccard(docs)
+    rep_pairs = raw_pairs.filter(F.col("jac") >= JACCARD_THRESHOLD).select(
+        "rep_1", "rep_2"
+    )
     edges = (
-        pairs.select(F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
-        .union(pairs.select(F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst")))
+        rep_pairs.select(F.col("rep_1").alias("src"), F.col("rep_2").alias("dst"))
+        .union(rep_pairs.select(F.col("rep_2").alias("src"), F.col("rep_1").alias("dst")))
         .distinct()
         .cache()
     )
@@ -818,14 +841,28 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min-label propagation iterations; component diameter "
             "exceeds the cap"
         )
-    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    return (
-        labels.join(sizes, "label")
-        .select(
-            F.col("node").alias("doc_id"),
-            F.col("label").alias("cluster_id"),
-            "cluster_size",
-        )
+    # Isolated clique clusters: a multi-member group whose rep has
+    # shingles forms within-pairs (jaccard 1.0) even with no cross-group
+    # edge — in the expanded doc graph those members were nodes. A rep
+    # with <3 tokens has no shingles, joins nothing, and its copies
+    # produced no pair in the expanded form either (the
+    # dedup_text_ngram_jaccard within-gate), so it stays excluded.
+    gsz = members.groupBy("rep_id").agg(F.count(F.lit(1)).alias("gsz"))
+    iso = (
+        gsz.filter(F.col("gsz") >= 2)
+        .join(counts.select(F.col("doc_id").alias("rep_id")), "rep_id", "left_semi")
+        .join(labels.select(F.col("node").alias("rep_id")), "rep_id", "left_anti")
+        .select(F.col("rep_id").alias("node"), F.col("rep_id").alias("label"))
+    )
+    rep_labels = labels.select("node", "label").unionByName(iso)
+    doc_labels = members.join(
+        rep_labels.select(F.col("node").alias("rep_id"), "label"), "rep_id"
+    ).select("doc_id", F.col("label").alias("cluster_id"))
+    sizes = doc_labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return doc_labels.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
     )
 
 
@@ -890,18 +927,38 @@ def dedup_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the 4 chunk keys — shuffle O(docs × 4), never pairwise over the
     corpus.
 
-    The distinct shingle SET comes from `_shingles(docs)`, whose
+    The distinct shingle SET comes from `_shingles(reps)`, whose
     distinct form dedupes per row as of r12 (array_distinct on the
     zipped triples — see `_shingles`), dropping the two token-volume
     HashAggregate passes the old `.distinct()` ran; the groupBy(doc_id)
     sign-sum aggregate is exchange-free (the fan-out repartition by id
     already clusters it) and partial-aggregates to docs × 63 longs.
+
+    Exact-copy collapse + group re-expansion (r13 — the LAST near-dup
+    pair pipeline still running uncollapsed; found by the 1000× sweep
+    where it ran 433 s vs the collapsed witness's 98 s on the same
+    output): identical texts have identical shingle sets, hence
+    identical fingerprints, so every within-group pair is a hamming-0
+    output row and every cross-group pair carries exactly its reps'
+    hamming. Fingerprints and the chunk join run on one rep per
+    distinct text (no more K copies flooding every 16-bit chunk bucket
+    K-fold and a K²-multiplied pair distinct); members expand back
+    afterwards — identical output (strict oracle EXACT at both SFs
+    post-change; the oracle computes all pairs uncollapsed).
     """
     import functools
     import operator
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs)
+    nh_docs, winners = _winner_collapse(docs.select("doc_id", "text"), payload=("text",))
+    reps = winners.select("doc_id", "text")
+    members = (
+        nh_docs.select("doc_id", "nh")
+        .join(winners.select("nh", F.col("doc_id").alias("rep_id")), "nh")
+        .select("doc_id", "rep_id")
+        .cache()
+    )
+    sh = _shingles(reps)
     hashed = sh.select(
         "doc_id",
         F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
@@ -944,24 +1001,53 @@ def dedup_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = chunked.select(
         F.col("chunk"), F.col("cval"),
-        F.col("doc_id").alias("doc_id_1"), F.col("simhash").alias("sh1"),
+        F.col("doc_id").alias("rep_1"), F.col("simhash").alias("sh1"),
     )
     y = chunked.select(
         F.col("chunk"), F.col("cval"),
-        F.col("doc_id").alias("doc_id_2"), F.col("simhash").alias("sh2"),
+        F.col("doc_id").alias("rep_2"), F.col("simhash").alias("sh2"),
     )
-    pairs = (
+    rep_pairs = (
         x.join(y, ["chunk", "cval"])
-        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
-        .select("doc_id_1", "doc_id_2", "sh1", "sh2")
+        .filter(F.col("rep_1") < F.col("rep_2"))
+        .select("rep_1", "rep_2", "sh1", "sh2")
         .distinct()
         .withColumn(
             "hamming",
             F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).cast("int"),
         )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("rep_1", "rep_2", "hamming")
     )
-    return pairs.select("doc_id_1", "doc_id_2", "hamming")
+    # Expand cross-group pairs (the dedup_text_ngram_jaccard pattern):
+    # copies share their rep's fingerprint, so a member pair's hamming
+    # IS its reps' hamming.
+    m1 = members.select(F.col("rep_id").alias("rep_1"), F.col("doc_id").alias("d1"))
+    m2 = members.select(F.col("rep_id").alias("rep_2"), F.col("doc_id").alias("d2"))
+    cross = rep_pairs.join(m1, "rep_1").join(m2, "rep_2").select(
+        F.least("d1", "d2").alias("doc_id_1"),
+        F.greatest("d1", "d2").alias("doc_id_2"),
+        "hamming",
+    )
+    # Within-group pairs: exact copies → hamming 0 by construction —
+    # gated on the rep actually HAVING a fingerprint (<3 tokens ⇒ no
+    # shingles ⇒ no fingerprint ⇒ the uncollapsed form emitted no pair
+    # for its copies either).
+    fp_reps = fps.select(F.col("doc_id").alias("rep_id"))
+    g1 = members.join(fp_reps, "rep_id").select(
+        "rep_id", F.col("doc_id").alias("d1")
+    )
+    g2 = members.select("rep_id", F.col("doc_id").alias("d2"))
+    within = (
+        g1.join(g2, "rep_id")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            F.col("d1").alias("doc_id_1"),
+            F.col("d2").alias("doc_id_2"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 BENCHMARK_DOC_CUTOFF = 20  # doc_id < 20 stands in for the held-out eval set
@@ -1114,15 +1200,170 @@ def decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SCRUB_SPAN_TOKENS = 8
 
+# Shared oracle CTE prefix for the two scrub modes (r13 promotion,
+# VERDICT r12 #8): the scrub semantics are fully deterministic — the
+# only engine-specific piece was the xxhash64 span-hash FOLD, and span
+# equality under the fold equals equality of the raw N-token span
+# STRING (tokens cannot contain the join space), so the oracle keys
+# spans on `array_to_string(t[i:i+N-1], ' ')` and reproduces the whole
+# pipeline in SQL: md5 exact-copy collapse (window form), span
+# positions, repeated table (min != max OR dup-group rep), the
+# consecutive-pair run merge as a lag/cumsum island, and gap-slice
+# reconstruction as a per-token NOT EXISTS against removed runs. The
+# 2⁻⁶⁴ hash-collision caveat that justified rows-only now surfaces as
+# an oracle DIFF instead of silence — acceptable: P ≈ (corpus spans)²/2⁶⁵.
+# Verified EXACT at sf0.001/0.01/0.1 AND the 32× near-dup flood fixture
+# before promotion (both modes).
+_SCRUB_ORACLE_PREFIX = f"""
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t, md5(lower(text)) AS th
+  FROM documents
+),
+grp AS (
+  SELECT doc_id, t, th,
+         min(doc_id) OVER (PARTITION BY th) AS rep_id,
+         count(*) OVER (PARTITION BY th) AS gsz
+  FROM base
+),
+reps AS (SELECT doc_id, t, gsz FROM grp WHERE doc_id = rep_id),
+spans AS (
+  SELECT doc_id, gsz > 1 AS sd, i - 1 AS pos,
+         array_to_string(t[i:i + {SCRUB_SPAN_TOKENS} - 1], ' ') AS h
+  FROM reps, unnest(range(1, len(t) - {SCRUB_SPAN_TOKENS} + 2)) AS u(i)
+  WHERE len(t) >= {SCRUB_SPAN_TOKENS}
+)"""
 
-@query("scrub_repeated_spans")  # rows-only: reconstruction is engine-specific
+
+@query(
+    "scrub_repeated_spans",
+    oracle=_SCRUB_ORACLE_PREFIX
+    + f""",
+repeated AS (
+  SELECT h, min(doc_id) AS keep_doc
+  FROM spans GROUP BY h
+  HAVING min(doc_id) != max(doc_id) OR bool_or(sd)
+),
+occ AS (
+  SELECT DISTINCT s.doc_id, s.pos, r.keep_doc
+  FROM spans s JOIN repeated r USING (h)
+),
+runs AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos > prev + {SCRUB_SPAN_TOKENS}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+  FROM (
+    SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM occ
+  )
+),
+run_bounds AS (
+  SELECT doc_id, run_id, min(pos) AS s, max(pos) + {SCRUB_SPAN_TOKENS} AS e
+  FROM runs GROUP BY doc_id, run_id
+),
+keepers AS (SELECT DISTINCT doc_id, pos FROM occ WHERE doc_id = keep_doc),
+removed AS (
+  SELECT rb.doc_id, rb.s, rb.e
+  FROM run_bounds rb
+  WHERE NOT EXISTS (
+    SELECT 1 FROM keepers k
+    WHERE k.doc_id = rb.doc_id
+      AND k.pos >= rb.s AND k.pos <= rb.e - {SCRUB_SPAN_TOKENS}
+  )
+),
+kept AS (
+  SELECT r.doc_id, u.j, r.t[u.j + 1] AS tok
+  FROM reps r, unnest(range(len(r.t))) AS u(j)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM removed rr
+    WHERE rr.doc_id = r.doc_id AND u.j >= rr.s AND u.j < rr.e
+  )
+),
+rep_out AS (
+  SELECT r.doc_id,
+         coalesce(k.txt, '') AS scrubbed_text,
+         CAST(len(r.t) - coalesce(k.cnt, 0) AS INT) AS n_removed_tokens
+  FROM reps r
+  LEFT JOIN (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS txt, count(*) AS cnt
+    FROM kept GROUP BY doc_id
+  ) k USING (doc_id)
+),
+copies_out AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {SCRUB_SPAN_TOKENS} THEN ''
+              ELSE array_to_string(t, ' ') END AS scrubbed_text,
+         CAST(CASE WHEN len(t) >= {SCRUB_SPAN_TOKENS} THEN len(t) ELSE 0 END
+              AS INT) AS n_removed_tokens
+  FROM grp WHERE doc_id != rep_id
+)
+SELECT * FROM rep_out UNION ALL SELECT * FROM copies_out
+""",
+)
 def scrub_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See :func:`scrub_repeated_spans_df` — registered over the
     documents fixture."""
     return scrub_repeated_spans_df(load_table(spark, sf_dir, "documents"))
 
 
-@query("scrub_repeated_spans_all")  # rows-only: reconstruction is engine-specific
+@query(
+    "scrub_repeated_spans_all",
+    oracle=_SCRUB_ORACLE_PREFIX
+    + f""",
+repeated AS (
+  SELECT h FROM spans GROUP BY h
+  HAVING min(doc_id) != max(doc_id) OR bool_or(sd)
+),
+occ AS (
+  SELECT DISTINCT s.doc_id, s.pos
+  FROM spans s JOIN repeated r USING (h)
+),
+runs AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos > prev + {SCRUB_SPAN_TOKENS}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+  FROM (
+    SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM occ
+  )
+),
+removed AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {SCRUB_SPAN_TOKENS} AS e
+  FROM runs GROUP BY doc_id, run_id
+),
+kept AS (
+  SELECT r.doc_id, u.j, r.t[u.j + 1] AS tok
+  FROM reps r, unnest(range(len(r.t))) AS u(j)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM removed rr
+    WHERE rr.doc_id = r.doc_id AND u.j >= rr.s AND u.j < rr.e
+  )
+),
+rep_out AS (
+  SELECT r.doc_id,
+         CASE WHEN r.gsz > 1 AND len(r.t) >= {SCRUB_SPAN_TOKENS} THEN ''
+              ELSE coalesce(k.txt, '') END AS scrubbed_text,
+         CAST(CASE WHEN r.gsz > 1 AND len(r.t) >= {SCRUB_SPAN_TOKENS}
+              THEN len(r.t)
+              ELSE len(r.t) - coalesce(k.cnt, 0) END AS INT)
+           AS n_removed_tokens
+  FROM reps r
+  LEFT JOIN (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS txt, count(*) AS cnt
+    FROM kept GROUP BY doc_id
+  ) k USING (doc_id)
+),
+copies_out AS (
+  SELECT g.doc_id, ro.scrubbed_text, ro.n_removed_tokens
+  FROM grp g JOIN rep_out ro ON ro.doc_id = g.rep_id
+  WHERE g.doc_id != g.rep_id
+)
+SELECT * FROM rep_out UNION ALL SELECT * FROM copies_out
+""",
+)
 def scrub_repeated_spans_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remove-ALL-occurrences mode (``keep_first=False``) over the
     documents fixture — Lee et al.'s released ExactSubstr semantics."""
@@ -1270,14 +1511,25 @@ def scrub_repeated_spans_df(docs: DataFrame, keep_first: bool = True) -> DataFra
     # span table — their multiplicity must still count). keep_doc =
     # min holding rep == min ORIGINAL holder (a rep is the min of its
     # identity group).
+    # "≥2 distinct holders" as min ≠ max, NOT countDistinct (r13, guide
+    # §2.3 — shuffle fewer bytes): countDistinct(doc_id) compiled to a
+    # two-level aggregate whose FIRST exchange was keyed (h, doc_id) —
+    # the full token-volume span table crossed the network un-combined
+    # (executed plan at the 32× near-dup flood fixture:
+    # `Exchange hashpartitioning(h, doc_id)` feeding
+    # partial_count(distinct doc_id)). min/max partial-aggregate
+    # map-side, so the single remaining exchange carries ~3 longs per
+    # DISTINCT span hash per map task. Equivalent by integer ordering:
+    # a span hash has ≥2 distinct holders iff its min and max holder
+    # differ; keep_doc is min(doc_id) either way.
     repeated = (
         spans.groupBy("h")
         .agg(
-            F.countDistinct("doc_id").alias("nd"),
             F.min("doc_id").alias("keep_doc"),
+            F.max("doc_id").alias("mxd"),
             F.max("sd").alias("sd"),
         )
-        .filter((F.col("nd") > 1) | F.col("sd"))
+        .filter((F.col("keep_doc") != F.col("mxd")) | F.col("sd"))
         .select("h", "keep_doc")
     )
     occ = spans.join(repeated, "h")
@@ -1632,6 +1884,9 @@ def neardup_incremental_df(docs: DataFrame, cut: int) -> DataFrame:
         MINHASH_WITNESS_BANDS,
         MINHASH_PERMS // MINHASH_WITNESS_BANDS,
     ).cache()
+    # No cache on cand: single consumer (the verify join) — same
+    # once-read-frame argument as dedup_text_minhash (r13 A/B). Also
+    # one fewer frame left pinned per invocation (ADVICE r12).
     cand = (
         banded.where(F.col("doc_id") >= cut)
         .alias("i")
@@ -1640,7 +1895,6 @@ def neardup_incremental_df(docs: DataFrame, cut: int) -> DataFrame:
             F.col("i.doc_id").alias("inc_rep"), F.col("h.doc_id").alias("hist_rep")
         )
         .distinct()
-        .cache()
     )
     dropped_reps = (
         exact_jaccard_for_pairs(
@@ -1699,11 +1953,26 @@ def source_overlap_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is source-pair-bounded (P(P-1)/2 rows). A hot shingle
     appearing in all S sources contributes S(S-1)/2 pair rows — still
     source-bounded, independent of how many DOCUMENTS carry it, because
-    the per-source distinct collapses first."""
+    the per-source distinct collapses first.
+
+    Exact-copy collapse (r13 — found by the 1000× copy-heavy sweep,
+    139.9 s → shingling one rep per DISTINCT (source, lowercased text)
+    group): the (source, shingle) set only depends on which text
+    classes a source contains, so identical texts within a source need
+    shingling once. The pre-collapse is one narrow corpus aggregate
+    (min_by text, partial-aggregated); rep doc_ids stay unique across
+    groups (a doc has one source and one text). Strict oracle EXACT at
+    both SFs post-change."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs)  # distinct (doc_id, shingle)
+    st_reps = docs.groupBy(
+        "source", F.md5(F.lower("text")).alias("th")
+    ).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("text", "doc_id").alias("text"),
+    )
+    sh = _shingles(st_reps.select("doc_id", "text"))  # distinct (doc_id, shingle)
     ss = (
-        sh.join(docs.select("doc_id", "source"), "doc_id")
+        sh.join(st_reps.select("doc_id", "source"), "doc_id")
         .select("source", "shingle")
         .distinct()
         .cache()
@@ -1764,16 +2033,32 @@ def doc_novelty_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: first-occurrence is a shingle-bounded min aggregate;
     the join back is an equi-join on shingle; output is one row per
     shingled doc. Docs with <3 tokens have no shingles and are absent
-    (both engines agree by construction)."""
+    (both engines agree by construction).
+
+    Exact-copy collapse (r13, the 1000× sweep's 116 s row): a copy's
+    answer is fully determined — its rep (lower doc_id, same lowered
+    text, hence same shingle set) holds every one of its shingles, so
+    first_doc < copy for all of them: n_novel = 0, novelty = 0.0,
+    n_shingles = the rep's. And first_doc over reps equals first_doc
+    over all docs (any holder's rep is a smaller holder), so rep rows
+    are unchanged by collapsing. Shingling runs once per distinct
+    lowered text; copies join their rep's n_shingles back by text
+    hash. Strict oracle EXACT at both SFs post-change."""
     from ..catalog import round4f
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs).cache()
+    nh_docs, winners = _winner_collapse(
+        docs.select("doc_id", "text"), payload=("text",), norm=F.lower(F.col("text"))
+    )
+    members = nh_docs.select("doc_id", "nh").join(
+        winners.select("nh", F.col("doc_id").alias("rep_id")), "nh"
+    )
+    sh = _shingles(winners.select("doc_id", "text")).cache()
     firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
     ).cast("long")
-    return (
+    rep_out = (
         sh.join(firsts, "shingle")
         .groupBy("doc_id")
         .agg(
@@ -1788,8 +2073,23 @@ def doc_novelty_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_novel").cast("double") / F.col("n_shingles")
             ).alias("novelty"),
         )
-        .orderBy("doc_id")
     )
+    copies_out = (
+        members.filter(F.col("doc_id") != F.col("rep_id"))
+        .join(
+            rep_out.select(
+                F.col("doc_id").alias("rep_id"), "n_shingles"
+            ),
+            "rep_id",
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.lit(0).cast("long").alias("n_novel"),
+            F.lit(0.0).alias("novelty"),
+        )
+    )
+    return rep_out.unionByName(copies_out).orderBy("doc_id")
 
 
 def jaccard_pairs_with_df_cap(docs: DataFrame, df_cap: int) -> DataFrame:
@@ -1810,8 +2110,13 @@ def jaccard_pairs_with_df_cap(docs: DataFrame, df_cap: int) -> DataFrame:
     collapses from O(n²) to the true-pair count while every true
     near-dup (sharing at least one sub-cap shingle) is still found."""
     sh = _shingles(docs).cache()
+    # count(1), not countDistinct(doc_id): `_shingles(distinct=True)`
+    # already dedups per doc, so (doc_id, shingle) rows are unique and
+    # the two are equal — countDistinct would plan a second aggregate
+    # level with a shingle-volume (shingle, doc_id) exchange (r13, the
+    # scrub_repeated_spans finding).
     df_counts = sh.groupBy("shingle").agg(
-        F.countDistinct("doc_id").alias("_df")
+        F.count(F.lit(1)).alias("_df")
     )
     idx = sh.join(
         df_counts.where(F.col("_df") <= df_cap).select("shingle"),

@@ -694,14 +694,27 @@ def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # Fan out before the (CPU-heavy) per-row fold — the `_shingles`
+    # pattern, restored in r13: the r12 zero-exchange form ran the
+    # whole query as ONE task on the single-row-group fixture files
+    # (ranged splits cannot divide one parquet row group, measured: 54
+    # forced splits, 53 empty, time unchanged), serializing ~3 s of
+    # interpreted aggregate() lambdas at 10×. One narrow (doc_id, text)
+    # shuffle buys full-core parallelism: A/B min-of-4 interleaved,
+    # sf0.1 0.40 → 0.31 s, 10× 2.8 → 0.9 s. At real scale the scan has
+    # natural row-group parallelism and this is a cheap narrow shuffle
+    # (same trade `_shingles` documents).
+    n_part = spark.sparkContext.defaultParallelism
     # Materialize the token array BEFORE the lambda: an expression
     # inside a higher-order function re-evaluates per element, so
     # split() referenced in the transform body is O(tokens²) per doc
     # (measured 7× slower at 10× before this). sequence(0, stop)
     # DESCENDS for stop < 0: single-token docs must yield no bigrams,
     # not phantom ones — hence the size(t) >= 2 row filter.
-    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("t")).where(
-        F.expr("size(t) >= 2")
+    toks = (
+        docs.repartition(n_part, "doc_id")
+        .select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+        .where(F.expr("size(t) >= 2"))
     )
     bh = toks.select(
         "doc_id",

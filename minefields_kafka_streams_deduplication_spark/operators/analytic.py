@@ -1472,7 +1472,44 @@ def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("inter_event_gap_stats_bucketed")  # rows-only: bucket-granular median
+@query(
+    "inter_event_gap_stats_bucketed",
+    # r13 oracle promotion (VERDICT r12 #8): "bucket-granular median"
+    # is approximate relative to the EXACT median but fully
+    # deterministic integer arithmetic — every output value (count,
+    # integer-division mean, bucket-midpoint median) is engine-exact,
+    # so DuckDB can mirror the computation bit-for-bit.
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+g2 AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL),
+hist AS (
+  SELECT event_type, gap_us // 1000000 AS sec, count(*) AS c, sum(gap_us) AS s
+  FROM g2 GROUP BY 1, 2
+),
+cdf AS (
+  SELECT event_type, sec, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY sec) AS cum
+  FROM hist
+),
+totals AS (SELECT event_type, sum(c) AS n_gaps, sum(s) AS s FROM hist GROUP BY 1),
+med AS (
+  SELECT cdf.event_type, min(sec) * 1000000 + 500000 AS m
+  FROM cdf JOIN totals USING (event_type)
+  WHERE cum >= (n_gaps + 1) // 2
+  GROUP BY 1
+)
+SELECT t.event_type, CAST(t.n_gaps AS BIGINT) AS n_gaps,
+       CAST(t.s // t.n_gaps AS BIGINT) AS avg_gap_us,
+       CAST(med.m AS BIGINT) AS median_gap_us_approx
+FROM totals t JOIN med USING (event_type)
+ORDER BY event_type
+""",
+)
 def inter_event_gap_stats_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production-scale twin of `inter_event_gap_stats` (the same
     trade the HLL DAU/MAU makes): gaps quantize to 1-SECOND buckets

@@ -388,9 +388,12 @@ _R13_REVERIFY: tuple[str, ...] = (
     "doc_repetition_metrics",
     "contamination_ngram_check",
     "decontaminate_report",
-    # Rows-only r12-kernel-touched queries: the driver records their row
-    # counts (no oracle — reconstruction / fingerprints are
-    # engine-specific); forced in so the record at least pins rows.
+    # r12-kernel-touched queries that lacked an r12 driver row.
+    # scrub_repeated_spans was rows-only until r13 promoted it to a
+    # full DuckDB oracle (span-string grammar — see the oracle note in
+    # neardup.py), so its driver row is now a value check, exactly what
+    # VERDICT r12 #2 asked for on the slowest headline query.
+    # doc_winnow_fingerprint stays rows-only (xxhash64 fingerprints).
     "scrub_repeated_spans",
     "doc_winnow_fingerprint",
     # VERDICT r12 #2/#5: dedup_text_minhash got the deepest r12 rework

@@ -278,7 +278,15 @@ def serialize_event_payload(events: DataFrame) -> DataFrame:
     )
 
 
-@query("kafka_wire_roundtrip")  # rows-only: binary serde, no SQL oracle
+@query(
+    "kafka_wire_roundtrip",
+    # r13 oracle promotion (VERDICT r12 #8): the round-trip's CONTRACT
+    # is bit-exact identity with the source rows, so the oracle is the
+    # identity projection over events — any serde regression (JSON
+    # field drop, µs truncation, type coercion) now lands as a driver
+    # DIFF instead of only a unit-test failure.
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
 def kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S4 serde proof without a broker: events → produce-side wire
     frame (`serialize_event_payload`) → consume-side parser

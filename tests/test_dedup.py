@@ -151,6 +151,37 @@ def test_scrub_repeated_spans_keeps_one_canonical_copy(spark, monkeypatch):
     assert out[2].scrubbed_text == rows[2][1]
 
 
+def test_scrub_within_doc_repeat_not_marked(spark, monkeypatch):
+    """A span repeated twice WITHIN one doc (and nowhere else) is not
+    cross-doc repeated and must survive. Pins the r13 min!=max swap for
+    countDistinct(doc_id) > 1: the span occurs at two positions of the
+    same doc_id, so a count-of-occurrences test would wrongly mark it —
+    only a distinct-holder test (min(doc_id) != max(doc_id)) keeps it.
+    """
+    from minefields_kafka_streams_deduplication_spark.functions import neardup
+
+    span = "a b c d e f g h"
+    rows = [
+        # span twice within doc 0 (separated so the two windows do not
+        # merge into one run even if marked), unique elsewhere
+        (0, span + " xx yy zz ww qq rr ss tt " + span, "en", "s", 1),
+        (1, "completely unrelated words that share nothing at all okay", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    monkeypatch.setattr(neardup, "load_table", lambda s, d, n: df)
+    out = {r.doc_id: r for r in neardup.scrub_repeated_spans(spark, "ignored").collect()}
+    assert out[0].scrubbed_text == rows[0][1]
+    assert out[0].n_removed_tokens == 0
+    out_all = {
+        r.doc_id: r
+        for r in neardup.scrub_repeated_spans_all(spark, "ignored").collect()
+    }
+    assert out_all[0].scrubbed_text == rows[0][1]
+    assert out_all[0].n_removed_tokens == 0
+
+
 def test_scrub_repeated_spans_short_docs_untouched(spark, monkeypatch):
     """Docs shorter than the span width generate no windows — identical
     short docs must pass through unmodified (no phantom spans)."""
@@ -164,6 +195,34 @@ def test_scrub_repeated_spans_short_docs_untouched(spark, monkeypatch):
     out = {r.doc_id: r for r in neardup.scrub_repeated_spans(spark, "ignored").collect()}
     assert out[0].scrubbed_text == "tiny doc" and out[1].scrubbed_text == "tiny doc"
     assert out[0].n_removed_tokens == 0 and out[1].n_removed_tokens == 0
+
+
+def test_cc_isolated_copy_group_is_its_own_cluster(spark, monkeypatch):
+    """Pins the r13 rep-graph CC restructure: a multi-member exact-copy
+    group with NO cross-group near-dup edge is a cluster by itself
+    (its within-pairs are jaccard-1.0 edges in the expanded graph),
+    while copies of a <3-token text produce no pairs and are excluded
+    (no shingles — the within-gate)."""
+    from minefields_kafka_streams_deduplication_spark.functions import neardup
+
+    long_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (10, long_text, "en", "s", 1),
+        (11, long_text, "en", "s", 1),
+        (12, long_text, "en", "s", 1),
+        (20, "unique words entirely different from the copies here", "en", "s", 1),
+        (30, "tiny doc", "en", "s", 1),
+        (31, "tiny doc", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    monkeypatch.setattr(neardup, "load_table", lambda s, d, n: df)
+    out = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in neardup.dedup_clusters_cc(spark, "ignored").collect()
+    }
+    assert out == {10: (10, 3), 11: (10, 3), 12: (10, 3)}
 
 
 def test_cc_clusters_consistent_with_pair_graph(spark, sf_dir):
